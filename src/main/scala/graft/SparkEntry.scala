@@ -1,13 +1,113 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricing(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => fn(Tables(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-family: relational core
+    "q_agg_pricing"     -> q(Relational.aggPricing),
+    "q_filter_project"  -> q(Relational.filterProject),
+    "q_join_broadcast"  -> q(Relational.joinBroadcast),
+    "q_join_multi"      -> q(Relational.joinMulti),
+    "q_topk"            -> q(Relational.topK),
+    "q_window_rank"     -> q(Relational.windowRank),
+    "q_distinct_agg"    -> q(Relational.distinctAgg),
+    "q_semi_join"       -> q(Relational.semiJoin),
+    "q_anti_join"       -> q(Relational.antiJoin),
+    "q_scalar_subquery" -> q(Relational.scalarSubquery),
+    "q_rollup"          -> q(Relational.rollupAgg),
+    "q_union_agg"       -> q(Relational.unionAgg),
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
+    * Column aliases match the Spark output exactly (driver hash-compares
+    * after sorting columns by name). */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rnk FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_union_agg" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey
+        |ORDER BY nationkey""".stripMargin,
+  )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.Tables
+
+/** A-family: relational core. General query capabilities the engine
+  * needs under every higher-level operator (the reference's SQL layer —
+  * reference: src/core/database/processor.py:349 runs plain SQL
+  * aggregates/scans over chat_message; here they are declarative Spark
+  * plans so Catalyst pushes filters/prunes columns/broadcasts dims).
+  *
+  * Oracle-parity convention (SURVEY.md §4): monetary doubles are cast
+  * to DECIMAL(18,2) before SUM (exact, order-independent) and the sum
+  * cast back to DOUBLE, making Spark-vs-DuckDB comparison bit-exact.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a money-like double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private val dec = DecimalType(18, 2)
+
+  /** A1 — grouped aggregation, TPC-H Q1 shape (map-side partial agg). */
+  def aggPricing(t: Tables): DataFrame = {
+    val li = t.lineitem
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A2 — filter + projection; both must reach the parquet scan
+    * (PushedFilters + pruned ReadSchema in the physical plan). */
+  def filterProject(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A3 — fact ⋈ dim with an explicit broadcast of the dim side:
+    * no shuffle of `orders` on the join key at any scale. */
+  def joinBroadcast(t: Tables): DataFrame =
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+
+  /** A4 — 5-way star join: every dim broadcast, only the fact
+    * (lineitem⋈orders) shuffles, keyed on the join key once. */
+  def joinMulti(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** A5 — global top-k: planned as TakeOrderedAndProject (per-partition
+    * top-k then k-way merge on the driver — no global sort shuffle). */
+  def topK(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** A6 — window ranking within partitions (top-3 per nation). */
+  def windowRank(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).cast(LongType).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
+  /** A7 — distinct aggregation (expand + two-phase agg under the hood). */
+  def distinctAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A8 — EXISTS as a left-semi join (never materializes the right side). */
+  def semiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** A9 — NOT EXISTS as a left-anti join (orders with no lineitems). */
+  def antiJoin(t: Tables): DataFrame =
+    t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  /** A10 — scalar subquery: rows above the global mean. The 1-row agg is
+    * cross-broadcast, so the fact side streams without a shuffle. */
+  def scalarSubquery(t: Tables): DataFrame = {
+    val p = t.part
+    val avgPrice = p.agg(
+      (dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+    p.join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** A11 — hierarchical aggregation via ROLLUP; grouping nulls are
+    * coalesced to 'ALL' so null-ordering never differs across engines. */
+  def rollupAgg(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** A12 — union + aggregation (unionByName keeps schemas aligned). */
+  def unionAgg(t: Tables): DataFrame = {
+    val c = t.customer.select(col("c_nationkey").as("nationkey"))
+    val s = t.supplier.select(col("s_nationkey").as("nationkey"))
+    c.unionByName(s)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (see TESTDATA.md).
+  *
+  * Re-expresses the reference's data-access layer (reference:
+  * src/core/database/connection.py:1 — snapshot + SQLite scan) as plain
+  * parquet scans so Catalyst can push predicates and prune columns at
+  * the source. At cluster scale these would be partitioned tables; the
+  * loaders keep that the only difference.
+  */
+final class Tables(val spark: SparkSession, val dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def events: DataFrame = t("events")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

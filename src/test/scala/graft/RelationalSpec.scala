@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.Relational
+
+class RelationalSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  test("aggPricing groups are distinct and sums positive") {
+    val rows = Relational.aggPricing(t).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
+
+  test("filterProject only returns matching rows") {
+    val df = Relational.filterProject(t)
+    assert(df.columns.toSeq === Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+    // re-derive the predicate violation count from the source
+    val n = df.count()
+    val expected = t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05).count()
+    assert(n === expected && n > 0)
+  }
+
+  test("joinBroadcast totals match ungrouped total") {
+    val per = Relational.joinBroadcast(t).agg(sum("n_orders")).first().getLong(0)
+    assert(per === t.orders.count())
+  }
+
+  test("topK is sorted desc and bounded") {
+    val rows = Relational.topK(t).collect()
+    assert(rows.length === 10)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("windowRank emits at most 3 per nation, ranks 1..3") {
+    val rows = Relational.windowRank(t).collect()
+    val byNation = rows.groupBy(_.getInt(1))
+    assert(byNation.values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
+  test("semi + anti partition orders") {
+    val semi = t.orders.join(t.lineitem,
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    val anti = Relational.antiJoin(t).count()
+    assert(semi + anti === t.orders.count())
+  }
+
+  test("rollup contains the grand total") {
+    val rows = Relational.rollupAgg(t).collect()
+    val total = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.isDefined)
+    assert(total.get.getLong(3) === t.lineitem.count())
+  }
+
+  test("broadcast join plan actually broadcasts the dim side") {
+    val plan = Relational.joinBroadcast(t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("filterProject pushes the filter into the parquet scan") {
+    val plan = Relational.filterProject(t).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"))
+  }
+}
