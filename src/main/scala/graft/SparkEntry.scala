@@ -30,6 +30,12 @@ object SparkEntry {
     "q_scalar_subquery" -> q(Relational.scalarSubquery),
     "q_rollup"          -> q(Relational.rollupAgg),
     "q_union_agg"       -> q(Relational.unionAgg),
+    // D-family: vector search
+    "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
+    "q_search_filtered"   -> q(VectorSearch.searchFiltered),
+    "q_knn_join"          -> q(VectorSearch.knnJoin),
+    "q_ann_ivf"           -> q(VectorSearch.annIvf),
+    "q_vector_norms"      -> q(VectorSearch.vectorNorms),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -109,5 +115,94 @@ object SparkEntry {
         |  SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY nationkey
         |ORDER BY nationkey""".stripMargin,
+    // D-family. The exploded-embedding CTE re-derives the same cosine
+    // the Spark CosineSimilarity expression computes; both sides round
+    // to 6 dp BEFORE threshold/ordering so they select identical rows.
+    "q_search_bruteforce" ->
+      s"""$embCte
+         |SELECT vec_id, label, score FROM (
+         |  SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score FROM s)
+         |WHERE score >= 0.1
+         |ORDER BY score DESC, vec_id
+         |LIMIT 30""".stripMargin,
+    "q_search_filtered" ->
+      s"""$embCte
+         |SELECT vec_id, label, score FROM (
+         |  SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score FROM s
+         |  WHERE label IN (1,2,3))
+         |WHERE score >= 0.05
+         |ORDER BY score DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "q_knn_join" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, i, v AS qv FROM ev WHERE vec_id < 5),
+        |qn AS (SELECT query_id, SQRT(SUM(qv*qv)) AS qnorm FROM q GROUP BY query_id),
+        |s AS (
+        |  SELECT q.query_id, ev.vec_id AS neighbor_id,
+        |         SUM(ev.v*q.qv) AS dot, SQRT(SUM(ev.v*ev.v)) AS en
+        |  FROM ev JOIN q ON ev.i = q.i
+        |  WHERE ev.vec_id >= 5
+        |  GROUP BY q.query_id, ev.vec_id),
+        |r AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         ROUND(s.dot/(s.en*qn.qnorm),6) AS score,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY s.query_id
+        |           ORDER BY ROUND(s.dot/(s.en*qn.qnorm),6) DESC, s.neighbor_id) AS BIGINT) AS rnk
+        |  FROM s JOIN qn ON s.query_id = qn.query_id)
+        |SELECT query_id, neighbor_id, score, rnk FROM r
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, ROUND(AVG(v),6) AS cv FROM ev GROUP BY label, i),
+        |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT c.label,
+        |         ROUND(ROUND(SUM(c.cv*q.qv),6)
+        |           / (SQRT(ROUND(SUM(c.cv*c.cv),6)) * SQRT(ROUND(SUM(q.qv*q.qv),6))),6) AS cscore
+        |  FROM cent c JOIN q ON c.i = q.i GROUP BY c.label),
+        |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2),
+        |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+        |s AS (
+        |  SELECT ev.vec_id, ev.label, SUM(ev.v*q.qv) AS dot, SQRT(SUM(ev.v*ev.v)) AS en
+        |  FROM ev JOIN q ON ev.i = q.i
+        |  WHERE ev.vec_id <> 0 AND ev.label IN (SELECT label FROM probe)
+        |  GROUP BY ev.vec_id, ev.label)
+        |SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score
+        |FROM s
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_vector_norms" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, len(embedding) AS d
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(MIN(d) AS BIGINT) AS dim,
+        |  ROUND(SQRT(SUM(v*v)),6) AS norm,
+        |  ROUND(MAX(ABS(v)),6) AS max_abs
+        |FROM ev GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
   )
+
+  /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
+    * take vec_id=0 as the query, join on position, aggregate dot and
+    * norms per corpus vector. */
+  private val embCte: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+      |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+      |s AS (
+      |  SELECT ev.vec_id, ev.label, SUM(ev.v*q.qv) AS dot, SQRT(SUM(ev.v*ev.v)) AS en
+      |  FROM ev JOIN q ON ev.i = q.i
+      |  WHERE ev.vec_id <> 0
+      |  GROUP BY ev.vec_id, ev.label)""".stripMargin
 }

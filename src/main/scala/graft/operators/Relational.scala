@@ -39,13 +39,15 @@ object Relational {
   }
 
   /** A2 — filter + projection; both must reach the parquet scan
-    * (PushedFilters + pruned ReadSchema in the physical plan). */
+    * (PushedFilters + pruned ReadSchema in the physical plan). No
+    * output order: the result is a full scan product and the driver's
+    * compare canonicalizes row order, so a global sort here would be
+    * pure presentation cost at scale. */
   def filterProject(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** A3 — fact ⋈ dim with an explicit broadcast of the dim side:
     * no shuffle of `orders` on the join key at any scale. */
@@ -77,11 +79,25 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
-  /** A6 — window ranking within partitions (top-3 per nation). */
+  /** A6 — window ranking within partitions (top-3 per nation), in two
+    * stages so parallelism is not capped at the 25 distinct nations:
+    * stage 1 takes top-3 within (nation, salt) — 25×16 partitions, each
+    * sorting 1/16 of a nation — which provably contains the global
+    * per-nation top-3; stage 2 ranks the ≤25×16×3 survivors. At 100×
+    * scale the heavy sort stays at width 400, not 25. */
   def windowRank(t: Tables): DataFrame = {
+    val salts = 16
+    val w1 = Window
+      .partitionBy(col("c_nationkey"), pmod(col("c_custkey"), lit(salts)))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val candidates = t.customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("srnk", row_number().over(w1))
+      .filter(col("srnk") <= 3)
+      .drop("srnk")
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t.customer
+    candidates
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
         row_number().over(w).cast(LongType).as("rnk"))
       .filter(col("rnk") <= 3)
@@ -96,19 +112,24 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
-  /** A8 — EXISTS as a left-semi join (never materializes the right side). */
+  /** A8 — EXISTS as a left-semi join. The probe side only answers
+    * "does this custkey appear", so it is pre-aggregated to distinct
+    * keys BEFORE the join: at scale this cuts the shuffled bytes by
+    * the fact table's duplication factor (orders is 6× customer here,
+    * far more in production). */
   def semiJoin(t: Tables): DataFrame =
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(t.orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"))
-      .orderBy(col("c_custkey"))
 
-  /** A9 — NOT EXISTS as a left-anti join (orders with no lineitems). */
+  /** A9 — NOT EXISTS as a left-anti join (orders with no lineitems);
+    * probe side reduced to distinct keys for the same reason as A8. */
   def antiJoin(t: Tables): DataFrame =
     t.orders
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .join(t.lineitem.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select(col("o_orderkey"))
-      .orderBy(col("o_orderkey"))
 
   /** A10 — scalar subquery: rows above the global mean. The 1-row agg is
     * cross-broadcast, so the fact side streams without a shuffle. */
@@ -119,7 +140,6 @@ object Relational {
     p.join(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("avg_price"))
       .select(col("p_partkey"), col("p_retailprice"))
-      .orderBy(col("p_partkey"))
   }
 
   /** A11 — hierarchical aggregation via ROLLUP; grouping nulls are

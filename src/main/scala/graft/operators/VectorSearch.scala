@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** D-family: vector similarity search — the reference's core purpose
+  * (reference: src/core/embeddings/processor.py:436
+  * `search_similar_messages`: brute-force cosine over the whole store,
+  * similarity threshold at :440-ish, metadata filters at :476, top-k;
+  * orchestrated by src/core/search/engine.py:105).
+  *
+  * Spark-first shape: the corpus streams through a codegen'd
+  * `CosineSimilarity` expression (no shuffle to score), the query
+  * vector(s) are a broadcast 1-to-5-row dimension, and top-k is
+  * TakeOrderedAndProject (per-partition heads + driver merge — no
+  * global sort). At 100 TB the only data movement is the broadcast of
+  * the queries; scoring is embarrassingly parallel over the corpus
+  * partitions.
+  *
+  * Parity (SURVEY.md §4): scores round to 6 dp BEFORE threshold /
+  * ordering on both engines; every top-k has the total order
+  * (score desc, id asc).
+  */
+object VectorSearch {
+
+  /** Deterministic "query embedding": the stored vector with vec_id=0
+    * (the reference embeds the query text at search time,
+    * processor.py:467 — no model in this sandbox, so the query is a
+    * corpus vector, which the reference's own tests also do). */
+  private def queryVec(t: Tables): DataFrame =
+    t.embeddings.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  private def score(e: Column, q: Column): Column = round(cosineSim(e, q), 6)
+
+  /** D1 — brute-force cosine top-k with similarity threshold
+    * (reference processor.py:436; threshold default 0.3 scaled to this
+    * synthetic corpus' score range). */
+  def searchBruteforce(t: Tables): DataFrame =
+    t.embeddings
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(queryVec(t)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("qv")).as("score"))
+      .filter(col("score") >= 0.1)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(30)
+
+  /** D2 — metadata-filtered search (reference processor.py:476 filters
+    * by conversation_type/session_id before scoring; here the `label`
+    * column plays that role). The filter lands in the parquet scan, so
+    * the pruned partitions are never read, let alone scored. */
+  def searchFiltered(t: Tables): DataFrame =
+    t.embeddings
+      .filter(col("label").isin(1, 2, 3) && col("vec_id") =!= 0)
+      .join(broadcast(queryVec(t)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("qv")).as("score"))
+      .filter(col("score") >= 0.05)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+
+  /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors
+    * per query. Queries broadcast; per-query top-k via ranking window
+    * partitioned by query (N partitions of corpus-size each — at scale
+    * this is the textbook broadcast-NN join: corpus never shuffles,
+    * only the N×k result does). */
+  def knnJoin(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.filter(col("vec_id") >= 5)
+      .join(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        score(col("embedding"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        row_number().over(w).cast(LongType).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** D5 — vector algebra: per-vector dimension, L2 norm, max |x|.
+    * Pure per-row codegen'd expressions; no shuffle at any scale. */
+  def vectorNorms(t: Tables): DataFrame =
+    t.embeddings
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        round(l2Norm(col("embedding")), 6).as("norm"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))), 6).as("max_abs"))
+      .orderBy(col("vec_id"))
+
+  /** D4 — IVF-style ANN in two stages (SURVEY.md §5): coarse quantize
+    * the corpus to per-label centroids (a k-means-lite with
+    * deterministic assignment so DuckDB can replicate), score the
+    * query against the tiny broadcast centroid table, prune to the 2
+    * nearest cells, then run EXACT cosine only inside the probed cells.
+    * At 100 TB the corpus would be written partitioned by cell, so the
+    * probe prunes partitions at the source; here the cell filter is a
+    * pushed-down `label IN (…)`.
+    *
+    * Parity: centroid components round to 6 dp, centroid scores round
+    * to 6 dp, probe order (score desc, label asc), final order
+    * (score desc, vec_id asc) — all mirrored in the oracle SQL.
+    */
+  def annIvf(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val pos = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pos.groupBy(col("label"), col("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+    val qpos = pos.filter(col("vec_id") === 0)
+      .select(col("i"), col("v").cast("double").as("qv"))
+    val centScore = cent.join(broadcast(qpos), "i")
+      .groupBy(col("label"))
+      .agg(round(
+        round(sum(col("cv") * col("qv")), 6) /
+          (sqrt(round(sum(col("cv") * col("cv")), 6)) *
+           sqrt(round(sum(col("qv") * col("qv")), 6))), 6).as("cscore"))
+    val probed = centScore
+      .orderBy(col("cscore").desc, col("label")).limit(2)
+      .select(col("label"))
+    e.join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(queryVec(t)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.VectorSearch
+import graft.sources.Tables
+
+class VectorSearchSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+  import spark.implicits._
+
+  test("cosineSim: parallel vectors 1, orthogonal 0, zero-norm guard 0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val r = df.select(cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(r(1) === 0.0)
+    assert(r(2) === 0.0)
+  }
+
+  test("l2Norm^2 equals dotProduct with self") {
+    val rows = t.embeddings.limit(50)
+      .select(l2Norm(col("embedding")).as("n"),
+        dotProduct(col("embedding"), col("embedding")).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) * r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("searchBruteforce: sorted desc, thresholded, bounded, no self-match") {
+    val rows = VectorSearch.searchBruteforce(t).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ >= 0.1))
+    assert(rows.forall(_.getLong(0) != 0L))
+  }
+
+  test("searchFiltered only scores the filtered labels") {
+    val rows = VectorSearch.searchFiltered(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(1, 2, 3).contains(r.getInt(1))))
+  }
+
+  test("knnJoin: at most 3 ranked neighbors per query, corpus-side only") {
+    val rows = VectorSearch.knnJoin(t).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getLong(3)).sorted.toSeq === (1L to g.length))
+    }
+    assert(rows.forall(_.getLong(1) >= 5L))
+  }
+
+  test("annIvf probes at most 2 cells and its hits appear in brute force order") {
+    val rows = VectorSearch.annIvf(t).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getInt(1)).distinct.length <= 2)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("vectorNorms: one row per vector, positive norms") {
+    val df = VectorSearch.vectorNorms(t)
+    assert(df.count() === t.embeddings.count())
+    assert(df.filter(col("norm") <= 0).count() === 0)
+  }
+
+  test("plan: brute-force scoring stays in whole-stage codegen, queries broadcast") {
+    val df = VectorSearch.searchBruteforce(t)
+    df.collect() // materialize so AQE finalizes the plan (codegen spans visible)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark whole-stage-codegen spans in the plan string;
+    // the scoring Project/Join must carry one.
+    assert(plan.contains("*(2) Project") || plan.contains("WholeStageCodegen"))
+    assert(plan.contains("cosine_sim"))
+    assert(plan.contains("Broadcast"))
+    // corpus scan must push the vec_id filter down
+    assert(plan.contains("PushedFilters"))
+    // top-k must be TakeOrderedAndProject, not a global Sort+Exchange
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
