@@ -36,6 +36,12 @@ object SparkEntry {
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
+    // C1 + F-family: text cleaning and analysis
+    "q_text_clean"    -> q(TextAnalysis.textClean),
+    "q_lang_id"       -> q(TextAnalysis.langId),
+    "q_quality_score" -> q(TextAnalysis.qualityScore),
+    "q_token_count"   -> q(TextAnalysis.tokenCount),
+    "q_fingerprint"   -> q(TextAnalysis.fingerprint),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -188,6 +194,71 @@ object SparkEntry {
         |  ROUND(MAX(ABS(v)),6) AS max_abs
         |FROM ev GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+    // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
+    // (Spark replaces all matches by default); token lists agree because
+    // both sides trim before splitting.
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    text, '\s+', ' ', 'g'), 'https?://\S+', '', 'g'),
+        |    '[^\w\s.,!?;:\-''"]', '', 'g')) AS cleaned
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','y','en'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr
+        |  FROM w)
+        |SELECT doc_id, c_en, c_es, c_de, c_fr,
+        |  CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+        |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+        |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_chars_m,
+        |  ROUND(CAST(n_punct AS DOUBLE)/CAST(n_chars_m AS DOUBLE), 6) AS punct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
+        |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/CAST(n_chars_m AS DOUBLE))
+        |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE)*5.0), 6) AS quality
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  ROUND(CAST(length(text) AS DOUBLE)
+        |    / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE), 6) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+        |      range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    ELSE [] END AS s
+        |  FROM w)
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+        |  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS fingerprint
+        |FROM sh
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Column-DSL text primitives shared by the C/E/F families. Everything
+  * here is a composition of codegen'd built-ins (regexp, array, hash
+  * functions) — per-row, embarrassingly parallel, no UDFs — and every
+  * construct has an exact DuckDB equivalent so oracle SQL can replay it
+  * verbatim (SURVEY.md §4).
+  */
+object TextFunctions {
+
+  /** The reference's message-cleaning pipeline, in its exact order
+    * (reference: src/core/database/processor.py:153
+    * `clean_text_content` — collapse whitespace, strip URLs, strip
+    * emoji/special chars keeping word chars + basic punctuation, trim).
+    */
+  def cleanText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "\\s+", " "),
+          "https?://\\S+", ""),
+        "[^\\w\\s.,!?;:\\-'\"]", ""))
+
+  /** Lowercased whitespace tokens. `trim` first so Spark's
+    * trailing-empty-preserving split and DuckDB's string_split_regex
+    * agree on the token list. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word 3-gram shingles (the unit of E-family similarity).
+    * 0-based indices here; the oracle uses DuckDB's 1-based lists with
+    * a stop-exclusive range — same set. */
+  def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ",
+          ws.getItem(i), ws.getItem(i + 1), ws.getItem(i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** How many tokens fall in a fixed stopword profile. */
+  def stopwordCount(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stops))).cast(LongType)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** F-family text analysis + C1 cleaning, over `documents`. These are
+  * the per-document scoring passes an LLM-training-data pipeline runs
+  * before dedup/filtering. Every query is a single narrow projection —
+  * per-row column DSL, no shuffle except the trivial final aggregation
+  * where present — so at 100 TB they stream at scan speed with full
+  * codegen.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for F1 language ID (the classic n-gram/stopword
+    * heuristic; fixed tiny profiles keep the oracle replayable). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "mit"),
+    "fr" -> Seq("le", "les", "une", "et", "dans"))
+
+  /** C1 — the reference's `clean_text_content` regex pipeline
+    * (reference: src/core/database/processor.py:153), run over every
+    * document exactly as the reference runs it over every message
+    * before embedding. */
+  def textClean(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), cleanText(col("text")).as("cleaned"))
+
+  /** F1 — stopword-profile language ID: count profile hits per
+    * language, argmax with a fixed priority order on ties. */
+  def langId(t: Tables): DataFrame = {
+    val ws = words(col("text"))
+    val counts = stopwords.map { case (lang, stops) =>
+      lang -> stopwordCount(ws, stops)
+    }
+    val best = greatest(counts.map(_._2): _*)
+    // first language in declaration order attaining the max — the
+    // oracle's CASE chain mirrors this exactly
+    val pred = counts.init.foldRight(lit(counts.last._1)) {
+      case ((lang, cnt), els) => when(cnt === best, lang).otherwise(els)
+    }
+    t.documents.select(
+      col("doc_id"),
+      counts.head._2.as("c_en"),
+      counts(1)._2.as("c_es"),
+      counts(2)._2.as("c_de"),
+      counts(3)._2.as("c_fr"),
+      pred.as("lang_pred"))
+  }
+
+  /** F2 — document quality scoring: length, punctuation density,
+    * stopword density, composite. All ratios are exact-integer
+    * divisions so both engines produce bit-identical doubles. */
+  def qualityScore(t: Tables): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType)
+    val nStop = stopwordCount(ws, stopwords.head._2)
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val quality =
+      lit(0.4) * least(lit(1.0), nWords.cast("double") / 50.0) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0)
+    t.documents.select(
+      col("doc_id"), nWords.as("n_words"), nChars.as("n_chars_m"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(quality, 6).as("quality"))
+  }
+
+  /** F3 — token counting: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs / digit runs / single non-space symbol), the
+    * standard cheap token estimate for budget accounting. */
+  def tokenCount(t: Tables): DataFrame = {
+    val wsTokens = size(words(col("text"))).cast(LongType)
+    val reTokens =
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    t.documents.select(
+      col("doc_id"), wsTokens.as("ws_tokens"), reTokens.as("re_tokens"),
+      round(length(col("text")).cast("double") / reTokens.cast("double"), 6)
+        .as("chars_per_token"))
+  }
+
+  /** F4 — winnowing-style document fingerprint: the minimum md5 over
+    * the document's word-3-gram shingles (md5 hex compares identically
+    * in both engines, SURVEY.md §4). */
+  def fingerprint(t: Tables): DataFrame = {
+    val sh = shingles3(words(col("text")))
+    t.documents.select(
+      col("doc_id"),
+      size(sh).cast(LongType).as("n_shingles"),
+      array_min(transform(sh, s => md5(s))).as("fingerprint"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+class TextAnalysisSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+  import spark.implicits._
+
+  test("cleanText matches the reference pipeline on URLs/emoji/whitespace") {
+    // reference processor.py:153: collapse \s+, strip URLs, strip
+    // non-[\w\s.,!?;:\-'"] chars, trim
+    val raw = Seq(
+      "hello\n\n  world https://x.io/a?b=1 bye",
+      "emoji ❤️ stays? no! (parens) [ok]",
+      "  padded  ").toDF("text")
+    val out = raw.select(TextFunctions.cleanText(col("text"))).as[String].collect()
+    assert(out(0) === "hello world  bye".replaceAll("\\s+ ", " ") ||
+      out(0) === "hello world bye" || out(0) === "hello world  bye")
+    assert(!out(1).exists(c => c > 127.toChar))
+    assert(out(1).contains("stays? no!") && !out(1).contains("(") && !out(1).contains("["))
+    assert(out(2) === "padded")
+  }
+
+  test("langId predicts a language for every doc with counts consistent") {
+    val rows = TextAnalysis.langId(t).collect()
+    assert(rows.length === t.documents.count())
+    rows.foreach { r =>
+      val counts = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val pred = r.getString(5)
+      val predIdx = Seq("en", "es", "de", "fr").indexOf(pred)
+      assert(predIdx >= 0)
+      assert(counts(predIdx) === counts.max)
+    }
+  }
+
+  test("qualityScore components are in range") {
+    val rows = TextAnalysis.qualityScore(t).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // punct_ratio
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // stop_ratio
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // quality
+    }
+  }
+
+  test("tokenCount: regex tokens at least whitespace tokens for plain text") {
+    val rows = TextAnalysis.tokenCount(t).collect()
+    rows.foreach { r => assert(r.getLong(2) >= r.getLong(1)) }
+  }
+
+  test("fingerprint is a 32-hex md5 and shingle count is words-2") {
+    val rows = TextAnalysis.fingerprint(t)
+      .join(t.documents.select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).as("nw")), "doc_id")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2).matches("[0-9a-f]{32}"))
+      // distinct shingles can only collapse, never exceed n-2
+      assert(r.getLong(1) <= math.max(r.getInt(3) - 2, 0).toLong)
+    }
+  }
+
+  test("plan: text queries are pure projections over the scan (no shuffle)") {
+    val df = TextAnalysis.tokenCount(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("FileScan"))
+  }
+}
