@@ -42,6 +42,12 @@ object SparkEntry {
     "q_quality_score" -> q(TextAnalysis.qualityScore),
     "q_token_count"   -> q(TextAnalysis.tokenCount),
     "q_fingerprint"   -> q(TextAnalysis.fingerprint),
+    // E-family: deduplication
+    "q_dedup_exact"     -> q(Dedup.dedupExact),
+    "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
+    "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
+    "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
+    "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -246,6 +252,48 @@ object SparkEntry {
         |    / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE), 6) AS chars_per_token
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // E-family. Shingle/minhash/simhash pipelines are md5-derived on
+    // both sides (string-lexicographic MIN over hex digests), so the
+    // oracle reproduces candidate generation exactly, not just the
+    // verified output.
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_simhash" -> simhashOracle,
+    "q_ngram_jaccard" ->
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, len(s) AS n FROM shl),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |cm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (
+         |  SELECT cm.doc_a, cm.doc_b,
+         |    CAST(cm.common AS DOUBLE)/CAST(x.n + y.n - cm.common AS DOUBLE) AS jaccard
+         |  FROM cm JOIN sz x ON cm.doc_a = x.doc_id JOIN sz y ON cm.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
+        |  FROM ev a JOIN ev b
+        |    ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, a.label)
+        |SELECT vec_a, vec_b, label, ROUND(dot/(na*nb),6) AS score
+        |FROM s
+        |WHERE ROUND(dot/(na*nb),6) >= 0.35
+        |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
     "q_fingerprint" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -260,6 +308,82 @@ object SparkEntry {
         |FROM sh
         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared shingle scaffold: whitespace tokens → distinct word
+    * 3-grams (1-based DuckDB lists, stop-exclusive range — same set as
+    * Spark's 0-based `shingles3`). */
+  private val shingleCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |shl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+      |      range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [] END AS s
+      |  FROM w)""".stripMargin
+
+  /** E2 oracle: 12 per-row string-min minhashes, 4 band buckets,
+    * bucket equi-join candidates, exact-Jaccard verify. */
+  private def minhashOracle: String = {
+    val sigs = (0 until 12)
+      .map(k => s"    list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS h$k")
+      .mkString(",\n")
+    val bands = (0 until 4).map { b =>
+      s"  SELECT doc_id, md5('$b|' || h${3 * b} || h${3 * b + 1} || h${3 * b + 2}) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigs
+       |  FROM shl),
+       |bk AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN shl x ON c.doc_a = x.doc_id
+       |  JOIN shl y ON c.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM ver
+       |WHERE jaccard >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** E3 oracle: 32 bit-vote sums over tokens, fingerprint assembly,
+    * 4×8-bit band blocking, Hamming ≤ 3. */
+  private def simhashOracle: String = {
+    val sums = (0 until 32)
+      .map(k => s"    SUM(CASE WHEN substr(md5('$k:' || w),1,1) <= '7' THEN 1 ELSE -1 END) AS s$k")
+      .mkString(",\n")
+    val fpSum = (0 until 32)
+      .map(k => s"(CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bv FROM fp")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |bs AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM tk GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM bs),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
     * take vec_id=0 as the query, join on position, aggregate dot and

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  test("dedupExact: one group per distinct normalized text, keep smallest id") {
+    val rows = Dedup.dedupExact(t).collect()
+    assert(rows.map(_.getString(2)).distinct.length === rows.length)
+    assert(rows.map(_.getLong(1)).sum === t.documents.count())
+  }
+
+  test("dedupMinhash: pairs are ordered, above threshold, and real near-dups") {
+    val rows = Dedup.dedupMinhash(t).collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; LSH must surface some")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("minhash candidates cover everything ngramJaccard finds at 0.8+") {
+    // LSH with 4 bands x 3 rows at j>=0.8: P(miss) = (1-j^3)^4 <= 0.054;
+    // on the planted ~0.97 pairs it is ~1e-5 — exact join is the truth set
+    val lsh = Dedup.dedupMinhash(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(t)
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh) || (exact -- lsh).size <= math.max(1, exact.size / 10),
+      s"LSH missed too many: ${(exact -- lsh).size} of ${exact.size}")
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be exact-jaccard >= 0.8")
+  }
+
+  test("dedupSimhash: hamming bounded and symmetric-free") {
+    val rows = Dedup.dedupSimhash(t).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("dedupEmbedding: blocked by label, scores in [threshold, 1]") {
+    val rows = Dedup.dedupEmbedding(t).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) >= 0.35 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("plan: LSH join shuffles on bucket, no cartesian product") {
+    val df = Dedup.dedupMinhash(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("bucket"))
+  }
+
+  test("plan: embedding dedup is an equi-join on label, not a cross join") {
+    val df = Dedup.dedupEmbedding(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
