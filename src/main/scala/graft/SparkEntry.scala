@@ -48,6 +48,16 @@ object SparkEntry {
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
+    // B-family: events / time-series
+    "q_time_window" -> q(EventOps.timeWindow),
+    "q_sessionize"  -> q(EventOps.sessionize),
+    "q_json_extract" -> q(EventOps.jsonExtract),
+    "q_event_stats" -> q(EventOps.eventStats),
+    "q_incremental" -> q(EventOps.incremental),
+    // C-family: message pipeline semantics
+    "q_msg_context"      -> q(EventOps.msgContext),
+    "q_user_names"       -> q(EventOps.userNames),
+    "q_conversation_agg" -> q(EventOps.conversationAgg),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -200,6 +210,78 @@ object SparkEntry {
         |  ROUND(MAX(ABS(v)),6) AS max_abs
         |FROM ev GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+    // B + C families over events. Session numbering uses ROWS frames on
+    // a unique (ts, event_id) order so running sums agree; DuckDB window
+    // SUM(int) returns HUGEINT, hence the explicit BIGINT casts.
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT event_id, ts, user_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM m)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, sess_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS k_avg
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_event_stats" ->
+      """SELECT COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events""".stripMargin,
+    "q_incremental" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q_msg_context" ->
+      """SELECT event_id, user_id, ts,
+        |  COALESCE(lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS prev_msg,
+        |  COALESCE(lead(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS next_msg
+        |FROM events""".stripMargin,
+    "q_user_names" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |known AS (
+        |  SELECT DISTINCT user_id AS uid FROM events
+        |  WHERE event_type = 'signup' AND user_id % 5 <> 0),
+        |named AS (
+        |  SELECT uid, 'u' || CAST(uid AS VARCHAR) || '_name' AS name FROM known)
+        |SELECT u.user_id,
+        |  COALESCE(n.name, 'User ' || CAST(u.user_id AS VARCHAR)) AS display_name
+        |FROM u LEFT JOIN named n ON u.user_id = n.uid
+        |ORDER BY u.user_id""".stripMargin,
+    "q_conversation_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

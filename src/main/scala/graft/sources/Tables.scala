@@ -21,7 +21,20 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read nanos as raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microsecond TIMESTAMP_NTZ — exactly what DuckDB does natively
+    * (truncation verified, not rounding), so event-time semantics stay
+    * oracle-identical. NTZ keeps written output naive, matching the
+    * source data's isAdjustedToUTC=false. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

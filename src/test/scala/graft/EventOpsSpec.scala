@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.sources.Tables
+
+class EventOpsSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  test("timeWindow partitions every event into exactly one hour bucket") {
+    val n = EventOps.timeWindow(t).agg(sum("n")).first().getLong(0)
+    assert(n === t.events.count())
+  }
+
+  test("sessionize: session count per user matches gap count + 1") {
+    val sess = EventOps.sessionize(t)
+    val perUser = sess.groupBy("user_id").agg(
+      max("sess_id").as("max_sess"), count(lit(1)).as("n_sess")).collect()
+    perUser.foreach { r => assert(r.getLong(1) === r.getLong(2)) }
+    // events conserved
+    assert(sess.agg(sum("n_events")).first().getLong(0) === t.events.count())
+    // session bounds ordered
+    assert(sess.filter(col("sess_start") > col("sess_end")).count() === 0)
+  }
+
+  test("jsonExtract parses every props payload") {
+    val rows = EventOps.jsonExtract(t).collect()
+    assert(rows.map(_.getLong(1)).sum === t.events.count())
+    rows.foreach { r => assert(!r.isNullAt(2)) } // k_sum present for all types
+  }
+
+  test("eventStats is a single consistent row") {
+    val r = EventOps.eventStats(t).first()
+    assert(r.getLong(0) === t.events.count())
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(!r.getAs[java.time.LocalDateTime](3).isAfter(
+      r.getAs[java.time.LocalDateTime](4)))
+  }
+
+  test("incremental only returns rows past the watermark, filter pushed down") {
+    val df = EventOps.incremental(t)
+    assert(df.count() > 0 && df.count() < t.events.count())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan"))
+  }
+
+  test("msgContext: first event per user has empty prev, neighbors consistent") {
+    val rows = EventOps.msgContext(t).orderBy("user_id", "ts").collect()
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.values.foreach { g =>
+      assert(g.head.getString(3) === "")
+      assert(g.last.getString(4) === "")
+      if (g.length > 1) {
+        // second event's prev_msg is first event's props payload
+        assert(g(1).getString(3).nonEmpty)
+      }
+    }
+  }
+
+  test("userNames: every user resolved, fallback shaped 'User {id}'") {
+    val rows = EventOps.userNames(t).collect()
+    assert(rows.length === t.events.select("user_id").distinct().count())
+    rows.foreach { r =>
+      val uid = r.getLong(0)
+      val name = r.getString(1)
+      // ids rejected by the invalid-name rule fall back to "User {id}"
+      if (uid % 5 == 0) assert(name === s"User $uid")
+      else assert(name === s"u${uid}_name")
+    }
+    // both branches exercised
+    assert(rows.exists(_.getString(1).endsWith("_name")))
+    assert(rows.exists(_.getString(1).startsWith("User ")))
+  }
+
+  test("conversationAgg conserves events and orders time bounds") {
+    val df = EventOps.conversationAgg(t)
+    assert(df.agg(sum("n_events")).first().getLong(0) === t.events.count())
+    assert(df.filter(col("first_ts") > col("last_ts")).count() === 0)
+  }
+
+  test("plan: userNames broadcasts the known-name directory") {
+    val df = EventOps.userNames(t)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
