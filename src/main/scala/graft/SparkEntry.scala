@@ -58,6 +58,8 @@ object SparkEntry {
     "q_msg_context"      -> q(EventOps.msgContext),
     "q_user_names"       -> q(EventOps.userNames),
     "q_conversation_agg" -> q(EventOps.conversationAgg),
+    // G-family: multimodal plumbing
+    "q_multimodal_meta" -> q(Multimodal.multimodalMeta),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -282,6 +284,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // G1. Spark hashes/measures the binary payload; DuckDB the VARCHAR
+    // (same UTF-8 bytes, so md5/strlen agree). Window/height stubs are
+    // integer arithmetic, exact on both sides.
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    md5(text) AS payload_md5,
+        |    CAST(strlen(text) % 640 AS BIGINT) AS stub_width,
+        |    CAST((strlen(text) * 7) % 480 AS BIGINT) AS stub_height
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT payload_md5) AS n_uniq_payloads,
+        |  MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes,
+        |  CAST(SUM(stub_width * stub_height) AS BIGINT) AS stub_pixels
+        |FROM m
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.
