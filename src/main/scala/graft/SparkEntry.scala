@@ -456,17 +456,19 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** E3 oracle: 32 bit-vote sums over tokens, fingerprint assembly,
-    * 4×8-bit band blocking, Hamming ≤ 3. */
+  /** E3 oracle: 60 bit-vote sums over tokens (bit k = high bit of hex
+    * char (k mod 30)+1 of one of two salted md5s per token),
+    * fingerprint assembly, 4×15-bit band blocking, Hamming ≤ 3. */
   private def simhashOracle: String = {
-    val sums = (0 until 32)
-      .map(k => s"    SUM(CASE WHEN substr(md5('$k:' || w),1,1) <= '7' THEN 1 ELSE -1 END) AS s$k")
-      .mkString(",\n")
-    val fpSum = (0 until 32)
+    val sums = (0 until 60).map { k =>
+      val src = if (k < 30) "md5('a:' || w)" else "md5('b:' || w)"
+      s"    SUM(CASE WHEN substr($src,${(k % 30) + 1},1) <= '7' THEN 1 ELSE -1 END) AS s$k"
+    }.mkString(",\n")
+    val fpSum = (0 until 60)
       .map(k => s"(CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END)")
       .mkString(" + ")
     val bands = (0 until 4)
-      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bv FROM fp")
+      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${15 * b}) & 32767 AS bv FROM fp")
       .mkString("\n  UNION ALL\n")
     s"""WITH tk AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
