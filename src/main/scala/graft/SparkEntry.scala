@@ -8,9 +8,11 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Cosine top-k search — the reference's core capability
+    * (reference: src/core/embeddings/processor.py:436). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggPricing(Tables(spark, "/root/testdata/sf0.001"))
+    VectorSearch.searchBruteforce(Tables(spark, "/root/testdata/sf0.001"))
 
   private def q(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => fn(Tables(s, dir))
