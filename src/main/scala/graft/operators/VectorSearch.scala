@@ -65,10 +65,11 @@ object VectorSearch {
       .limit(20)
 
   /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors
-    * per query. Queries broadcast; per-query top-k via ranking window
-    * partitioned by query (N partitions of corpus-size each — at scale
-    * this is the textbook broadcast-NN join: corpus never shuffles,
-    * only the N×k result does). */
+    * per query. Queries broadcast, so the corpus never shuffles to
+    * score. Per-query top-k runs in two stages so parallelism is
+    * N×16, not N: stage 1 keeps top-3 within (query, salt) — which
+    * provably contains the per-query global top-3 — so the final
+    * N-partition window ranks ≤ N×16×3 rows instead of N×corpus. */
   def knnJoin(t: Tables): DataFrame = {
     val e = t.embeddings
     val q = e.filter(col("vec_id") < 5)
@@ -77,9 +78,17 @@ object VectorSearch {
       .join(broadcast(q))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         score(col("embedding"), col("qv")).as("score"))
+    val salts = 16
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts)))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val candidates = scored
+      .withColumn("srnk", row_number().over(w1))
+      .filter(col("srnk") <= 3)
+      .drop("srnk")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored
+    candidates
       .select(col("query_id"), col("neighbor_id"), col("score"),
         row_number().over(w).cast(LongType).as("rnk"))
       .filter(col("rnk") <= 3)

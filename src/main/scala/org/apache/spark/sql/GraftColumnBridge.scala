@@ -1,12 +1,22 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Bridge to Spark's `private[sql]` Column factory so graft can expose
+/** Bridge to Spark's `private[sql]` internals so graft can expose
   * custom Catalyst expressions (codegen'd vector math) as plain
-  * `Column`s usable in the public DataFrame DSL.
+  * `Column`s in the DataFrame DSL and as named SQL functions on a
+  * live session.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }
