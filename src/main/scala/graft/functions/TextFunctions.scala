@@ -43,4 +43,28 @@ object TextFunctions {
   /** How many tokens fall in a fixed stopword profile. */
   def stopwordCount(ws: Column, stops: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(stops))).cast(LongType)
+
+  /** The reference's message-content text extraction (reference:
+    * src/core/database/processor.py:117 `extract_text_from_content`):
+    * content may be a JSON object with a `text` field (→ that field),
+    * a JSON array of such objects (→ their texts joined by spaces,
+    * non-text elements skipped), or anything else (→ returned as-is,
+    * the JSON-parse-failure branch). Null-safe: null/empty content
+    * yields "". */
+  def extractText(content: Column): Column = {
+    val objText = get_json_object(content, "$.text")
+    val arr = from_json(content,
+      org.apache.spark.sql.types.DataType.fromDDL("array<struct<text:string>>"))
+    val arrJoined = concat_ws(" ",
+      transform(filter(arr, x => x.getField("text").isNotNull),
+        x => x.getField("text")))
+    // from_json(PERMISSIVE) wraps a lone object into a 1-element array,
+    // so the list branch must also check the content is really a list
+    val isList = substring(ltrim(content), 1, 1) === "["
+    coalesce(
+      when(objText.isNotNull, objText)
+        .when(arr.isNotNull && isList, arrJoined)
+        .otherwise(content),
+      lit(""))
+  }
 }
