@@ -186,13 +186,32 @@ object Dedup {
 
   /** E5 — embedding-cosine near-dup pairs, blocked by the `label`
     * cell (at scale: the IVF cell assignment) so the self-join is an
-    * equi-join per cell, not a cross product. */
+    * equi-join per cell, not a cross product. Within a cell,
+    * TRIANGULAR sub-blocking lifts parallelism off the cell count:
+    * vectors split into G groups by id, each unordered pair belongs to
+    * exactly one of the G(G+1)/2 group-pairs (i ≤ j), and the join key
+    * is (label, i, j) — G(G+1)/2 × more, smaller, partitions for the
+    * same exact pair set. The replication factor is ~(G+1)/2 per side;
+    * G tunes the skew-vs-duplication trade. */
   def dedupEmbedding(t: Tables): DataFrame = {
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    val g = 4
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      pmod(col("vec_id"), lit(g)).as("grp"))
+    // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)
+    // for i <= grp — an (x in group gi, y in group gj) pair meets in
+    // exactly one block
+    val aSide = e.select(col("vec_id"), col("label"), col("embedding"),
+      col("grp").as("i"), explode(sequence(col("grp"), lit(g - 1))).as("j"))
+    val bSide = e.select(col("vec_id"), col("label"), col("embedding"),
+      explode(sequence(lit(0), col("grp"))).as("i"), col("grp").as("j"))
+    aSide.as("a")
+      .join(bSide.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          (col("a.i") < col("a.j") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("a.label").as("label"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .filter(col("score") >= 0.35)
