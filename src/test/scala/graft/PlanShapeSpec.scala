@@ -1,0 +1,30 @@
+package graft
+
+/** Blanket scale-shape guarantees over EVERY query in the contract:
+  * nothing plans a cartesian product, and nested-loop joins appear
+  * only where a ≤5-row broadcast query-vector join is the intended
+  * plan (vector search / scalar subquery). Executes each query at
+  * sf0.001 so AQE finalizes real plans. */
+class PlanShapeSpec extends SparkTestBase {
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * a 1-to-5-row broadcast side with no equi-key (the query vector or
+    * a scalar aggregate). */
+  private val tinyBroadcastJoins = Set(
+    "q_search_bruteforce", "q_search_filtered", "q_knn_join",
+    "q_ann_ivf", "q_scalar_subquery")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {
+      val df = fn(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!tinyBroadcastJoins(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unkeyed nested-loop join")
+      }
+    }
+  }
+}
