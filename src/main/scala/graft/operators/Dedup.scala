@@ -16,8 +16,8 @@ import graft.sources.Tables
   *  - E1 exact:     hash-groupBy on normalized text
   *  - E2 MinHash:   LSH banding — candidates shuffle on band bucket,
   *                  O(candidate pairs) not O(n²)
-  *  - E3 SimHash:   32-bit md5 bit-vote fingerprint, Hamming ≤ 3 via
-  *                  8-bit band pigeonhole (a pair within distance 3
+  *  - E3 SimHash:   60-bit md5 bit-vote fingerprint, Hamming ≤ 3 via
+  *                  15-bit band pigeonhole (a pair within distance 3
   *                  MUST agree on one of 4 bands — banding is exact)
   *  - E4 Jaccard:   exact set-similarity via exploded-shingle
   *                  equi-join (only pairs sharing a shingle are ever
@@ -68,7 +68,6 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("text_hash"))
-      .orderBy(col("keep_id"))
   }
 
   /** E2 — MinHash + LSH banding. Signatures are 12 string-min md5

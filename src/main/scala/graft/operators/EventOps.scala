@@ -124,7 +124,6 @@ object EventOps {
       .select(col("user_id"),
         coalesce(col("name"),
           concat(lit("User "), col("user_id").cast("string"))).as("display_name"))
-      .orderBy(col("user_id"))
   }
 
   /** C4 — per-conversation rollup (reference conversation naming and
@@ -138,5 +137,4 @@ object EventOps {
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"),
         dsum(col("value")).as("total_value"))
-      .orderBy(col("user_id"))
 }

@@ -105,7 +105,6 @@ object VectorSearch {
         round(l2Norm(col("embedding")), 6).as("norm"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => greatest(acc, abs(x.cast("double")))), 6).as("max_abs"))
-      .orderBy(col("vec_id"))
 
   /** D4 — IVF-style ANN in two stages (SURVEY.md §5): coarse quantize
     * the corpus to per-label centroids (a k-means-lite with
