@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Bucketing, Tables}
+
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed co-located join plans zero shuffle exchanges") {
+    val t = Tables(spark, sfDir)
+    Bucketing.writeBucketed(t.orders, "orders_b", "o_custkey")
+    Bucketing.writeBucketed(t.customer, "customer_b", "c_custkey")
+    try {
+      val joined = spark.table("orders_b").hint("merge")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must need no repartitioning: both sides' bucketed
+      // scans already satisfy the required hash distribution
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(o_custkey") &&
+        !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still shuffles:\n$plan")
+      // same totals as the unbucketed query
+      val n = joined.agg(sum("n")).first().getLong(0)
+      assert(n === t.orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
