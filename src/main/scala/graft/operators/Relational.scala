@@ -58,12 +58,16 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("c_mktsegment"))
 
-  /** A4 — 5-way star join: every dim broadcast, only the fact
-    * (lineitem⋈orders) shuffles, keyed on the join key once. */
+  /** A4 — 5-way star join: genuinely-small dims (nation/region, fixed
+    * cardinality at any scale) carry explicit broadcast hints; customer
+    * GROWS with the data, so its join is left to the planner — at this
+    * SF the threshold broadcasts it, at 100 TB AQE picks a shuffle
+    * join instead of OOMing the driver. Only the fact side
+    * (lineitem⋈orders) ever shuffles, keyed on the join key once. */
   def joinMulti(t: Tables): DataFrame =
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
