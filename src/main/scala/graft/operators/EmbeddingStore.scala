@@ -88,4 +88,81 @@ object EmbeddingStore {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ---- persisted IVF index ------------------------------------------------
+
+  val numCells = 8
+
+  /** Build a persisted IVF index: deterministic k-means-lite (seed
+    * centroids = the k lowest doc_ids, one Lloyd refinement), then
+    * write vectors PARTITIONED BY CELL. Probing then prunes whole
+    * partitions at the file listing — the on-disk analogue of the
+    * reference's full-store scan being narrowed to candidate sets, and
+    * the layout that makes D4's cell filter a `PartitionFilters` entry
+    * instead of a row filter. Centroids persist next to the cells. */
+  def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
+    val seeds = vectors.orderBy(col("doc_id")).limit(numCells)
+      .select(col("doc_id"), col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val seedDf = spark.createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned = assignCells(vectors, seedDf)
+    // one Lloyd iteration: per-cell mean, re-normalized
+    val refined = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("cv")))).as("m"))
+      .select(col("cell"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)))
+          .cast("array<float>").as("centroid"))
+    val finalAssign = assignCells(vectors, refined)
+    finalAssign.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    refined.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Nearest-centroid assignment (centroid table broadcast). */
+  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.join(broadcast(centroids))
+      .select(col("doc_id"), col("embedding"), col("cell"),
+        cosineSim(col("embedding"), col("centroid")).as("cscore"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("embedding"), col("cell"))
+  }
+
+  /** ANN over the persisted index: score the query against the tiny
+    * centroid table, probe the nearest `probes` cells, and scan ONLY
+    * those partitions (visible as PartitionFilters/partition pruning
+    * in the physical plan) for exact scoring. The probed-cell ids are
+    * collected to the driver — that is index METADATA (a handful of
+    * ints, like the reference's stored watermark), and turning them
+    * into literals is what lets the file listing prune partitions
+    * statically. */
+  def searchIvf(spark: SparkSession, path: String, queryDocId: Long,
+      k: Int, probes: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    val qv = cells.filter(col("doc_id") === queryDocId)
+      .select(col("embedding").as("qv"))
+    val probedCells = centroids.join(broadcast(qv))
+      .select(col("cell"), cosineSim(col("centroid"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("cell"))
+      .limit(probes)
+      .collect().map(_.getInt(0))
+    cells
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qv))
+      .select(col("doc_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.EmbeddingStore
+import graft.sources.Tables
+
+class IvfIndexSpec extends SparkTestBase {
+
+  test("persisted IVF index: partition-pruned probe matches exact scoring") {
+    val dir = Files.createTempDirectory("graft-ivf").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents).drop("shard")
+
+    EmbeddingStore.buildIvfIndex(spark, vectors, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    // index is a complete, disjoint re-layout of the corpus
+    assert(cells.count() === vectors.count())
+    assert(cells.select("cell").distinct().count() <= EmbeddingStore.numCells)
+
+    val queryDoc = 0L
+    val hits = EmbeddingStore.searchIvf(spark, path, queryDoc, k = 5)
+    val rows = hits.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+
+    // the probed scan must prune partitions: PartitionFilters non-empty
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell") ||
+      (plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []")),
+      s"cell scan not partition-pruned:\n$plan")
+
+    // exact check: same result as brute-force scoring restricted to the
+    // probed cells
+    val probed = rows.map(_.getInt(1)).distinct.toSeq
+    val qv = cells.filter(col("doc_id") === queryDoc).select(col("embedding").as("qv"))
+    val exact = cells
+      .filter(col("cell").isin(probed: _*) && col("doc_id") =!= queryDoc)
+      .join(broadcast(qv))
+      .select(col("doc_id"), round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
