@@ -59,8 +59,9 @@ object TextFunctions {
       transform(filter(arr, x => x.getField("text").isNotNull),
         x => x.getField("text")))
     // from_json(PERMISSIVE) wraps a lone object into a 1-element array,
-    // so the list branch must also check the content is really a list
-    val isList = substring(ltrim(content), 1, 1) === "["
+    // so the list branch must also check the content is really a list;
+    // trim ALL JSON whitespace (ltrim's default strips only spaces)
+    val isList = substring(ltrim(content, " \t\n\r"), 1, 1) === "["
     coalesce(
       when(objText.isNotNull, objText)
         .when(arr.isNotNull && isList, arrJoined)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -46,14 +47,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.twoNumericArrays(prettyName, left, right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val getA = VectorTypeCheck.getter(left.dataType)
+    val getB = VectorTypeCheck.getter(right.dataType)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = getA(a, i)
+      val y = getB(b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -65,12 +71,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val gA = VectorTypeCheck.genGetter(left.dataType, a, i)
+      val gB = VectorTypeCheck.genGetter(right.dataType, b, i)
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.getFloat($i);
-         |  final double $y = (double) $b.getFloat($i);
+         |  final double $x = $gA;
+         |  final double $y = $gB;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -89,12 +97,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.twoNumericArrays(prettyName, left, right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val getA = VectorTypeCheck.getter(left.dataType)
+    val getB = VectorTypeCheck.getter(right.dataType)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { dot += getA(a, i) * getB(b, i); i += 1 }
     dot
   }
 
@@ -102,11 +115,13 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val gA = VectorTypeCheck.genGetter(left.dataType, a, i)
+      val gB = VectorTypeCheck.genGetter(right.dataType, b, i)
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += $gA * $gB;
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -123,11 +138,15 @@ case class L2Norm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.numericArray(prettyName, child)
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    val get = VectorTypeCheck.getter(child.dataType)
     var s = 0.0; var i = 0
     while (i < a.numElements()) {
-      val x = a.getFloat(i).toDouble; s += x * x; i += 1
+      val x = get(a, i); s += x * x; i += 1
     }
     math.sqrt(s)
   }
@@ -136,10 +155,11 @@ case class L2Norm(child: Expression)
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
       val x = ctx.freshName("x")
+      val g = VectorTypeCheck.genGetter(child.dataType, a, i)
       s"""
          |double $s = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  final double $x = (double) $a.getFloat($i);
+         |  final double $x = $g;
          |  $s += $x * $x;
          |}
          |${ev.value} = java.lang.Math.sqrt($s);
@@ -148,4 +168,39 @@ case class L2Norm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Analysis-time input validation + element accessors for the vector
+  * expressions. These are registered as public SQL functions, so they
+  * must fail ANALYSIS on non-vector inputs (instead of mis-reading
+  * UnsafeArrayData at the wrong stride) and must accept both
+  * array<float> and array<double> embeddings — double arrays are the
+  * common storage type outside this repo. */
+object VectorTypeCheck {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  def numericArray(fn: String, e: Expression): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<float> or array<double>, got ${e.dataType.catalogString}")
+
+  def twoNumericArrays(fn: String, l: Expression, r: Expression): TypeCheckResult =
+    if (!ok(l.dataType)) numericArray(fn, l)
+    else numericArray(fn, r)
+
+  /** Interpreted-path element accessor widened to double. */
+  def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case _ => (a, i) => a.getFloat(i).toDouble
+  }
+
+  /** Codegen element accessor widened to double. */
+  def genGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case _ => s"(double) $arr.getFloat($i)"
+  }
 }

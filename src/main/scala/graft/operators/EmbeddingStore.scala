@@ -51,9 +51,15 @@ object EmbeddingStore {
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
     dense
+      // norm projected ONCE per row (a lambda-embedded aggregate would
+      // re-run the fold per output element), with a zero-norm guard so
+      // fully-cancelling hash votes yield a zero vector, not NaNs
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0), (acc, y) => acc + y * y)))
       .select(col("doc_id"),
-        transform(col("raw"), x => x / sqrt(aggregate(col("raw"), lit(0.0),
-          (acc, y) => acc + y * y))).cast("array<float>").as("embedding"))
+        when(col("nrm") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), x => x / col("nrm")))
+          .cast("array<float>").as("embedding"))
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(numShards)).as("shard"), col("embedding"))
   }

@@ -28,7 +28,13 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * microsecond TIMESTAMP_NTZ — exactly what DuckDB does natively
     * (truncation verified, not rounding), so event-time semantics stay
     * oracle-identical. NTZ keeps written output naive, matching the
-    * source data's isAdjustedToUTC=false. */
+    * source data's isAdjustedToUTC=false.
+    *
+    * Note the conf is SESSION-WIDE (Spark offers no per-read option for
+    * it): after this call, other NANOS columns in this session read as
+    * raw longs instead of erroring. Every reader in this library that
+    * can meet a NANOS column (here and streaming.EventStream) therefore
+    * branches on LongType and applies the same div-1000 truncation. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts",

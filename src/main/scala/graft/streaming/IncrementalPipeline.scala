@@ -15,20 +15,21 @@ import org.apache.spark.sql.streaming.Trigger
   * batch (EventOps.timeWindow) runs unchanged on the stream.
   *
   * At scale this is the production shape: new parquet files land in
-  * the directory, each micro-batch reads only new files, state for
-  * open windows lives in the state store, and closed windows emit
-  * exactly once in append mode.
+  * the directory, each micro-batch reads only new files
+  * (IncrementalStreamSpec proves a checkpointed restart processes only
+  * the delta), state for open windows lives in the state store, and a
+  * production sink runs in APPEND mode so the watermark closes windows
+  * exactly once. The `runAvailableNow` harness below instead uses
+  * COMPLETE mode deliberately: a one-shot drain never advances the
+  * watermark past its own data, so append mode would emit nothing —
+  * complete mode lets the test reconcile every window against batch.
   */
 object IncrementalPipeline {
 
-  /** Streaming hourly counts per event type with a 2-hour watermark. */
+  /** Streaming hourly counts per event type with a 2-hour watermark.
+    * (Watermarks require TIMESTAMP, not NTZ — EventStream normalizes.) */
   def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame = {
-    val schema = spark.read.parquet(inputDir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(inputDir)
-      // event-time watermarks require TIMESTAMP (not NTZ)
-      .withColumn("ts", col("ts").cast("timestamp"))
+    EventStream.read(spark, inputDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

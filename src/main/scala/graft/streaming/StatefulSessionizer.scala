@@ -61,12 +61,9 @@ object StatefulSessionizer {
   /** Closed sessions as a streaming Dataset over an event directory. */
   def sessions(spark: SparkSession, inputDir: String): Dataset[ClosedSession] = {
     import spark.implicits._
-    val schema = spark.read.parquet(inputDir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(inputDir)
+    EventStream.read(spark, inputDir)
       .select(col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        unix_micros(col("ts")).as("ts_us"),
         col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)

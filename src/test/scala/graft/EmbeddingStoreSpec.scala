@@ -18,7 +18,8 @@ class EmbeddingStoreSpec extends SparkTestBase {
       """[{"text": "a"}, {"k": 1}, {"text": "b"}]""",
       "plain not-json content",
       """[{"k": 1}]""",
-      """{"gn": "group name"}""")
+      """{"gn": "group name"}""",
+      "\n\t [{\"text\": \"ws\"}]") // JSON whitespace before the list
     val out = cases.toDF("content")
       .select(TextFunctions.extractText(col("content"))).as[String].collect()
     assert(out(0) === "hello there")
@@ -26,6 +27,7 @@ class EmbeddingStoreSpec extends SparkTestBase {
     assert(out(2) === "plain not-json content")
     assert(out(3) === "")
     assert(out(4) === """{"gn": "group name"}""")
+    assert(out(5) === "ws")
   }
 
   test("embed: unit-norm vectors of the right shape, deterministic") {

@@ -28,4 +28,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     // build; here we only exercise the injection wiring
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("vector functions accept array<double> embeddings with correct math") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 2.0D, 2.0D), array(2.0D, 4.0D, 4.0D)) AS c,
+        |       l2_norm(array(3.0D, 4.0D)) AS n,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 11.0)
+  }
+
+  test("vector functions reject non-array inputs at analysis time") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(1, 2)").collect()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>"))
+  }
 }

@@ -34,4 +34,23 @@ class StreamingSpec extends SparkTestBase {
     assert(diff.count() === 0)
     assert(streamed.count() === batch.count())
   }
+
+  test("streaming reader handles a RAW nanos-timestamp event directory") {
+    // copy the original TIMESTAMP(NANOS) parquet file untouched — the
+    // stream must truncate nanos itself, not depend on Tables' rewrite
+    val dir = Files.createTempDirectory("graft-rawns").toFile
+    dir.deleteOnExit()
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    IncrementalPipeline.runAvailableNow(spark, dir.getAbsolutePath, "b6_raw_sink")
+    val streamed = spark.table("b6_raw_sink")
+      .groupBy("hour_start", "event_type").agg(sum("n").as("n"))
+    val batch = EventOps.timeWindow(Tables(spark, sfDir))
+      .select(col("hour_start").cast("timestamp").as("hour_start"),
+        col("event_type"), col("n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("hour_start", "event_type"))
+      .filter(streamed("n") =!= batch("n")).count() === 0)
+  }
 }
