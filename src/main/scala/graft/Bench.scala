@@ -38,7 +38,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // any failure makes the headline total -1: a broken query must never
+    // shrink the total into looking like a speedup
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -342,11 +342,11 @@ object SparkEntry {
         |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_words, n_chars_m,
-        |  ROUND(CAST(n_punct AS DOUBLE)/CAST(n_chars_m AS DOUBLE), 6) AS punct_ratio,
-        |  ROUND(CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND(CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars_m AS DOUBLE), 0.0), 6) AS punct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0), 6) AS stop_ratio,
         |  ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
-        |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/CAST(n_chars_m AS DOUBLE))
-        |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE)*5.0), 6) AS quality
+        |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars_m AS DOUBLE), 0.0))
+        |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
         |FROM b
         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
@@ -354,7 +354,7 @@ object SparkEntry {
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re_tokens,
         |  ROUND(CAST(length(text) AS DOUBLE)
-        |    / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE), 6) AS chars_per_token
+        |    / NULLIF(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE), 0.0), 6) AS chars_per_token
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // E-family. Shingle/minhash/simhash pipelines are md5-derived on

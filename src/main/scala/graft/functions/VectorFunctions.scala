@@ -46,16 +46,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null on dimension mismatch (see checkInputDataTypes)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.twoNumericArrays(prettyName, left, right)
 
+  /** Dimension mismatch (corrupt row, wrong-model embedding) yields
+    * NULL — visible and skippable — instead of a plausible score over
+    * the truncated prefix (the reference's NumPy dot raises on shape
+    * mismatch; an engine must not kill the job for one bad row). */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val getA = VectorTypeCheck.getter(left.dataType)
     val getB = VectorTypeCheck.getter(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = getA(a, i)
@@ -74,15 +81,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val gA = VectorTypeCheck.genGetter(left.dataType, a, i)
       val gB = VectorTypeCheck.genGetter(right.dataType, b, i)
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = $gA;
-         |  final double $y = $gB;
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = $gA;
+         |    final double $y = $gB;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -96,6 +107,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.twoNumericArrays(prettyName, left, right)
@@ -103,9 +115,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val getA = VectorTypeCheck.getter(left.dataType)
     val getB = VectorTypeCheck.getter(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += getA(a, i) * getB(b, i); i += 1 }
     dot
@@ -118,12 +131,16 @@ case class DotProduct(left: Expression, right: Expression)
       val gA = VectorTypeCheck.genGetter(left.dataType, a, i)
       val gB = VectorTypeCheck.genGetter(right.dataType, b, i)
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $gA * $gB;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $gA * $gB;
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

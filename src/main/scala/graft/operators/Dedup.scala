@@ -48,7 +48,7 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     t.documents
       .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"),
         concat_ws(" ", col("w"),
           lead(col("w"), 1).over(w), lead(col("w"), 2).over(w)).as("sh"),
@@ -108,15 +108,23 @@ object Dedup {
         col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(common, sizes, threshold = 0.8)
+  }
+
+  /** Exact Jaccard from per-pair intersection counts and per-doc set
+    * sizes: |A∩B| / (|A| + |B| − |A∩B|), thresholded. Shared by E2's
+    * candidate verification and E4's full set-similarity join so the
+    * two can never drift apart. */
+  private def jaccardFromCommon(common: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** E3 — SimHash: 60-bit fingerprint by per-bit weighted vote over
     * all tokens. TWO salted md5s per token supply all 60 bits (hex
@@ -173,14 +181,7 @@ object Dedup {
       .groupBy(col("a.doc_id"), col("b.doc_id"))
       .agg(count(lit(1)).as("common"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccardFromCommon(common, sizes, threshold = 0.5)
   }
 
   /** E5 — embedding-cosine near-dup pairs, blocked by the `label`

@@ -64,8 +64,10 @@ object TextAnalysis {
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType)
     val nStop = stopwordCount(ws, stopwords.head._2)
-    val punctRatio = nPunct.cast("double") / nChars.cast("double")
-    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    // nullif guards: empty text must yield NULL in BOTH engines, not a
+    // Spark NaN vs DuckDB inf parity break
+    val punctRatio = nPunct.cast("double") / nullif(nChars.cast("double"), lit(0.0))
+    val stopRatio = nStop.cast("double") / nullif(nWords.cast("double"), lit(0.0))
     val quality =
       lit(0.4) * least(lit(1.0), nWords.cast("double") / 50.0) +
         lit(0.3) * (lit(1.0) - punctRatio) +
@@ -87,8 +89,8 @@ object TextAnalysis {
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
     t.documents.select(
       col("doc_id"), wsTokens.as("ws_tokens"), reTokens.as("re_tokens"),
-      round(length(col("text")).cast("double") / reTokens.cast("double"), 6)
-        .as("chars_per_token"))
+      round(length(col("text")).cast("double")
+        / nullif(reTokens.cast("double"), lit(0.0)), 6).as("chars_per_token"))
   }
 
   /** F4 — winnowing-style document fingerprint: the minimum md5 over

@@ -37,9 +37,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * branches on LongType and applies the same div-1000 truncation. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => // already a timestamp type (e.g. a directory this library wrote)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
