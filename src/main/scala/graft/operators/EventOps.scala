@@ -126,6 +126,33 @@ object EventOps {
           concat(lit("User "), col("user_id").cast("string"))).as("display_name"))
   }
 
+  /** Conversation type from a session id (reference:
+    * src/core/database/processor.py:192 `get_conversation_name` —
+    * "buddy-{id}" prefixes and bare numeric ids are private chats,
+    * anything else is a group). */
+  def conversationType(sessionId: Column): Column =
+    when(sessionId.startsWith("buddy-") || sessionId.rlike("^[0-9]+$"),
+      "private").otherwise("group")
+
+  /** Conversation display name with the reference's fallback chain
+    * (processor.py:192): private chats resolve the peer's user name
+    * (the "buddy-" prefix stripped first); groups use the group-name
+    * field extracted from the creation message ('gn'/'group_name'),
+    * trimmed; anything unresolved falls back to the session id.
+    * `resolveUser` is the user-directory lookup (see userNames). */
+  def conversationName(sessionId: Column, groupCreationJson: Column,
+      resolveUser: Column => Column): Column = {
+    val peerId = when(sessionId.startsWith("buddy-"),
+      regexp_replace(sessionId, "^buddy-", "")).otherwise(sessionId)
+    val groupName = trim(coalesce(
+      get_json_object(groupCreationJson, "$.gn"),
+      get_json_object(groupCreationJson, "$.group_name")))
+    coalesce(
+      when(conversationType(sessionId) === "private", resolveUser(peerId))
+        .otherwise(when(length(groupName) > 0, groupName)),
+      sessionId)
+  }
+
   /** C4 — per-conversation rollup (reference conversation naming and
     * stats group messages by session; user_id is the session key
     * here). */

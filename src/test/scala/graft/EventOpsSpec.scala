@@ -79,6 +79,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(df.filter(col("first_ts") > col("last_ts")).count() === 0)
   }
 
+  test("conversation type and name follow the reference's rules") {
+    import spark.implicits._
+    val rows = Seq(
+      ("buddy-42", null.asInstanceOf[String]),
+      ("12345", null.asInstanceOf[String]),
+      ("room-abc", """{"gn": " Team Chat "}"""),
+      ("room-def", """{"group_name": "Ops"}"""),
+      ("room-xyz", null.asInstanceOf[String])
+    ).toDF("sid", "payload")
+    val out = rows.select(
+      EventOps.conversationType(col("sid")).as("ctype"),
+      EventOps.conversationName(col("sid"), col("payload"),
+        uid => concat(lit("user:"), uid)).as("cname")).collect()
+    assert(out(0).getString(0) === "private" && out(0).getString(1) === "user:42")
+    assert(out(1).getString(0) === "private" && out(1).getString(1) === "user:12345")
+    assert(out(2).getString(0) === "group" && out(2).getString(1) === "Team Chat")
+    assert(out(3).getString(0) === "group" && out(3).getString(1) === "Ops")
+    assert(out(4).getString(0) === "group" && out(4).getString(1) === "room-xyz")
+  }
+
   test("plan: userNames broadcasts the known-name directory") {
     val df = EventOps.userNames(t)
     df.collect()
