@@ -60,6 +60,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         ok = True
         for c in g.columns:
             gv, wv = g[c].to_numpy(), w[c].to_numpy()
+            # The driver hash-compares SERIALIZED values, so a type
+            # mismatch (e.g. DuckDB HUGEINT -> float/object vs Spark
+            # BIGINT -> int64) fails there even when every value is
+            # numerically equal. Fail on dtype-kind mismatch here too so
+            # that class of bug can't pass locally and fail the driver.
+            if gv.dtype.kind != wv.dtype.kind:
+                print(f"  DTYPE-MISMATCH {name}.{c}: "
+                      f"spark={gv.dtype} oracle={wv.dtype} "
+                      f"(driver hashes serialized values; cast the oracle "
+                      f"column to the Spark type, e.g. CAST(... AS BIGINT))")
+                ok = False
+                continue
             if gv.dtype.kind == "f" or wv.dtype.kind == "f":
                 same = np.array_equal(gv.astype(float), wv.astype(float))
                 close = same or np.allclose(

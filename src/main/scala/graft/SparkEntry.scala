@@ -57,9 +57,11 @@ object SparkEntry {
     "q_event_stats" -> q(EventOps.eventStats),
     "q_incremental" -> q(EventOps.incremental),
     // C-family: message pipeline semantics
-    "q_msg_context"      -> q(EventOps.msgContext),
-    "q_user_names"       -> q(EventOps.userNames),
-    "q_conversation_agg" -> q(EventOps.conversationAgg),
+    "q_msg_context"       -> q(EventOps.msgContext),
+    "q_user_names"        -> q(EventOps.userNames),
+    "q_conversation_agg"  -> q(EventOps.conversationAgg),
+    "q_extract_text"      -> q(EventOps.extractTextQuery),
+    "q_conversation_name" -> q(EventOps.conversationNameQuery),
     // G-family: multimodal plumbing
     "q_multimodal_meta" -> q(Multimodal.multimodalMeta),
   )
@@ -144,17 +146,22 @@ object SparkEntry {
     // D-family. The exploded-embedding CTE re-derives the same cosine
     // the Spark CosineSimilarity expression computes; both sides round
     // to 6 dp BEFORE threshold/ordering so they select identical rows.
+    // Every division is zero-norm-guarded (COALESCE/NULLIF -> 0) to
+    // mirror CosineSimilarity's guard — unguarded 0/0 would be NaN,
+    // which DuckDB sorts above all values and passes >= thresholds.
     "q_search_bruteforce" ->
       s"""$embCte
          |SELECT vec_id, label, score FROM (
-         |  SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score FROM s)
+         |  SELECT vec_id, label,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score FROM s)
          |WHERE score >= 0.1
          |ORDER BY score DESC, vec_id
          |LIMIT 30""".stripMargin,
     "q_search_filtered" ->
       s"""$embCte
          |SELECT vec_id, label, score FROM (
-         |  SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score FROM s
+         |  SELECT vec_id, label,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score FROM s
          |  WHERE label IN (1,2,3))
          |WHERE score >= 0.05
          |ORDER BY score DESC, vec_id
@@ -174,10 +181,11 @@ object SparkEntry {
         |  GROUP BY q.query_id, ev.vec_id),
         |r AS (
         |  SELECT s.query_id, s.neighbor_id,
-        |         ROUND(s.dot/(s.en*qn.qnorm),6) AS score,
+        |         ROUND(COALESCE(s.dot/NULLIF(s.en*qn.qnorm,0),0),6) AS score,
         |         CAST(ROW_NUMBER() OVER (
         |           PARTITION BY s.query_id
-        |           ORDER BY ROUND(s.dot/(s.en*qn.qnorm),6) DESC, s.neighbor_id) AS BIGINT) AS rnk
+        |           ORDER BY ROUND(COALESCE(s.dot/NULLIF(s.en*qn.qnorm,0),0),6) DESC,
+        |             s.neighbor_id) AS BIGINT) AS rnk
         |  FROM s JOIN qn ON s.query_id = qn.query_id)
         |SELECT query_id, neighbor_id, score, rnk FROM r
         |WHERE rnk <= 3
@@ -191,8 +199,9 @@ object SparkEntry {
         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
         |cs AS (
         |  SELECT c.label,
-        |         ROUND(ROUND(SUM(c.cv*q.qv),6)
-        |           / (SQRT(ROUND(SUM(c.cv*c.cv),6)) * SQRT(ROUND(SUM(q.qv*q.qv),6))),6) AS cscore
+        |         ROUND(COALESCE(ROUND(SUM(c.cv*q.qv),6)
+        |           / NULLIF(SQRT(ROUND(SUM(c.cv*c.cv),6))
+        |             * SQRT(ROUND(SUM(q.qv*q.qv),6)),0),0),6) AS cscore
         |  FROM cent c JOIN q ON c.i = q.i GROUP BY c.label),
         |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2),
         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
@@ -201,7 +210,8 @@ object SparkEntry {
         |  FROM ev JOIN q ON ev.i = q.i
         |  WHERE ev.vec_id <> 0 AND ev.label IN (SELECT label FROM probe)
         |  GROUP BY ev.vec_id, ev.label)
-        |SELECT vec_id, label, ROUND(dot/(en*(SELECT qnorm FROM qn)),6) AS score
+        |SELECT vec_id, label,
+        |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
         |FROM s
         |ORDER BY score DESC, vec_id
         |LIMIT 10""".stripMargin,
@@ -245,7 +255,7 @@ object SparkEntry {
         |GROUP BY user_id, sess_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS k_avg
         |FROM events
@@ -267,17 +277,94 @@ object SparkEntry {
         |  COALESCE(lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS prev_msg,
         |  COALESCE(lead(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS next_msg
         |FROM events""".stripMargin,
+    // C3: candidate names are deterministic synthetics shaped to trip
+    // the reference's _is_file_name rules (user_mapper.py:235), which
+    // the WHERE below replays rule-for-rule.
     "q_user_names" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |known AS (
-        |  SELECT DISTINCT user_id AS uid FROM events
-        |  WHERE event_type = 'signup' AND user_id % 5 <> 0),
-        |named AS (
-        |  SELECT uid, 'u' || CAST(uid AS VARCHAR) || '_name' AS name FROM known)
-        |SELECT u.user_id,
-        |  COALESCE(n.name, 'User ' || CAST(u.user_id AS VARCHAR)) AS display_name
-        |FROM u LEFT JOIN named n ON u.user_id = n.uid
-        |ORDER BY u.user_id""".stripMargin,
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |$validNamesCte
+         |SELECT u.user_id,
+         |  COALESCE(n.name, 'User ' || CAST(u.user_id AS VARCHAR)) AS display_name
+         |FROM u LEFT JOIN named n ON u.user_id = n.uid
+         |ORDER BY u.user_id""".stripMargin,
+    // C5: content synthesized per event to cover all four reference
+    // shapes + the non-type-1 gate (processor.py:117,133); the CASE
+    // chain replays the reference's decision order. json_valid guards
+    // first — DuckDB's json_extract_string THROWS on malformed JSON.
+    "q_extract_text" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END AS mt,
+        |    CASE WHEN event_id % 4 = 0
+        |           THEN '{"text": "t' || CAST(event_id AS VARCHAR) || '"}'
+        |         WHEN event_id % 4 = 1
+        |           THEN '[{"text": "a' || CAST(event_id AS VARCHAR)
+        |             || '"}, {"k": 1}, {"text": "b' || CAST(event_id AS VARCHAR) || '"}]'
+        |         WHEN event_id % 4 = 2 THEN 'plain ' || CAST(event_id AS VARCHAR)
+        |         ELSE props END AS content
+        |  FROM events)
+        |SELECT event_id, CAST(mt AS BIGINT) AS msg_type,
+        |  COALESCE(CASE
+        |    WHEN mt <> 1 THEN content
+        |    WHEN NOT json_valid(content) THEN content
+        |    WHEN json_type(content) = 'OBJECT'
+        |         AND json_extract_string(content, '$.text') IS NOT NULL
+        |      THEN json_extract_string(content, '$.text')
+        |    WHEN json_type(content) = 'ARRAY'
+        |      THEN array_to_string(json_extract_string(content, '$[*].text'), ' ')
+        |    ELSE content END, '') AS extracted
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
+    // C6: session ids synthesized per user to cover every branch of the
+    // reference's conversation naming (processor.py:192-255): type is
+    // 'group' iff the id starts with 'group-'; private ids resolve
+    // through the user directory ('User {sid}' when the raw id misses);
+    // group names try 'n' (with the <100-char guard), then
+    // 'gn'/'group_name', then the session id.
+    "q_conversation_name" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |$validNamesCte,
+         |dir AS (
+         |  SELECT u.user_id,
+         |    COALESCE(n.name, 'User ' || CAST(u.user_id AS VARCHAR)) AS display_name
+         |  FROM u LEFT JOIN named n ON u.user_id = n.uid),
+         |c AS (
+         |  SELECT user_id, display_name,
+         |    CASE WHEN user_id % 4 = 0 THEN 'buddy-' || CAST(user_id AS VARCHAR)
+         |         WHEN user_id % 4 = 1 THEN CAST(user_id AS VARCHAR)
+         |         WHEN user_id % 4 = 2 THEN 'group-' || CAST(user_id AS VARCHAR)
+         |         ELSE 'room-' || CAST(user_id AS VARCHAR) END AS session_id,
+         |    CASE WHEN user_id % 3 = 0 THEN
+         |      CASE WHEN user_id % 6 = 0 THEN '{"n": "' || repeat('x', 120) || '"}'
+         |           ELSE '{"n": "Team ' || CAST(user_id AS VARCHAR) || '"}' END
+         |    END AS nmsg,
+         |    CASE WHEN user_id % 3 = 1
+         |           THEN '{"gn": "G' || CAST(user_id AS VARCHAR) || '"}'
+         |         WHEN user_id % 3 = 2
+         |           THEN '{"group_name": "GN' || CAST(user_id AS VARCHAR) || '"}'
+         |    END AS cjson
+         |  FROM dir)
+         |SELECT user_id, session_id,
+         |  CASE WHEN starts_with(session_id, 'group-') THEN 'group'
+         |       ELSE 'private' END AS conv_type,
+         |  CASE WHEN NOT starts_with(session_id, 'group-') THEN
+         |      CASE WHEN starts_with(session_id, 'buddy-')
+         |             OR session_id = CAST(user_id AS VARCHAR)
+         |           THEN display_name
+         |           ELSE 'User ' || session_id END
+         |    ELSE COALESCE(
+         |      CASE WHEN length(trim(json_extract_string(nmsg, '$$.n'))) > 0
+         |            AND length(trim(json_extract_string(nmsg, '$$.n'))) < 100
+         |           THEN trim(json_extract_string(nmsg, '$$.n')) END,
+         |      CASE WHEN length(trim(COALESCE(
+         |              json_extract_string(cjson, '$$.gn'),
+         |              json_extract_string(cjson, '$$.group_name')))) > 0
+         |           THEN trim(COALESCE(
+         |              json_extract_string(cjson, '$$.gn'),
+         |              json_extract_string(cjson, '$$.group_name'))) END,
+         |      session_id) END AS conv_name
+         |FROM c
+         |ORDER BY user_id""".stripMargin,
     "q_conversation_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_type) AS n_types,
@@ -413,6 +500,33 @@ object SparkEntry {
         |FROM sh
         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared C3/C6 scaffold: the signup-user candidate-name directory,
+    * filtered by the reference's `_is_file_name` rejection rules
+    * (user_mapper.py:235) replayed rule-for-rule in SQL — note the
+    * extension/phrase checks run on lower(name) but the path/url
+    * checks on the raw name, exactly as the reference does. */
+  private val validNamesCte: String =
+    """cand AS (
+      |  SELECT uid,
+      |    CASE WHEN uid % 7 = 0 THEN 'screenshot ' || CAST(uid AS VARCHAR) || '.png'
+      |         WHEN uid % 7 = 3 THEN 'User ' || CAST(uid AS VARCHAR)
+      |         ELSE 'u' || CAST(uid AS VARCHAR) || '_name' END AS name
+      |  FROM (SELECT DISTINCT user_id AS uid FROM events WHERE event_type = 'signup')),
+      |named AS (
+      |  SELECT uid, name FROM cand WHERE NOT (
+      |    name IS NULL OR length(trim(name)) < 2
+      |    OR regexp_matches(lower(name), '^user [0-9]+$')
+      |    OR length(name) > 100
+      |    OR contains(lower(name), '.pdf') OR contains(lower(name), '.mov')
+      |    OR contains(lower(name), '.mp4') OR contains(lower(name), '.jpg')
+      |    OR contains(lower(name), '.png') OR contains(lower(name), '.doc')
+      |    OR contains(lower(name), '.txt') OR contains(lower(name), '.zip')
+      |    OR contains(lower(name), 'screen recording')
+      |    OR contains(lower(name), 'screenshot')
+      |    OR contains(lower(name), 'debug log')
+      |    OR contains(name, '/') OR contains(name, '\')
+      |    OR starts_with(name, 'http') OR starts_with(name, 'www')))""".stripMargin
 
   /** Shared shingle scaffold: whitespace tokens → distinct word
     * 3-grams (1-based DuckDB lists, stop-exclusive range — same set as

@@ -46,12 +46,15 @@ object TextFunctions {
 
   /** The reference's message-content text extraction (reference:
     * src/core/database/processor.py:117 `extract_text_from_content`):
-    * content may be a JSON object with a `text` field (→ that field),
-    * a JSON array of such objects (→ their texts joined by spaces,
-    * non-text elements skipped), or anything else (→ returned as-is,
-    * the JSON-parse-failure branch). Null-safe: null/empty content
+    * JSON parsing is attempted ONLY for text messages
+    * (`message_type == 1`, processor.py:133) — a type-1 JSON object
+    * with a `text` field yields that field, a type-1 JSON array of
+    * such objects yields their texts joined by spaces (non-text
+    * elements skipped), and everything else — parse failures, text-less
+    * dicts, and ALL non-type-1 messages even when their content looks
+    * like JSON — returns content as-is. Null-safe: null/empty content
     * yields "". */
-  def extractText(content: Column): Column = {
+  def extractText(content: Column, messageType: Column): Column = {
     val objText = get_json_object(content, "$.text")
     val arr = from_json(content,
       org.apache.spark.sql.types.DataType.fromDDL("array<struct<text:string>>"))
@@ -63,7 +66,8 @@ object TextFunctions {
     // trim ALL JSON whitespace (ltrim's default strips only spaces)
     val isList = substring(ltrim(content, " \t\n\r"), 1, 1) === "["
     coalesce(
-      when(objText.isNotNull, objText)
+      when(messageType =!= 1, content)
+        .when(objText.isNotNull, objText)
         .when(arr.isNotNull && isList, arrJoined)
         .otherwise(content),
       lit(""))

@@ -105,20 +105,48 @@ object EventOps {
       coalesce(lag(col("props"), 1).over(byUserTime), lit("")).as("prev_msg"),
       coalesce(lead(col("props"), 1).over(byUserTime), lit("")).as("next_msg"))
 
+  /** The reference's file-name/junk detector for candidate display
+    * names (user_mapper.py:235 `_is_file_name`), ported rule-for-rule:
+    * null/under-2-chars after trim; "user NNN" auto-fallback shapes;
+    * over-100-chars; file extensions; screen-capture/log phrases;
+    * path separators; http/www prefixes. Case rules follow the
+    * reference exactly — extension/phrase checks are on the lowered
+    * name, path/url checks on the raw name. */
+  def isFileName(name: Column): Column = {
+    val lname = lower(name)
+    val exts = Seq(".pdf", ".mov", ".mp4", ".jpg", ".png", ".doc", ".txt", ".zip")
+    val phrases = Seq("screen recording", "screenshot", "debug log")
+    name.isNull ||
+      length(trim(name)) < 2 ||
+      lname.rlike("^user [0-9]+$") ||
+      length(name) > 100 ||
+      exts.map(e => lname.contains(e)).reduce(_ || _) ||
+      phrases.map(p => lname.contains(p)).reduce(_ || _) ||
+      name.contains("/") || name.contains("\\") ||
+      name.startsWith("http") || name.startsWith("www")
+  }
+
   /** C3 — user-id → display-name with the reference's `User {id}`
     * fallback (user_mapper.py:252,263). The known-name directory is
-    * built from signup events, minus a deterministic slice standing in
-    * for the reference's invalid-name rejection (user_mapper.py:240
-    * `_is_invalid_name` drops file-name/URL-shaped names, so some
-    * users never make it into the cache). Directory broadcasts;
-    * unknown ids coalesce to the fallback. */
+    * built from signup events; candidate names are deterministic
+    * synthetics shaped to exercise the reference's invalid-name
+    * rejection (user_mapper.py:235 `_is_file_name`, applied before
+    * caching at :240): a slice gets file-shaped names and another the
+    * "User NNN" auto-fallback shape — both are dropped by the ported
+    * rules, so those users fall back. Directory broadcasts; unknown
+    * ids coalesce to the fallback. */
   def userNames(t: Tables): DataFrame = {
     val users = t.events.select(col("user_id")).distinct()
+    val candidate =
+      when(col("uid") % 7 === 0,
+        concat(lit("screenshot "), col("uid").cast("string"), lit(".png")))
+        .when(col("uid") % 7 === 3, concat(lit("User "), col("uid").cast("string")))
+        .otherwise(concat(lit("u"), col("uid").cast("string"), lit("_name")))
     val known = t.events
-      .filter(col("event_type") === "signup" && col("user_id") % 5 =!= 0)
+      .filter(col("event_type") === "signup")
       .select(col("user_id").as("uid")).distinct()
-      .select(col("uid"),
-        concat(lit("u"), col("uid").cast("string"), lit("_name")).as("name"))
+      .select(col("uid"), candidate.as("name"))
+      .filter(!isFileName(col("name")))
     users
       .join(broadcast(known), col("user_id") === col("uid"), "left")
       .select(col("user_id"),
@@ -127,30 +155,101 @@ object EventOps {
   }
 
   /** Conversation type from a session id (reference:
-    * src/core/database/processor.py:192 `get_conversation_name` —
-    * "buddy-{id}" prefixes and bare numeric ids are private chats,
-    * anything else is a group). */
+    * src/core/database/processor.py:203 — type is 'group' iff the id
+    * starts with "group-"; EVERYTHING else — "buddy-" prefixes, bare
+    * numeric ids, UUIDs, "room-..." — is a private chat). */
   def conversationType(sessionId: Column): Column =
-    when(sessionId.startsWith("buddy-") || sessionId.rlike("^[0-9]+$"),
-      "private").otherwise("group")
+    when(sessionId.startsWith("group-"), "group").otherwise("private")
 
-  /** Conversation display name with the reference's fallback chain
-    * (processor.py:192): private chats resolve the peer's user name
-    * (the "buddy-" prefix stripped first); groups use the group-name
-    * field extracted from the creation message ('gn'/'group_name'),
-    * trimmed; anything unresolved falls back to the session id.
-    * `resolveUser` is the user-directory lookup (see userNames). */
-  def conversationName(sessionId: Column, groupCreationJson: Column,
-      resolveUser: Column => Column): Column = {
+  /** Conversation display name with the reference's full fallback
+    * chain (processor.py:192): private chats resolve the peer's user
+    * name (the "buddy-" prefix stripped first, else the raw id,
+    * processor.py:250); groups first use the 'n' key from a naming
+    * message (c.g.c.i / c.g.a.m / system), accepted only when
+    * non-empty and under 100 chars after trimming (processor.py:224),
+    * then fall back to 'gn'/'group_name' from the group-creation
+    * message (processor.py:242 — 'gn' wins even when empty, matching
+    * the reference's if/elif), and anything still unresolved falls
+    * back to the session id. `resolveUser` is the user-directory
+    * lookup (see userNames); `nameMsgJson` is the naming-message
+    * content, `groupCreationJson` the creation-message content. */
+  def conversationName(sessionId: Column, nameMsgJson: Column,
+      groupCreationJson: Column, resolveUser: Column => Column): Column = {
     val peerId = when(sessionId.startsWith("buddy-"),
       regexp_replace(sessionId, "^buddy-", "")).otherwise(sessionId)
-    val groupName = trim(coalesce(
+    val primary = trim(get_json_object(nameMsgJson, "$.n"))
+    val fallback = trim(coalesce(
       get_json_object(groupCreationJson, "$.gn"),
       get_json_object(groupCreationJson, "$.group_name")))
     coalesce(
       when(conversationType(sessionId) === "private", resolveUser(peerId))
-        .otherwise(when(length(groupName) > 0, groupName)),
+        .otherwise(coalesce(
+          when(length(primary) > 0 && length(primary) < 100, primary),
+          when(length(fallback) > 0, fallback))),
       sessionId)
+  }
+
+  /** C5 — `q_extract_text`: the reference's per-message content
+    * extraction as an oracle-checked query (reference:
+    * src/core/database/processor.py:117 `extract_text_from_content` —
+    * JSON object with `text` → that field; JSON list → member texts
+    * joined; anything else, or any non-type-1 message, → content
+    * as-is). The events table's props are uniform `{"k": n}` dicts, so
+    * content is synthesized deterministically per event to cover all
+    * four shapes (object-with-text, list, plain string, text-less
+    * dict) plus the non-type-1 gate; the oracle replays the same
+    * construction and the same decision chain in DuckDB. Per-row
+    * codegen'd column work — scales at scan speed. */
+  def extractTextQuery(t: Tables): DataFrame = {
+    import graft.functions.TextFunctions.extractText
+    val id = col("event_id")
+    val idS = id.cast("string")
+    val mtype = when(id % 5 === 0, lit(2L)).otherwise(lit(1L))
+    val content =
+      when(id % 4 === 0, concat(lit("{\"text\": \"t"), idS, lit("\"}")))
+        .when(id % 4 === 1, concat(
+          lit("[{\"text\": \"a"), idS, lit("\"}, {\"k\": 1}, {\"text\": \"b"), idS, lit("\"}]")))
+        .when(id % 4 === 2, concat(lit("plain "), idS))
+        .otherwise(col("props"))
+    t.events.select(id,
+      mtype.as("msg_type"),
+      extractText(content, mtype).as("extracted"))
+  }
+
+  /** C6 — `q_conversation_name`: the reference's conversation
+    * naming as an oracle-checked query (processor.py:192). Session ids
+    * are synthesized deterministically per user to cover every branch:
+    * "buddy-" prefixes and bare numeric ids (private, peer resolved
+    * through the user directory), "room-" ids (private under the
+    * reference's type rule, resolved as raw ids → `User {sid}`), and
+    * "group-" ids with all three group-name sources ('n' with the
+    * <100-char guard — including an over-long rejected name that falls
+    * back — then 'gn'/'group_name', then the session id). The user
+    * directory broadcasts; everything else is per-row column logic. */
+  def conversationNameQuery(t: Tables): DataFrame = {
+    val uid = col("user_id")
+    val uidS = uid.cast("string")
+    val longName = "x" * 120
+    val sid =
+      when(uid % 4 === 0, concat(lit("buddy-"), uidS))
+        .when(uid % 4 === 1, uidS)
+        .when(uid % 4 === 2, concat(lit("group-"), uidS))
+        .otherwise(concat(lit("room-"), uidS))
+    val nameJson = when(uid % 3 === 0,
+      when(uid % 6 === 0, lit(s"""{"n": "$longName"}"""))
+        .otherwise(concat(lit("{\"n\": \"Team "), uidS, lit("\"}"))))
+    val creationJson =
+      when(uid % 3 === 1, concat(lit("{\"gn\": \"G"), uidS, lit("\"}")))
+        .when(uid % 3 === 2, concat(lit("{\"group_name\": \"GN"), uidS, lit("\"}")))
+    val users = t.events.select(uid).distinct()
+    users
+      .join(broadcast(userNames(t)), "user_id")
+      .select(uid,
+        sid.as("session_id"),
+        conversationType(sid).as("conv_type"),
+        conversationName(sid, nameJson, creationJson,
+          peer => when(peer === uidS, col("display_name"))
+            .otherwise(concat(lit("User "), peer))).as("conv_name"))
   }
 
   /** C4 — per-conversation rollup (reference conversation naming and

@@ -40,9 +40,7 @@ final class Tables(val spark: SparkSession, val dir: String) {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        raw.withColumn("ts", Tables.ntzFromNanos("ts"))
       case _ => // already a timestamp type (e.g. a directory this library wrote)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
@@ -54,4 +52,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Naive nanos-long → microsecond TIMESTAMP_NTZ truncation,
+    * SESSION-TIMEZONE-INDEPENDENT: micros are added onto an NTZ epoch
+    * base, instead of `cast(timestamp_micros(..) as timestamp_ntz)`
+    * which would render the instant in the session zone and shift the
+    * wall-clock outside UTC. Shared by the batch loader above and
+    * streaming.EventStream so batch and stream event time agree
+    * everywhere. */
+  private[graft] def ntzFromNanos(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"timestampadd(MICROSECOND, $colName div 1000, " +
+        "timestamp_ntz'1970-01-01 00:00:00')")
 }

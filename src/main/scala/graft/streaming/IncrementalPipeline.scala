@@ -27,13 +27,18 @@ import org.apache.spark.sql.streaming.Trigger
 object IncrementalPipeline {
 
   /** Streaming hourly counts per event type with a 2-hour watermark.
-    * (Watermarks require TIMESTAMP, not NTZ — EventStream normalizes.) */
+    * Watermarks require TIMESTAMP (never NTZ) — EventStream supplies
+    * one whose epoch micros equal the batch NTZ wall-clock, and the
+    * output hour_start converts back to TIMESTAMP_NTZ with the same
+    * epoch arithmetic, so stream output equals batch
+    * (EventOps.timeWindow) in ANY session timezone. */
   def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame = {
     EventStream.read(spark, inputDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .select(EventStream.ntzFromEpochMicros(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"))
   }
 
   /** Drain all currently-available input into an in-memory table

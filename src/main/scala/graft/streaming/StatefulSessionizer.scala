@@ -6,7 +6,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-/** Event wire format for the stateful sessionizer. */
+/** Event wire format for the stateful sessionizer (`ts` is the
+  * stream-side TIMESTAMP whose epoch micros equal the batch NTZ
+  * wall-clock micros — see EventStream). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
 /** Open-session state carried between micro-batches. */

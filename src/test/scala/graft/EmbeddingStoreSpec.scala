@@ -14,20 +14,23 @@ class EmbeddingStoreSpec extends SparkTestBase {
 
   test("extractText matches the reference's content handling") {
     val cases = Seq(
-      """{"text": "hello there"}""",
-      """[{"text": "a"}, {"k": 1}, {"text": "b"}]""",
-      "plain not-json content",
-      """[{"k": 1}]""",
-      """{"gn": "group name"}""",
-      "\n\t [{\"text\": \"ws\"}]") // JSON whitespace before the list
-    val out = cases.toDF("content")
-      .select(TextFunctions.extractText(col("content"))).as[String].collect()
+      ("""{"text": "hello there"}""", 1),
+      ("""[{"text": "a"}, {"k": 1}, {"text": "b"}]""", 1),
+      ("plain not-json content", 1),
+      ("""[{"k": 1}]""", 1),
+      ("""{"gn": "group name"}""", 1),
+      ("\n\t [{\"text\": \"ws\"}]", 1), // JSON whitespace before the list
+      ("""{"text": "kept raw"}""", 2)) // non-type-1: no JSON extraction
+    val out = cases.toDF("content", "mt")
+      .select(TextFunctions.extractText(col("content"), col("mt")))
+      .as[String].collect()
     assert(out(0) === "hello there")
     assert(out(1) === "a b")
     assert(out(2) === "plain not-json content")
     assert(out(3) === "")
     assert(out(4) === """{"gn": "group name"}""")
     assert(out(5) === "ws")
+    assert(out(6) === """{"text": "kept raw"}""")
   }
 
   test("embed: unit-norm vectors of the right shape, deterministic") {

@@ -64,8 +64,9 @@ class EventOpsSpec extends SparkTestBase {
     rows.foreach { r =>
       val uid = r.getLong(0)
       val name = r.getString(1)
-      // ids rejected by the invalid-name rule fall back to "User {id}"
-      if (uid % 5 == 0) assert(name === s"User $uid")
+      // file-shaped and "User NNN"-shaped candidate names are rejected
+      // by the ported _is_file_name rules and fall back to "User {id}"
+      if (uid % 7 == 0 || uid % 7 == 3) assert(name === s"User $uid")
       else assert(name === s"u${uid}_name")
     }
     // both branches exercised
@@ -81,22 +82,47 @@ class EventOpsSpec extends SparkTestBase {
 
   test("conversation type and name follow the reference's rules") {
     import spark.implicits._
+    val nul = null.asInstanceOf[String]
     val rows = Seq(
-      ("buddy-42", null.asInstanceOf[String]),
-      ("12345", null.asInstanceOf[String]),
-      ("room-abc", """{"gn": " Team Chat "}"""),
-      ("room-def", """{"group_name": "Ops"}"""),
-      ("room-xyz", null.asInstanceOf[String])
-    ).toDF("sid", "payload")
+      ("buddy-42", nul, nul),
+      ("12345", nul, nul),
+      // NOT group- prefixed => private (resolved as a raw id), even
+      // though it isn't numeric — the reference's exact type rule
+      ("room-abc", nul, """{"gn": "NotUsed"}"""),
+      ("group-1", """{"n": " Team Chat "}""", """{"gn": "Fallback"}"""),
+      ("group-2", s"""{"n": "${"x" * 120}"}""", """{"gn": "Ops"}"""),
+      ("group-3", nul, """{"group_name": "GN3"}"""),
+      ("group-4", nul, nul)
+    ).toDF("sid", "nmsg", "payload")
     val out = rows.select(
       EventOps.conversationType(col("sid")).as("ctype"),
-      EventOps.conversationName(col("sid"), col("payload"),
+      EventOps.conversationName(col("sid"), col("nmsg"), col("payload"),
         uid => concat(lit("user:"), uid)).as("cname")).collect()
     assert(out(0).getString(0) === "private" && out(0).getString(1) === "user:42")
     assert(out(1).getString(0) === "private" && out(1).getString(1) === "user:12345")
-    assert(out(2).getString(0) === "group" && out(2).getString(1) === "Team Chat")
-    assert(out(3).getString(0) === "group" && out(3).getString(1) === "Ops")
-    assert(out(4).getString(0) === "group" && out(4).getString(1) === "room-xyz")
+    assert(out(2).getString(0) === "private" && out(2).getString(1) === "user:room-abc")
+    assert(out(3).getString(0) === "group" && out(3).getString(1) === "Team Chat")
+    // over-100-char 'n' rejected by the sanity guard -> gn fallback
+    assert(out(4).getString(0) === "group" && out(4).getString(1) === "Ops")
+    assert(out(5).getString(0) === "group" && out(5).getString(1) === "GN3")
+    assert(out(6).getString(0) === "group" && out(6).getString(1) === "group-4")
+  }
+
+  test("isFileName ports the reference's rejection rules") {
+    import spark.implicits._
+    val cases = Seq(
+      ("Alice Smith", false), ("x", true), ("  ", true),
+      ("User 123", true), ("user 99", true), ("User abc", false),
+      ("report.pdf attached", true), ("clip.MOV", true),
+      ("Screenshot 2024-01-01", true), ("debug log dump", true),
+      ("a/b", true), ("c\\d", true), ("http site", true), ("www.x", true),
+      ("y" * 101, true))
+    val out = cases.toDF("name", "expected")
+      .select(EventOps.isFileName(col("name")).as("got"), col("expected"), col("name"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(0) === r.getBoolean(1), s"name=${r.getString(2)}")
+    }
   }
 
   test("plan: userNames broadcasts the known-name directory") {

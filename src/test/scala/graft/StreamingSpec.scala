@@ -24,15 +24,36 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("b6_sink")
       .groupBy("hour_start", "event_type").agg(sum("n").as("n"))
 
+    // both sides are TIMESTAMP_NTZ now — no cast needed
     val batch = EventOps.timeWindow(t)
-      .select(col("hour_start").cast("timestamp").as("hour_start"),
-        col("event_type"), col("n"))
+      .select(col("hour_start"), col("event_type"), col("n"))
 
     assert(streamed.count() > 0)
     val diff = streamed.join(batch, Seq("hour_start", "event_type"))
       .filter(streamed("n") =!= batch("n"))
     assert(diff.count() === 0)
     assert(streamed.count() === batch.count())
+  }
+
+  test("hour windows agree with batch in a non-UTC session timezone") {
+    // a half-hour-offset zone is the adversarial case: any LTZ<->NTZ
+    // cast hiding in the pipeline shifts hour bounds by 30 minutes
+    val dir = Files.createTempDirectory("graft-stream-tz").toFile
+    dir.deleteOnExit()
+    val t = Tables(spark, sfDir)
+    t.events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      IncrementalPipeline.runAvailableNow(spark, dir.getAbsolutePath, "b6_tz_sink")
+      val streamed = spark.table("b6_tz_sink")
+        .groupBy("hour_start", "event_type").agg(sum("n").as("n"))
+      val batch = EventOps.timeWindow(Tables(spark, sfDir))
+        .select(col("hour_start"), col("event_type"), col("n"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.join(batch, Seq("hour_start", "event_type"))
+        .filter(streamed("n") =!= batch("n")).count() === 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("streaming reader handles a RAW nanos-timestamp event directory") {
@@ -47,8 +68,7 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("b6_raw_sink")
       .groupBy("hour_start", "event_type").agg(sum("n").as("n"))
     val batch = EventOps.timeWindow(Tables(spark, sfDir))
-      .select(col("hour_start").cast("timestamp").as("hour_start"),
-        col("event_type"), col("n"))
+      .select(col("hour_start"), col("event_type"), col("n"))
     assert(streamed.count() === batch.count())
     assert(streamed.join(batch, Seq("hour_start", "event_type"))
       .filter(streamed("n") =!= batch("n")).count() === 0)
