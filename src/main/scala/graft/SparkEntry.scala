@@ -471,20 +471,45 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // E5: the oracle re-derives the deterministic IVF cells (seeds =
+    // ceil(sqrt(n)) lowest vec_ids, nearest-centroid argmax on the
+    // 6dp-rounded cosine with cell-ascending tie-break), then pairs
+    // within cells — mirroring the Spark blocking exactly. Zero-norm
+    // divisions guarded to 0 like CosineSimilarity.
     "q_dedup_embedding" ->
       """WITH ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
+        |nc AS (
+        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+        |  FROM embeddings),
+        |seed AS (
+        |  SELECT vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        |  FROM embeddings
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
+        |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
+        |sc AS (
+        |  SELECT e.vec_id, c.cell,
+        |    ROUND(COALESCE(SUM(e.v*c.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
+        |  FROM ev e JOIN cent c ON e.i = c.i
+        |  GROUP BY e.vec_id, c.cell),
+        |asg AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
         |s AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ax.cell AS cell,
         |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
-        |  FROM ev a JOIN ev b
-        |    ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id, a.label)
-        |SELECT vec_a, vec_b, label, ROUND(dot/(na*nb),6) AS score
+        |  FROM ev a
+        |  JOIN asg ax ON a.vec_id = ax.vec_id
+        |  JOIN asg bx ON bx.cell = ax.cell AND a.vec_id < bx.vec_id
+        |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
+        |  GROUP BY a.vec_id, b.vec_id, ax.cell)
+        |SELECT vec_a, vec_b, cell, ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
         |FROM s
-        |WHERE ROUND(dot/(na*nb),6) >= 0.35
+        |WHERE ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) >= 0.35
         |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
     "q_fingerprint" ->
       """WITH w AS (
@@ -541,8 +566,9 @@ object SparkEntry {
       |    ELSE [] END AS s
       |  FROM w)""".stripMargin
 
-  /** E2 oracle: 12 per-row string-min minhashes, 4 band buckets,
-    * bucket equi-join candidates, exact-Jaccard verify. */
+  /** E2 oracle: 12 per-row string-min minhashes, 4 band buckets
+    * (occupancy-capped like the Spark side), bucket equi-join
+    * candidates, exact-Jaccard verify. */
   private def minhashOracle: String = {
     val sigs = (0 until 12)
       .map(k => s"    list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS h$k")
@@ -555,8 +581,11 @@ object SparkEntry {
        |  SELECT doc_id,
        |$sigs
        |  FROM shl),
-       |bk AS (
+       |bk0 AS (
        |$bands),
+       |bk AS (
+       |  SELECT doc_id, bucket FROM bk0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= ${operators.Dedup.maxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -572,19 +601,22 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** E3 oracle: 60 bit-vote sums over tokens (bit k = high bit of hex
-    * char (k mod 30)+1 of one of two salted md5s per token),
-    * fingerprint assembly, 4×15-bit band blocking, Hamming ≤ 3. */
+  /** E3 oracle: 64 bit-vote sums over tokens (bit k = high bit of hex
+    * char (k mod 32)+1 of one of two salted md5s per token),
+    * fingerprint assembly (bit 63's weight is the BIGINT min value —
+    * the HUGEINT sum fits BIGINT and the cast reproduces the
+    * two's-complement pattern), 4×16-bit band blocking with the same
+    * occupancy cap as the Spark side, Hamming ≤ 3. */
   private def simhashOracle: String = {
-    val sums = (0 until 60).map { k =>
-      val src = if (k < 30) "md5('a:' || w)" else "md5('b:' || w)"
-      s"    SUM(CASE WHEN substr($src,${(k % 30) + 1},1) <= '7' THEN 1 ELSE -1 END) AS s$k"
+    val sums = (0 until 64).map { k =>
+      val src = if (k < 32) "md5('a:' || w)" else "md5('b:' || w)"
+      s"    SUM(CASE WHEN substr($src,${(k % 32) + 1},1) <= '7' THEN 1 ELSE -1 END) AS s$k"
     }.mkString(",\n")
-    val fpSum = (0 until 60)
+    val fpSum = (0 until 64)
       .map(k => s"(CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END)")
       .mkString(" + ")
     val bands = (0 until 4)
-      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${15 * b}) & 32767 AS bv FROM fp")
+      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & 65535 AS bv FROM fp")
       .mkString("\n  UNION ALL\n")
     s"""WITH tk AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -594,8 +626,11 @@ object SparkEntry {
        |$sums
        |  FROM tk GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM bs),
-       |bands AS (
+       |bands0 AS (
        |$bands),
+       |bands AS (
+       |  SELECT doc_id, fp, band, bv FROM bands0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= ${operators.Dedup.maxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
        |  FROM bands a JOIN bands b

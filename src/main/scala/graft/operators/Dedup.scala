@@ -34,6 +34,29 @@ object Dedup {
   private val numHashes = 12
   private val numBands = 4 // 4 bands × 3 rows
 
+  /** LSH bucket-occupancy cap: any band bucket larger than this is
+    * dropped from candidate generation (with its pairs) instead of
+    * going quadratic — a pathological corpus (boilerplate shingles, a
+    * degenerate fingerprint) can otherwise concentrate O(n) docs in
+    * one bucket and the in-bucket self-join becomes O(n²) silently.
+    * 1000 caps any single bucket's pair cost at ~500k comparisons;
+    * the oracles replay the same QUALIFY filter so both engines drop
+    * identical buckets. Near-dup mining under a cap is the standard
+    * trade (a >1000-doc near-identical cluster is better handled by
+    * exact dedup first). */
+  private[graft] val maxBucketSize = 1000
+
+  /** Bound a (doc_id, key...) relation to buckets of at most
+    * `maxBucketSize` rows per key, via a count window over the same
+    * partitioning the downstream self-join shuffles on (so the
+    * exchange is paid once and reused by the join). */
+  private def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+  }
+
   /** Distinct (doc_id, shingle) ROWS — not per-row arrays. The word
     * stream explodes once, word 3-grams assemble via two `lead`s over
     * (doc_id, pos), then distinct. Measured 20-40× faster than the
@@ -80,13 +103,25 @@ object Dedup {
     * pairs are tiny, so they broadcast into the shingle-row join that
     * counts intersections. */
   def dedupMinhash(t: Tables): DataFrame = {
-    val ex = shingleRows(t)
+    // Materialize the shingle rows ONCE (localCheckpoint): the
+    // signature agg and BOTH verification join sides then read the
+    // materialized blocks. Without it the corpus-wide
+    // scan+window+distinct re-executes per consumer downstream of the
+    // reused exchange (4× — measured blowing the query up 19× under
+    // memory pressure in the round-2 driver run). Lineage truncation
+    // is the trade (an executor loss means recompute-from-source is
+    // gone); a production pipeline at 100 TB would write this stage to
+    // a temp table for the same reason.
+    val ex = shingleRows(t).localCheckpoint()
     // one pass builds the 12-hash signature AND the set size used by
-    // the verification stage — no second scan of the shingle rows
+    // the verification stage — no second scan of the shingle rows;
+    // checkpointed too (tiny: one row per doc) so buckets and sizes
+    // don't re-run the agg
     val sig = ex.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
       (0 until numHashes).map(k =>
         min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
+      .localCheckpoint()
     // unpivot to one (doc_id, bucket) row per band with a single explode
     // over the 4 bucket hashes — NOT a 4-way union, which would
     // recompute the whole signature pipeline once per branch
@@ -94,8 +129,9 @@ object Dedup {
       md5(concat(lit(s"$b|"),
         col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
     }
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bucketCols: _*)).as("bucket"))
+    val buckets = capBuckets(
+      sig.select(col("doc_id"), explode(array(bucketCols: _*)).as("bucket")),
+      Seq("bucket"))
     val cand = buckets.as("a").hint("merge")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -126,34 +162,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** E3 — SimHash: 60-bit fingerprint by per-bit weighted vote over
-    * all tokens. TWO salted md5s per token supply all 60 bits (hex
-    * char j's high bit — '0'-'7' vs '8'-'f' — is one vote), a 16×
-    * hash saving over per-bit salted hashing; the digests are
-    * projected to bound columns first so the 60 vote expressions
-    * share them instead of re-hashing. 60 bits (vs 32) squares the
-    * pair selectivity on a vocabulary-correlated corpus. Near-pairs
-    * at Hamming ≤ 3 come from 4×15-bit band blocking over an explode
+  /** E3 — SimHash: 64-bit fingerprint by per-bit weighted vote over
+    * all tokens. TWO salted md5s per token supply all 64 bits (hex
+    * char j's high bit — '0'-'7' vs '8'-'f' — is one vote, 32 chars
+    * per digest), a 32× hash saving over per-bit salted hashing; the
+    * digests are projected to bound columns first so the 64 vote
+    * expressions share them instead of re-hashing. Near-pairs at
+    * Hamming ≤ 3 come from 4×16-bit band blocking over an explode
     * unpivot (pigeonhole-exact for ≤ 3, and no union-branch
-    * recompute). */
+    * recompute). Band capacity is 65,536 values — combined with the
+    * `maxBucketSize` occupancy cap below, no corpus can silently turn
+    * the in-bucket self-join quadratic (the round-2 15-bit layout
+    * relied on hash dispersion alone). Bit 63's weight is
+    * Long.MinValue — the sum wraps into the correct two's-complement
+    * pattern and never overflows (partials stay in range), and the
+    * band mask makes arithmetic-shift extraction sign-safe on both
+    * engines. */
   def dedupSimhash(t: Tables): DataFrame = {
     val ex = t.documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"),
         md5(concat(lit("a:"), col("w"))).as("ha"),
         md5(concat(lit("b:"), col("w"))).as("hb"))
-    val bitSums = (0 until 60).map { k =>
-      val src = if (k < 30) col("ha") else col("hb")
-      sum(when(substring(src, (k % 30) + 1, 1) <= "7", 1).otherwise(-1)).as(s"s$k")
+    val bitSums = (0 until 64).map { k =>
+      val src = if (k < 32) col("ha") else col("hb")
+      sum(when(substring(src, (k % 32) + 1, 1) <= "7", 1).otherwise(-1)).as(s"s$k")
     }
     val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fpCol = (0 until 60).map { k =>
+    val fpCol = (0 until 64).map { k =>
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
     val fps = sums.select(col("doc_id"), fpCol.as("fp"))
-    val bands = fps.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), 15 * b).bitwiseAND(lit(32767L))): _*)).as(Seq("band", "bv")))
+    val bands = capBuckets(
+      fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band", "bv"))),
+      Seq("band", "bv"))
     bands.as("a").hint("merge")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -173,7 +217,9 @@ object Dedup {
     * the two set sizes. The self-join is forced sort-merge so both
     * sides reuse one shuffle of the shingle rows. */
   def ngramJaccard(t: Tables): DataFrame = {
-    val ex = shingleRows(t)
+    // materialized once; sizes and the (exchange-sharing) self-join
+    // read the blocks instead of re-running the shingle pipeline
+    val ex = shingleRows(t).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").hint("merge")
       .join(ex.as("b"),
@@ -184,35 +230,67 @@ object Dedup {
     jaccardFromCommon(common, sizes, threshold = 0.5)
   }
 
-  /** E5 — embedding-cosine near-dup pairs, blocked by the `label`
-    * cell (at scale: the IVF cell assignment) so the self-join is an
-    * equi-join per cell, not a cross product. Within a cell,
-    * TRIANGULAR sub-blocking lifts parallelism off the cell count:
-    * vectors split into G groups by id, each unordered pair belongs to
-    * exactly one of the G(G+1)/2 group-pairs (i ≤ j), and the join key
-    * is (label, i, j) — G(G+1)/2 × more, smaller, partitions for the
-    * same exact pair set. The replication factor is ~(G+1)/2 per side;
-    * G tunes the skew-vs-duplication trade. */
+  /** E5 — embedding-cosine near-dup pairs, blocked by a REAL IVF cell
+    * assignment (deterministic seeds = the ceil(√n) lowest vec_ids,
+    * nearest-centroid by rounded cosine) so the self-join is an
+    * equi-join per cell and the CELL COUNT SCALES WITH THE CORPUS —
+    * the round-2 `label` blocking had fixed cardinality, so in-cell
+    * pair cost grew O(n²). With k = √n cells, assignment is an n×k
+    * broadcast scan and in-cell pairing is O(n^1.5) total — the
+    * standard IVF trade (truly corpus-independent cells would need a
+    * hierarchical coarse quantizer on top; that is the next
+    * refinement, not this one). Assignment argmax is a map-side-
+    * combining aggregate (max over a (score, -cell) struct), NOT a
+    * window — the n×k scored rows combine before any shuffle.
+    *
+    * Within a cell, TRIANGULAR sub-blocking lifts parallelism off the
+    * cell count: vectors split into G groups by id, each unordered
+    * pair belongs to exactly one of the G(G+1)/2 group-pairs (i ≤ j),
+    * and the join key is (cell, i, j) — more, smaller partitions for
+    * the same exact pair set. Replication ~(G+1)/2 per side; G tunes
+    * the skew-vs-duplication trade. Reference anchor: this blocking
+    * replaces the reference's full-scan cosine search
+    * (processor.py:436) at scale. */
   def dedupEmbedding(t: Tables): DataFrame = {
     val g = 4
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"),
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    // corpus size drives the cell count; one count() action, the same
+    // class of driver-side index metadata as EmbeddingStore's probes
+    val n = emb.count()
+    val numCells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val wS = Window.orderBy(col("vec_id"))
+    val cent = emb.orderBy(col("vec_id")).limit(numCells)
+      .select((row_number().over(wS) - 1).cast("int").as("cell"),
+        col("embedding").as("centroid"))
+    // the broadcast nested-loop join IS the IVF assignment scan:
+    // k = √n centroid rows (MBs even at 1e9 vectors) against every
+    // vector; checkpointed so both triangular sides reuse it
+    val assigned = emb.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosineSim(col("embedding"), col("centroid")), 6).as("cscore"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cscore"), (-col("cell")).as("nc"))).as("m"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("m.nc")).cast("int").as("cell"))
+      .localCheckpoint()
+    val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))
     // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)
     // for i <= grp — an (x in group gi, y in group gj) pair meets in
     // exactly one block
-    val aSide = e.select(col("vec_id"), col("label"), col("embedding"),
+    val aSide = e.select(col("vec_id"), col("cell"), col("embedding"),
       col("grp").as("i"), explode(sequence(col("grp"), lit(g - 1))).as("j"))
-    val bSide = e.select(col("vec_id"), col("label"), col("embedding"),
+    val bSide = e.select(col("vec_id"), col("cell"), col("embedding"),
       explode(sequence(lit(0), col("grp"))).as("i"), col("grp").as("j"))
     aSide.as("a")
       .join(bSide.as("b"),
-        col("a.label") === col("b.label") &&
+        col("a.cell") === col("b.cell") &&
           col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
           (col("a.i") < col("a.j") || col("a.vec_id") < col("b.vec_id")))
       .select(
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
-        col("a.label").as("label"),
+        col("a.cell").as("cell"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .filter(col("score") >= 0.35)
       .orderBy(col("score").desc, col("vec_a"), col("vec_b"))

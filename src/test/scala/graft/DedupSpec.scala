@@ -46,10 +46,11 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.distinct.length === pairs.length)
   }
 
-  test("dedupEmbedding: blocked by label, scores in [threshold, 1]") {
+  test("dedupEmbedding: cell-blocked, scores in [threshold, 1]") {
     val rows = Dedup.dedupEmbedding(t).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0) // cell id
       assert(r.getDouble(3) >= 0.35 && r.getDouble(3) <= 1.0)
     }
   }
@@ -63,11 +64,14 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("bucket"))
   }
 
-  test("plan: embedding dedup is an equi-join on label, not a cross join") {
+  test("plan: embedding pair join is a cell equi-join, not a cross join") {
     val df = Dedup.dedupEmbedding(t)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the centroid-assignment BNLJ is upstream of the checkpoint; the
+    // executed PAIR join itself must be keyed (hash or sort-merge)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
   }
 }

@@ -8,11 +8,13 @@ package graft
 class PlanShapeSpec extends SparkTestBase {
 
   /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
-    * a 1-to-5-row broadcast side with no equi-key (the query vector or
-    * a scalar aggregate). */
+    * a small broadcast side with no equi-key — the query vector or a
+    * scalar aggregate (1-5 rows), or q_dedup_embedding's IVF centroid
+    * table (√n rows, MBs even at 1e9 vectors) whose broadcast scan IS
+    * the cell-assignment step. */
   private val tinyBroadcastJoins = Set(
     "q_search_bruteforce", "q_search_filtered", "q_knn_join",
-    "q_ann_ivf", "q_scalar_subquery")
+    "q_ann_ivf", "q_scalar_subquery", "q_dedup_embedding")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {
