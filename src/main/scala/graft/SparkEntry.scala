@@ -24,6 +24,7 @@ object SparkEntry {
     "q_filter_project"  -> q(Relational.filterProject),
     "q_join_broadcast"  -> q(Relational.joinBroadcast),
     "q_join_multi"      -> q(Relational.joinMulti),
+    "q_join_bucketed"   -> q(graft.sources.Bucketing.joinBucketed),
     "q_topk"            -> q(Relational.topK),
     "q_window_rank"     -> q(Relational.windowRank),
     "q_distinct_agg"    -> q(Relational.distinctAgg),
@@ -100,6 +101,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // A3b: Spark runs this over the bucket-sorted layout (zero
+    // exchanges); the rows are identical to the raw-parquet join the
+    // oracle runs here.
+    "q_join_bucketed" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey

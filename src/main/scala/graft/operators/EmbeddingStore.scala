@@ -29,6 +29,11 @@ import graft.sources.Tables
   * create new files without rewriting history, and search reads
   * stream through the codegen'd cosine expression.
   */
+/** Incremental-update statistics (the reference's update_embeddings
+  * result dict, engine.py:98: new_messages / processing time; the
+  * watermark the next increment should start from). */
+case class UpdateStats(processed: Long, newWatermark: Long, durationSec: Double)
+
 object EmbeddingStore {
 
   val dim = 64
@@ -75,9 +80,23 @@ object EmbeddingStore {
   /** Incremental update from a doc_id watermark (the reference keys
     * incrementality on last-processed timestamp, engine.py:57; the
     * documents table has no timestamp, so doc_id is the watermark
-    * column). Only new docs are embedded and appended. */
-  def updateSince(t: Tables, path: String, sinceDocId: Long): Unit =
-    store(embed(t.documents.filter(col("doc_id") > sinceDocId)), path, append = true)
+    * column). Only new docs are embedded and appended, and the call
+    * returns the same observability contract the reference's
+    * update_embeddings does (engine.py:98: processed count +
+    * processing time, plus the advanced watermark the caller persists
+    * for the next increment). The count/max pre-aggregate is one
+    * cheap pushed-filter scan; a zero-delta update skips the embed
+    * and write entirely, like the reference's early return
+    * (engine.py:78). */
+  def updateSince(t: Tables, path: String, sinceDocId: Long): UpdateStats = {
+    val t0 = System.nanoTime()
+    val fresh = t.documents.filter(col("doc_id") > sinceDocId)
+    val head = fresh.agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
+    val processed = head.getLong(0)
+    val newWatermark = if (head.isNullAt(1)) sinceDocId else head.getLong(1)
+    if (processed > 0) store(embed(fresh), path, append = true)
+    UpdateStats(processed, newWatermark, (System.nanoTime() - t0) / 1e9)
+  }
 
   /** Cosine top-k over the store for a query vector taken from the
     * store itself (reference search_similar_messages, processor.py:436,

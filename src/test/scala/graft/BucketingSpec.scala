@@ -32,4 +32,20 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("q_join_bucketed: end-to-end plan has no exchange at all") {
+    val t = Tables(spark, sfDir)
+    val df = Bucketing.joinBucketed(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join+agg should plan zero exchanges:\n$plan")
+    // same revenue total as the raw-parquet join
+    val bucketed = df.agg(sum("revenue")).first().getDouble(0)
+    val raw = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .first().getDouble(0)
+    assert(math.abs(bucketed - raw) / raw < 1e-6)
+  }
 }

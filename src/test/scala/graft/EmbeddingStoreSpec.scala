@@ -56,10 +56,20 @@ class EmbeddingStoreSpec extends SparkTestBase {
     // initial build: first half; incremental append: the rest
     EmbeddingStore.store(
       EmbeddingStore.embed(t.documents.filter(col("doc_id") <= watermark)), path)
-    EmbeddingStore.updateSince(t, path, watermark)
+    val stats = EmbeddingStore.updateSince(t, path, watermark)
+    // the update reports the reference's result contract: processed
+    // count, advanced watermark, wall time
+    assert(stats.processed ===
+      t.documents.filter(col("doc_id") > watermark).count())
+    assert(stats.newWatermark === maxId)
+    assert(stats.durationSec > 0.0)
     val stored = spark.read.parquet(path)
     assert(stored.count() === t.documents.count())
     assert(stored.select("doc_id").distinct().count() === t.documents.count())
+    // zero-delta update: nothing processed, watermark holds, no append
+    val noop = EmbeddingStore.updateSince(t, path, stats.newWatermark)
+    assert(noop.processed === 0L && noop.newWatermark === maxId)
+    assert(spark.read.parquet(path).count() === t.documents.count())
 
     // ground truth from the dedup family: a verified near-dup pair must
     // embed to near-parallel vectors and find each other
