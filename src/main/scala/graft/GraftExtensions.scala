@@ -1,17 +1,23 @@
 package graft
 
-import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm}
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, TextFunctions}
+import graft.operators.EventOps
 
-/** SQL surface for the custom Catalyst expressions: `cosine_sim`,
-  * `dot_product`, `l2_norm` become plain SQL functions, so
-  * `spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")`
-  * works the same as the DataFrame DSL (the reference exposes its
-  * search through a query string API, server.py:60 — this is the
-  * equivalent extension point).
+/** SQL surface for the library's scalar capabilities: the custom
+  * Catalyst vector expressions (`cosine_sim`, `dot_product`,
+  * `l2_norm`) AND the reference's per-message text transforms
+  * (`clean_text`, `extract_text`, `is_file_name`,
+  * `conversation_type`) become plain SQL functions, so
+  * `spark.sql("SELECT cosine_sim(...), clean_text(...) ...")` works
+  * the same as the DataFrame DSL (the reference exposes its search
+  * through a query string API, server.py:60 — this is the equivalent
+  * extension point). The text functions register the SAME Column
+  * compositions the operators use (built-in codegen'd expressions,
+  * no UDFs), so SQL and DSL can never drift apart.
   *
   * Two registration paths:
   *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster
@@ -25,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Adapt a Column-composition function into an expression builder:
+    * wrap the call-site child expressions as Columns, apply the same
+    * composition the DataFrame operators use, unwrap the result. */
+  private def colFn(name: String, arity: Int)(
+      f: Seq[Column] => Column): Seq[Expression] => Expression =
+    es => {
+      require(es.length == arity,
+        s"$name expects $arity argument(s), got ${es.length}")
+      GraftColumnBridge.expression(f(es.map(GraftColumnBridge.column)))
+    }
+
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -35,7 +52,19 @@ object GraftFunctions {
       es => DotProduct(es(0), es(1))),
     (FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
-      es => L2Norm(es.head)))
+      es => L2Norm(es.head)),
+    (FunctionIdentifier("clean_text"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "clean_text"),
+      colFn("clean_text", 1)(cs => TextFunctions.cleanText(cs.head))),
+    (FunctionIdentifier("extract_text"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "extract_text"),
+      colFn("extract_text", 2)(cs => TextFunctions.extractText(cs(0), cs(1)))),
+    (FunctionIdentifier("is_file_name"),
+      new ExpressionInfo(EventOps.getClass.getName, "is_file_name"),
+      colFn("is_file_name", 1)(cs => EventOps.isFileName(cs.head))),
+    (FunctionIdentifier("conversation_type"),
+      new ExpressionInfo(EventOps.getClass.getName, "conversation_type"),
+      colFn("conversation_type", 1)(cs => EventOps.conversationType(cs.head))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -10,7 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → catalyst Expression via the real ColumnNode converter.
+    * `ExpressionUtils.expression` only WRAPS the node
+    * (ColumnNodeExpression, Unevaluable) and relies on the Dataset
+    * API boundary to convert it later — fine inside
+    * `df.select(...)`, but a tree returned from a SQL function
+    * registry builder never crosses that boundary and fails codegen.
+    * The converter produces the actual expression tree up front, so
+    * bridged Columns work in BOTH the DSL and registered SQL
+    * functions. */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   def registerFunction(
       spark: SparkSession,

@@ -48,4 +48,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("array<float> or array<double>"))
   }
+
+  test("text pipeline functions are SQL-callable and match the DSL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  clean_text('  hi   there https://x.io/a ✨!  ') AS cleaned,
+        |  extract_text('{"text": "inner"}', 1) AS ext1,
+        |  extract_text('{"text": "raw"}', 2) AS ext2,
+        |  is_file_name('report.pdf attached') AS f1,
+        |  is_file_name('Alice Smith') AS f2,
+        |  conversation_type('group-7') AS ct1,
+        |  conversation_type('room-7') AS ct2""".stripMargin).first()
+    // whitespace collapses BEFORE the URL strips (the reference's
+    // order, processor.py:167-170) — hence the double space
+    assert(r.getString(0) === "hi there  !")
+    assert(r.getString(1) === "inner")
+    assert(r.getString(2) === """{"text": "raw"}""")
+    assert(r.getBoolean(3) === true)
+    assert(r.getBoolean(4) === false)
+    assert(r.getString(5) === "group")
+    assert(r.getString(6) === "private")
+  }
 }
