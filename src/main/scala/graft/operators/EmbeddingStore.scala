@@ -116,17 +116,26 @@ object EmbeddingStore {
 
   // ---- persisted IVF index ------------------------------------------------
 
-  val numCells = 8
+  /** Cell-count rule: k = ceil(√n), floor 2 — the standard IVF
+    * balance (assignment O(n·√k) with the coarse quantizer below,
+    * in-cell scan O(√n) per probe), and the rule E5's dedup blocking
+    * shares. */
+  def numCellsFor(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Build a persisted IVF index: deterministic k-means-lite (seed
-    * centroids = the k lowest doc_ids, one Lloyd refinement), then
-    * write vectors PARTITIONED BY CELL. Probing then prunes whole
-    * partitions at the file listing — the on-disk analogue of the
-    * reference's full-store scan being narrowed to candidate sets, and
-    * the layout that makes D4's cell filter a `PartitionFilters` entry
-    * instead of a row filter. Centroids persist next to the cells. */
+    * centroids = the ceil(√n) lowest doc_ids, one Lloyd refinement),
+    * then write vectors PARTITIONED BY CELL. Probing then prunes
+    * whole partitions at the file listing — the on-disk analogue of
+    * the reference's full-store scan being narrowed to candidate
+    * sets, and the layout that makes D4's cell filter a
+    * `PartitionFilters` entry instead of a row filter. Centroids
+    * persist next to the cells. The seed collect is k=√n rows of
+    * dim floats (~8 MB at 1e9 vectors) — driver-held index metadata,
+    * like the reference's stored watermark. */
   def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
-    val seeds = vectors.orderBy(col("doc_id")).limit(numCells)
+    val k = numCellsFor(vectors.count())
+    val seeds = vectors.orderBy(col("doc_id")).limit(k)
       .select(col("doc_id"), col("embedding")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     val seedDf = spark.createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
@@ -148,18 +157,63 @@ object EmbeddingStore {
     refined.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Nearest-centroid assignment (centroid table broadcast). */
-  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = vectors.join(broadcast(centroids))
-      .select(col("doc_id"), col("embedding"), col("cell"),
+  /** Per-vector argmax over a broadcast scored attach — a map-side-
+    * combining aggregate on a (score, -key) struct, never a window
+    * (a window would shuffle every scored row; the aggregate combines
+    * them before any exchange). */
+  private def argmaxAttach(vectors: DataFrame, attach: DataFrame,
+      keyCol: String): DataFrame =
+    vectors.join(broadcast(attach))
+      .select(col("doc_id"), col("embedding"), col(keyCol),
         cosineSim(col("embedding"), col("centroid")).as("cscore"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("embedding"), col("cell"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cscore"), (-col(keyCol)).as("nk"))).as("m"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("doc_id"), col("embedding"),
+        (-col("m.nk")).cast("int").as(keyCol))
+
+  /** Nearest-centroid assignment with a TWO-LEVEL coarse quantizer:
+    * the fine centroids are themselves grouped under ceil(√k) coarse
+    * centroids (their own lowest-cell seeds); each vector first picks
+    * its coarse group (√k comparisons), then the argmax over only
+    * that group's fine centroids (~√k more). Per-vector cost drops
+    * from k to O(√k) — the difference between n·k and n·√k compute at
+    * build time, which is what keeps corpus-scaled cell counts
+    * affordable at 1e9 vectors. Boundary vectors may land one cell
+    * off versus flat assignment (standard hierarchical-IVF trade;
+    * search recall is governed by multi-cell probing, not assignment
+    * exactness). All centroid tables broadcast. */
+  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val kc = math.max(1,
+      math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
+    val coarseSeeds = centroids.orderBy(col("cell")).limit(kc)
+      .select((col("cell")).as("seed_cell"), col("centroid"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val coarseDf = vectors.sparkSession
+      .createDataFrame(vectors.sparkSession.sparkContext
+        .parallelize(coarseSeeds.toSeq))
+      .toDF("coarse", "centroid")
+      .select(col("coarse"), col("centroid").cast("array<float>").as("centroid"))
+    // group the fine centroids themselves under their coarse seed
+    val fineGrouped = argmaxAttach(
+      centroids.select(col("cell").as("doc_id"), col("centroid").as("embedding")),
+      coarseDf, "coarse")
+      .select(col("doc_id").as("cell"), col("embedding").as("centroid"),
+        col("coarse"))
+    // level 1: each vector picks its coarse group
+    val coarsePick = argmaxAttach(vectors, coarseDf, "coarse")
+    // level 2: argmax over ONLY that group's fine centroids (equi-join
+    // on the coarse id keeps the scored fan-out at ~k/√k per vector)
+    coarsePick.as("v")
+      .join(broadcast(fineGrouped).as("c"), Seq("coarse"))
+      .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
+        col("c.cell").as("cell"),
+        cosineSim(col("v.embedding"), col("c.centroid")).as("cscore"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cscore"), (-col("cell")).as("nk"))).as("m"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("doc_id"), col("embedding"), (-col("m.nk")).cast("int").as("cell"))
   }
 
   /** ANN over the persisted index: score the query against the tiny

@@ -21,7 +21,8 @@ class IvfIndexSpec extends SparkTestBase {
     val cells = spark.read.parquet(s"$path/cells")
     // index is a complete, disjoint re-layout of the corpus
     assert(cells.count() === vectors.count())
-    assert(cells.select("cell").distinct().count() <= EmbeddingStore.numCells)
+    assert(cells.select("cell").distinct().count() <=
+      EmbeddingStore.numCellsFor(vectors.count()))
 
     val queryDoc = 0L
     val hits = EmbeddingStore.searchIvf(spark, path, queryDoc, k = 5)
