@@ -66,7 +66,11 @@ object TextFunctions {
     // trim ALL JSON whitespace (ltrim's default strips only spaces)
     val isList = substring(ltrim(content, " \t\n\r"), 1, 1) === "["
     coalesce(
-      when(messageType =!= 1, content)
+      // null-safe gate: a NULL type is "not a text message" (the
+      // reference's `message_type == 1` is False for None) — without
+      // isNull the three-valued `=!=` would skip this branch and
+      // wrongly JSON-parse null-typed messages
+      when(messageType.isNull || messageType =!= 1, content)
         .when(objText.isNotNull, objText)
         .when(arr.isNotNull && isList, arrJoined)
         .otherwise(content),

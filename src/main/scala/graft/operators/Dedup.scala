@@ -16,13 +16,13 @@ import graft.sources.Tables
   *  - E1 exact:     hash-groupBy on normalized text
   *  - E2 MinHash:   LSH banding — candidates shuffle on band bucket,
   *                  O(candidate pairs) not O(n²)
-  *  - E3 SimHash:   60-bit md5 bit-vote fingerprint, Hamming ≤ 3 via
-  *                  15-bit band pigeonhole (a pair within distance 3
+  *  - E3 SimHash:   64-bit md5 bit-vote fingerprint, Hamming ≤ 3 via
+  *                  16-bit band pigeonhole (a pair within distance 3
   *                  MUST agree on one of 4 bands — banding is exact)
   *  - E4 Jaccard:   exact set-similarity via exploded-shingle
   *                  equi-join (only pairs sharing a shingle are ever
   *                  materialized — still no all-pairs)
-  *  - E5 embedding: cosine near-dup pairs blocked by label cell
+  *  - E5 embedding: cosine near-dup pairs blocked by √n IVF cells
   *
   * Nothing here self-joins the raw corpus: every pair generator is an
   * equi-join on a derived key (bucket / band / shingle / cell), which
@@ -112,7 +112,7 @@ object Dedup {
     // is the trade (an executor loss means recompute-from-source is
     // gone); a production pipeline at 100 TB would write this stage to
     // a temp table for the same reason.
-    val ex = shingleRows(t).localCheckpoint()
+    val ex = shingleRows(t).localCheckpoint(eager = false)
     // one pass builds the 12-hash signature AND the set size used by
     // the verification stage — no second scan of the shingle rows;
     // checkpointed too (tiny: one row per doc) so buckets and sizes
@@ -121,7 +121,7 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until numHashes).map(k =>
         min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // unpivot to one (doc_id, bucket) row per band with a single explode
     // over the 4 bucket hashes — NOT a 4-way union, which would
     // recompute the whole signature pipeline once per branch
@@ -219,7 +219,7 @@ object Dedup {
   def ngramJaccard(t: Tables): DataFrame = {
     // materialized once; sizes and the (exchange-sharing) self-join
     // read the blocks instead of re-running the shingle pipeline
-    val ex = shingleRows(t).localCheckpoint()
+    val ex = shingleRows(t).localCheckpoint(eager = false)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").hint("merge")
       .join(ex.as("b"),
@@ -257,7 +257,9 @@ object Dedup {
     // corpus size drives the cell count; one count() action, the same
     // class of driver-side index metadata as EmbeddingStore's probes
     val n = emb.count()
-    val numCells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // shared rule with the persisted IVF index; the E5 oracle's
+    // GREATEST(2, CEIL(SQRT(COUNT(*)))) must stay in lockstep with it
+    val numCells = EmbeddingStore.numCellsFor(n)
     val wS = Window.orderBy(col("vec_id"))
     val cent = emb.orderBy(col("vec_id")).limit(numCells)
       .select((row_number().over(wS) - 1).cast("int").as("cell"),
@@ -272,7 +274,7 @@ object Dedup {
       .agg(max(struct(col("cscore"), (-col("cell")).as("nc"))).as("m"),
         any_value(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), (-col("m.nc")).cast("int").as("cell"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))
     // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)

@@ -157,20 +157,28 @@ object EmbeddingStore {
     refined.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Per-vector argmax over a broadcast scored attach — a map-side-
-    * combining aggregate on a (score, -key) struct, never a window
-    * (a window would shuffle every scored row; the aggregate combines
-    * them before any exchange). */
-  private def argmaxAttach(vectors: DataFrame, attach: DataFrame,
-      keyCol: String): DataFrame =
-    vectors.join(broadcast(attach))
-      .select(col("doc_id"), col("embedding"), col(keyCol),
-        cosineSim(col("embedding"), col("centroid")).as("cscore"))
+  /** Per-row argmax over pre-scored (doc_id, embedding, key, cscore)
+    * rows — a map-side-combining aggregate on a (score, -key) struct,
+    * never a window (a window would shuffle every scored row; the
+    * aggregate combines them before any exchange). The tie-break
+    * convention (highest score, then lowest key) lives ONLY here. */
+  private def argmaxScored(scored: DataFrame, keyCol: String): DataFrame =
+    scored
       .groupBy(col("doc_id"))
       .agg(max(struct(col("cscore"), (-col(keyCol)).as("nk"))).as("m"),
         any_value(col("embedding")).as("embedding"))
       .select(col("doc_id"), col("embedding"),
         (-col("m.nk")).cast("int").as(keyCol))
+
+  /** Score every vector against a broadcast centroid table, keep the
+    * argmax. */
+  private def argmaxAttach(vectors: DataFrame, attach: DataFrame,
+      keyCol: String): DataFrame =
+    argmaxScored(
+      vectors.join(broadcast(attach))
+        .select(col("doc_id"), col("embedding"), col(keyCol),
+          cosineSim(col("embedding"), col("centroid")).as("cscore")),
+      keyCol)
 
   /** Nearest-centroid assignment with a TWO-LEVEL coarse quantizer:
     * the fine centroids are themselves grouped under ceil(√k) coarse
@@ -184,36 +192,45 @@ object EmbeddingStore {
     * search recall is governed by multi-cell probing, not assignment
     * exactness). All centroid tables broadcast. */
   private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
     val kc = math.max(1,
       math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
     val coarseSeeds = centroids.orderBy(col("cell")).limit(kc)
-      .select((col("cell")).as("seed_cell"), col("centroid"))
+      .select(col("cell").as("seed_cell"), col("centroid"))
       .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    val coarseDf = vectors.sparkSession
-      .createDataFrame(vectors.sparkSession.sparkContext
-        .parallelize(coarseSeeds.toSeq))
-      .toDF("coarse", "centroid")
-      .select(col("coarse"), col("centroid").cast("array<float>").as("centroid"))
-    // group the fine centroids themselves under their coarse seed
+      .map { case (r, i) => (i, r.getInt(0), r.getSeq[Float](1).toArray) }
+    val coarseDf = spark
+      .createDataFrame(spark.sparkContext.parallelize(coarseSeeds.toSeq))
+      .toDF("coarse", "seed_cell", "centroid")
+      .select(col("coarse"), col("seed_cell"),
+        col("centroid").cast("array<float>").as("centroid"))
+    // group the fine centroids themselves under their coarse seed —
+    // but pin each seed's OWN fine cell to its own group: this
+    // guarantees every coarse group is non-empty, so the level-2
+    // inner join below can never drop a vector (FP rounding could
+    // otherwise argmax a seed centroid into a sibling group and leave
+    // its group empty)
+    val seedOwn = coarseDf.select(col("seed_cell"), col("coarse").as("own"))
     val fineGrouped = argmaxAttach(
       centroids.select(col("cell").as("doc_id"), col("centroid").as("embedding")),
-      coarseDf, "coarse")
+      coarseDf.select(col("coarse"), col("centroid")), "coarse")
       .select(col("doc_id").as("cell"), col("embedding").as("centroid"),
         col("coarse"))
+      .join(broadcast(seedOwn), col("cell") === col("seed_cell"), "left")
+      .select(col("cell"), col("centroid"),
+        coalesce(col("own"), col("coarse")).as("coarse"))
     // level 1: each vector picks its coarse group
-    val coarsePick = argmaxAttach(vectors, coarseDf, "coarse")
+    val coarsePick = argmaxAttach(vectors, coarseDf.select(col("coarse"),
+      col("centroid")), "coarse")
     // level 2: argmax over ONLY that group's fine centroids (equi-join
     // on the coarse id keeps the scored fan-out at ~k/√k per vector)
-    coarsePick.as("v")
-      .join(broadcast(fineGrouped).as("c"), Seq("coarse"))
-      .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
-        col("c.cell").as("cell"),
-        cosineSim(col("v.embedding"), col("c.centroid")).as("cscore"))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("cscore"), (-col("cell")).as("nk"))).as("m"),
-        any_value(col("embedding")).as("embedding"))
-      .select(col("doc_id"), col("embedding"), (-col("m.nk")).cast("int").as("cell"))
+    argmaxScored(
+      coarsePick.as("v")
+        .join(broadcast(fineGrouped).as("c"), Seq("coarse"))
+        .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
+          col("c.cell").as("cell"),
+          cosineSim(col("v.embedding"), col("c.centroid")).as("cscore")),
+      "cell")
   }
 
   /** ANN over the persisted index: score the query against the tiny

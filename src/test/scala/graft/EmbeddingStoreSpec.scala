@@ -13,14 +13,15 @@ class EmbeddingStoreSpec extends SparkTestBase {
   import spark.implicits._
 
   test("extractText matches the reference's content handling") {
-    val cases = Seq(
-      ("""{"text": "hello there"}""", 1),
-      ("""[{"text": "a"}, {"k": 1}, {"text": "b"}]""", 1),
-      ("plain not-json content", 1),
-      ("""[{"k": 1}]""", 1),
-      ("""{"gn": "group name"}""", 1),
-      ("\n\t [{\"text\": \"ws\"}]", 1), // JSON whitespace before the list
-      ("""{"text": "kept raw"}""", 2)) // non-type-1: no JSON extraction
+    val cases: Seq[(String, Integer)] = Seq(
+      ("""{"text": "hello there"}""", Integer.valueOf(1)),
+      ("""[{"text": "a"}, {"k": 1}, {"text": "b"}]""", Integer.valueOf(1)),
+      ("plain not-json content", Integer.valueOf(1)),
+      ("""[{"k": 1}]""", Integer.valueOf(1)),
+      ("""{"gn": "group name"}""", Integer.valueOf(1)),
+      ("\n\t [{\"text\": \"ws\"}]", Integer.valueOf(1)), // JSON ws before the list
+      ("""{"text": "kept raw"}""", Integer.valueOf(2)), // non-type-1: no extraction
+      ("""{"text": "null type"}""", null)) // null type = not a text message
     val out = cases.toDF("content", "mt")
       .select(TextFunctions.extractText(col("content"), col("mt")))
       .as[String].collect()
@@ -31,6 +32,7 @@ class EmbeddingStoreSpec extends SparkTestBase {
     assert(out(4) === """{"gn": "group name"}""")
     assert(out(5) === "ws")
     assert(out(6) === """{"text": "kept raw"}""")
+    assert(out(7) === """{"text": "null type"}""")
   }
 
   test("embed: unit-norm vectors of the right shape, deterministic") {
