@@ -45,6 +45,8 @@ object SparkEntry {
     "q_quality_score" -> q(TextAnalysis.qualityScore),
     "q_token_count"   -> q(TextAnalysis.tokenCount),
     "q_fingerprint"   -> q(TextAnalysis.fingerprint),
+    "q_sample_split"  -> q(TextAnalysis.sampleSplit),
+    "q_redact_pii"    -> q(TextAnalysis.redactPii),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -459,6 +461,39 @@ object SparkEntry {
     // both sides (string-lexicographic MIN over hex digests), so the
     // oracle reproduces candidate generation exactly, not just the
     // verified output.
+    // F5: md5-bucketed deterministic split — hex-string comparison is
+    // engine-identical, so assignment replays exactly.
+    "q_sample_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
+    // F6: both engines append the same synthetic contact suffixes and
+    // then apply identical redaction regexes (RE2 and Java agree on
+    // these patterns; DuckDB needs the explicit 'g' flag).
+    "q_redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user'
+        |           || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+        |           || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 2 THEN text || ' mail to a.b+c'
+        |           || CAST(doc_id AS VARCHAR) || '@mail.co'
+        |         ELSE text END AS wp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(wp,
+        |    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(wp,
+        |    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(wp,
+        |    '\+[0-9][0-9()\-\s]{7,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash

@@ -103,4 +103,52 @@ object TextAnalysis {
       size(sh).cast(LongType).as("n_shingles"),
       array_min(transform(sh, s => md5(s))).as("fingerprint"))
   }
+
+  /** F5 — `q_sample_split`: deterministic, stratified train/test
+    * assignment — the split every training pipeline needs to be
+    * REPRODUCIBLE and shuffle-free at any scale. Each doc hashes to a
+    * bucket via the first two hex chars of a salted md5 (256 buckets;
+    * '00'-'cc' = 205/256 ≈ 80% train), so assignment is a pure
+    * per-row projection: no sampling state, no RNG, no shuffle, and
+    * re-running on a grown corpus never reassigns an existing doc.
+    * Output is the per-source stratum audit (train/test counts +
+    * ratio) a pipeline logs before training. */
+  def sampleSplit(t: Tables): DataFrame = {
+    val bucket = substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 2)
+    val split = when(bucket < "cd", "train").otherwise("test")
+    t.documents
+      .select(col("source"), split.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** F6 — `q_redact_pii`: email/phone scrubbing, the standard
+    * pre-training redaction pass. The documents corpus is synthetic
+    * (no planted PII), so a deterministic contact suffix is appended
+    * to a slice of docs first — both engines construct and then
+    * redact identically, which oracle-checks the REDACTION rules, not
+    * the data. Per-row regex projection; scan-speed at 100 TB. */
+  def redactPii(t: Tables): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val withPii =
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), idS,
+          lit("@example.com or +1 (555) 010-"), idS))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" mail to a.b+c"), idS, lit("@mail.co")))
+        .otherwise(col("text"))
+    val emailRe = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9()\\-\\s]{7,}[0-9]"
+    val nEmails = size(regexp_extract_all(withPii, lit(emailRe), lit(0)))
+      .cast(LongType)
+    val nPhones = size(regexp_extract_all(withPii, lit(phoneRe), lit(0)))
+      .cast(LongType)
+    t.documents.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(withPii, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("redacted"),
+      nEmails.as("n_emails"),
+      nPhones.as("n_phones"))
+  }
 }

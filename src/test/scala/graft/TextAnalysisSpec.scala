@@ -70,4 +70,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
     assert(plan.contains("FileScan"))
   }
+
+  test("sampleSplit: deterministic, complete, roughly 80/20 per stratum") {
+    val rows = TextAnalysis.sampleSplit(t).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === t.documents.count())
+    val byS = rows.groupBy(_.getString(0))
+    byS.values.foreach { g =>
+      val train = g.filter(_.getString(1) == "train").map(_.getLong(2)).sum
+      val all = g.map(_.getLong(2)).sum.toDouble
+      // 205/256 expected; wide tolerance at small strata
+      assert(train / all > 0.55 && train / all < 0.95)
+    }
+    // re-run is bit-identical (no RNG anywhere)
+    assert(TextAnalysis.sampleSplit(t).collect().toSet === rows.toSet)
+  }
+
+  test("redactPii scrubs every planted email and phone") {
+    val rows = TextAnalysis.redactPii(t).collect()
+    rows.foreach { r =>
+      val (id, red) = (r.getLong(0), r.getString(1))
+      if (id % 5 == 0) {
+        assert(r.getLong(2) >= 1 && r.getLong(3) >= 1)
+        assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+      } else if (id % 5 == 2) {
+        assert(r.getLong(2) >= 1 && red.contains("[EMAIL]"))
+      }
+      assert(!red.contains("@example.com") && !red.contains("@mail.co"))
+    }
+  }
 }
