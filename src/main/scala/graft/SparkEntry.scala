@@ -67,6 +67,8 @@ object SparkEntry {
     "q_conversation_name" -> q(EventOps.conversationNameQuery),
     // G-family: multimodal plumbing
     "q_multimodal_meta" -> q(Multimodal.multimodalMeta),
+    "q_media_chunks"    -> q(Multimodal.mediaChunks),
+    "q_frame_sample"    -> q(Multimodal.frameSample),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -405,6 +407,35 @@ object SparkEntry {
         |FROM m
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // G2/G3: the payload is ASCII text cast to binary, so DuckDB's
+    // char-indexed substr over the VARCHAR slices the same bytes the
+    // Spark binary substr does (same equivalence G1 relies on).
+    "q_media_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb,
+        |    CAST(CEIL(strlen(text)/64.0) AS BIGINT) AS nchunks
+        |  FROM documents WHERE strlen(text) > 0),
+        |e AS (SELECT doc_id, text, nb, unnest(range(0, nchunks)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(64, nb - ci*64) AS BIGINT) AS chunk_bytes,
+        |  md5(substr(text, CAST(ci*64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, CAST(strlen(text) // 16 AS BIGINT) AS n_frames
+        |  FROM documents WHERE strlen(text) >= 16),
+        |s AS (SELECT doc_id, text, n_frames,
+        |        unnest(range(0, n_frames, 4)) AS fi FROM f),
+        |h AS (
+        |  SELECT doc_id, n_frames,
+        |    md5(substr(text, CAST(fi*16 + 1 AS BIGINT), 16)) AS fmd5
+        |  FROM s)
+        |SELECT doc_id, n_frames, COUNT(*) AS n_sampled,
+        |  MIN(fmd5) AS min_frame_md5
+        |FROM h
+        |GROUP BY doc_id, n_frames
+        |ORDER BY doc_id""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

@@ -25,6 +25,55 @@ object Multimodal {
   def stubDecode(nBytes: Column): (Column, Column) =
     ((nBytes % 640).cast(LongType), ((nBytes * 7) % 480).cast(LongType))
 
+  /** G2 — `q_media_chunks`: fixed-size chunking of each binary
+    * payload — THE batch shape a vectorized decoder / feature
+    * extractor consumes (a real pipeline feeds these chunk rows to a
+    * `mapPartitions` batch codec; here the per-chunk "feature" is the
+    * md5 identity, deterministic on both engines). One explode over a
+    * computed chunk-index sequence, then per-row binary slicing —
+    * no shuffle at all, scan-speed at 100 TB, and chunk rows land
+    * evenly across partitions regardless of payload-size skew. */
+  def mediaChunks(t: Tables): DataFrame = {
+    val chunk = 64
+    val payload = col("text").cast("binary")
+    val nb = length(payload).cast(LongType)
+    val nChunks = ceil(nb / lit(chunk.toDouble)).cast(LongType)
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), payload.as("p"), nb.as("nb"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunk.toLong), col("nb") - col("chunk_idx") * chunk)
+          .as("chunk_bytes"),
+        md5(col("p").substr(
+          (col("chunk_idx") * chunk + 1).cast("int"), lit(chunk)))
+          .as("chunk_md5"))
+  }
+
+  /** G3 — `q_frame_sample`: fixed-stride frame sampling over the
+    * payload (the video-pipeline shape: 16-byte stub "frames", every
+    * 4th sampled). The sampled-offset sequence is computed per row
+    * and exploded; each sampled frame is sliced and identity-hashed,
+    * then rolled up per doc. Swap the md5 for a real frame decoder at
+    * the same slice contract and the plan is unchanged. */
+  def frameSample(t: Tables): DataFrame = {
+    val frameB = 16
+    val stride = 4
+    val payload = col("text").cast("binary")
+    val nFrames = floor(length(payload) / lit(frameB.toDouble)).cast(LongType)
+    t.documents
+      .filter(length(col("text")) >= frameB)
+      .select(col("doc_id"), payload.as("p"), nFrames.as("n_frames"),
+        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("fi"))
+      .select(col("doc_id"), col("n_frames"),
+        md5(col("p").substr((col("fi") * frameB + 1).cast("int"), lit(frameB)))
+          .as("fmd5"))
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("fmd5")).as("min_frame_md5"))
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("min_frame_md5"))
+  }
+
   /** Per-payload typed metadata, then a per-source rollup — the shape
     * of a media-corpus inventory pass: bytes, distinct-content counts
     * (md5 identity), and stub-decoded dimensions. Everything before

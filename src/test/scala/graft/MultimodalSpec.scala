@@ -30,4 +30,30 @@ class MultimodalSpec extends SparkTestBase {
       .filter(col("a") =!= col("b")).count()
     assert(n === 0)
   }
+
+  test("mediaChunks: chunk bytes reassemble every payload exactly") {
+    val perDoc = Multimodal.mediaChunks(t)
+      .groupBy("doc_id")
+      .agg(sum("chunk_bytes").as("total"), count(lit(1)).as("nc"),
+        max("chunk_bytes").as("mx"))
+      .join(t.documents.select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("nb")), "doc_id")
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getLong(1) === r.getLong(4), "chunk bytes must sum to payload bytes")
+      assert(r.getLong(2) === (r.getLong(4) + 63) / 64, "chunk count = ceil(nb/64)")
+      assert(r.getLong(3) <= 64)
+    }
+  }
+
+  test("frameSample: every 4th frame sampled, counts consistent") {
+    val rows = Multimodal.frameSample(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns === (nf + 3) / 4, s"sampled ${ns} of ${nf} frames")
+      assert(r.getString(3).matches("[0-9a-f]{32}"))
+    }
+  }
 }
