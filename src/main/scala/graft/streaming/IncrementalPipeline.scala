@@ -41,6 +41,34 @@ object IncrementalPipeline {
         col("event_type"), col("n"))
   }
 
+  /** Streaming exact-dedup on the event stream: duplicate event_ids
+    * arriving within the watermark horizon are dropped from keyed
+    * state (`dropDuplicatesWithinWatermark`) — the streaming
+    * counterpart of E1 exact dedup and the production answer to
+    * at-least-once upstream delivery. State holds one small record
+    * per event_id seen inside the 2-hour horizon and is evicted as
+    * the watermark passes — bounded regardless of stream length,
+    * partitioned by the dedup key across executors. Emits in append
+    * mode (rows emit on first sight; no window to close). */
+  def dedupedEvents(spark: SparkSession, inputDir: String): DataFrame =
+    EventStream.read(spark, inputDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain the deduped stream into a memory sink (test/dev harness). */
+  def runDedupAvailableNow(spark: SparkSession, inputDir: String,
+      name: String): String = {
+    val q = dedupedEvents(spark, inputDir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+
   /** Drain all currently-available input into an in-memory table
     * (test/dev harness; production would write a parquet/Delta sink
     * with `append` + checkpointing). Returns the sink table name. */

@@ -56,6 +56,22 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("streaming dedup drops at-least-once duplicates with bounded state") {
+    // duplicate the whole corpus: two parquet copies in the directory
+    // simulate an at-least-once upstream re-delivering every event
+    val dir = Files.createTempDirectory("graft-stream-dup").toFile
+    dir.deleteOnExit()
+    val t = Tables(spark, sfDir)
+    t.events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    t.events.write.mode("append").parquet(dir.getAbsolutePath)
+
+    IncrementalPipeline.runDedupAvailableNow(spark, dir.getAbsolutePath, "b6_dedup_sink")
+    val deduped = spark.table("b6_dedup_sink")
+    assert(deduped.count() === t.events.count(),
+      "each duplicated event must be emitted exactly once")
+    assert(deduped.select("event_id").distinct().count() === t.events.count())
+  }
+
   test("streaming reader handles a RAW nanos-timestamp event directory") {
     // copy the original TIMESTAMP(NANOS) parquet file untouched — the
     // stream must truncate nanos itself, not depend on Tables' rewrite
