@@ -30,9 +30,14 @@ object Multimodal {
     * extractor consumes (a real pipeline feeds these chunk rows to a
     * `mapPartitions` batch codec; here the per-chunk "feature" is the
     * md5 identity, deterministic on both engines). One explode over a
-    * computed chunk-index sequence, then per-row binary slicing —
-    * no shuffle at all, scan-speed at 100 TB, and chunk rows land
-    * evenly across partitions regardless of payload-size skew. */
+    * computed chunk-index sequence, then per-row binary slicing — no
+    * shuffle, scan-speed at 100 TB. Chunk rows stay in their reading
+    * task's partition, so a pathologically large payload keeps its
+    * chunks local — when payloads reach GBs, add a
+    * repartition(doc_id, chunk_idx) below the decoder (and cap the
+    * sequence size) to spread one payload's work; no output ordering,
+    * as the driver compare canonicalizes row order (same contract as
+    * q_filter_project). */
   def mediaChunks(t: Tables): DataFrame = {
     val chunk = 64
     val payload = col("text").cast("binary")
@@ -70,8 +75,6 @@ object Multimodal {
           .as("fmd5"))
       .groupBy(col("doc_id"), col("n_frames"))
       .agg(count(lit(1)).as("n_sampled"), min(col("fmd5")).as("min_frame_md5"))
-      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
-        col("min_frame_md5"))
   }
 
   /** Per-payload typed metadata, then a per-source rollup — the shape

@@ -54,6 +54,10 @@ object IncrementalPipeline {
     EventStream.read(spark, inputDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+      // back to the library-wide NTZ event time (EventStream's output
+      // contract) so the deduped stream reconciles with batch
+      // Tables.events in any session timezone
+      .withColumn("ts", EventStream.ntzFromEpochMicros(col("ts")))
 
   /** Drain the deduped stream into a memory sink (test/dev harness). */
   def runDedupAvailableNow(spark: SparkSession, inputDir: String,

@@ -70,6 +70,11 @@ class StreamingSpec extends SparkTestBase {
     assert(deduped.count() === t.events.count(),
       "each duplicated event must be emitted exactly once")
     assert(deduped.select("event_id").distinct().count() === t.events.count())
+    // event time round-trips to the batch NTZ wall-clock exactly
+    val tsMismatch = deduped.select(col("event_id"), col("ts"))
+      .join(t.events.select(col("event_id"), col("ts").as("bts")), "event_id")
+      .filter(col("ts") =!= col("bts")).count()
+    assert(tsMismatch === 0)
   }
 
   test("streaming reader handles a RAW nanos-timestamp event directory") {
