@@ -241,9 +241,9 @@ object EventOps {
     val creationJson =
       when(uid % 3 === 1, concat(lit("{\"gn\": \"G"), uidS, lit("\"}")))
         .when(uid % 3 === 2, concat(lit("{\"group_name\": \"GN"), uidS, lit("\"}")))
-    val users = t.events.select(uid).distinct()
-    users
-      .join(broadcast(userNames(t)), "user_id")
+    // userNames already emits one row per distinct user with the
+    // resolved display name — no extra events scan needed here
+    userNames(t)
       .select(uid,
         sid.as("session_id"),
         conversationType(sid).as("conv_type"),
