@@ -47,6 +47,7 @@ object SparkEntry {
     "q_fingerprint"   -> q(TextAnalysis.fingerprint),
     "q_sample_split"  -> q(TextAnalysis.sampleSplit),
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
+    "q_mix_sources"   -> q(TextAnalysis.mixSources),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -502,6 +503,24 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+    // F7: the same salted-md5 bucket test as F5; target rates derive
+    // from the source's numeric suffix so both engines replay the mix.
+    "q_mix_sources" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS ri,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, ri, COUNT(*) AS n_total,
+        |    CAST(SUM(CASE WHEN ri = 3 OR b < (CASE ri WHEN 0 THEN '40'
+        |      WHEN 1 THEN '80' ELSE 'c0' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM d GROUP BY source, ri)
+        |SELECT source, n_total, n_kept,
+        |  ROUND(CAST(n_kept AS DOUBLE)/CAST(n_total AS DOUBLE), 6) AS achieved_rate,
+        |  CAST(ri + 1 AS DOUBLE)/4.0 AS target_rate
+        |FROM k
+        |ORDER BY source""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).

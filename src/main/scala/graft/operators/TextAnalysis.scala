@@ -123,6 +123,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** F7 — `q_mix_sources`: deterministic dataset mixing — per-source
+    * subsampling to target weights, the operation that turns raw
+    * corpora into a training mix. Each source's target rate derives
+    * from its numeric suffix (quarter steps 0.25-1.0 here; in
+    * production a broadcast weights table), and keep/drop is the same
+    * salted-md5 bucket test as the train/test split — per-row, no
+    * RNG, append-stable, shuffle-free until the final audit rollup.
+    * Output is the per-source audit: totals, kept, achieved vs
+    * target rate. */
+  def mixSources(t: Tables): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
+    val rateIdx = pmod(srcNum, lit(4L))
+    val bucket = substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 2)
+    val threshold = when(rateIdx === 0, "40") // 64/256  = 0.25
+      .when(rateIdx === 1, "80")              // 128/256 = 0.50
+      .otherwise("c0")                        // 192/256 = 0.75
+    val keep = rateIdx === 3 || bucket < threshold
+    t.documents
+      .select(col("source"), rateIdx.as("ri"), keep.as("keep"))
+      .groupBy(col("source"), col("ri"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6)
+          .as("achieved_rate"),
+        ((col("ri") + 1).cast("double") / 4.0).as("target_rate"))
+  }
+
   /** F6 — `q_redact_pii`: email/phone scrubbing, the standard
     * pre-training redaction pass. The documents corpus is synthetic
     * (no planted PII), so a deterministic contact suffix is appended

@@ -86,6 +86,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.sampleSplit(t).collect().toSet === rows.toSet)
   }
 
+  test("mixSources: kept counts bounded by totals, rate-3 sources keep all") {
+    val rows = TextAnalysis.mixSources(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, kept, target) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(kept <= total)
+      if (target == 1.0) assert(kept === total)
+      else assert(kept < total || total < 8,
+        s"${r.getString(0)}: subsampled source kept everything at n=$total")
+    }
+    // deterministic
+    assert(TextAnalysis.mixSources(t).collect().toSet === rows.toSet)
+  }
+
   test("redactPii scrubs every planted email and phone") {
     val rows = TextAnalysis.redactPii(t).collect()
     rows.foreach { r =>
