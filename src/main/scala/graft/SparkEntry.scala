@@ -414,7 +414,7 @@ object SparkEntry {
     "q_media_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb,
-        |    CAST(CEIL(strlen(text)/64.0) AS BIGINT) AS nchunks
+        |    LEAST(CAST(CEIL(strlen(text)/64.0) AS BIGINT), 33554430) AS nchunks
         |  FROM documents WHERE strlen(text) > 0),
         |e AS (SELECT doc_id, text, nb, unnest(range(0, nchunks)) AS ci FROM c)
         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
@@ -427,7 +427,7 @@ object SparkEntry {
         |  SELECT doc_id, text, CAST(strlen(text) // 16 AS BIGINT) AS n_frames
         |  FROM documents WHERE strlen(text) >= 16),
         |s AS (SELECT doc_id, text, n_frames,
-        |        unnest(range(0, n_frames, 4)) AS fi FROM f),
+        |        unnest(range(0, LEAST(n_frames, 134217726), 4)) AS fi FROM f),
         |h AS (
         |  SELECT doc_id, n_frames,
         |    md5(substr(text, CAST(fi*16 + 1 AS BIGINT), 16)) AS fmd5
@@ -508,7 +508,7 @@ object SparkEntry {
     "q_mix_sources" ->
       """WITH d AS (
         |  SELECT source, doc_id,
-        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS ri,
+        |    CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$', 1), ''), '3') AS BIGINT) % 4 AS ri,
         |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
         |  FROM documents),
         |k AS (

@@ -63,8 +63,10 @@ object TextFunctions {
         x => x.getField("text")))
     // from_json(PERMISSIVE) wraps a lone object into a 1-element array,
     // so the list branch must also check the content is really a list;
-    // trim ALL JSON whitespace (ltrim's default strips only spaces)
-    val isList = substring(ltrim(content, " \t\n\r"), 1, 1) === "["
+    // strip ALL JSON whitespace (default ltrim strips only spaces, and
+    // the two-parameter ltrim signature is deprecated in Spark 4)
+    val isList =
+      substring(regexp_replace(content, "^[ \\t\\n\\r]+", ""), 1, 1) === "["
     coalesce(
       // null-safe gate: a NULL type is "not a text message" (the
       // reference's `message_type == 1` is False for None) — without

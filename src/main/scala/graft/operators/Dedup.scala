@@ -260,10 +260,21 @@ object Dedup {
     // shared rule with the persisted IVF index; the E5 oracle's
     // GREATEST(2, CEIL(SQRT(COUNT(*)))) must stay in lockstep with it
     val numCells = EmbeddingStore.numCellsFor(n)
-    val wS = Window.orderBy(col("vec_id"))
-    val cent = emb.orderBy(col("vec_id")).limit(numCells)
-      .select((row_number().over(wS) - 1).cast("int").as("cell"),
-        col("embedding").as("centroid"))
+    // seed centroids = the √n lowest vec_ids, collected to the driver
+    // and re-parallelized with their cell index — the same driver-held
+    // index-metadata pattern as EmbeddingStore.buildIvfIndex (√n rows
+    // of dim floats, ~MBs at 1e9 vectors). A row_number window would
+    // compute the same thing distributed, but a partition-less window
+    // is exactly the plan shape to keep out of the library.
+    val spark = t.spark
+    val seeds = emb.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val cent = spark
+      .createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
     // the broadcast nested-loop join IS the IVF assignment scan:
     // k = √n centroid rows (MBs even at 1e9 vectors) against every
     // vector; checkpointed so both triangular sides reuse it

@@ -90,7 +90,11 @@ object EmbeddingStore {
     * (engine.py:78). */
   def updateSince(t: Tables, path: String, sinceDocId: Long): UpdateStats = {
     val t0 = System.nanoTime()
-    val fresh = t.documents.filter(col("doc_id") > sinceDocId)
+    // materialize the delta ONCE (eager): the stats aggregate and the
+    // embed+write below must see the same snapshot — two separate
+    // scans could disagree if files land in the directory between
+    // them, reporting a watermark above rows actually appended
+    val fresh = t.documents.filter(col("doc_id") > sinceDocId).localCheckpoint()
     val head = fresh.agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     val processed = head.getLong(0)
     val newWatermark = if (head.isNullAt(1)) sinceDocId else head.getLong(1)

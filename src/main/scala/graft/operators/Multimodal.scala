@@ -40,9 +40,16 @@ object Multimodal {
     * q_filter_project). */
   def mediaChunks(t: Tables): DataFrame = {
     val chunk = 64
+    // substr offsets are Int: cap the chunk count so chunk_idx*chunk
+    // stays below Int.MaxValue — without it a payload near the 2 GB
+    // binary limit overflows the int cast, which THROWS under ANSI
+    // mode instead of wrapping. The cap is the promised contract for
+    // GB payloads (the oracle carries the same LEAST).
+    val maxChunks = Int.MaxValue.toLong / chunk - 1
     val payload = col("text").cast("binary")
     val nb = length(payload).cast(LongType)
-    val nChunks = ceil(nb / lit(chunk.toDouble)).cast(LongType)
+    val nChunks = least(ceil(nb / lit(chunk.toDouble)).cast(LongType),
+      lit(maxChunks))
     t.documents
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), payload.as("p"), nb.as("nb"),
@@ -64,12 +71,17 @@ object Multimodal {
   def frameSample(t: Tables): DataFrame = {
     val frameB = 16
     val stride = 4
+    // same int-offset cap as mediaChunks: sampled frame offsets must
+    // stay below Int.MaxValue for the substr cast (n_frames itself
+    // stays uncapped — it is payload metadata, not an offset)
+    val maxFrames = Int.MaxValue.toLong / frameB - 1
     val payload = col("text").cast("binary")
     val nFrames = floor(length(payload) / lit(frameB.toDouble)).cast(LongType)
     t.documents
       .filter(length(col("text")) >= frameB)
       .select(col("doc_id"), payload.as("p"), nFrames.as("n_frames"),
-        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("fi"))
+        explode(sequence(lit(0L), least(nFrames, lit(maxFrames)) - 1,
+          lit(stride.toLong))).as("fi"))
       .select(col("doc_id"), col("n_frames"),
         md5(col("p").substr((col("fi") * frameB + 1).cast("int"), lit(frameB)))
           .as("fmd5"))

@@ -133,8 +133,13 @@ object TextAnalysis {
     * Output is the per-source audit: totals, kept, achieved vs
     * target rate. */
   def mixSources(t: Tables): DataFrame = {
-    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
-    val rateIdx = pmod(srcNum, lit(4L))
+    // nullif: regexp_extract yields "" for a source with no trailing
+    // digits, and ANSI-mode cast('') throws — an unknown source name
+    // must degrade to the keep-all bucket (rate 1.0), not abort the
+    // query; the oracle carries the same NULLIF/COALESCE chain
+    val srcNum = nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+      .cast(LongType)
+    val rateIdx = pmod(coalesce(srcNum, lit(3L)), lit(4L))
     val bucket = substring(md5(concat(lit("mix:"),
       col("doc_id").cast("string"))), 1, 2)
     val threshold = when(rateIdx === 0, "40") // 64/256  = 0.25

@@ -58,7 +58,13 @@ object Bucketing {
   def ensureLayout(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     import org.apache.spark.sql.functions.col
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // sanitized name + md5-of-path: the sanitizer alone is not
+    // injective ('sf0.001' and 'sf0_001' collide), and a collision
+    // would silently reuse the OTHER dir's bucketed data — the hash
+    // makes the table name a function of the exact dir
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dirHash
     val liTable = s"graft_li_b_$suffix"
     val ordTable = s"graft_ord_b_$suffix"
     // a fresh JVM has an empty in-memory catalog but may inherit the
