@@ -103,16 +103,24 @@ object Dedup {
     * pairs are tiny, so they broadcast into the shingle-row join that
     * counts intersections. */
   def dedupMinhash(t: Tables): DataFrame = {
-    // Materialize the shingle rows ONCE (localCheckpoint): the
+    // Materialize the shingle rows ONCE (EAGER localCheckpoint): the
     // signature agg and BOTH verification join sides then read the
-    // materialized blocks. Without it the corpus-wide
+    // materialized blocks. Without materialization the corpus-wide
     // scan+window+distinct re-executes per consumer downstream of the
     // reused exchange (4× — measured blowing the query up 19× under
-    // memory pressure in the round-2 driver run). Lineage truncation
-    // is the trade (an executor loss means recompute-from-source is
-    // gone); a production pipeline at 100 TB would write this stage to
-    // a temp table for the same reason.
-    val ex = shingleRows(t).localCheckpoint(eager = false)
+    // memory pressure in the round-2 driver run). Eager matters as
+    // much as checkpointing: a LAZY checkpoint materializes per
+    // partition as consumers pull, and the consumer stages here are
+    // mutually independent — the scheduler runs them CONCURRENTLY,
+    // each recomputing the shingle pipeline from lineage while racing
+    // to publish the same blocks ("Block rdd_N already exists"
+    // warnings; measured 8× on this query under a contended driver
+    // run). Eager runs the materialization as its own job BEFORE any
+    // consumer exists. Lineage truncation is the trade (an executor
+    // loss means recompute-from-source is gone); a production pipeline
+    // at 100 TB would write this stage to a temp table for the same
+    // reasons.
+    val ex = shingleRows(t).localCheckpoint()
     // one pass builds the 12-hash signature AND the set size used by
     // the verification stage — no second scan of the shingle rows;
     // checkpointed too (tiny: one row per doc) so buckets and sizes
@@ -121,7 +129,7 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until numHashes).map(k =>
         min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // unpivot to one (doc_id, bucket) row per band with a single explode
     // over the 4 bucket hashes — NOT a 4-way union, which would
     // recompute the whole signature pipeline once per branch
@@ -217,9 +225,11 @@ object Dedup {
     * the two set sizes. The self-join is forced sort-merge so both
     * sides reuse one shuffle of the shingle rows. */
   def ngramJaccard(t: Tables): DataFrame = {
-    // materialized once; sizes and the (exchange-sharing) self-join
-    // read the blocks instead of re-running the shingle pipeline
-    val ex = shingleRows(t).localCheckpoint(eager = false)
+    // materialized once, EAGERLY (see dedupMinhash: lazy checkpoints
+    // race when independent consumer stages pull concurrently); sizes
+    // and the exchange-sharing self-join then read the blocks instead
+    // of re-running the shingle pipeline
+    val ex = shingleRows(t).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").hint("merge")
       .join(ex.as("b"),
@@ -277,7 +287,9 @@ object Dedup {
       .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
     // the broadcast nested-loop join IS the IVF assignment scan:
     // k = √n centroid rows (MBs even at 1e9 vectors) against every
-    // vector; checkpointed so both triangular sides reuse it
+    // vector; EAGERLY checkpointed so both triangular sides read the
+    // blocks (lazy would let the two independent side-stages race and
+    // recompute the assignment scan twice — see dedupMinhash)
     val assigned = emb.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cosineSim(col("embedding"), col("centroid")), 6).as("cscore"))
@@ -285,7 +297,7 @@ object Dedup {
       .agg(max(struct(col("cscore"), (-col("cell")).as("nc"))).as("m"),
         any_value(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), (-col("m.nc")).cast("int").as("cell"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))
     // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)
