@@ -60,6 +60,8 @@ object SparkEntry {
     "q_json_extract" -> q(EventOps.jsonExtract),
     "q_event_stats" -> q(EventOps.eventStats),
     "q_incremental" -> q(EventOps.incremental),
+    "q_asof_join"   -> q(EventOps.asofJoin),
+    "q_range_join"  -> q(EventOps.rangeJoin),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -288,6 +290,24 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    // B7: DuckDB's native ASOF JOIN — an independent implementation of
+    // the as-of operator (the Spark side is union-tag + running last),
+    // so the check is cross-engine, not a plan replay. B8's oracle is
+    // the plain inequality join the Spark side's binning must equal.
+    "q_asof_join" ->
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        |  e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts,
+        |  c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT v.event_id AS view_id, e.event_id AS error_id,
+        |  v.user_id AS user_id, v.ts AS view_ts, e.ts AS error_ts
+        |FROM events v JOIN events e
+        |  ON v.user_id = e.user_id
+        | AND v.event_type = 'view' AND e.event_type = 'error'
+        | AND e.ts >= v.ts AND e.ts <= v.ts + INTERVAL 1 DAY""".stripMargin,
     "q_msg_context" ->
       """SELECT event_id, user_id, ts,
         |  COALESCE(lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS prev_msg,

@@ -252,6 +252,85 @@ object EventOps {
             .otherwise(concat(lit("User "), peer))).as("conv_name"))
   }
 
+  /** B7 — `q_asof_join`: event-time AS-OF join — for every error
+    * event, the most recent click by the same user at or before it
+    * (the "state at event time" lookup every event pipeline needs:
+    * price as-of trade, config as-of request, last-touch as-of
+    * conversion). Spark has no native as-of join; the scalable
+    * composition is UNION-TAG + RUNNING LAST: both streams shuffle
+    * once on user_id, a single window pass carries the latest click
+    * attributes forward, and error rows read them — linear in the
+    * partition, no range-candidate fan-out ever materializes (the
+    * naive `e.ts >= c.ts` join plans as a per-user cross product and
+    * dies at scale; this shape is one shuffle + one sort, the same
+    * cost as sessionize). At equal timestamps the click tag sorts
+    * first, so an exactly-simultaneous click matches — the inclusive
+    * as-of bound. Inner semantics: errors with no preceding click
+    * drop. The oracle is DuckDB's NATIVE `ASOF JOIN` — an independent
+    * implementation of the operator, not a replay of this plan
+    * (deterministic here: the corpus has no duplicate
+    * (user_id, ts) click rows for ASOF's tie to be arbitrary over). */
+  def asofJoin(t: Tables): DataFrame = {
+    val base = t.events
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all three window expressions in ONE projection: chained
+    // withColumns interleave Projects that defeat CollapseWindow,
+    // leaving three Window passes over the same sort — one select
+    // plans a single WindowExec
+    def lastClick(c: Column): Column =
+      last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
+    base
+      .select(col("event_id"), col("user_id"), col("ts"), col("tag"),
+        lastClick(col("event_id")).as("click_id"),
+        lastClick(col("ts")).as("click_ts"),
+        lastClick(col("value")).as("click_value"))
+      .filter(col("tag") === 1 && col("click_id").isNotNull)
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"), col("click_id"), col("click_ts"),
+        col("click_value"))
+  }
+
+  /** B8 — `q_range_join`: bounded event-time interval join — every
+    * (view, error) pair for the same user with the error inside one
+    * day after the view (attribution windows, error-after-exposure
+    * analysis). An inequality-only join plans as a nested-loop per
+    * user; the scale shape is BIN + EQUI-JOIN: timestamps bin to
+    * horizon-sized buckets, each view replicates to its bucket and
+    * the next (factor 2, independent of data size — a [t, t+H] window
+    * spans at most two H-buckets), the join is an equi-join on
+    * (user_id, bucket), and the exact range predicate filters the
+    * candidates. Work is proportional to true pairs per bucket, skew
+    * is bounded by bucket population, and the bucket arithmetic stays
+    * internal (never output, so engine epoch conventions can't leak
+    * into the compare). The oracle is the plain inequality join —
+    * independent of the binning. */
+  def rangeJoin(t: Tables): DataFrame = {
+    val horizonSec = 86400L
+    // NTZ → epoch-seconds bucket in the pinned UTC session tz
+    def bkt(ts: Column): Column =
+      floor(ts.cast("timestamp").cast("double") / horizonSec).cast(LongType)
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val errors = t.events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_uid"),
+        col("ts").as("error_ts"), bkt(col("ts")).as("e_bkt"))
+    val vRep = views.select(col("view_id"), col("user_id"), col("view_ts"),
+      explode(array(bkt(col("view_ts")), bkt(col("view_ts")) + 1)).as("v_bkt"))
+    vRep
+      .join(errors,
+        col("user_id") === col("e_uid") && col("v_bkt") === col("e_bkt"))
+      .filter(col("error_ts") >= col("view_ts") &&
+        col("error_ts") <= col("view_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("view_id"), col("error_id"), col("user_id"),
+        col("view_ts"), col("error_ts"))
+  }
+
   /** C4 — per-conversation rollup (reference conversation naming and
     * stats group messages by session; user_id is the session key
     * here). */

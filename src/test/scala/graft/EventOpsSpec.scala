@@ -130,4 +130,64 @@ class EventOpsSpec extends SparkTestBase {
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("asofJoin matches a brute-force as-of computation") {
+    val ev = t.events
+      .filter(col("event_type").isin("click", "error"))
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._2)
+    val expected = ev.filter(_._4 == "error").flatMap { case (eid, uid, ets, _, _) =>
+      clicks.getOrElse(uid, Array.empty[(Long, Long, java.time.LocalDateTime, String, Double)])
+        .filter(c => !c._3.isAfter(ets))
+        // as-of pick: max ts, then max event_id (the window's total order)
+        .sortBy(c => (c._3, c._1)).lastOption
+        .map(c => (eid, c._1, c._3, c._5))
+    }.toSet
+    val got = EventOps.asofJoin(t)
+      .select("error_id", "click_id", "click_ts", "click_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("plan: asofJoin is one shuffle and one window pass, no join node") {
+    val df = EventOps.asofJoin(t)
+    df.collect()
+    // AQE toString prints Final + Initial sections — audit the final
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.split("\n").count(_.contains("Window")) === 1)
+    assert(!plan.contains("Join"))
+    assert(plan.split("\n").count(_.contains("ShuffleQueryStage")) === 1)
+  }
+
+  test("rangeJoin matches a brute-force interval join") {
+    val ev = t.events
+      .filter(col("event_type").isin("view", "error"))
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+    val errs = ev.filter(_._4 == "error").groupBy(_._2)
+    val expected = ev.filter(_._4 == "view").flatMap { case (vid, uid, vts, _) =>
+      errs.getOrElse(uid, Array.empty[(Long, Long, java.time.LocalDateTime, String)])
+        .filter(e => !e._3.isBefore(vts) && !e._3.isAfter(vts.plusDays(1)))
+        .map(e => (vid, e._1))
+    }.toSet
+    val got = EventOps.rangeJoin(t).select("view_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("plan: rangeJoin is an equi-join on (user, bucket), never a nested loop") {
+    val df = EventOps.rangeJoin(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
 }
