@@ -25,8 +25,10 @@ import graft.operators.EventOps
   *  - dynamic: `GraftFunctions.register(spark)` on a live session
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach(ext.injectFunction)
+    GraftTableFunctions.definitions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftFunctions {
@@ -70,5 +72,71 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     definitions.foreach { case (id, info, builder) =>
       GraftColumnBridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** Table-valued SQL surface for the library's PIPELINES: whole
+  * operators become FROM-clause table functions —
+  *
+  * {{{
+  *   SELECT * FROM graft_dedup_exact('/data/sf0.01')
+  *   SELECT * FROM graft_dedup_minhash('/data/sf0.01') WHERE jaccard > 0.9
+  *   SELECT * FROM graft_asof_join('/data/sf0.01')
+  *   SELECT avg(quality) FROM graft_quality_score('/data/sf0.01')
+  * }}}
+  *
+  * The builder evaluates the (foldable) data-dir argument at analysis
+  * time and returns the operator's ANALYZED logical plan, so the
+  * pipeline inlines into the calling query exactly like a view
+  * expansion — Catalyst then optimizes THROUGH it (a `WHERE` above a
+  * TVF pushes into the pipeline's scans; nothing is materialized at
+  * the boundary). This is the engine-level integration surface the
+  * reference exposes through its MCP tool layer (server.py:60):
+  * a SQL user gets the dedup/join/scoring pipelines without touching
+  * the Scala DSL. Same dual registration as the scalar functions:
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `GraftTableFunctions.register(spark)`.
+  */
+object GraftTableFunctions {
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import graft.operators.{Dedup, EventOps, TextAnalysis}
+  import graft.sources.Tables
+
+  /** Evaluate a foldable string argument (the data dir) at analysis
+    * time. Non-literal args are rejected — a TVF's input relation
+    * must be known before planning. */
+  private def litString(fn: String, e: Expression): String = {
+    require(e.foldable, s"$fn expects a literal string argument")
+    val v = e.eval()
+    require(v != null, s"$fn: argument must not be null")
+    v.toString
+  }
+
+  private def tvf(name: String)(build: Tables => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+      es => {
+        require(es.length == 1, s"$name expects 1 argument (data dir)")
+        val dir = litString(name, es.head)
+        // the session analyzing this query builds the pipeline
+        val spark = SparkSession.active
+        GraftColumnBridge.analyzedPlan(build(Tables(spark, dir)))
+      })
+
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    tvf("graft_dedup_exact")(Dedup.dedupExact),
+    tvf("graft_dedup_minhash")(Dedup.dedupMinhash),
+    tvf("graft_ngram_jaccard")(Dedup.ngramJaccard),
+    tvf("graft_quality_score")(TextAnalysis.qualityScore),
+    tvf("graft_asof_join")(EventOps.asofJoin),
+    tvf("graft_sessionize")(EventOps.sessionize))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, info, builder) =>
+      GraftColumnBridge.registerTableFunction(spark, id, info, builder)
     }
 }

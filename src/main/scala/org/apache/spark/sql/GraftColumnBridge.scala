@@ -30,4 +30,24 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Register a table-valued function on a live session — the FROM-
+    * clause analogue of registerFunction, backed by the session's
+    * `tableFunctionRegistry` (the same registry `injectTableFunction`
+    * feeds at session build). */
+  def registerTableFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+
+  /** The analyzed logical plan of a DataFrame — what a TVF builder
+    * returns so the whole pipeline inlines into the calling query's
+    * plan (like a view expansion). */
+  def analyzedPlan(df: Dataset[Row])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -49,6 +49,45 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("array<float> or array<double>"))
   }
 
+  test("table functions run whole pipelines from SQL and match the DSL") {
+    GraftTableFunctions.register(spark)
+    val t = Tables(spark, sfDir)
+    val exactSql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_dedup_exact('$sfDir')").first().getLong(0)
+    assert(exactSql === graft.operators.Dedup.dedupExact(t).count())
+    val asofSql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_asof_join('$sfDir')").first().getLong(0)
+    assert(asofSql === graft.operators.EventOps.asofJoin(t).count())
+    // a predicate above the TVF composes (the plan inlines like a view)
+    val filtered = spark.sql(
+      s"""SELECT user_id, count(*) AS n
+         |FROM graft_sessionize('$sfDir')
+         |WHERE n_events > 1 GROUP BY user_id""".stripMargin)
+    assert(filtered.count() > 0)
+  }
+
+  test("table functions reject non-literal arguments at analysis time") {
+    GraftTableFunctions.register(spark)
+    Tables(spark, sfDir).documents.createOrReplaceTempView("docs_tvf")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM docs_tvf d, LATERAL graft_dedup_exact(d.source)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") ||
+      e.getMessage.toLowerCase.contains("resolve"))
+  }
+
+  test("filter above a TVF pushes into the pipeline's parquet scan") {
+    GraftTableFunctions.register(spark)
+    val df = spark.sql(
+      s"SELECT doc_id, quality FROM graft_quality_score('$sfDir') WHERE doc_id = 7")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    // the doc_id predicate must reach the documents scan as a pushed filter
+    assert(scans.exists(s => s.contains("PushedFilters") && s.contains("doc_id")
+      && (s.contains("EqualTo") || s.contains("IsNotNull"))))
+  }
+
   test("text pipeline functions are SQL-callable and match the DSL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
