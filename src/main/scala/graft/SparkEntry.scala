@@ -30,6 +30,8 @@ object SparkEntry {
     "q_distinct_agg"    -> q(Relational.distinctAgg),
     "q_semi_join"       -> q(Relational.semiJoin),
     "q_anti_join"       -> q(Relational.antiJoin),
+    "q_semi_bloom"      -> q(JoinPruning.semiBloomQuery),
+    "q_anti_bloom"      -> q(JoinPruning.antiBloomQuery),
     "q_scalar_subquery" -> q(Relational.scalarSubquery),
     "q_rollup"          -> q(Relational.rollupAgg),
     "q_union_agg"       -> q(Relational.unionAgg),
@@ -139,6 +141,16 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+    // A8b/A9b: the Bloom-pruned variants must give the SAME answer as
+    // the plain joins — identical oracles, different plans.
+    "q_semi_bloom" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_bloom" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{JoinPruning, Relational}
+import graft.sources.Tables
+
+class JoinPruningSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  test("semiJoinPruned equals the plain semi join exactly") {
+    val plain = Relational.semiJoin(t).collect().map(_.getLong(0)).sorted
+    val pruned = JoinPruning.semiJoinPruned(
+      t.customer, t.orders.select(col("o_custkey")),
+      "c_custkey", "o_custkey")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+    assert(pruned === plain)
+  }
+
+  test("antiJoinPruned equals the plain anti join exactly") {
+    val plain = Relational.antiJoin(t).collect().map(_.getLong(0)).sorted
+    val pruned = JoinPruning.antiJoinPruned(
+      t.orders, t.lineitem.select(col("l_orderkey")),
+      "o_orderkey", "l_orderkey")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(pruned === plain)
+  }
+
+  test("bloom has no false negatives and bounded false positives") {
+    val bloom = JoinPruning.buildKeyBloom(
+      t.orders.select(col("o_custkey")), "o_custkey")
+    // every true key passes
+    val trueKeys = t.orders.select(col("o_custkey")).distinct()
+    val misses = trueKeys
+      .filter(!JoinPruning.mightContain(bloom, col("o_custkey"))).count()
+    assert(misses === 0)
+    // keys far outside the domain mostly fail (fpp 0.01, allow slack)
+    val range = 1000000L to 1010000L
+    val fake = spark.range(range.start, range.end).toDF("k")
+    val fp = fake.filter(JoinPruning.mightContain(bloom, col("k"))).count()
+    assert(fp < range.size / 20, s"false-positive count $fp too high")
+  }
+
+  test("plan: the pre-filter is the codegen'd might_contain over the scan") {
+    val df = JoinPruning.semiJoinPruned(
+      t.customer, t.orders.select(col("o_custkey")),
+      "c_custkey", "o_custkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
+  test("pruning reduces rows reaching the join when selectivity is low") {
+    // build side = a thin slice of customers; the bloom should drop
+    // most orders before the exact join
+    val slice = t.customer.filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey"))
+    val bloom = JoinPruning.buildKeyBloom(slice, "c_custkey")
+    val kept = t.orders
+      .filter(JoinPruning.mightContain(bloom, col("o_custkey"))).count()
+    val total = t.orders.count()
+    assert(kept < total / 2, s"kept $kept of $total — bloom not selective")
+  }
+}
