@@ -67,9 +67,11 @@ object Dedup {
     * downstream step (min-hash aggs, shingle equi-joins) is plain
     * row-at-a-time codegen. The one shuffle this adds (by doc_id for
     * the window) is the shuffle the dedup joins need anyway. */
-  private def shingleRows(t: Tables): DataFrame = {
+  private def shingleRows(t: Tables): DataFrame = shingleRowsOf(t.documents)
+
+  private def shingleRowsOf(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    t.documents
+    documents
       .select(col("doc_id"),
         posexplode(words(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"),
@@ -102,7 +104,11 @@ object Dedup {
     * then exact-Jaccard verification of candidates only: candidate
     * pairs are tiny, so they broadcast into the shingle-row join that
     * counts intersections. */
-  def dedupMinhash(t: Tables): DataFrame = {
+  def dedupMinhash(t: Tables): DataFrame = dedupMinhashDocs(t.documents)
+
+  /** The minhash pipeline over an arbitrary (doc_id, text) frame —
+    * the scaling probe feeds a replicated corpus through this. */
+  private[graft] def dedupMinhashDocs(documents: DataFrame): DataFrame = {
     // Materialize the shingle rows ONCE (EAGER localCheckpoint): the
     // signature agg and BOTH verification join sides then read the
     // materialized blocks. Without materialization the corpus-wide
@@ -120,7 +126,7 @@ object Dedup {
     // loss means recompute-from-source is gone); a production pipeline
     // at 100 TB would write this stage to a temp table for the same
     // reasons.
-    val ex = shingleRows(t).localCheckpoint()
+    val ex = shingleRowsOf(documents).localCheckpoint()
     // one pass builds the 12-hash signature AND the set size used by
     // the verification stage — no second scan of the shingle rows;
     // checkpointed too (tiny: one row per doc) so buckets and sizes

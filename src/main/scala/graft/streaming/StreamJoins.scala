@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream event-time interval join — the streaming analogue of
+  * the batch range join (EventOps.rangeJoin, B8): every (view, error)
+  * pair for the same user with the error inside one day after the
+  * view, computed continuously as both streams arrive.
+  *
+  * The scale contract is the WATERMARK-BOUNDED STATE: each side keys
+  * its state by user across executors; a view is held only until the
+  * error-side watermark passes `view_ts + 1 day` (no match can arrive
+  * after that), and an error is held only within its own watermark
+  * horizon — state is bounded by rate × horizon regardless of stream
+  * length. This is the same bin-the-time-axis trade as the batch
+  * operator, enforced by the engine's state eviction instead of an
+  * explicit bucket column. Inner-join matches emit as soon as both
+  * rows exist (append mode; no window close needed).
+  */
+object StreamJoins {
+
+  /** Views joined to the errors that follow them within one day, per
+    * user. Two independent readers over the same directory: each side
+    * filters and watermarks its own stream (the join's range condition
+    * plus BOTH watermarks is what lets the state store evict). */
+  def viewErrorJoin(spark: SparkSession, inputDir: String): DataFrame = {
+    val views = EventStream.read(spark, inputDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val errors = EventStream.read(spark, inputDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_uid"),
+        col("ts").as("error_ts"))
+      // the error watermark must trail far enough that a view's full
+      // one-day match window closes before its state is evicted
+      .withWatermark("error_ts", "26 hours")
+    views
+      .join(errors,
+        col("user_id") === col("e_uid") &&
+          col("error_ts") >= col("view_ts") &&
+          col("error_ts") <= col("view_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("view_id"), col("error_id"), col("user_id"),
+        EventStream.ntzFromEpochMicros(col("view_ts")).as("view_ts"),
+        EventStream.ntzFromEpochMicros(col("error_ts")).as("error_ts"))
+  }
+
+  /** Drain all currently-available input into a memory sink
+    * (test/dev harness; production appends to a table sink with
+    * checkpointing). Returns the sink table name. */
+  def runAvailableNow(spark: SparkSession, inputDir: String,
+      name: String): String = {
+    val q = viewErrorJoin(spark, inputDir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+}

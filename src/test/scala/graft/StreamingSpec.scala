@@ -94,4 +94,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.join(batch, Seq("hour_start", "event_type"))
       .filter(streamed("n") =!= batch("n")).count() === 0)
   }
+
+  test("stream-stream interval join reconciles with the batch range join") {
+    val dir = Files.createTempDirectory("graft-stream-join").toFile
+    dir.deleteOnExit()
+    val t = Tables(spark, sfDir)
+    t.events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    graft.streaming.StreamJoins.runAvailableNow(
+      spark, dir.getAbsolutePath, "b8_sink")
+    val streamed = spark.table("b8_sink")
+      .select("view_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventOps.rangeJoin(t)
+      .select("view_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
