@@ -53,6 +53,7 @@ object SparkEntry {
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
+    "q_dedup_clusters"  -> q(Clusters.dedupClusters),
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
@@ -583,6 +584,7 @@ object SparkEntry {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""$shingleCte,
@@ -694,10 +696,11 @@ object SparkEntry {
       |    ELSE [] END AS s
       |  FROM w)""".stripMargin
 
-  /** E2 oracle: 12 per-row string-min minhashes, 4 band buckets
-    * (occupancy-capped like the Spark side), bucket equi-join
-    * candidates, exact-Jaccard verify. */
-  private def minhashOracle: String = {
+  /** E2 oracle scaffold, ending in a `pairs` CTE: 12 per-row
+    * string-min minhashes, 4 band buckets (occupancy-capped like the
+    * Spark side), bucket equi-join candidates, exact-Jaccard verify.
+    * Shared verbatim by the E2 row and the E6 cluster closure. */
+  private def minhashPairsCtes: String = {
     val sigs = (0 until 12)
       .map(k => s"    list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS h$k")
       .mkString(",\n")
@@ -723,11 +726,33 @@ object SparkEntry {
        |      / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
        |  FROM cand c
        |  JOIN shl x ON c.doc_a = x.doc_id
-       |  JOIN shl y ON c.doc_b = y.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM ver
-       |WHERE jaccard >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  JOIN shl y ON c.doc_b = y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.8)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""$minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** E6 oracle: transitive closure over the SAME pair CTEs via a
+    * recursive CTE (fixpoint UNION), each node mapped to the minimum
+    * reachable id — an independent implementation of connected
+    * components against which the Spark label propagation checks. */
+  private def dedupClustersOracle: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |FROM reach
+       |GROUP BY s
+       |ORDER BY doc_id""".stripMargin
 
   /** E3 oracle: 64 bit-vote sums over tokens (bit k = high bit of hex
     * char (k mod 32)+1 of one of two salted md5s per token),

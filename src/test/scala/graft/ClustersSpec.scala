@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clusters
+import graft.sources.Tables
+
+class ClustersSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  test("connectedComponents resolves a transitive chain to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: needs multiple rounds), separate
+    // pair 10-11, triangle 20-21-22 with a redundant edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got.size === 10)
+  }
+
+  test("dedupClusters covers exactly the docs in minhash pairs") {
+    val pairs = graft.operators.Dedup.dedupMinhash(t)
+    val inPairs = pairs.select(col("doc_a").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("d")))
+      .distinct().count()
+    val clusters = Clusters.dedupClusters(t)
+    assert(clusters.count() === inPairs)
+    // every cluster id is a member of its own cluster (the canonical
+    // survivor exists), and is the minimum member
+    val bad = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("min_doc"))
+      .filter(col("cluster_id") =!= col("min_doc")).count()
+    assert(bad === 0)
+  }
+}
