@@ -65,6 +65,7 @@ object SparkEntry {
     "q_incremental" -> q(EventOps.incremental),
     "q_asof_join"   -> q(EventOps.asofJoin),
     "q_range_join"  -> q(EventOps.rangeJoin),
+    "q_percentiles" -> q(EventOps.percentiles),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -321,6 +322,16 @@ object SparkEntry {
         |  ON v.user_id = e.user_id
         | AND v.event_type = 'view' AND e.event_type = 'error'
         | AND e.ts >= v.ts AND e.ts <= v.ts + INTERVAL 1 DAY""".stripMargin,
+    // B9: both engines interpolate linearly on sorted values; 6-dp
+    // rounding absorbs the differing FP evaluation order.
+    "q_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_msg_context" ->
       """SELECT event_id, user_id, ts,
         |  COALESCE(lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS prev_msg,

@@ -252,6 +252,26 @@ object EventOps {
             .otherwise(concat(lit("User "), peer))).as("conv_name"))
   }
 
+  /** B9 — `q_percentiles`: exact per-group value percentiles (the
+    * latency/size distribution summary every event pipeline reports).
+    * Spark's `percentile` is the EXACT distributed implementation —
+    * per-group value buffers merge map-side, the interpolated
+    * quantile computes once per group at reduce time — versus
+    * `approx_percentile`'s sketch when exactness can be traded away
+    * (not here: the oracle is DuckDB's quantile_cont, and both engines
+    * interpolate linearly on the sorted values, so 6-dp rounding makes
+    * them bit-comparable). One shuffle on the group key. */
+  def percentiles(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.95D))").as("ps"))
+      .select(col("event_type"), col("n"),
+        round(col("ps").getItem(0), 6).as("p50"),
+        round(col("ps").getItem(1), 6).as("p90"),
+        round(col("ps").getItem(2), 6).as("p95"))
+      .orderBy(col("event_type"))
+
   /** B7 — `q_asof_join`: event-time AS-OF join — for every error
     * event, the most recent click by the same user at or before it
     * (the "state at event time" lookup every event pipeline needs:
