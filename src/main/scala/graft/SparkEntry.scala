@@ -50,6 +50,7 @@ object SparkEntry {
     "q_sample_split"  -> q(TextAnalysis.sampleSplit),
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
+    "q_tfidf"         -> q(TextAnalysis.tfidf),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -565,6 +566,20 @@ object SparkEntry {
         |  CAST(ri + 1 AS DOUBLE)/4.0 AS target_rate
         |FROM k
         |ORDER BY source""".stripMargin,
+    // F8: tf rows are already distinct (doc, term) pairs, so df is a
+    // plain count over them; ROUND(tf * LN(n/df), 6) absorbs 1-ulp
+    // libm-vs-JVM log differences.
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT t.doc_id, t.w, t.tf, d.df,
+        |  ROUND(t.tf * LN(CAST(nn.n AS DOUBLE)/CAST(d.df AS DOUBLE)), 6) AS tfidf
+        |FROM tf t JOIN df d ON t.w = d.w, nn
+        |ORDER BY t.doc_id, t.w""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).

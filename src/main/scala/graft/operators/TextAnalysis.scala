@@ -157,6 +157,33 @@ object TextAnalysis {
         ((col("ri") + 1).cast("double") / 4.0).as("target_rate"))
   }
 
+  /** F8 — `q_tfidf`: corpus-wide TF-IDF term scoring — the term-
+    * importance statistic quality filters and keyword extraction run
+    * over a training corpus. Three aggregations, each map-side
+    * combining: term frequency per (doc, term), document frequency
+    * per term over the tf rows (already distinct doc-term pairs —
+    * no second distinct pass), and the 1-row corpus size, which
+    * cross-broadcasts like a scalar subquery so the fact side never
+    * reshuffles for it. The tf⋈df join shuffles on the term — at
+    * 100 TB the vocabulary is itself large, so a shuffle join (not a
+    * forced broadcast) is the right default; AQE will broadcast a
+    * small vocabulary on its own. idf = ln(N/df), rounded to 6 dp
+    * with the product so libm-vs-JVM 1-ulp log differences cannot
+    * surface. */
+  def tfidf(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "w")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        round(col("tf") * log(col("n").cast("double") / col("df").cast("double")),
+          6).as("tfidf"))
+  }
+
   /** F6 — `q_redact_pii`: email/phone scrubbing, the standard
     * pre-training redaction pass. The documents corpus is synthetic
     * (no planted PII), so a deterministic contact suffix is appended

@@ -113,4 +113,23 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(!red.contains("@example.com") && !red.contains("@mail.co"))
     }
   }
+
+  test("tfidf: ubiquitous terms score zero, df bounded by corpus size") {
+    val scores = TextAnalysis.tfidf(t)
+    val nDocs = t.documents.count()
+    // df can never exceed the corpus, and a term in EVERY doc has
+    // idf = ln(1) = 0
+    assert(scores.filter(col("df") > nDocs).count() === 0)
+    assert(scores.filter(col("df") === nDocs)
+      .filter(col("tfidf") =!= 0.0).count() === 0)
+    // rarer of two terms never scores lower at equal tf
+    val r = scores.filter(col("tf") === 1).select("df", "tfidf")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val byDf = r.groupBy(_._1).map { case (d, xs) => d -> xs.head._2 }.toSeq
+      .sortBy(_._1)
+    byDf.sliding(2).foreach {
+      case Seq((_, hi), (_, lo)) => assert(hi >= lo)
+      case _ =>
+    }
+  }
 }
