@@ -34,6 +34,8 @@ object SparkEntry {
     "q_anti_bloom"      -> q(JoinPruning.antiBloomQuery),
     "q_scalar_subquery" -> q(Relational.scalarSubquery),
     "q_rollup"          -> q(Relational.rollupAgg),
+    "q_cube"            -> q(Relational.cubeAgg),
+    "q_pivot"           -> q(Relational.pivotAgg),
     "q_union_agg"       -> q(Relational.unionAgg),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
@@ -67,6 +69,8 @@ object SparkEntry {
     "q_asof_join"   -> q(EventOps.asofJoin),
     "q_range_join"  -> q(EventOps.rangeJoin),
     "q_percentiles" -> q(EventOps.percentiles),
+    "q_histogram"   -> q(EventOps.histogram),
+    "q_resample"    -> q(EventOps.resample),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -169,6 +173,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_union_agg" ->
       """SELECT nationkey, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
@@ -323,6 +342,31 @@ object SparkEntry {
         |  ON v.user_id = e.user_id
         | AND v.event_type = 'view' AND e.event_type = 'error'
         | AND e.ts >= v.ts AND e.ts <= v.ts + INTERVAL 1 DAY""".stripMargin,
+    // B10/B11: floor-of-IEEE-division binning is engine-identical;
+    // the resample oracle replays the same grid (generate_series is
+    // inclusive like Spark's sequence) with an explicit ROWS frame so
+    // last_value IGNORE NULLS matches the Spark running fill.
+    "q_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type, CAST(FLOOR(value / 5.0) AS BIGINT)
+        |ORDER BY event_type, bin""".stripMargin,
+    "q_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans)
+        |SELECT s.user_id, s.day,
+        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
     // B9: both engines interpolate linearly on sorted values; 6-dp
     // rounding absorbs the differing FP evaluation order.
     "q_percentiles" ->

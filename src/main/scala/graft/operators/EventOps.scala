@@ -252,6 +252,50 @@ object EventOps {
             .otherwise(concat(lit("User "), peer))).as("conv_name"))
   }
 
+  /** B10 — `q_histogram`: fixed-width value histograms per event
+    * type — the distribution sketch every pipeline dashboard needs.
+    * Binning is a pure per-row projection (floor of an IEEE division,
+    * identical in both engines), so the whole query is one map-side-
+    * combining aggregate: scan-speed at 100 TB. */
+  def histogram(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        floor(col("value") / 5.0).cast(LongType).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  /** B11 — `q_resample`: per-user daily time-grid resampling with
+    * forward fill — turning an irregular event stream into the
+    * regular grid that feature pipelines and charting consume. Three
+    * steps, all keyed on user_id: the daily rollup (one shuffle), the
+    * per-user span (min/max day), and the grid itself — a `sequence`
+    * explode over each user's span, NOT a global calendar cross-join
+    * (rows generated = sum of user spans, and each user's grid lands
+    * in its own partition). Gap days left-join to nothing: counts
+    * coalesce to 0 and the value forward-fills with a running
+    * `last(ignoreNulls)` — the same one-pass carry as the as-of
+    * join. */
+  def resample(t: Tables): DataFrame = {
+    // DATE, not date_trunc: date_trunc on an NTZ input casts through
+    // the session-zone TIMESTAMP (day bounds would shift outside
+    // UTC); to_date truncates in calendar space, zone-free — the
+    // library-wide tz-independence convention
+    val daily = t.events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** B9 — `q_percentiles`: exact per-group value percentiles (the
     * latency/size distribution summary every event pipeline reports).
     * Spark's `percentile` is the EXACT distributed implementation —

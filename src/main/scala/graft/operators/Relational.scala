@@ -157,6 +157,37 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  /** A13 — full CUBE over two dimensions (every grouping-set
+    * combination in one pass — Expand feeds a single aggregate, so
+    * the input scans once, not once per grouping set); same
+    * coalesced-'ALL' convention as A11. */
+  def cubeAgg(t: Tables): DataFrame =
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** A14 — pivot: per-priority order counts spread across status
+    * columns. The pivot values are EXPLICIT — with them the plan is a
+    * single pass of conditional aggregates over a static schema;
+    * omitting them adds a distinct-values collect job and makes the
+    * schema data-dependent, both wrong at scale. Missing cells
+    * coalesce to 0 (Spark pivots them to null; the oracle's
+    * CASE-sums produce 0). */
+  def pivotAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   /** A12 — union + aggregation (unionByName keeps schemas aligned). */
   def unionAgg(t: Tables): DataFrame = {
     val c = t.customer.select(col("c_nationkey").as("nationkey"))

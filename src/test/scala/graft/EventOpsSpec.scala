@@ -182,6 +182,27 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("histogram bins partition the events exactly") {
+    val h = EventOps.histogram(t)
+    assert(h.agg(sum("n")).first().getLong(0) === t.events.count())
+    assert(h.filter(col("bin") < 0).count() === 0)
+  }
+
+  test("resample grid is dense per user with forward-filled values") {
+    val r = EventOps.resample(t).collect()
+    assert(r.map(_.getLong(2)).sum === t.events.count())
+    // grid dense: per user, rows == days between min and max inclusive
+    val byUser = r.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val days = rows.map(_.getAs[java.sql.Date](1).toLocalDate)
+        .sortBy(_.toEpochDay)
+      val span = days.last.toEpochDay - days.head.toEpochDay + 1
+      assert(rows.length.toLong === span)
+    }
+    // filled_value never null (every user's first grid day has data)
+    assert(r.forall(!_.isNullAt(3)))
+  }
+
   test("plan: rangeJoin is an equi-join on (user, bucket), never a nested loop") {
     val df = EventOps.rangeJoin(t)
     df.collect()

@@ -60,6 +60,24 @@ class RelationalSpec extends SparkTestBase {
     assert(total.get.getLong(3) === t.lineitem.count())
   }
 
+  test("cube covers every grouping set consistently") {
+    val rows = Relational.cubeAgg(t).collect()
+    val n = t.lineitem.count()
+    // grand total, and each one-dimension margin sums back to it
+    assert(rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+      .map(_.getLong(3)).sum === n)
+    assert(rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+      .map(_.getLong(3)).sum === n)
+    assert(rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+      .map(_.getLong(3)).sum === n)
+  }
+
+  test("pivot cells partition the orders by status") {
+    val rows = Relational.pivotAgg(t).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total === t.orders.count())
+  }
+
   test("broadcast join plan actually broadcasts the dim side") {
     val plan = Relational.joinBroadcast(t).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
