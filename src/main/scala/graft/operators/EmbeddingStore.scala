@@ -237,6 +237,32 @@ object EmbeddingStore {
       "cell")
   }
 
+  /** Incrementally append vectors to an EXISTING index: assign them
+    * with the persisted centroids (broadcast, two-level — same path
+    * as the build) and append to the cell partitions; history is
+    * never rewritten (partitioned append creates new files only in
+    * the touched cells), and probes see old + new vectors with no
+    * index rebuild — the reference's incremental `update_embeddings`
+    * contract applied to the index (engine.py:57). Centroids DRIFT as
+    * data grows — the standard IVF operational trade: recall per cell
+    * stays exact (every appended vector is scanned in its assigned
+    * cell); only which cell is "nearest" ages. Rebuild when the
+    * appended fraction gets large (the returned stats expose the
+    * ratio the caller monitors, like the reference's processed
+    * counts). */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      vectors: DataFrame): UpdateStats = {
+    val t0 = System.nanoTime()
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = assignCells(vectors, centroids)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val head = vectors
+      .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
+    UpdateStats(head.getLong(0),
+      if (head.isNullAt(1)) -1L else head.getLong(1),
+      (System.nanoTime() - t0) / 1e9)
+  }
+
   /** ANN over the persisted index: score the query against the tiny
     * centroid table, probe the nearest `probes` cells, and scan ONLY
     * those partitions (visible as PartitionFilters/partition pruning

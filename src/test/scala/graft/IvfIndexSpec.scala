@@ -48,4 +48,32 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
       exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
+
+  test("incremental append: new vectors join the index without a rebuild") {
+    val dir = Files.createTempDirectory("graft-ivf-app").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents).drop("shard")
+    val base = vectors.filter(col("doc_id") < 400)
+    val delta = vectors.filter(col("doc_id") >= 400)
+
+    EmbeddingStore.buildIvfIndex(spark, base, path)
+    val centroidsBefore = spark.read.parquet(s"$path/centroids").collect()
+
+    val stats = EmbeddingStore.appendToIvfIndex(spark, path, delta)
+    assert(stats.processed === delta.count())
+    assert(stats.newWatermark === 499L)
+
+    val cells = spark.read.parquet(s"$path/cells")
+    // complete: every base and delta vector present exactly once
+    assert(cells.count() === vectors.count())
+    assert(cells.select("doc_id").distinct().count() === vectors.count())
+    // history untouched: centroids identical, so probes stay valid
+    assert(spark.read.parquet(s"$path/centroids").collect().toSet ===
+      centroidsBefore.toSet)
+    // an appended doc is findable through the pruned probe path
+    val hits = EmbeddingStore.searchIvf(spark, path, queryDocId = 450L, k = 5)
+    assert(hits.count() > 0)
+  }
 }
