@@ -14,7 +14,10 @@ class PlanShapeSpec extends SparkTestBase {
     * the cell-assignment step. */
   private val tinyBroadcastJoins = Set(
     "q_search_bruteforce", "q_search_filtered", "q_knn_join",
-    "q_ann_ivf", "q_scalar_subquery", "q_dedup_embedding")
+    "q_ann_ivf", "q_scalar_subquery", "q_dedup_embedding",
+    // the 1-row corpus-size aggregate cross-broadcasts into the
+    // tf⋈df rows, same shape as q_scalar_subquery
+    "q_tfidf")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {
