@@ -15,40 +15,66 @@ import graft.sources.Tables
   */
 object Clusters {
 
-  /** Min-label propagation connected components over an undirected
-    * pair graph. Iterative: every node starts labeled with its own
-    * id; each round every node takes the minimum label among itself
-    * and its neighbors; fixpoint = every node carries its component's
-    * minimum id. Each round is one equi-join + one min-aggregate —
-    * both shuffle on the node key, fully distributed — and the loop
-    * runs at most DIAMETER rounds (near-dup clusters are shallow:
-    * quasi-cliques of a few docs, so 2-3 rounds in practice). The
-    * driver only sequences rounds and runs the convergence check —
-    * index-metadata-scale coordination, the same role it plays in any
-    * iterative Spark algorithm. Each round's labels are EAGERLY
-    * checkpointed: iterative self-referencing lineage otherwise grows
-    * exponentially, and lazy materialization races its consumers (see
-    * Dedup's scaladoc). At web scale the same join shape with the
-    * large-star/small-star rewrite converges in O(log n) rounds —
-    * the round structure here is that algorithm's building block. */
+  /** Min-label connected components over an undirected pair graph,
+    * with POINTER JUMPING for logarithmic convergence. Every node
+    * starts labeled with its own id; each round does two steps:
+    *
+    *  1. neighbor-min: every node takes the minimum label among
+    *     itself and its neighbors (one equi-join + min-aggregate);
+    *  2. pointer jump: every node shortcuts to its LABEL's label
+    *     (labels self-join) — chains halve each round, so a path
+    *     graph of length L converges in O(log L) rounds instead of
+    *     the L rounds plain propagation needs. PathGraph proof in
+    *     ClustersSpec: a 200-node chain resolves in ≤ the round cap.
+    *
+    * Fixpoint = every node carries its component's minimum id. All
+    * steps shuffle on the node/label key — fully distributed; the
+    * driver only sequences rounds and runs the convergence check
+    * (index-metadata-scale coordination, as in any iterative Spark
+    * algorithm). Each round's labels are EAGERLY checkpointed:
+    * iterative self-referencing lineage otherwise grows
+    * exponentially, and lazy materialization races its consumers
+    * (see Dedup's scaladoc). This is the hash-to-min family the
+    * large-star/small-star literature builds on, with the same
+    * O(log n) round bound. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val edges = pairs
+      maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    // Checkpoint through a constraint-free LogicalRDD: a plain
+    // localCheckpoint runs LogicalRDD.fromDataset, which derives the
+    // plan's CONSTRAINTS — and Spark's Union.rewriteConstraints
+    // crashes (attribute-map key-not-found) when a union branch
+    // derived from the previous round's labels leaks a non-output
+    // attribute into its constraint set, which this loop's
+    // union-over-self-join shape does. Rebuilding from the frame's
+    // own RDD executes the identical computation but hands
+    // checkpoint a plan with no constraints to derive.
+    def ckpt(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).localCheckpoint()
+    val edges = ckpt(pairs
       .select(col(aCol).as("s"), col(bCol).as("d"))
       .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("s").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // re-alias both outputs so the union branches carry distinct
+      // attribute ids
       val nbr = edges.join(labels, col("s") === col("node"))
-        .select(col("d").as("node"), col("label"))
-      val next = labels.unionByName(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("d").as("node"), col("label").as("label"))
+      // materialized BEFORE the jump join (the jump then reads the
+      // fresher post-step labels, which shortcuts strictly further)
+      val stepped = ckpt(labels.unionByName(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+      // pointer jump: follow label -> label's label (left join: a
+      // label that is its own component minimum has no further hop)
+      val next = ckpt(stepped.as("a")
+        .join(stepped.select(col("node").as("ln"), col("label").as("ll")),
+          col("a.label") === col("ln"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")))
       done = next
         .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old"))

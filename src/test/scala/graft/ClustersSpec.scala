@@ -24,6 +24,17 @@ class ClustersSpec extends SparkTestBase {
     assert(got.size === 10)
   }
 
+  test("a 200-node path graph converges within the logarithmic round cap") {
+    import spark.implicits._
+    // worst case for plain label propagation (needs 199 rounds);
+    // pointer jumping must close it inside the default cap
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("dedupClusters covers exactly the docs in minhash pairs") {
     val pairs = graft.operators.Dedup.dedupMinhash(t)
     val inPairs = pairs.select(col("doc_a").as("d"))
