@@ -71,6 +71,7 @@ object SparkEntry {
     "q_percentiles" -> q(EventOps.percentiles),
     "q_histogram"   -> q(EventOps.histogram),
     "q_resample"    -> q(EventOps.resample),
+    "q_session_window" -> q(EventOps.sessionWindowAgg),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -342,6 +343,30 @@ object SparkEntry {
         |  ON v.user_id = e.user_id
         | AND v.event_type = 'view' AND e.event_type = 'error'
         | AND e.ts >= v.ts AND e.ts <= v.ts + INTERVAL 1 DAY""".stripMargin,
+    // B12: replays Spark's native session_window semantics by hand —
+    // new session at gap >= 30min (native merging is on STRICT window
+    // overlap), end bound = last event + gap.
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS sess_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
     // B10/B11: floor-of-IEEE-division binning is engine-identical;
     // the resample oracle replays the same grid (generate_series is
     // inclusive like Spark's sequence) with an explicit ROWS frame so

@@ -252,6 +252,26 @@ object EventOps {
             .otherwise(concat(lit("User "), peer))).as("conv_name"))
   }
 
+  /** B12 — `q_session_window`: gap sessionization through Spark's
+    * NATIVE `session_window` aggregate — the engine feature B2 builds
+    * by hand (lag + cumulative sum). Both coexist deliberately: B2's
+    * window form generalizes (per-event session ids, custom gap
+    * predicates), while the native form is the one that runs
+    * UNCHANGED under Structured Streaming with merging session state.
+    * Window end = last event + gap (Spark's exclusive-bound
+    * convention), and a new session starts when the gap is ≥ 30 min
+    * (Spark merges only strictly-overlapping windows) — the oracle
+    * replays exactly that with lag/cumsum, making this a
+    * cross-implementation check of the sessionization itself. */
+  def sessionWindowAgg(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("total_value"))
+
   /** B10 — `q_histogram`: fixed-width value histograms per event
     * type — the distribution sketch every pipeline dashboard needs.
     * Binning is a pure per-row projection (floor of an IEEE division,

@@ -182,6 +182,20 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("native session_window reconciles with the handmade sessionize") {
+    val native = EventOps.sessionWindowAgg(t)
+      .select(col("user_id"), col("sess_start"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+      .toSet
+    val manual = EventOps.sessionize(t)
+      .select(col("user_id"), col("sess_start"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+      .toSet
+    // same gap rule on data with no exact-30min gaps → identical
+    // session starts and populations
+    assert(native === manual)
+  }
+
   test("histogram bins partition the events exactly") {
     val h = EventOps.histogram(t)
     assert(h.agg(sum("n")).first().getLong(0) === t.events.count())
