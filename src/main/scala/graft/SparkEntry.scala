@@ -483,15 +483,15 @@ object SparkEntry {
          |           THEN display_name
          |           ELSE 'User ' || session_id END
          |    ELSE COALESCE(
-         |      CASE WHEN length(trim(json_extract_string(nmsg, '$$.n'))) > 0
-         |            AND length(trim(json_extract_string(nmsg, '$$.n'))) < 100
-         |           THEN trim(json_extract_string(nmsg, '$$.n')) END,
-         |      CASE WHEN length(trim(COALESCE(
+         |      CASE WHEN length(regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) > 0
+         |            AND length(regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) < 100
+         |           THEN regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') END,
+         |      CASE WHEN length(regexp_replace(COALESCE(
          |              json_extract_string(cjson, '$$.gn'),
-         |              json_extract_string(cjson, '$$.group_name')))) > 0
-         |           THEN trim(COALESCE(
+         |              json_extract_string(cjson, '$$.group_name')), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) > 0
+         |           THEN regexp_replace(COALESCE(
          |              json_extract_string(cjson, '$$.gn'),
-         |              json_extract_string(cjson, '$$.group_name'))) END,
+         |              json_extract_string(cjson, '$$.group_name')), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') END,
          |      session_id) END AS conv_name
          |FROM c
          |ORDER BY user_id""".stripMargin,
@@ -765,7 +765,7 @@ object SparkEntry {
       |  FROM (SELECT DISTINCT user_id AS uid FROM events WHERE event_type = 'signup')),
       |named AS (
       |  SELECT uid, name FROM cand WHERE NOT (
-      |    name IS NULL OR length(trim(name)) < 2
+      |    name IS NULL OR length(regexp_replace(name, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) < 2
       |    OR regexp_matches(lower(name), '^user [0-9]+$')
       |    OR length(name) > 100
       |    OR contains(lower(name), '.pdf') OR contains(lower(name), '.mov')

@@ -112,12 +112,19 @@ object EventOps {
     * path separators; http/www prefixes. Case rules follow the
     * reference exactly — extension/phrase checks are on the lowered
     * name, path/url checks on the raw name. */
+  /** Strip leading/trailing chars ≤ U+0020 — the reference's
+    * `.strip()` removes ALL whitespace (newlines, tabs), while
+    * Spark's `trim` removes spaces only; a name like "x\n\n" must
+    * count as 1 char, not 3. Oracles mirror the same char class. */
+  private def strip(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
   def isFileName(name: Column): Column = {
     val lname = lower(name)
     val exts = Seq(".pdf", ".mov", ".mp4", ".jpg", ".png", ".doc", ".txt", ".zip")
     val phrases = Seq("screen recording", "screenshot", "debug log")
     name.isNull ||
-      length(trim(name)) < 2 ||
+      length(strip(name)) < 2 ||
       lname.rlike("^user [0-9]+$") ||
       length(name) > 100 ||
       exts.map(e => lname.contains(e)).reduce(_ || _) ||
@@ -177,8 +184,9 @@ object EventOps {
       groupCreationJson: Column, resolveUser: Column => Column): Column = {
     val peerId = when(sessionId.startsWith("buddy-"),
       regexp_replace(sessionId, "^buddy-", "")).otherwise(sessionId)
-    val primary = trim(get_json_object(nameMsgJson, "$.n"))
-    val fallback = trim(coalesce(
+    // strip, not trim: the reference's .strip() removes all whitespace
+    val primary = strip(get_json_object(nameMsgJson, "$.n"))
+    val fallback = strip(coalesce(
       get_json_object(groupCreationJson, "$.gn"),
       get_json_object(groupCreationJson, "$.group_name")))
     coalesce(
