@@ -53,6 +53,7 @@ object SparkEntry {
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
     "q_tfidf"         -> q(TextAnalysis.tfidf),
+    "q_pipeline_e2e"  -> q(TextAnalysis.pipelineE2e),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -649,6 +650,34 @@ object SparkEntry {
         |  ROUND(t.tf * LN(CAST(nn.n AS DOUBLE)/CAST(d.df AS DOUBLE)), 6) AS tfidf
         |FROM tf t JOIN df d ON t.w = d.w, nn
         |ORDER BY t.doc_id, t.w""".stripMargin,
+    // F9: every stage of the composed pipeline replayed in SQL —
+    // F2's rounded quality gate, E1's normalization hash with
+    // min-doc_id canonicalization, F5's salted-md5 split.
+    "q_pipeline_e2e" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, h,
+        |    ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
+        |        + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars AS DOUBLE), 0.0))
+        |        + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
+        |  FROM b),
+        |kept AS (SELECT doc_id, source, h FROM q WHERE quality >= 0.5),
+        |canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY h)
+        |SELECT k.source,
+        |  CASE WHEN substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).

@@ -157,6 +157,36 @@ object TextAnalysis {
         ((col("ri") + 1).cast("double") / 4.0).as("target_rate"))
   }
 
+  /** F9 — `q_pipeline_e2e`: the library's stages composed into the
+    * canonical training-data pipeline — quality filter → exact dedup
+    * (keep the canonical doc per content hash) → deterministic
+    * train/test split → per-(source, split) audit. One DataFrame
+    * program, so Catalyst plans ACROSS stage boundaries (the quality
+    * projection fuses into the scan; only the dedup groupBy and the
+    * final audit shuffle). This is the "switch to graft and run your
+    * pipeline" story end-to-end, and the oracle replays every stage
+    * in SQL, so the composition — not just the pieces — is
+    * correctness-checked. */
+  def pipelineE2e(t: Tables): DataFrame = {
+    val kept = qualityScore(t)
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val hashed = t.documents.join(kept, "doc_id")
+      .select(col("doc_id"), col("source"), md5(norm).as("h"))
+    val canonical = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val bucket = substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 2)
+    hashed.join(canonical, "doc_id")
+      .select(col("source"),
+        when(bucket < "cd", "train").otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** F8 — `q_tfidf`: corpus-wide TF-IDF term scoring — the term-
     * importance statistic quality filters and keyword extraction run
     * over a training corpus. Three aggregations, each map-side
