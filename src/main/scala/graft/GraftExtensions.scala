@@ -100,7 +100,7 @@ object GraftFunctions {
 object GraftTableFunctions {
 
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{Dedup, EventOps, TextAnalysis}
+  import graft.operators.{Clusters, Dedup, EventOps, TextAnalysis}
   import graft.sources.Tables
 
   /** Evaluate a foldable string argument (the data dir) at analysis
@@ -113,6 +113,10 @@ object GraftTableFunctions {
     v.toString
   }
 
+  /** Most pipelines inline lazily; the iterative ones
+    * (graft_dedup_clusters) run their convergence loop while the
+    * calling query ANALYZES and inline the converged result — same
+    * contract, earlier work. */
   private def tvf(name: String)(build: Tables => org.apache.spark.sql.DataFrame)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name),
@@ -129,10 +133,15 @@ object GraftTableFunctions {
       Seq[Expression] => LogicalPlan)] = Seq(
     tvf("graft_dedup_exact")(Dedup.dedupExact),
     tvf("graft_dedup_minhash")(Dedup.dedupMinhash),
+    tvf("graft_dedup_clusters")(Clusters.dedupClusters),
     tvf("graft_ngram_jaccard")(Dedup.ngramJaccard),
     tvf("graft_quality_score")(TextAnalysis.qualityScore),
+    tvf("graft_tfidf")(TextAnalysis.tfidf),
+    tvf("graft_pipeline")(TextAnalysis.pipelineE2e),
     tvf("graft_asof_join")(EventOps.asofJoin),
-    tvf("graft_sessionize")(EventOps.sessionize))
+    tvf("graft_range_join")(EventOps.rangeJoin),
+    tvf("graft_sessionize")(EventOps.sessionize),
+    tvf("graft_resample")(EventOps.resample))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -64,6 +64,13 @@ class GraftExtensionsSpec extends SparkTestBase {
          |FROM graft_sessionize('$sfDir')
          |WHERE n_events > 1 GROUP BY user_id""".stripMargin)
     assert(filtered.count() > 0)
+    // an iterative pipeline TVF (converges during analysis, inlines
+    // the result) and the composed pipeline audit
+    val clusters = spark.sql(
+      s"SELECT count(*) AS n FROM graft_dedup_clusters('$sfDir')").first().getLong(0)
+    assert(clusters === graft.operators.Clusters.dedupClusters(t).count())
+    assert(spark.sql(
+      s"SELECT sum(n_docs) AS n FROM graft_pipeline('$sfDir')").first().getLong(0) > 0)
   }
 
   test("table functions reject non-literal arguments at analysis time") {
