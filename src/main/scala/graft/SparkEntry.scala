@@ -54,6 +54,7 @@ object SparkEntry {
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
     "q_tfidf"         -> q(TextAnalysis.tfidf),
     "q_pipeline_e2e"  -> q(TextAnalysis.pipelineE2e),
+    "q_text_chunks"   -> q(TextAnalysis.textChunks),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -650,6 +651,20 @@ object SparkEntry {
         |  ROUND(t.tf * LN(CAST(nn.n AS DOUBLE)/CAST(d.df AS DOUBLE)), 6) AS tfidf
         |FROM tf t JOIN df d ON t.w = d.w, nn
         |ORDER BY t.doc_id, t.w""".stripMargin,
+    // F10: char-indexed on both engines (DuckDB length/substr count
+    // CHARACTERS like Spark's; strlen would count bytes).
+    "q_text_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        |    (CAST(CEIL(length(text)/192.0) AS BIGINT) - 1) * 192 AS last_start
+        |  FROM documents WHERE length(text) > 0),
+        |e AS (SELECT doc_id, text, n_chars,
+        |        unnest(range(0, last_start + 1, 192)) AS start FROM c)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |  substr(text, CAST(start + 1 AS BIGINT), 256) AS chunk,
+        |  CAST(LEAST(256, n_chars - start) AS BIGINT) AS chunk_chars
+        |FROM e
+        |ORDER BY doc_id, start""".stripMargin,
     // F9: every stage of the composed pipeline replayed in SQL —
     // F2's rounded quality gate, E1's normalization hash with
     // min-doc_id canonicalization, F5's salted-md5 split.

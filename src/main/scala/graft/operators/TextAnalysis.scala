@@ -157,6 +157,32 @@ object TextAnalysis {
         ((col("ri") + 1).cast("double") / 4.0).as("target_rate"))
   }
 
+  /** F10 — `q_text_chunks`: overlapping fixed-window text chunking —
+    * how documents become training-context rows (window 256 chars,
+    * stride 192, 64-char overlap so no boundary content is lost to
+    * truncation). One sequence explode + per-row substr, no shuffle:
+    * scan-speed at 100 TB, and chunk rows stay in their reader's
+    * partition (same locality contract as the media chunking). The
+    * final chunk is the remainder; every doc emits at least one
+    * chunk. */
+  def textChunks(t: Tables): DataFrame = {
+    val window = 256
+    val stride = 192
+    val nChars = length(col("text")).cast(LongType)
+    // chunks start at 0, stride, 2*stride, ... while start < nChars
+    val lastStart = (ceil(nChars / lit(stride.toDouble)) - 1).cast(LongType) *
+      stride
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), nChars.as("n_chars"),
+        explode(sequence(lit(0L), lastStart, lit(stride.toLong))).as("start"))
+      .select(col("doc_id"), col("start"),
+        substring(col("text"), (col("start") + 1).cast("int"), lit(window))
+          .as("chunk"),
+        least(lit(window.toLong), col("n_chars") - col("start"))
+          .as("chunk_chars"))
+  }
+
   /** F9 — `q_pipeline_e2e`: the library's stages composed into the
     * canonical training-data pipeline — quality filter → exact dedup
     * (keep the canonical doc per content hash) → deterministic

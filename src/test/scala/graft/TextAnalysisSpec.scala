@@ -114,6 +114,26 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("textChunks reassembles every document exactly") {
+    val chunks = TextAnalysis.textChunks(t)
+      .orderBy(col("doc_id"), col("start")).collect()
+      .groupBy(_.getLong(0))
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      if (text.nonEmpty) {
+        val cs = chunks(id).sortBy(_.getLong(1))
+        // overlap-stripped concatenation round-trips the document
+        val rebuilt = cs.map { r =>
+          val start = r.getLong(1).toInt
+          val chunk = r.getString(2)
+          if (start == 0) chunk else chunk.drop(256 - 192)
+        }.mkString
+        assert(rebuilt === text, s"doc $id")
+      }
+    }
+  }
+
   test("tfidf: ubiquitous terms score zero, df bounded by corpus size") {
     val scores = TextAnalysis.tfidf(t)
     val nDocs = t.documents.count()
