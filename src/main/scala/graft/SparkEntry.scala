@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
     "q_dedup_clusters"  -> q(Clusters.dedupClusters),
+    "q_decontaminate"   -> q(Dedup.decontaminate),
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
@@ -724,6 +725,7 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""$shingleCte,
@@ -873,6 +875,26 @@ object SparkEntry {
     s"""$minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** E7 oracle: the E2 pair CTEs (identical capping and
+    * verification), then the cross-corpus filter — restricting
+    * candidate generation to opposite tags (the Spark side) and
+    * filtering the full pair set (here) select the same cross
+    * pairs. */
+  private def decontaminateOracle: String =
+    s"""$minhashPairsCtes,
+       |tags AS (
+       |  SELECT doc_id,
+       |    (CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$$', 1), ''), '1') AS BIGINT) % 5 = 0) AS is_eval
+       |  FROM documents)
+       |SELECT CASE WHEN ta.is_eval THEN p.doc_a ELSE p.doc_b END AS eval_id,
+       |  CASE WHEN ta.is_eval THEN p.doc_b ELSE p.doc_a END AS train_id,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN tags ta ON p.doc_a = ta.doc_id
+       |JOIN tags tb ON p.doc_b = tb.doc_id
+       |WHERE ta.is_eval <> tb.is_eval
+       |ORDER BY eval_id, train_id""".stripMargin
 
   /** E6 oracle: transitive closure over the SAME pair CTEs via a
     * recursive CTE (fixpoint UNION), each node mapped to the minimum

@@ -161,6 +161,66 @@ object Dedup {
     jaccardFromCommon(common, sizes, threshold = 0.8)
   }
 
+  /** E7 — `q_decontaminate`: eval-set contamination detection — the
+    * cross-corpus near-dup join every training pipeline runs before
+    * reporting benchmarks (an eval document leaked into training is
+    * only findable by NEAR-duplicate match; exact hashes miss
+    * paraphrases and whitespace edits). Same MinHash-LSH machinery as
+    * E2 with one structural change: the corpus tag rides through the
+    * signature, and the band self-join requires OPPOSITE tags — so
+    * intra-corpus candidate pairs (the bulk of any corpus's near-dup
+    * mass) never materialize, and verification work is proportional
+    * to suspected contamination only. Tag rule here: sources with
+    * numeric suffix % 5 == 0 are the "eval" corpus (a stand-in for a
+    * real catalog; ANSI-safe like mixSources). Output is
+    * (eval_id, train_id, jaccard). */
+  def decontaminate(t: Tables): DataFrame = {
+    val srcNum = nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+      .cast(LongType)
+    val tags = t.documents.select(col("doc_id"),
+      (pmod(coalesce(srcNum, lit(1L)), lit(5L)) === 0).as("is_eval"))
+    val ex = shingleRowsOf(t.documents).localCheckpoint()
+    val sig = ex.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until numHashes).map(k =>
+        min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
+      .join(tags, "doc_id")
+      .localCheckpoint()
+    val bucketCols = (0 until numBands).map { b =>
+      md5(concat(lit(s"$b|"),
+        col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
+    }
+    // occupancy caps count the WHOLE bucket (both corpora), exactly
+    // like E2 — the oracle replays the same capping before its
+    // cross-tag filter
+    val buckets = capBuckets(
+      sig.select(col("doc_id"), col("is_eval"),
+        explode(array(bucketCols: _*)).as("bucket")),
+      Seq("bucket"))
+    val cand = buckets.as("a").hint("merge")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.is_eval") =!= col("b.is_eval"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sig.select(col("doc_id"), col("n"))
+    val common = ex.as("a")
+      .join(broadcast(cand), col("a.doc_id") === col("doc_a"))
+      .join(ex.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(common, sizes, threshold = 0.8)
+      .join(tags.select(col("doc_id").as("doc_a"), col("is_eval").as("ea")),
+        "doc_a")
+      .select(
+        when(col("ea"), col("doc_a")).otherwise(col("doc_b")).as("eval_id"),
+        when(col("ea"), col("doc_b")).otherwise(col("doc_a")).as("train_id"),
+        col("jaccard"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   /** Exact Jaccard from per-pair intersection counts and per-doc set
     * sizes: |A∩B| / (|A| + |B| − |A∩B|), thresholded. Shared by E2's
     * candidate verification and E4's full set-similarity join so the

@@ -64,6 +64,26 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("bucket"))
   }
 
+  test("decontaminate returns only cross-corpus pairs, subset of minhash pairs") {
+    val srcEval = (s: String) =>
+      s.replaceAll("[^0-9]", "").toLong % 5 == 0
+    val sources = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> srcEval(r.getString(1))).toMap
+    val cross = Dedup.decontaminate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cross.foreach { case (e, tr, _) =>
+      assert(sources(e), s"eval_id $e not in the eval corpus")
+      assert(!sources(tr), s"train_id $tr not in the train corpus")
+    }
+    // exactly the cross-tag subset of the full near-dup pair set
+    val full = Dedup.dedupMinhash(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => sources(a) != sources(b) }
+      .map { case (a, b, j) => if (sources(a)) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(cross.toSet === full)
+  }
+
   test("plan: embedding pair join is a cell equi-join, not a cross join") {
     val df = Dedup.dedupEmbedding(t)
     df.collect()
