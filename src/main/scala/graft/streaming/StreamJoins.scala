@@ -48,6 +48,22 @@ object StreamJoins {
         EventStream.ntzFromEpochMicros(col("error_ts")).as("error_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * user directory (the reference's per-message user-name resolve,
+    * user_mapper.py:252, applied continuously). Stream-static joins
+    * need NO watermark or state — every micro-batch broadcasts or
+    * re-reads the static side, so directory updates between batches
+    * are picked up, and unmatched users coalesce to the same
+    * `User {id}` fallback as the batch operator. */
+  def enrichWithUsers(spark: SparkSession, inputDir: String,
+      users: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    EventStream.read(spark, inputDir)
+      .join(org.apache.spark.sql.functions.broadcast(users), Seq("user_id"), "left")
+      .withColumn("display_name",
+        coalesce(col("display_name"),
+          concat(lit("User "), col("user_id").cast("string"))))
+      .withColumn("ts", EventStream.ntzFromEpochMicros(col("ts")))
+
   /** Drain all currently-available input into a memory sink
     * (test/dev harness; production appends to a table sink with
     * checkpointing). Returns the sink table name. */

@@ -112,4 +112,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-static user enrichment matches the batch userNames resolve") {
+    val dir = Files.createTempDirectory("graft-stream-enrich").toFile
+    dir.deleteOnExit()
+    val t = Tables(spark, sfDir)
+    t.events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val users = EventOps.userNames(t) // (user_id, display_name)
+
+    val q = graft.streaming.StreamJoins
+      .enrichWithUsers(spark, dir.getAbsolutePath, users)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("enrich_sink")
+    assert(streamed.count() === t.events.count())
+    // every event resolved to exactly the batch mapping
+    val mismatches = streamed
+      .join(users.withColumnRenamed("display_name", "expected"), "user_id")
+      .filter(col("display_name") =!= col("expected")).count()
+    assert(mismatches === 0)
+    assert(streamed.filter(col("display_name").isNull).count() === 0)
+  }
 }
