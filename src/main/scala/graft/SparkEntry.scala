@@ -40,6 +40,7 @@ object SparkEntry {
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
+    "q_search_context"    -> q(VectorSearch.searchContext),
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
@@ -222,6 +223,25 @@ object SparkEntry {
          |WHERE score >= 0.05
          |ORDER BY score DESC, vec_id
          |LIMIT 20""".stripMargin,
+    // D6: the D1 hits joined to their prev/next message context (hit
+    // ids map to event ids; same windowed-neighbor SQL as C2).
+    "q_search_context" ->
+      s"""$embCte,
+         |hits AS (
+         |  SELECT vec_id, score FROM (
+         |    SELECT vec_id,
+         |      ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score FROM s)
+         |  WHERE score >= 0.1
+         |  ORDER BY score DESC, vec_id
+         |  LIMIT 30),
+         |ctx AS (
+         |  SELECT event_id, user_id, ts,
+         |    COALESCE(lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS prev_msg,
+         |    COALESCE(lead(props) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS next_msg
+         |  FROM events)
+         |SELECT h.vec_id, h.score, c.user_id, c.ts, c.prev_msg, c.next_msg
+         |FROM hits h JOIN ctx c ON h.vec_id = c.event_id
+         |ORDER BY h.score DESC, h.vec_id""".stripMargin,
     "q_knn_join" ->
       """WITH ev AS (
         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,

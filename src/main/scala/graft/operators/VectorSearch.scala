@@ -64,6 +64,34 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(20)
 
+  /** D6 — `q_search_context`: search with ATTACHED conversation
+    * context — the reference's `include_context=True` path
+    * (engine.py:105 calls get_message_context per hit,
+    * processor.py:266, two point lookups each). Set-oriented, the
+    * scalable shape inverts that: the top-k hits are tiny, so they
+    * broadcast; only the HIT USERS' event streams are windowed for
+    * prev/next (cost proportional to the hit users' traffic, never
+    * the corpus); each hit then joins its own context row. Hit ids
+    * map to event ids — the "message with an embedding" reading the
+    * D-family uses throughout. */
+  def searchContext(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hits = searchBruteforce(t).select(col("vec_id"), col("score"))
+    val hitUsers = t.events
+      .join(broadcast(hits.select(col("vec_id"))),
+        col("event_id") === col("vec_id"))
+      .select(col("user_id")).distinct()
+    val ctx = t.events
+      .join(broadcast(hitUsers), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(lag(col("props"), 1).over(w), lit("")).as("prev_msg"),
+        coalesce(lead(col("props"), 1).over(w), lit("")).as("next_msg"))
+    hits.join(ctx, col("vec_id") === col("event_id"))
+      .select(col("vec_id"), col("score"), col("user_id"), col("ts"),
+        col("prev_msg"), col("next_msg"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors
     * per query. Queries broadcast, so the corpus never shuffles to
     * score. Per-query top-k runs in two stages so parallelism is
