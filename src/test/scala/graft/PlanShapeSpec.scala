@@ -13,7 +13,8 @@ class PlanShapeSpec extends SparkTestBase {
     * table (√n rows, MBs even at 1e9 vectors) whose broadcast scan IS
     * the cell-assignment step. */
   private val tinyBroadcastJoins = Set(
-    "q_search_bruteforce", "q_search_filtered", "q_knn_join",
+    "q_search_bruteforce", "q_search_filtered", "q_search_context",
+    "q_knn_join",
     "q_ann_ivf", "q_scalar_subquery", "q_dedup_embedding",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // tf⋈df rows, same shape as q_scalar_subquery
