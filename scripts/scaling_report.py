@@ -32,7 +32,11 @@ def main(out="SCALING.md"):
             for q, s in r["queries"].items():
                 qmins[q] = min(qmins.get(q, 1e9), s)
         table[c] = qmins
-    queries = sorted(table[cpus[0]])
+    # intersection across configs: a partial sweep (killed mid-run)
+    # must not crash the report, and per-query rows only make sense
+    # for queries present at every core count
+    queries = sorted(set.intersection(
+        *(set(table[c]) for c in cpus)))
     lines = []
     lines.append("# Core-count scaling (sf0.1, per-config best of "
                  f"{max(len(v) for v in by_cpu.values())} runs)")
@@ -44,11 +48,11 @@ def main(out="SCALING.md"):
     hdr = "| cores | " + " | ".join(str(c) for c in cpus) + " |"
     lines.append(hdr)
     lines.append("| --- |" + " --- |" * len(cpus))
-    totals = {c: sum(table[c].values()) for c in cpus}
+    totals = {c: sum(table[c][q] for q in queries) for c in cpus}
     lines.append("| total (s) | " +
                  " | ".join(f"{totals[c]:.1f}" for c in cpus) + " |")
     base = totals[cpus[0]]
-    lines.append("| speedup vs 4 | " +
+    lines.append(f"| speedup vs {cpus[0]} | " +
                  " | ".join(f"{base / totals[c]:.2f}x" for c in cpus) + " |")
     lines.append("")
     lines.append("Heaviest queries (seconds at each core count):")

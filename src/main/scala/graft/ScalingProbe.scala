@@ -44,9 +44,13 @@ object ScalingProbe {
     // zero. Pair work therefore grows linearly with mult (plain
     // copies would near-match each other and the verification stage
     // would grow quadratically by construction, poisoning the read).
+    // replica id ranges derived from the corpus' own max id — a
+    // hardcoded offset would silently collide on a corpus with large
+    // doc_ids and conflate distinct docs in the pair generation
+    val base = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1L
     val docs = (0 until mult)
       .map(i => docs0.select(
-        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * base)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1r$i").as("text")))
       .reduce(_ unionByName _)
     // untimed warm-up at 1x absorbs codegen/classloading

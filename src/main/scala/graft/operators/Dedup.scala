@@ -131,35 +131,47 @@ object Dedup {
     // the verification stage — no second scan of the shingle rows;
     // checkpointed too (tiny: one row per doc) so buckets and sizes
     // don't re-run the agg
-    val sig = ex.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"),
-      (0 until numHashes).map(k =>
-        min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
-      .localCheckpoint()
-    // unpivot to one (doc_id, bucket) row per band with a single explode
-    // over the 4 bucket hashes — NOT a 4-way union, which would
-    // recompute the whole signature pipeline once per branch
-    val bucketCols = (0 until numBands).map { b =>
-      md5(concat(lit(s"$b|"),
-        col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
-    }
+    val sig = signatureOf(ex).localCheckpoint()
     val buckets = capBuckets(
-      sig.select(col("doc_id"), explode(array(bucketCols: _*)).as("bucket")),
+      sig.select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket")),
       Seq("bucket"))
     val cand = buckets.as("a").hint("merge")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sig.select(col("doc_id"), col("n"))
-    val common = ex.as("a")
+    jaccardFromCommon(verifyCommon(ex, cand),
+      sig.select(col("doc_id"), col("n")), threshold = 0.8)
+  }
+
+  /** One pass builds the 12-hash signature AND the shingle-set size
+    * per doc (map-side partial MIN/count combine). The ONE definition
+    * of the signature constants — E2 and E7 both derive from it, the
+    * same way their oracles share one pair-CTE scaffold. */
+  private def signatureOf(ex: DataFrame): DataFrame =
+    ex.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until numHashes).map(k =>
+        min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
+
+  /** Band-bucket hash columns over a signature row — unpivoted with a
+    * single explode by the callers (NOT a 4-way union, which would
+    * recompute the signature pipeline once per branch). */
+  private def bandBucketCols: Seq[org.apache.spark.sql.Column] =
+    (0 until numBands).map { b =>
+      md5(concat(lit(s"$b|"),
+        col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
+    }
+
+  /** Exact-verification stage: count common shingles per candidate
+    * pair (candidates are tiny → broadcast into the shingle join). */
+  private def verifyCommon(ex: DataFrame, cand: DataFrame): DataFrame =
+    ex.as("a")
       .join(broadcast(cand), col("a.doc_id") === col("doc_a"))
       .join(ex.as("b"),
         col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sizes, threshold = 0.8)
-  }
 
   /** E7 — `q_decontaminate`: eval-set contamination detection — the
     * cross-corpus near-dup join every training pipeline runs before
@@ -180,22 +192,13 @@ object Dedup {
     val tags = t.documents.select(col("doc_id"),
       (pmod(coalesce(srcNum, lit(1L)), lit(5L)) === 0).as("is_eval"))
     val ex = shingleRowsOf(t.documents).localCheckpoint()
-    val sig = ex.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"),
-      (0 until numHashes).map(k =>
-        min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
-      .join(tags, "doc_id")
-      .localCheckpoint()
-    val bucketCols = (0 until numBands).map { b =>
-      md5(concat(lit(s"$b|"),
-        col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
-    }
+    val sig = signatureOf(ex).join(tags, "doc_id").localCheckpoint()
     // occupancy caps count the WHOLE bucket (both corpora), exactly
     // like E2 — the oracle replays the same capping before its
     // cross-tag filter
     val buckets = capBuckets(
       sig.select(col("doc_id"), col("is_eval"),
-        explode(array(bucketCols: _*)).as("bucket")),
+        explode(array(bandBucketCols: _*)).as("bucket")),
       Seq("bucket"))
     val cand = buckets.as("a").hint("merge")
       .join(buckets.as("b"),
@@ -204,14 +207,8 @@ object Dedup {
           col("a.is_eval") =!= col("b.is_eval"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sig.select(col("doc_id"), col("n"))
-    val common = ex.as("a")
-      .join(broadcast(cand), col("a.doc_id") === col("doc_a"))
-      .join(ex.as("b"),
-        col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sizes, threshold = 0.8)
+    jaccardFromCommon(verifyCommon(ex, cand),
+      sig.select(col("doc_id"), col("n")), threshold = 0.8)
       .join(tags.select(col("doc_id").as("doc_a"), col("is_eval").as("ea")),
         "doc_a")
       .select(

@@ -253,10 +253,16 @@ object EmbeddingStore {
   def appendToIvfIndex(spark: SparkSession, path: String,
       vectors: DataFrame): UpdateStats = {
     val t0 = System.nanoTime()
+    // materialize ONCE (eager): the stats below must describe the
+    // same snapshot the write appended — same consistency contract
+    // as updateSince (a live source directory could otherwise gain
+    // files between the write and the count/max, and the returned
+    // watermark would skip rows forever)
+    val snap = vectors.localCheckpoint()
     val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = assignCells(vectors, centroids)
+    val assigned = assignCells(snap, centroids)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    val head = vectors
+    val head = snap
       .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     UpdateStats(head.getLong(0),
       if (head.isNullAt(1)) -1L else head.getLong(1),

@@ -112,10 +112,15 @@ object EventOps {
     * path separators; http/www prefixes. Case rules follow the
     * reference exactly — extension/phrase checks are on the lowered
     * name, path/url checks on the raw name. */
-  /** Strip leading/trailing chars ≤ U+0020 — the reference's
-    * `.strip()` removes ALL whitespace (newlines, tabs), while
-    * Spark's `trim` removes spaces only; a name like "x\n\n" must
-    * count as 1 char, not 3. Oracles mirror the same char class. */
+  /** Strip leading/trailing chars ≤ U+0020 (Java `String.trim`
+    * semantics). Spark's `trim` removes spaces only, so a name like
+    * "x\n\n" would count as 3 chars; the reference's Python
+    * `.strip()` removes ASCII AND Unicode whitespace — this class is
+    * the deliberate middle ground (covers every ASCII whitespace the
+    * reference strips; diverges on exotic inputs: Unicode spaces
+    * like U+00A0 are kept, C0 controls are stripped). Oracles mirror
+    * the exact same class, so both engines always agree with each
+    * other. */
   private def strip(c: Column): Column =
     regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
 
@@ -403,9 +408,15 @@ object EventOps {
     * independent of the binning. */
   def rangeJoin(t: Tables): DataFrame = {
     val horizonSec = 86400L
-    // NTZ → epoch-seconds bucket in the pinned UTC session tz
+    // tz-FREE epoch bucket: diffing the NTZ value against the NTZ
+    // epoch never touches the session zone — a cast through
+    // TIMESTAMP would make a DST-transition day span ≠ 86400 epoch
+    // seconds in a non-UTC session, letting a true pair straddle two
+    // non-adjacent buckets and silently drop from the equi-join
     def bkt(ts: Column): Column =
-      floor(ts.cast("timestamp").cast("double") / horizonSec).cast(LongType)
+      floor(timestamp_diff("SECOND",
+        lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts)
+        .cast("double") / horizonSec).cast(LongType)
     val views = t.events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))

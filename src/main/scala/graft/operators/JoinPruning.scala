@@ -38,8 +38,13 @@ object JoinPruning {
     * the build side is small by contract. */
   def buildKeyBloom(build: DataFrame, keyCol: String,
       fpp: Double = 0.01): Array[Byte] = {
+    // distinct BEFORE sizing and inserting: a fact-table build side
+    // (e.g. lineitem keyed by orderkey) repeats each key many times —
+    // sizing from raw rows oversizes the filter by the duplication
+    // factor, and the sketch only needs each key once
     val hashes = build.select(xxhash64(col(keyCol)).as("h"))
       .filter(col("h").isNotNull)
+      .distinct()
     val expected = math.max(1L, hashes.count())
     val bf = hashes.rdd.treeAggregate(BloomFilter.create(expected, fpp))(
       (f, r) => { f.putLong(r.getLong(0)); f },

@@ -198,8 +198,13 @@ object TextAnalysis {
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"))
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    // eager checkpoint: hashed feeds the canonical groupBy (keyed on
+    // h) AND the final join (keyed on doc_id) — no exchange reuse is
+    // possible across different keys, so without materialization the
+    // corpus scan + quality scoring + hashing would execute twice
     val hashed = t.documents.join(kept, "doc_id")
       .select(col("doc_id"), col("source"), md5(norm).as("h"))
+      .localCheckpoint()
     val canonical = hashed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

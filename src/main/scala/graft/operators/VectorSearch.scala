@@ -76,7 +76,13 @@ object VectorSearch {
     * D-family uses throughout. */
   def searchContext(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // eager checkpoint: hits feeds two independent consumers (the
+    // hit-user filter and the final join) — unmaterialized, each
+    // would re-run the corpus-wide scoring scan (the multi-consumer
+    // recompute the dedup pipelines checkpoint against); the
+    // materialized set is ≤ 30 rows
     val hits = searchBruteforce(t).select(col("vec_id"), col("score"))
+      .localCheckpoint()
     val hitUsers = t.events
       .join(broadcast(hits.select(col("vec_id"))),
         col("event_id") === col("vec_id"))
