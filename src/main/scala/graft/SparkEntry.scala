@@ -63,6 +63,7 @@ object SparkEntry {
     "q_decontaminate"   -> q(Dedup.decontaminate),
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
+    "q_containment"     -> q(Dedup.containment),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
     // B-family: events / time-series
     "q_time_window" -> q(EventOps.timeWindow),
@@ -762,6 +763,27 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // E8: same shingle scaffold as E4; ratio on the smaller set, ties
+    // orient the lower doc_id as the contained side (na <= nb keeps
+    // doc_a, which is the smaller id by the join's a < b).
+    "q_containment" ->
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, len(s) AS n FROM shl),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |cm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (
+         |  SELECT cm.doc_a, cm.doc_b, x.n AS na, y.n AS nb, cm.common
+         |  FROM cm JOIN sz x ON cm.doc_a = x.doc_id JOIN sz y ON cm.doc_b = y.doc_id)
+         |SELECT
+         |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS inner_id,
+         |  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS outer_id,
+         |  ROUND(CAST(common AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE), 6) AS containment
+         |FROM j
+         |WHERE ROUND(CAST(common AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE), 6) >= 0.9
+         |ORDER BY inner_id, outer_id""".stripMargin,
     // E5: the oracle re-derives the deterministic IVF cells (seeds =
     // ceil(sqrt(n)) lowest vec_ids, nearest-centroid argmax on the
     // 6dp-rounded cosine with cell-ascending tie-break), then pairs

@@ -303,6 +303,39 @@ object Dedup {
     jaccardFromCommon(common, sizes, threshold = 0.5)
   }
 
+  /** E8 — `q_containment`: asymmetric containment similarity —
+    * |A∩B| / |A| for the smaller-shingle-set side. Symmetric Jaccard
+    * MISSES the classic contamination shape where a short document is
+    * embedded verbatim inside a much longer one (union dominated by
+    * the long doc drives Jaccard to ~0 while containment is ~1).
+    * Exact, via the same shingle equi-join as E4 — only co-shingled
+    * pairs ever materialize, the self-join reuses one exchange — with
+    * the containment ratio taken on the smaller set and the pair
+    * oriented (inner_id = the contained doc). */
+  def containment(t: Tables): DataFrame = {
+    val ex = shingleRowsOf(t.documents).localCheckpoint()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = ex.as("a").hint("merge")
+      .join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("inner_id"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("outer_id"),
+        round(col("common").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
   /** E5 — embedding-cosine near-dup pairs, blocked by a REAL IVF cell
     * assignment (deterministic seeds = the ceil(√n) lowest vec_ids,
     * nearest-centroid by rounded cosine) so the self-join is an

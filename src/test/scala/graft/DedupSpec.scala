@@ -84,6 +84,20 @@ class DedupSpec extends SparkTestBase {
     assert(cross.toSet === full)
   }
 
+  test("containment dominates jaccard and orients the smaller set inward") {
+    val jac = Dedup.ngramJaccard(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = Dedup.containment(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cont.foreach { case (inner, outer, c) =>
+      assert(c >= 0.9 && c <= 1.0)
+      // containment >= jaccard for the same unordered pair when both exist
+      val key = if (inner < outer) (inner, outer) else (outer, inner)
+      jac.get(key).foreach(j => assert(c >= j - 1e-9))
+    }
+    assert(cont.nonEmpty)
+  }
+
   test("plan: embedding pair join is a cell equi-join, not a cross join") {
     val df = Dedup.dedupEmbedding(t)
     df.collect()
