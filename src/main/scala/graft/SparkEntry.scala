@@ -44,6 +44,7 @@ object SparkEntry {
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
+    "q_embedding_coverage" -> q(EmbeddingStore.coverageQuery),
     // C1 + F-family: text cleaning and analysis
     "q_text_clean"    -> q(TextAnalysis.textClean),
     "q_lang_id"       -> q(TextAnalysis.langId),
@@ -292,6 +293,13 @@ object SparkEntry {
         |FROM s
         |ORDER BY score DESC, vec_id
         |LIMIT 10""".stripMargin,
+    // Store-coverage stat (reference get_database_stats, engine.py:228):
+    // embeddings.vec_id keys events.event_id as in D6.
+    "q_embedding_coverage" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_events,
+        |  CAST(COUNT(em.vec_id) AS BIGINT) AS embedded,
+        |  ROUND(CAST(COUNT(em.vec_id) AS DOUBLE) * 100 / COUNT(*), 1) AS coverage_pct
+        |FROM events ev LEFT JOIN embeddings em ON ev.event_id = em.vec_id""".stripMargin,
     "q_vector_norms" ->
       """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, len(embedding) AS d
@@ -748,10 +756,16 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_dedup_simhash" -> simhashOracle,
+    // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
+    // (drop shingles in > maxBucketSize docs before pairing; sizes
+    // count the same capped shingle space) with the same QUALIFY
+    // shape as the LSH bucket caps.
     "q_ngram_jaccard" ->
       s"""$shingleCte,
-         |sz AS (SELECT doc_id, len(s) AS n FROM shl),
-         |ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |ex0 AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |ex AS (SELECT doc_id, sh FROM ex0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= ${operators.Dedup.maxBucketSize}),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
          |cm AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
          |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -768,8 +782,10 @@ object SparkEntry {
     // doc_a, which is the smaller id by the join's a < b).
     "q_containment" ->
       s"""$shingleCte,
-         |sz AS (SELECT doc_id, len(s) AS n FROM shl),
-         |ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |ex0 AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+         |ex AS (SELECT doc_id, sh FROM ex0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= ${operators.Dedup.maxBucketSize}),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
          |cm AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
          |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -785,10 +801,14 @@ object SparkEntry {
          |WHERE ROUND(CAST(common AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE), 6) >= 0.9
          |ORDER BY inner_id, outer_id""".stripMargin,
     // E5: the oracle re-derives the deterministic IVF cells (seeds =
-    // ceil(sqrt(n)) lowest vec_ids, nearest-centroid argmax on the
-    // 6dp-rounded cosine with cell-ascending tie-break), then pairs
-    // within cells — mirroring the Spark blocking exactly. Zero-norm
-    // divisions guarded to 0 like CosineSimilarity.
+    // ceil(sqrt(n)) lowest vec_ids) and replays the TWO-LEVEL
+    // assignment exactly as EmbeddingStore.assignCells runs it:
+    // coarse seeds = the ceil(sqrt(k)) lowest cells; fine cells group
+    // under their argmax coarse centroid with each coarse seed pinned
+    // to its own group; every vector argmaxes the coarse level then
+    // only its group's fine centroids. All argmaxes on 6dp-rounded
+    // cosine with lowest-key tie-break; zero-norm divisions guarded
+    // to 0 like CosineSimilarity. Pairs then form within cells.
     "q_dedup_embedding" ->
       """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -797,20 +817,45 @@ object SparkEntry {
         |nc AS (
         |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
         |  FROM embeddings),
+        |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
         |seed AS (
         |  SELECT vec_id,
         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
         |  FROM embeddings
         |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
         |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
-        |sc AS (
-        |  SELECT e.vec_id, c.cell,
+        |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
+        |fgs AS (
+        |  SELECT c.cell, k.coarse,
+        |    ROUND(COALESCE(SUM(c.v*k.v)
+        |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM cent c JOIN co k ON c.i = k.i
+        |  GROUP BY c.cell, k.coarse),
+        |fg AS (
+        |  SELECT cell,
+        |    CASE WHEN cell < (SELECT kc FROM kcn) THEN cell ELSE coarse END AS coarse
+        |  FROM fgs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1),
+        |l1s AS (
+        |  SELECT e.vec_id, k.coarse,
+        |    ROUND(COALESCE(SUM(e.v*k.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM ev e JOIN co k ON e.i = k.i
+        |  GROUP BY e.vec_id, k.coarse),
+        |l1 AS (
+        |  SELECT vec_id, coarse FROM l1s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
+        |l2s AS (
+        |  SELECT e.vec_id, f.cell,
         |    ROUND(COALESCE(SUM(e.v*c.v)
         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
-        |  FROM ev e JOIN cent c ON e.i = c.i
-        |  GROUP BY e.vec_id, c.cell),
+        |  FROM ev e
+        |  JOIN l1 ON e.vec_id = l1.vec_id
+        |  JOIN fg f ON f.coarse = l1.coarse
+        |  JOIN cent c ON c.cell = f.cell AND c.i = e.i
+        |  GROUP BY e.vec_id, f.cell),
         |asg AS (
-        |  SELECT vec_id, cell FROM sc
+        |  SELECT vec_id, cell FROM l2s
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
         |s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ax.cell AS cell,

@@ -57,6 +57,16 @@ object Clusters {
       .distinct())
     var labels = ckpt(edges.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
+    // convergence metric: labels are monotone NON-INCREASING per node
+    // (neighbor-min includes self; the jump takes `least`), so the
+    // label total strictly decreases iff any node changed — one
+    // narrow aggregate over the round's already-checkpointed blocks
+    // replaces a join + isEmpty job per round (DECIMAL(38,0) so the
+    // sum can't overflow at any node-id scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -75,10 +85,9 @@ object Clusters {
           col("a.label") === col("ln"), "left")
         .select(col("a.node").as("node"),
           least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")))
-      done = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -282,17 +282,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shingle rows with the DOCUMENT-FREQUENCY cap applied: shingles
+    * appearing in more than `maxBucketSize` documents are dropped
+    * before any pairing. A boilerplate shingle (a license header, a
+    * template phrase) otherwise materializes O(df²) candidate rows in
+    * the exact equi-joins — AQE skew handling moves that shuffle
+    * around but cannot shrink the pair count; dropping the shingle
+    * does, and a shingle shared by >1000 documents carries no
+    * similarity signal anyway (the same reasoning as the LSH bucket
+    * occupancy cap, and the oracles replay the same QUALIFY). Sizes
+    * |A|,|B| are computed over the SAME capped shingle space, so the
+    * similarity stays a true Jaccard/containment of the informative
+    * shingles — identical on both engines. The count window
+    * partitions by `sh`, the very key the downstream self-join
+    * shuffles on, so the exchange is paid once and reused. */
+  private def cappedShingleRowsOf(documents: DataFrame): DataFrame =
+    capBuckets(shingleRowsOf(documents), Seq("sh"))
+
   /** E4 — exact n-gram Jaccard via the set-similarity equi-join:
     * join the shingle rows on shingle (only co-shingled pairs exist —
     * never all-pairs), count common per pair, reconstruct |A∪B| from
     * the two set sizes. The self-join is forced sort-merge so both
-    * sides reuse one shuffle of the shingle rows. */
-  def ngramJaccard(t: Tables): DataFrame = {
+    * sides reuse one shuffle of the shingle rows. High-document-
+    * frequency shingles are capped out first (see
+    * [[cappedShingleRowsOf]]) so no single boilerplate shingle can
+    * quadraticize the join. */
+  def ngramJaccard(t: Tables): DataFrame = ngramJaccardDocs(t.documents)
+
+  /** E4 over an arbitrary (doc_id, text) frame — DedupSpec drives the
+    * boilerplate-shingle cap proof through this. */
+  private[graft] def ngramJaccardDocs(documents: DataFrame): DataFrame = {
     // materialized once, EAGERLY (see dedupMinhash: lazy checkpoints
     // race when independent consumer stages pull concurrently); sizes
     // and the exchange-sharing self-join then read the blocks instead
     // of re-running the shingle pipeline
-    val ex = shingleRows(t).localCheckpoint()
+    val ex = cappedShingleRowsOf(documents).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").hint("merge")
       .join(ex.as("b"),
@@ -309,11 +333,13 @@ object Dedup {
     * embedded verbatim inside a much longer one (union dominated by
     * the long doc drives Jaccard to ~0 while containment is ~1).
     * Exact, via the same shingle equi-join as E4 — only co-shingled
-    * pairs ever materialize, the self-join reuses one exchange — with
-    * the containment ratio taken on the smaller set and the pair
-    * oriented (inner_id = the contained doc). */
+    * pairs ever materialize, the self-join reuses one exchange, and
+    * the same document-frequency cap drops boilerplate shingles
+    * before pairing ([[cappedShingleRowsOf]]) — with the containment
+    * ratio taken on the smaller set and the pair oriented (inner_id =
+    * the contained doc). */
   def containment(t: Tables): DataFrame = {
-    val ex = shingleRowsOf(t.documents).localCheckpoint()
+    val ex = cappedShingleRowsOf(t.documents).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a").hint("merge")
       .join(ex.as("b"),
@@ -337,17 +363,17 @@ object Dedup {
   }
 
   /** E5 — embedding-cosine near-dup pairs, blocked by a REAL IVF cell
-    * assignment (deterministic seeds = the ceil(√n) lowest vec_ids,
-    * nearest-centroid by rounded cosine) so the self-join is an
-    * equi-join per cell and the CELL COUNT SCALES WITH THE CORPUS —
-    * the round-2 `label` blocking had fixed cardinality, so in-cell
-    * pair cost grew O(n²). With k = √n cells, assignment is an n×k
-    * broadcast scan and in-cell pairing is O(n^1.5) total — the
-    * standard IVF trade (truly corpus-independent cells would need a
-    * hierarchical coarse quantizer on top; that is the next
-    * refinement, not this one). Assignment argmax is a map-side-
-    * combining aggregate (max over a (score, -cell) struct), NOT a
-    * window — the n×k scored rows combine before any shuffle.
+    * assignment (deterministic seeds = the ceil(√n) lowest vec_ids)
+    * so the self-join is an equi-join per cell and the CELL COUNT
+    * SCALES WITH THE CORPUS — the round-2 `label` blocking had fixed
+    * cardinality, so in-cell pair cost grew O(n²). Assignment runs
+    * through [[EmbeddingStore.assignCells]]'s TWO-LEVEL coarse
+    * quantizer — each vector scores √k coarse centroids, then only
+    * its group's fine centroids — so assignment compute is O(n·√k),
+    * not the flat n×k scan (at 1e9 vectors that flat scan is ~3e13
+    * cosines, the one super-linear term the flat variant had left).
+    * The oracle replays the same two levels (seed grouping, per-group
+    * argmax, identical 6dp rounding and lowest-key tie-breaks).
     *
     * Within a cell, TRIANGULAR sub-blocking lifts parallelism off the
     * cell count: vectors split into G groups by id, each unordered
@@ -381,18 +407,16 @@ object Dedup {
       .createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
       .toDF("cell", "centroid")
       .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
-    // the broadcast nested-loop join IS the IVF assignment scan:
-    // k = √n centroid rows (MBs even at 1e9 vectors) against every
-    // vector; EAGERLY checkpointed so both triangular sides read the
-    // blocks (lazy would let the two independent side-stages race and
-    // recompute the assignment scan twice — see dedupMinhash)
-    val assigned = emb.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        round(cosineSim(col("embedding"), col("centroid")), 6).as("cscore"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cscore"), (-col("cell")).as("nc"))).as("m"),
-        any_value(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), (-col("m.nc")).cast("int").as("cell"))
+    // two-level nearest-centroid assignment, shared verbatim with the
+    // persisted IVF index (coarse pick over √k group centroids, then
+    // argmax over only that group's fine centroids — all 6dp-rounded,
+    // ties to the lowest key); EAGERLY checkpointed so both
+    // triangular sides read the blocks (lazy would let the two
+    // independent side-stages race and recompute the assignment
+    // twice — see dedupMinhash)
+    val assigned = EmbeddingStore
+      .assignCells(emb.select(col("vec_id").as("doc_id"), col("embedding")), cent)
+      .select(col("doc_id").as("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))

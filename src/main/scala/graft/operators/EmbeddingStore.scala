@@ -34,6 +34,36 @@ import graft.sources.Tables
   * watermark the next increment should start from). */
 case class UpdateStats(processed: Long, newWatermark: Long, durationSec: Double)
 
+/** Store-coverage statistics (the reference's get_database_stats,
+  * engine.py:228: total vs embedded message counts and the coverage
+  * percentage the monitoring loop watches, rounded to 1 dp like the
+  * reference's `round(..., 1)`). */
+case class CoverageStats(total: Long, embedded: Long, coveragePct: Double)
+
+/** Refresh-policy knobs, mirroring the reference's search-triggered
+  * update orchestration (engine.py:31-36 defaults, :140-151 logic):
+  * a short cooldown inside the startup window and a long one after
+  * it; a minimum new-document threshold before an update is worth
+  * running (tripled for the first five searches); and the bounded
+  * per-call batch (engine.py:57 `max_messages`). */
+case class RefreshPolicy(
+    cooldownSec: Long = 60,
+    longCooldownSec: Long = 300,
+    startupWindowSec: Long = 600,
+    updateThreshold: Long = 50,
+    maxDocsPerUpdate: Int = 10000)
+
+/** Mutable-in-the-reference orchestration state, carried functionally
+  * here (engine.py:32-36: last update time, server start, search
+  * counter, plus the store watermark the reference keeps in its
+  * vector DB). `lastUpdateEpochSec = 0` means "never updated", so the
+  * first out-of-cooldown search always considers refreshing. */
+case class SearchState(
+    watermark: Long,
+    serverStartEpochSec: Long,
+    lastUpdateEpochSec: Long = 0L,
+    searchCount: Long = 0L)
+
 object EmbeddingStore {
 
   val dim = 64
@@ -88,13 +118,28 @@ object EmbeddingStore {
     * cheap pushed-filter scan; a zero-delta update skips the embed
     * and write entirely, like the reference's early return
     * (engine.py:78). */
-  def updateSince(t: Tables, path: String, sinceDocId: Long): UpdateStats = {
+  def updateSince(t: Tables, path: String, sinceDocId: Long): UpdateStats =
+    updateSince(t, path, sinceDocId, None)
+
+  /** Bounded variant: `maxDocs` caps the work of ONE call (the
+    * reference's `max_messages=10000`, engine.py:57) — the LOWEST
+    * `maxDocs` doc_ids above the watermark are taken, so repeated
+    * calls walk the backlog in doc_id order and the returned
+    * watermark always bounds exactly what was appended. The bound
+    * runs as a distributed top-K (TakeOrdered), never a full sort;
+    * at 100 TB this is the operator contract that keeps a single
+    * update call's memory and runtime fixed no matter how far the
+    * store has fallen behind. */
+  def updateSince(t: Tables, path: String, sinceDocId: Long,
+      maxDocs: Option[Int]): UpdateStats = {
     val t0 = System.nanoTime()
+    val delta = t.documents.filter(col("doc_id") > sinceDocId)
+    val bounded = maxDocs.fold(delta)(m => delta.orderBy(col("doc_id")).limit(m))
     // materialize the delta ONCE (eager): the stats aggregate and the
     // embed+write below must see the same snapshot — two separate
     // scans could disagree if files land in the directory between
     // them, reporting a watermark above rows actually appended
-    val fresh = t.documents.filter(col("doc_id") > sinceDocId).localCheckpoint()
+    val fresh = bounded.localCheckpoint()
     val head = fresh.agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     val processed = head.getLong(0)
     val newWatermark = if (head.isNullAt(1)) sinceDocId else head.getLong(1)
@@ -116,6 +161,81 @@ object EmbeddingStore {
         round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Store coverage vs the source corpus (reference
+    * get_database_stats, engine.py:228): total documents, embedded
+    * rows in the store, 1dp coverage percent. The store count is a
+    * parquet metadata read (no scan); a not-yet-created store reads
+    * as 0 embedded, exactly like the reference's missing vector DB
+    * branch (engine.py:255). */
+  def coverage(t: Tables, path: String): CoverageStats = {
+    val total = t.documents.count()
+    val embedded =
+      try t.spark.read.parquet(path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val pct =
+      if (total > 0) math.round(embedded * 1000.0 / total) / 10.0 else 0.0
+    CoverageStats(total, embedded, pct)
+  }
+
+  /** `q_embedding_coverage` — the same coverage stat as a QUERY over
+    * the driver tables (events ⋈ embeddings, vec_id keying event_id
+    * as in D6): one row of total / embedded / coverage%, the
+    * monitoring-loop view of how far the store lags the corpus. One
+    * broadcast-or-shuffle join + a single global aggregate — the
+    * count combines map-side, so the join output never concentrates
+    * anywhere. */
+  def coverageQuery(t: Tables): DataFrame =
+    t.events.as("ev")
+      .join(t.embeddings.select(col("vec_id")).as("em"),
+        col("ev.event_id") === col("em.vec_id"), "left")
+      .agg(
+        count(lit(1)).as("total_events"),
+        count(col("em.vec_id")).as("embedded"),
+        round(count(col("em.vec_id")).cast("double") * 100 / count(lit(1)), 1)
+          .as("coverage_pct"))
+
+  /** Search-with-refresh orchestration — the reference's `search()`
+    * entry path (engine.py:140-151) re-expressed as a pure function
+    * of (state, clock): unless inside the active cooldown (short
+    * within the startup window, long after it — engine.py:146), check
+    * how far the store lags the corpus and run a BOUNDED incremental
+    * update first when the lag exceeds the effective threshold
+    * (tripled for the first five searches — engine.py:149);
+    * `force = true` skips the checks like the reference's
+    * `force_update`. The clock arrives as `nowEpochSec` so the policy
+    * is deterministic and testable; the caller threads the returned
+    * state into its next call. Returns (results, new state, stats of
+    * the update if one ran). */
+  def searchWithRefresh(t: Tables, path: String, queryDocId: Long, k: Int,
+      state: SearchState, policy: RefreshPolicy = RefreshPolicy(),
+      nowEpochSec: Long, force: Boolean = false): (DataFrame, SearchState, Option[UpdateStats]) = {
+    val counted = state.copy(searchCount = state.searchCount + 1)
+    val shouldUpdate =
+      if (force) true
+      else {
+        val cooldown =
+          if (nowEpochSec - state.serverStartEpochSec < policy.startupWindowSec)
+            policy.cooldownSec
+          else policy.longCooldownSec
+        if (nowEpochSec - state.lastUpdateEpochSec < cooldown) false
+        else {
+          val effThreshold =
+            if (counted.searchCount <= 5) policy.updateThreshold * 3
+            else policy.updateThreshold
+          val cov = coverage(t, path)
+          cov.total - cov.embedded > effThreshold
+        }
+      }
+    val (stats, next) =
+      if (shouldUpdate) {
+        val u = updateSince(t, path, counted.watermark,
+          Some(policy.maxDocsPerUpdate))
+        (Some(u), counted.copy(watermark = u.newWatermark,
+          lastUpdateEpochSec = nowEpochSec))
+      } else (None, counted)
+    (search(t.spark, path, queryDocId, k), next, stats)
   }
 
   // ---- persisted IVF index ------------------------------------------------
@@ -175,13 +295,16 @@ object EmbeddingStore {
         (-col("m.nk")).cast("int").as(keyCol))
 
   /** Score every vector against a broadcast centroid table, keep the
-    * argmax. */
+    * argmax. Scores round to 6 dp BEFORE the argmax so assignment is
+    * deterministic across engines/platforms (libm 1-ulp drift cannot
+    * flip a comparison) — E5's dedup blocking relies on this to let
+    * the DuckDB oracle replay the exact same cell per vector. */
   private def argmaxAttach(vectors: DataFrame, attach: DataFrame,
       keyCol: String): DataFrame =
     argmaxScored(
       vectors.join(broadcast(attach))
         .select(col("doc_id"), col("embedding"), col(keyCol),
-          cosineSim(col("embedding"), col("centroid")).as("cscore")),
+          round(cosineSim(col("embedding"), col("centroid")), 6).as("cscore")),
       keyCol)
 
   /** Nearest-centroid assignment with a TWO-LEVEL coarse quantizer:
@@ -194,8 +317,10 @@ object EmbeddingStore {
     * affordable at 1e9 vectors. Boundary vectors may land one cell
     * off versus flat assignment (standard hierarchical-IVF trade;
     * search recall is governed by multi-cell probing, not assignment
-    * exactness). All centroid tables broadcast. */
-  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    * exactness). All centroid tables broadcast. `private[graft]`:
+    * E5's dedup blocking shares this exact assignment (and its
+    * oracle replays it level by level). */
+  private[graft] def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     val kc = math.max(1,
       math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
@@ -233,7 +358,9 @@ object EmbeddingStore {
         .join(broadcast(fineGrouped).as("c"), Seq("coarse"))
         .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
           col("c.cell").as("cell"),
-          cosineSim(col("v.embedding"), col("c.centroid")).as("cscore")),
+          // rounded like level 1 (argmaxAttach) — both argmax levels
+          // must be engine-replayable for E5's oracle
+          round(cosineSim(col("v.embedding"), col("c.centroid")), 6).as("cscore")),
       "cell")
   }
 

@@ -105,13 +105,6 @@ object EventOps {
       coalesce(lag(col("props"), 1).over(byUserTime), lit("")).as("prev_msg"),
       coalesce(lead(col("props"), 1).over(byUserTime), lit("")).as("next_msg"))
 
-  /** The reference's file-name/junk detector for candidate display
-    * names (user_mapper.py:235 `_is_file_name`), ported rule-for-rule:
-    * null/under-2-chars after trim; "user NNN" auto-fallback shapes;
-    * over-100-chars; file extensions; screen-capture/log phrases;
-    * path separators; http/www prefixes. Case rules follow the
-    * reference exactly — extension/phrase checks are on the lowered
-    * name, path/url checks on the raw name. */
   /** Strip leading/trailing chars ≤ U+0020 (Java `String.trim`
     * semantics). Spark's `trim` removes spaces only, so a name like
     * "x\n\n" would count as 3 chars; the reference's Python
@@ -124,6 +117,13 @@ object EventOps {
   private def strip(c: Column): Column =
     regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
 
+  /** The reference's file-name/junk detector for candidate display
+    * names (user_mapper.py:235 `_is_file_name`), ported rule-for-rule:
+    * null/under-2-chars after trim; "user NNN" auto-fallback shapes;
+    * over-100-chars; file extensions; screen-capture/log phrases;
+    * path separators; http/www prefixes. Case rules follow the
+    * reference exactly — extension/phrase checks are on the lowered
+    * name, path/url checks on the raw name. */
   def isFileName(name: Column): Column = {
     val lname = lower(name)
     val exts = Seq(".pdf", ".mov", ".mp4", ".jpg", ".png", ".doc", ".txt", ".zip")

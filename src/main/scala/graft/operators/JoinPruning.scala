@@ -32,10 +32,19 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object JoinPruning {
 
+  /** Hard cap on distinct build-side keys (~12 MB serialized at fpp
+    * 0.01). The whole filter lives on the driver and ships with every
+    * task as a plan literal, so an oversized build side is a silent
+    * driver-memory/plan-size hazard — [[buildKeyBloom]] fails loud
+    * instead. A build side past this belongs in a shuffle-side
+    * runtime filter (AQE's InjectRuntimeFilter), not a literal. */
+  val maxBuildKeys: Long = 10L * 1000 * 1000
+
   /** Serialized Bloom filter over `xxhash64(keyCol)` of `build`,
     * usable as a literal probe via [[mightContain]]. Two passes over
     * the build side (count to size the sketch, then the aggregate) —
-    * the build side is small by contract. */
+    * the build side is small by contract, enforced via
+    * [[maxBuildKeys]]. */
   def buildKeyBloom(build: DataFrame, keyCol: String,
       fpp: Double = 0.01): Array[Byte] = {
     // distinct BEFORE sizing and inserting: a fact-table build side
@@ -46,6 +55,10 @@ object JoinPruning {
       .filter(col("h").isNotNull)
       .distinct()
     val expected = math.max(1L, hashes.count())
+    require(expected <= maxBuildKeys,
+      s"buildKeyBloom: $expected distinct build keys exceeds maxBuildKeys " +
+        s"($maxBuildKeys) — the literal filter would bloat the driver and " +
+        s"every task binary; use AQE's runtime filter for large build sides")
     val bf = hashes.rdd.treeAggregate(BloomFilter.create(expected, fpp))(
       (f, r) => { f.putLong(r.getLong(0)); f },
       (a, b) => a.mergeInPlace(b))

@@ -35,8 +35,11 @@ object StreamJoins {
       .filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id").as("e_uid"),
         col("ts").as("error_ts"))
-      // the error watermark must trail far enough that a view's full
-      // one-day match window closes before its state is evicted
+      // 26h is the error-side LATE-ARRIVAL tolerance (how far behind
+      // the max seen error_ts a straggler may land and still join);
+      // view-state lifetime is derived independently by Spark from
+      // the join's range condition (view_ts + 1 day) plus the
+      // watermark, regardless of this delay
       .withWatermark("error_ts", "26 hours")
     views
       .join(errors,

@@ -98,6 +98,28 @@ class DedupSpec extends SparkTestBase {
     assert(cont.nonEmpty)
   }
 
+  test("ngramJaccard: a boilerplate shingle past the DF cap cannot quadraticize") {
+    import spark.implicits._
+    // > maxBucketSize docs share one boilerplate shingle ("common
+    // boiler plate"); every other shingle is doc-unique. Without the
+    // document-frequency cap the equi-join materializes ~n²/2
+    // candidate rows from that single shingle; with it the shingle is
+    // dropped before pairing, so NO pair among these docs survives —
+    // while a genuine duplicate pair (ids 1,2 below) still scores 1.0
+    // over the capped shingle space.
+    val n = Dedup.maxBucketSize + 50
+    val boiler = (0 until n).map(i =>
+      (10000L + i, s"common boiler plate u${i}a u${i}b u${i}c"))
+    val dups = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+    val docs = (boiler ++ dups).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardDocs(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)),
+      "only the genuine duplicate pair may survive the DF cap")
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
   test("plan: embedding pair join is a cell equi-join, not a cross join") {
     val df = Dedup.dedupEmbedding(t)
     df.collect()

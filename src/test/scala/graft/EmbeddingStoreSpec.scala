@@ -82,4 +82,97 @@ class EmbeddingStoreSpec extends SparkTestBase {
       s"doc $b should be a top-3 neighbor of its near-dup $a")
     assert(hits.head.getDouble(1) > 0.9)
   }
+
+  test("updateSince(maxDocs): bounded batches walk the backlog in order") {
+    val dir = Files.createTempDirectory("graft-bounded").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val n = t.documents.count()
+    val batch = (n / 3).toInt + 1
+    // three bounded calls drain the whole corpus from watermark -1
+    var wm = -1L
+    var totalProcessed = 0L
+    var lastWm = -1L
+    for (_ <- 0 until 3) {
+      val s = EmbeddingStore.updateSince(t, path, wm, Some(batch))
+      assert(s.processed <= batch, "a bounded call must never exceed maxDocs")
+      assert(s.newWatermark > lastWm || s.processed == 0)
+      totalProcessed += s.processed
+      lastWm = s.newWatermark
+      wm = s.newWatermark
+    }
+    assert(totalProcessed === n, "three batches of ceil(n/3) must drain the corpus")
+    assert(spark.read.parquet(path).select("doc_id").distinct().count() === n,
+      "in-order bounded batches append each doc exactly once")
+    // a fourth call finds nothing
+    assert(EmbeddingStore.updateSince(t, path, wm, Some(batch)).processed === 0L)
+  }
+
+  test("coverage: counts the store against the corpus, 0 for a missing store") {
+    val dir = Files.createTempDirectory("graft-cov").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/store"
+    val n = t.documents.count()
+    val empty = EmbeddingStore.coverage(t, path)
+    assert(empty === graft.operators.CoverageStats(n, 0L, 0.0))
+    val half = t.documents.agg(max("doc_id")).first().getLong(0) / 2
+    EmbeddingStore.store(
+      EmbeddingStore.embed(t.documents.filter(col("doc_id") <= half)), path)
+    val cov = EmbeddingStore.coverage(t, path)
+    assert(cov.total === n)
+    assert(cov.embedded === t.documents.filter(col("doc_id") <= half).count())
+    assert(cov.coveragePct === math.round(cov.embedded * 1000.0 / n) / 10.0)
+  }
+
+  test("searchWithRefresh: cooldown skips, threshold gates, results stable on unchanged corpus") {
+    import graft.operators.{RefreshPolicy, SearchState}
+    val dir = Files.createTempDirectory("graft-swr").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/store"
+    val policy = RefreshPolicy(cooldownSec = 60, longCooldownSec = 300,
+      startupWindowSec = 600, updateThreshold = 10, maxDocsPerUpdate = 100000)
+    val t0 = 1000000L // fake epoch clock — the policy is a pure function of it
+    val s0 = SearchState(watermark = -1L, serverStartEpochSec = t0)
+    val queryId = t.documents.agg(min("doc_id")).first().getLong(0)
+
+    // first search: never updated, store lags the whole corpus past the
+    // (tripled) threshold -> refresh runs, bounded, watermark advances
+    val (r1, s1, u1) = EmbeddingStore.searchWithRefresh(
+      t, path, queryId, 5, s0, policy, nowEpochSec = t0)
+    assert(u1.isDefined, "cold store must trigger the refresh")
+    assert(s1.watermark === t.documents.agg(max("doc_id")).first().getLong(0))
+    assert(s1.lastUpdateEpochSec === t0 && s1.searchCount === 1)
+    val hits1 = r1.collect()
+
+    // second search 30s later: inside the 60s startup cooldown -> no
+    // update attempt even though the clock moved
+    val (r2, s2, u2) = EmbeddingStore.searchWithRefresh(
+      t, path, queryId, 5, s1, policy, nowEpochSec = t0 + 30)
+    assert(u2.isEmpty, "cooldown must skip the refresh")
+    assert(s2.lastUpdateEpochSec === t0, "skip leaves the update clock alone")
+
+    // third search past the cooldown: store is CURRENT (lag 0 <= threshold)
+    // -> checked but not refreshed; results identical to the first search
+    val (r3, s3, u3) = EmbeddingStore.searchWithRefresh(
+      t, path, queryId, 5, s2, policy, nowEpochSec = t0 + 120)
+    assert(u3.isEmpty, "an up-to-date store must not re-embed")
+    assert(s3.watermark === s1.watermark)
+    assert(r3.collect() === hits1,
+      "search results must be identical before/after a no-op refresh cycle")
+    assert(r2.collect() === hits1)
+
+    // past the startup window the LONG cooldown applies: 200s after the
+    // last update would have passed the short cooldown but not the long
+    val lateState = s3.copy(lastUpdateEpochSec = t0 + 10000)
+    val (_, _, u4) = EmbeddingStore.searchWithRefresh(
+      t, path, queryId, 5, lateState, policy, nowEpochSec = t0 + 10200)
+    assert(u4.isEmpty, "long cooldown applies outside the startup window")
+
+    // force bypasses every check, like the reference's force_update
+    val (_, s5, u5) = EmbeddingStore.searchWithRefresh(
+      t, path, queryId, 5, s3, policy, nowEpochSec = t0 + 121, force = true)
+    assert(u5.isDefined && u5.get.processed === 0L,
+      "forced refresh runs but an unchanged corpus yields a zero delta")
+    assert(s5.watermark === s3.watermark)
+  }
 }
