@@ -63,9 +63,14 @@ object Clusters {
     // narrow aggregate over the round's already-checkpointed blocks
     // replaces a join + isEmpty job per round (DECIMAL(38,0) so the
     // sum can't overflow at any node-id scale)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+    // sum over ZERO rows is SQL null — coalesce to 0 so an empty pair
+    // set (corpus with no near-dup pairs) converges on the first probe
+    // instead of NPE-ing at compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
         .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false

@@ -232,10 +232,31 @@ object EmbeddingStore {
       if (shouldUpdate) {
         val u = updateSince(t, path, counted.watermark,
           Some(policy.maxDocsPerUpdate))
+        // a zero-doc update is the reference's early return
+        // (engine.py:78): it never touches last_embedding_update_time,
+        // so a no-op forced refresh must NOT start a cooldown that
+        // would delay a genuinely needed update by up to
+        // longCooldownSec
         (Some(u), counted.copy(watermark = u.newWatermark,
-          lastUpdateEpochSec = nowEpochSec))
+          lastUpdateEpochSec =
+            if (u.processed > 0) nowEpochSec else counted.lastUpdateEpochSec))
       } else (None, counted)
-    (search(t.spark, path, queryDocId, k), next, stats)
+    // a cold store whose lag is under the threshold never ran an
+    // update, so the store path may not exist yet — the reference
+    // sets up the vector DB and returns empty results
+    // (processor.py's fresh-DB branch); mirror coverage()'s
+    // missing-store handling with an empty result frame
+    val results =
+      try search(t.spark, path, queryDocId, k)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          t.spark.createDataFrame(
+            t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("score", DoubleType))))
+      }
+    (results, next, stats)
   }
 
   // ---- persisted IVF index ------------------------------------------------

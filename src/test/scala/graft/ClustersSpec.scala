@@ -35,6 +35,15 @@ class ClustersSpec extends SparkTestBase {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("an empty pair set yields an empty labeling, not a crash") {
+    import spark.implicits._
+    // a corpus with no near-dup pairs feeds an empty frame here; the
+    // aggregate-based convergence probe must read sum-over-zero-rows
+    // as zero (it is SQL null) and converge immediately
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Clusters.connectedComponents(none, "a", "b").count() === 0)
+  }
+
   test("dedupClusters covers exactly the docs in minhash pairs") {
     val pairs = graft.operators.Dedup.dedupMinhash(t)
     val inPairs = pairs.select(col("doc_a").as("d"))

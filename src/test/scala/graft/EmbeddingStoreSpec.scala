@@ -174,5 +174,27 @@ class EmbeddingStoreSpec extends SparkTestBase {
     assert(u5.isDefined && u5.get.processed === 0L,
       "forced refresh runs but an unchanged corpus yields a zero delta")
     assert(s5.watermark === s3.watermark)
+    // the reference's update_embeddings early-returns on a zero delta
+    // WITHOUT touching last_embedding_update_time (engine.py:78) — a
+    // no-op refresh must not start a cooldown that delays a real one
+    assert(s5.lastUpdateEpochSec === s3.lastUpdateEpochSec,
+      "a zero-doc update must not advance the update clock")
+  }
+
+  test("searchWithRefresh on a cold store below the threshold returns empty results") {
+    import graft.operators.{RefreshPolicy, SearchState}
+    val dir = Files.createTempDirectory("graft-cold").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/never-created"
+    // threshold above the corpus size: lag never justifies an update,
+    // so the store path is never written — the reference would set up
+    // an empty vector DB and return no hits, not throw
+    val policy = RefreshPolicy(updateThreshold = 1000000L)
+    val t0 = 1000000L
+    val (r, s, u) = EmbeddingStore.searchWithRefresh(
+      t, path, 0L, 5, SearchState(-1L, t0), policy, nowEpochSec = t0 + 3600)
+    assert(u.isEmpty, "lag below threshold must not trigger an update")
+    assert(r.count() === 0, "a cold store yields empty results, not an error")
+    assert(s.searchCount === 1)
   }
 }
