@@ -1,16 +1,41 @@
 package graft
+import java.lang.management.ManagementFactory
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one untimed warm-up pass at sf0.001 (absorbs JVM
   * classloading, Catalyst init and whole-stage-codegen compilation —
   * generated classes are cached by plan shape, so the warm-up carries
-  * over to the timed pass on the real SF), then a timed pass in sorted
-  * key order so round-over-round numbers are comparable. */
+  * over to the timed passes on the real SF), then N timed passes
+  * (default 3, `SPARK_GRAFT_PASSES`) in sorted key order.
+  *
+  * CONTENTION-PROOFING: this box is co-tenanted, and a single timed
+  * pass is hostage to whatever else runs in its window (two rounds of
+  * driver artifacts were pure noise: a 14× inflation on unchanged
+  * code). Three defenses, so the emitted JSON is a usable signal
+  * without an idle re-run:
+  *
+  *  1. per-query MINIMUM across the passes — noise is strictly
+  *     additive (a co-tenant can only slow a query down), so the min
+  *     is the best contention-free estimate a finite sample gives;
+  *     pass-major order spaces the N runs of each query minutes
+  *     apart, so one noisy window cannot poison all N.
+  *  2. per-query process-CPU seconds (`queries_cpu`, min across
+  *     passes, from OperatingSystemMXBean.getProcessCpuTime) — CPU
+  *     charged to THIS process is contention-independent up to cache
+  *     pollution, so wall/cpu disagreement localizes noise: wall 14×
+  *     baseline with cpu at baseline reads "noisy box", both high
+  *     reads "real regression".
+  *  3. machine-load evidence: system load average sampled before
+  *     each pass (`load_avg`), so the artifact itself records whether
+  *     the box was busy.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,6 +43,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = ManagementFactory.getPlatformMXBean(
+      classOf[com.sun.management.OperatingSystemMXBean])
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
@@ -36,27 +63,40 @@ object Bench {
           s"[bench] bucketed-layout setup failed (q_join_bucketed will " +
             s"include the table write): ${e.getMessage}")
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch {
+    // wall[q] / cpu[q] = minimum across passes; -1 marks a query that
+    // failed in ANY pass (a regression must read as a failure, never
+    // as a suspiciously fast timing)
+    val wall = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
+    val cpu = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
+    val failed = collection.mutable.Set[String]()
+    val loads = (0 until passes).map { _ =>
+      val load = osBean.getSystemLoadAverage
+      names.foreach { name =>
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          wall(name) = math.min(wall(name), (System.nanoTime() - t0) / 1e9)
+          cpu(name) = math.min(cpu(name), (osBean.getProcessCpuTime - c0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            failed += name
         }
-      // -1 marks a failed query: a regression must read as a failure,
-      // never as a suspiciously fast timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      load
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: collection.Map[String, Double]): String =
+      names.map(n => "\"" + n + "\":" + (if (failed(n)) -1.0 else m(n)))
+        .mkString("{", ",", "}")
     // any failure makes the headline total -1: a broken query must never
     // shrink the total into looking like a speedup
     val total =
-      if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      if (failed.nonEmpty) -1.0
+      else names.map(wall).sum
+    val cpuTotal = if (failed.nonEmpty) -1.0 else names.map(cpu).sum
+    val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall)},"queries_cpu":${fmt(cpu)},"cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
