@@ -43,6 +43,7 @@ object SparkEntry {
     "q_search_context"    -> q(VectorSearch.searchContext),
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
+    "q_ivf_recall"        -> q(VectorSearch.ivfRecall),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
     "q_embedding_coverage" -> q(EmbeddingStore.coverageQuery),
     // C1 + F-family: text cleaning and analysis
@@ -815,7 +816,8 @@ object SparkEntry {
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
         |nc AS (
-        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+        |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
         |  FROM embeddings),
         |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
         |seed AS (
@@ -869,6 +871,105 @@ object SparkEntry {
         |FROM s
         |WHERE ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) >= 0.35
         |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
+    // D7: replays the E5 assignment scaffold verbatim (same seeded
+    // two-level quantizer), then probe ranking, exact brute-force
+    // top-k, cell-pruned ANN top-k, and the recall ratio per probe
+    // count — all on 6dp-rounded scores with id tie-breaks.
+    "q_ivf_recall" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |nc AS (
+        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+        |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
+        |  FROM embeddings),
+        |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
+        |seed AS (
+        |  SELECT vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        |  FROM embeddings
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
+        |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
+        |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
+        |fgs AS (
+        |  SELECT c.cell, k.coarse,
+        |    ROUND(COALESCE(SUM(c.v*k.v)
+        |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM cent c JOIN co k ON c.i = k.i
+        |  GROUP BY c.cell, k.coarse),
+        |fg AS (
+        |  SELECT cell,
+        |    CASE WHEN cell < (SELECT kc FROM kcn) THEN cell ELSE coarse END AS coarse
+        |  FROM fgs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1),
+        |l1s AS (
+        |  SELECT e.vec_id, k.coarse,
+        |    ROUND(COALESCE(SUM(e.v*k.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM ev e JOIN co k ON e.i = k.i
+        |  GROUP BY e.vec_id, k.coarse),
+        |l1 AS (
+        |  SELECT vec_id, coarse FROM l1s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
+        |l2s AS (
+        |  SELECT e.vec_id, f.cell,
+        |    ROUND(COALESCE(SUM(e.v*c.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
+        |  FROM ev e
+        |  JOIN l1 ON e.vec_id = l1.vec_id
+        |  JOIN fg f ON f.coarse = l1.coarse
+        |  JOIN cent c ON c.cell = f.cell AND c.i = e.i
+        |  GROUP BY e.vec_id, f.cell),
+        |asg AS (
+        |  SELECT vec_id, cell FROM l2s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
+        |qe AS (
+        |  SELECT e.vec_id AS qid, e.i, e.v FROM ev e WHERE e.vec_id % 100 = 0),
+        |prs AS (
+        |  SELECT qe.qid, c.cell,
+        |    ROUND(COALESCE(SUM(qe.v*c.v)
+        |      / NULLIF(SQRT(SUM(qe.v*qe.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
+        |  FROM qe JOIN cent c ON c.i = qe.i
+        |  GROUP BY qe.qid, c.cell),
+        |pr AS (
+        |  SELECT qid, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, cell) AS prank
+        |  FROM prs),
+        |exs AS (
+        |  SELECT qe.qid, b.vec_id,
+        |    ROUND(COALESCE(SUM(qe.v*b.v)
+        |      / NULLIF(SQRT(SUM(qe.v*qe.v))*SQRT(SUM(b.v*b.v)),0),0),6) AS s
+        |  FROM qe JOIN ev b ON b.i = qe.i AND b.vec_id <> qe.qid
+        |  GROUP BY qe.qid, b.vec_id),
+        |ex AS (
+        |  SELECT qid, vec_id FROM exs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) <= 10),
+        |ps AS (SELECT UNNEST([1, 2, 4]) AS probes),
+        |cand AS (
+        |  SELECT pr.qid, ps.probes, a.vec_id
+        |  FROM pr JOIN ps ON pr.prank <= ps.probes
+        |  JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.qid),
+        |anns AS (
+        |  SELECT cand.qid, cand.probes, cand.vec_id,
+        |    ROUND(COALESCE(SUM(qe.v*b.v)
+        |      / NULLIF(SQRT(SUM(qe.v*qe.v))*SQRT(SUM(b.v*b.v)),0),0),6) AS s
+        |  FROM cand
+        |  JOIN qe ON qe.qid = cand.qid
+        |  JOIN ev b ON b.vec_id = cand.vec_id AND b.i = qe.i
+        |  GROUP BY cand.qid, cand.probes, cand.vec_id),
+        |ann AS (
+        |  SELECT qid, probes, vec_id FROM anns
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, probes ORDER BY s DESC, vec_id) <= 10),
+        |hits AS (
+        |  SELECT ann.probes, COUNT(*) AS h
+        |  FROM ann JOIN ex ON ann.qid = ex.qid AND ann.vec_id = ex.vec_id
+        |  GROUP BY ann.probes),
+        |total AS (SELECT COUNT(*) AS t FROM ex)
+        |SELECT ps.probes, 10 AS k,
+        |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS recall
+        |FROM ps LEFT JOIN hits ON ps.probes = hits.probes, total
+        |ORDER BY ps.probes""".stripMargin,
     "q_fingerprint" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

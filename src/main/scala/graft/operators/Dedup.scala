@@ -386,27 +386,14 @@ object Dedup {
   def dedupEmbedding(t: Tables): DataFrame = {
     val g = 4
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    // corpus size drives the cell count; one count() action, the same
-    // class of driver-side index metadata as EmbeddingStore's probes
-    val n = emb.count()
-    // shared rule with the persisted IVF index; the E5 oracle's
-    // GREATEST(2, CEIL(SQRT(COUNT(*)))) must stay in lockstep with it
-    val numCells = EmbeddingStore.numCellsFor(n)
-    // seed centroids = the √n lowest vec_ids, collected to the driver
-    // and re-parallelized with their cell index — the same driver-held
-    // index-metadata pattern as EmbeddingStore.buildIvfIndex (√n rows
-    // of dim floats, ~MBs at 1e9 vectors). A row_number window would
-    // compute the same thing distributed, but a partition-less window
-    // is exactly the plan shape to keep out of the library.
-    val spark = t.spark
-    val seeds = emb.orderBy(col("vec_id")).limit(numCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0)).zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    val cent = spark
-      .createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
-      .toDF("cell", "centroid")
-      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    // seed centroids = the numCellsFor(n) lowest vec_ids (the shared
+    // deterministic rule — max(2, ⌈√n⌉, ⌈n/τ⌉), τ = targetCellRows —
+    // that the persisted index, the recall evaluator and the E5
+    // oracle all replay in lockstep), collected to the driver and
+    // re-parallelized with their cell index — driver-held index
+    // metadata, like EmbeddingStore.buildIvfIndex's seeds.
+    val cent = EmbeddingStore.seedCentroids(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")))
     // two-level nearest-centroid assignment, shared verbatim with the
     // persisted IVF index (coarse pick over √k group centroids, then
     // argmax over only that group's fine centroids — all 6dp-rounded,

@@ -261,12 +261,46 @@ object EmbeddingStore {
 
   // ---- persisted IVF index ------------------------------------------------
 
-  /** Cell-count rule: k = ceil(√n), floor 2 — the standard IVF
-    * balance (assignment O(n·√k) with the coarse quantizer below,
-    * in-cell scan O(√n) per probe), and the rule E5's dedup blocking
-    * shares. */
+  /** Target rows per IVF cell at scale. Past n = τ² the n/τ term in
+    * [[numCellsFor]] takes over from √n and caps the EXPECTED cell
+    * size at this constant — per-probe scan work and E5's in-cell
+    * pair cost then stop growing with the corpus. */
+  val targetCellRows = 1024L
+
+  /** Cell-count rule: k = max(2, ⌈√n⌉, ⌈n/τ⌉). ⌈√n⌉ is the classic
+    * balance and governs small corpora; ⌈n/τ⌉ makes the expected cell
+    * size CORPUS-INDEPENDENT once n exceeds τ² — with √n alone, cells
+    * grow as √n (~31k rows each at 1e9 vectors), and every probe scan
+    * and in-cell pair generation grows with them. Two-level
+    * assignment stays O(√k) per vector either way. At extreme k the
+    * fine-centroid table outgrows a broadcast (≈250 MB at 1e9
+    * vectors); the level-2 attach is already an equi-join on the
+    * coarse group, so dropping the broadcast hint there (AQE picks a
+    * shuffle join) is the documented cluster-scale adjustment. E5's
+    * oracle replays this exact rule. */
   def numCellsFor(n: Long): Int =
-    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    math.max(2, math.max(
+      math.ceil(math.sqrt(n.toDouble)),
+      math.ceil(n.toDouble / targetCellRows)).toInt)
+
+  /** Deterministic seed centroids over a (doc_id, embedding) frame:
+    * the numCellsFor(n) lowest ids become cells 0..k-1 in id order.
+    * The collect is k rows of dim floats — driver-held index metadata
+    * (≈250 MB at 1e9 vectors with the n/τ rule; past that, the seed
+    * table would persist distributed and only its ids collect).
+    * Shared by E5's dedup blocking and the recall evaluator so their
+    * assignments are bit-identical and both oracles replay ONE rule. */
+  private[graft] def seedCentroids(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val numCells = numCellsFor(emb.count())
+    val seeds = emb.orderBy(col("doc_id")).limit(numCells)
+      .select(col("doc_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    spark.createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+  }
 
   /** Build a persisted IVF index: deterministic k-means-lite (seed
     * centroids = the ceil(√n) lowest doc_ids, one Lloyd refinement),

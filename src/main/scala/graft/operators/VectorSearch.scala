@@ -140,6 +140,82 @@ object VectorSearch {
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => greatest(acc, abs(x.cast("double")))), 6).as("max_abs"))
 
+  /** D7 — `q_ivf_recall`: recall@k of the IVF probe path against
+    * exact brute-force top-k, the measurement the reference tunes its
+    * `similarity_threshold`/`limit` knobs by hand against
+    * (engine.py:105) and the empirical basis for choosing `probes`.
+    * One row per probe count: (probes, k, recall), recall = |ANN top-k
+    * ∩ exact top-k| / |exact top-k| averaged over a deterministic
+    * query sample (vec_id % 100 == 0).
+    *
+    * Scale shape: this is an OFFLINE index diagnostic — ground truth
+    * is by definition a brute-force scan, so the sampled queries
+    * broadcast and the corpus is scanned ONCE for the exact ranking
+    * and once (cell-pruned) for the ANN side; per-query work never
+    * shuffles the corpus. Assignment is the exact seeded two-level
+    * quantizer E5 and the persisted index share, so the measured
+    * recall is the recall of the REAL assignment, and the whole
+    * evaluation is deterministic (6dp-rounded scores, id tie-breaks)
+    * — which is what lets DuckDB replay it as an oracle. */
+  def ivfRecall(t: Tables): DataFrame = {
+    val k = 10
+    val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val cent = EmbeddingStore.seedCentroids(emb)
+    // eager checkpoint: queries, the exact ranking and the ANN side
+    // are three independent consumers of the assignment (see
+    // dedupMinhash's scaladoc for why lazy would recompute per stage)
+    val assigned = EmbeddingStore.assignCells(emb, cent).localCheckpoint()
+    val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+    // probe ranking per query over the broadcast centroid table
+    // (rounded like every ranked score here, unlike searchIvf's
+    // internal probe pick, so the oracle can replay the ordering)
+    val probeRank = queries.join(broadcast(cent))
+      .select(col("qid"), col("cell"),
+        score(col("centroid"), col("qv")).as("cs"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
+      .select(col("qid"), col("cell"), col("prank"))
+    // exact ground truth: brute force over the corpus, queries
+    // broadcast, per-query top-k via a qid-partitioned window
+    val exact = assigned.join(broadcast(queries))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint() // consumed by every probe level + the denominator
+    val probeLevels = t.spark.range(1)
+      .select(explode(array(lit(1), lit(2), lit(4))).as("probes"))
+    // ANN side: candidates = vectors in each query's top-`probes`
+    // cells (each vector lives in exactly one cell, so no dedup
+    // needed), scored and top-k'd per (query, probe level)
+    val ann = probeRank.join(broadcast(probeLevels),
+        col("prank") <= col("probes"))
+      .select(col("qid"), col("probes"), col("cell"))
+      .join(assigned, "cell")
+      .join(queries.withColumnRenamed("qid", "qid2"),
+        col("qid") === col("qid2") && col("doc_id") =!= col("qid2"))
+      .select(col("qid"), col("probes"), col("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("probes"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("probes"), col("doc_id"))
+    val hits = ann.join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("probes")).agg(count(lit(1)).as("hits"))
+    val denom = exact.agg(count(lit(1)).as("total"))
+    probeLevels.join(hits, Seq("probes"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("probes"), lit(k).as("k"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("total").cast("double"), 6).as("recall"))
+      .orderBy(col("probes"))
+  }
+
   /** D4 — IVF-style ANN in two stages (SURVEY.md §5): coarse quantize
     * the corpus to per-label centroids (a k-means-lite with
     * deterministic assignment so DuckDB can replicate), score the

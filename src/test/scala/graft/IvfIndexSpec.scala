@@ -10,6 +10,23 @@ import graft.sources.Tables
 
 class IvfIndexSpec extends SparkTestBase {
 
+  test("numCellsFor caps expected cell size at targetCellRows, independent of corpus size") {
+    import EmbeddingStore.{numCellsFor, targetCellRows}
+    // small corpora: the classic sqrt(n) balance governs
+    assert(numCellsFor(500) === 23)
+    assert(numCellsFor(4) === 2)
+    // past n = tau^2 the n/tau term takes over: expected cell size
+    // (n / k) stays <= tau no matter how large the corpus grows —
+    // with sqrt(n) alone a 1e9-vector corpus would put ~31k rows in
+    // every cell
+    for (n <- Seq(2000000L, 100000000L, 1000000000L, 100000000000L)) {
+      val k = numCellsFor(n)
+      assert(n.toDouble / k <= targetCellRows.toDouble,
+        s"expected cell size ${n.toDouble / k} exceeds $targetCellRows at n=$n")
+    }
+    assert(numCellsFor(1000000000L) === math.ceil(1e9 / 1024).toInt)
+  }
+
   test("persisted IVF index: partition-pruned probe matches exact scoring") {
     val dir = Files.createTempDirectory("graft-ivf").toFile
     dir.deleteOnExit()

@@ -8,6 +8,17 @@ import graft.sources.Tables
 
 class VectorSearchSpec extends SparkTestBase {
   lazy val t = Tables(spark, sfDir)
+
+  test("ivfRecall: one row per probe level, recall in [0,1] and monotone in probes") {
+    val r = VectorSearch.ivfRecall(t).collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    assert(r.forall(_.getInt(1) === 10))
+    val recalls = r.map(_.getDouble(2))
+    assert(recalls.forall(x => x >= 0.0 && x <= 1.0))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"probing more cells can only add candidates: ${recalls.mkString(",")}")
+    assert(recalls.last > 0.0, "probing 4 cells must recover some exact neighbors")
+  }
   import spark.implicits._
 
   test("cosineSim: parallel vectors 1, orthogonal 0, zero-norm guard 0") {
