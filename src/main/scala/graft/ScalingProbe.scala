@@ -18,19 +18,27 @@ import org.apache.spark.sql.functions._
   *
   * Usage: SPARK_GRAFT_CPUS=8 SPARK_GRAFT_MULT=8
   *        sbt "runMain graft.ScalingProbe" → one JSON line.
-  */
+  *
+  * `SPARK_GRAFT_MASTER` overrides the master URL — the executor-count
+  * experiment (SCALING.md §4) submits this same probe to a local
+  * STANDALONE cluster (spark://...), where each executor is a
+  * separate JVM with its own block manager and shuffle server, so the
+  * shuffle path is the real cross-JVM one rather than local[n]'s
+  * in-process block transfers. The executor SHAPE (2×16, 4×8) is the
+  * submit's --executor-cores / --total-executor-cores. */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "8").toInt
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     // default 3x cores per SURVEY §8: with partitions == cores, one
     // straggler task stalls the whole stage; oversizing + AQE
     // coalescing smooths contention at no cost
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS",
       (cpus.toInt * 3).toString)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -58,7 +66,8 @@ object ScalingProbe {
     val t0 = System.nanoTime()
     val n = operators.Dedup.dedupMinhashDocs(docs).count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"minhash_scaled","cpus":$cpus,"mult":$mult,"pairs":$n,"value":$sec,"unit":"sec"}""")
+    val execCores = spark.conf.getOption("spark.executor.cores").getOrElse("")
+    println(s"""{"metric":"minhash_scaled","cpus":$cpus,"mult":$mult,"pairs":$n,"value":$sec,"unit":"sec","master":"$master","exec_cores":"$execCores"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,10 @@ object SparkEntry {
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_containment"     -> q(Dedup.containment),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
+    // composed shared-stage run: E2+E6+E7 from ONE materialized
+    // shingle+signature stage — the bench line for the shared-stage
+    // contract (compare vs the sum of the three standalone lines)
+    "q_dedup_family"    -> q(Clusters.dedupFamily),
     // B-family: events / time-series
     "q_time_window" -> q(EventOps.timeWindow),
     "q_sessionize"  -> q(EventOps.sessionize),
@@ -76,6 +80,12 @@ object SparkEntry {
     "q_asof_join"   -> q(EventOps.asofJoin),
     "q_range_join"  -> q(EventOps.rangeJoin),
     "q_percentiles" -> q(EventOps.percentiles),
+    // B9b: sketch percentiles — no oracleSql entry ON PURPOSE:
+    // DuckDB's approx_quantile is a differently-seeded t-digest, so
+    // cross-engine hash parity is impossible; driver records the
+    // rows-only check and EventOpsSpec enforces the rank-error bound
+    // against the exact B9 row.
+    "q_percentiles_approx" -> q(EventOps.percentilesApprox),
     "q_histogram"   -> q(EventOps.histogram),
     "q_resample"    -> q(EventOps.resample),
     "q_session_window" -> q(EventOps.sessionWindowAgg),
@@ -516,15 +526,15 @@ object SparkEntry {
          |           THEN display_name
          |           ELSE 'User ' || session_id END
          |    ELSE COALESCE(
-         |      CASE WHEN length(regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) > 0
-         |            AND length(regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) < 100
-         |           THEN regexp_replace(json_extract_string(nmsg, '$$.n'), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') END,
+         |      CASE WHEN length(regexp_replace(json_extract_string(nmsg, '$$.n'), '$stripRe', '', 'g')) > 0
+         |            AND length(regexp_replace(json_extract_string(nmsg, '$$.n'), '$stripRe', '', 'g')) < 100
+         |           THEN regexp_replace(json_extract_string(nmsg, '$$.n'), '$stripRe', '', 'g') END,
          |      CASE WHEN length(regexp_replace(COALESCE(
          |              json_extract_string(cjson, '$$.gn'),
-         |              json_extract_string(cjson, '$$.group_name')), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) > 0
+         |              json_extract_string(cjson, '$$.group_name')), '$stripRe', '', 'g')) > 0
          |           THEN regexp_replace(COALESCE(
          |              json_extract_string(cjson, '$$.gn'),
-         |              json_extract_string(cjson, '$$.group_name')), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') END,
+         |              json_extract_string(cjson, '$$.group_name')), '$stripRe', '', 'g') END,
          |      session_id) END AS conv_name
          |FROM c
          |ORDER BY user_id""".stripMargin,
@@ -756,6 +766,7 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_dedup_family" -> dedupFamilyOracle,
     "q_dedup_simhash" -> simhashOracle,
     // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
     // (drop shingles in > maxBucketSize docs before pairing; sizes
@@ -985,13 +996,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
   )
 
+  /** The C3/C6 strip regex — EventOps.PY_WS_CLASS (C0 controls +
+    * Python-`str.strip()` Unicode whitespace) verbatim, so the DuckDB
+    * oracle strips the EXACT same code points as the engine. `\x{...}`
+    * escapes parse identically in Java regex and DuckDB's RE2. */
+  private val stripRe: String =
+    s"^[${EventOps.PY_WS_CLASS}]+|[${EventOps.PY_WS_CLASS}]+$$"
+
   /** Shared C3/C6 scaffold: the signup-user candidate-name directory,
     * filtered by the reference's `_is_file_name` rejection rules
     * (user_mapper.py:235) replayed rule-for-rule in SQL — note the
     * extension/phrase checks run on lower(name) but the path/url
     * checks on the raw name, exactly as the reference does. */
   private val validNamesCte: String =
-    """cand AS (
+    s"""cand AS (
       |  SELECT uid,
       |    CASE WHEN uid % 7 = 0 THEN 'screenshot ' || CAST(uid AS VARCHAR) || '.png'
       |         WHEN uid % 7 = 3 THEN 'User ' || CAST(uid AS VARCHAR)
@@ -999,8 +1017,8 @@ object SparkEntry {
       |  FROM (SELECT DISTINCT user_id AS uid FROM events WHERE event_type = 'signup')),
       |named AS (
       |  SELECT uid, name FROM cand WHERE NOT (
-      |    name IS NULL OR length(regexp_replace(name, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) < 2
-      |    OR regexp_matches(lower(name), '^user [0-9]+$')
+      |    name IS NULL OR length(regexp_replace(name, '$stripRe', '', 'g')) < 2
+      |    OR regexp_matches(lower(name), '^user [0-9]+$$')
       |    OR length(name) > 100
       |    OR contains(lower(name), '.pdf') OR contains(lower(name), '.mov')
       |    OR contains(lower(name), '.mp4') OR contains(lower(name), '.jpg')
@@ -1009,7 +1027,7 @@ object SparkEntry {
       |    OR contains(lower(name), 'screen recording')
       |    OR contains(lower(name), 'screenshot')
       |    OR contains(lower(name), 'debug log')
-      |    OR contains(name, '/') OR contains(name, '\')
+      |    OR contains(name, '/') OR contains(name, '\\')
       |    OR starts_with(name, 'http') OR starts_with(name, 'www')))""".stripMargin
 
   /** Shared shingle scaffold: whitespace tokens → distinct word
@@ -1102,6 +1120,41 @@ object SparkEntry {
        |FROM reach
        |GROUP BY s
        |ORDER BY doc_id""".stripMargin
+
+  /** Composed-family oracle: the E2/E6/E7 oracles over ONE shared
+    * pair CTE (exactly how the Spark side shares one materialized
+    * stage), union'd with aligned columns. */
+  private def dedupFamilyOracle: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |clusters AS (
+       |  SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |tags AS (
+       |  SELECT doc_id,
+       |    (CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$$', 1), ''), '1') AS BIGINT) % 5 = 0) AS is_eval
+       |  FROM documents)
+       |SELECT 'pair' AS kind, doc_a AS id_a, doc_b AS id_b, jaccard AS score
+       |FROM pairs
+       |UNION ALL
+       |SELECT 'cluster', doc_id, cluster_id, -1.0 FROM clusters
+       |UNION ALL
+       |SELECT 'contam',
+       |  CASE WHEN ta.is_eval THEN p.doc_a ELSE p.doc_b END,
+       |  CASE WHEN ta.is_eval THEN p.doc_b ELSE p.doc_a END,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN tags ta ON p.doc_a = ta.doc_id
+       |JOIN tags tb ON p.doc_b = tb.doc_id
+       |WHERE ta.is_eval <> tb.is_eval
+       |ORDER BY kind, id_a, id_b""".stripMargin
 
   /** E3 oracle: 64 bit-vote sums over tokens (bit k = high bit of hex
     * char (k mod 32)+1 of one of two salted md5s per token),

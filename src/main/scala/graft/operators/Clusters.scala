@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sources.Tables
 
@@ -105,8 +105,43 @@ object Clusters {
     * minimum doc_id (the canonical survivor). The oracle replays the
     * same closure with a recursive CTE over the identical pair SQL. */
   def dedupClusters(t: Tables): DataFrame =
-    connectedComponents(Dedup.dedupMinhash(t), "doc_a", "doc_b")
+    clustersFromPairs(Dedup.dedupMinhash(t))
+
+  /** The cluster resolution over an already-mined pair set — the
+    * shared-stage consumers feed this directly. */
+  def clustersFromPairs(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").cast(LongType).as("doc_id"),
         col("label").cast(LongType).as("cluster_id"))
       .orderBy(col("doc_id"))
+
+  /** `q_dedup_family` — the COMPOSED shared-stage run: E2 pairs, E6
+    * clusters and E7 decontamination from ONE materialized
+    * shingle+signature stage ([[Dedup.sharedStages]]), unioned into a
+    * single tagged frame. Standalone, the three queries each rebuild
+    * that stage (~half of each query's runtime; at 100 TB, three full
+    * corpus reads); composed, the corpus is read once and the three
+    * consumers are cheap joins over the materialized blocks — the
+    * bench line for this query vs the sum of the three standalone
+    * lines is the measured proof. The pair set itself is checkpointed
+    * too: the union branch AND the iterative cluster closure both
+    * consume it. Oracle: the three per-query oracles union'd over the
+    * same shared pair CTE. */
+  def dedupFamily(t: Tables): DataFrame = {
+    val st = Dedup.sharedStages(t.documents)
+    val pairs = Dedup.minhashPairs(st).localCheckpoint()
+    pairs
+      .select(lit("pair").as("kind"), col("doc_a").as("id_a"),
+        col("doc_b").as("id_b"), col("jaccard").as("score"))
+      .unionByName(clustersFromPairs(pairs)
+        // score is meaningless for a cluster-membership row; -1.0
+        // sentinel, NOT null — a null double round-trips as NaN
+        // through parquet/pandas and NaN != NaN breaks exact compares
+        .select(lit("cluster").as("kind"), col("doc_id").as("id_a"),
+          col("cluster_id").as("id_b"), lit(-1.0).cast(DoubleType).as("score")))
+      .unionByName(Dedup.decontaminateStaged(st, t.documents)
+        .select(lit("contam").as("kind"), col("eval_id").as("id_a"),
+          col("train_id").as("id_b"), col("jaccard").as("score")))
+      .orderBy(col("kind"), col("id_a"), col("id_b"))
+  }
 }

@@ -105,17 +105,24 @@ object EventOps {
       coalesce(lag(col("props"), 1).over(byUserTime), lit("")).as("prev_msg"),
       coalesce(lead(col("props"), 1).over(byUserTime), lit("")).as("next_msg"))
 
-  /** Strip leading/trailing chars ≤ U+0020 (Java `String.trim`
-    * semantics). Spark's `trim` removes spaces only, so a name like
-    * "x\n\n" would count as 3 chars; the reference's Python
-    * `.strip()` removes ASCII AND Unicode whitespace — this class is
-    * the deliberate middle ground (covers every ASCII whitespace the
-    * reference strips; diverges on exotic inputs: Unicode spaces
-    * like U+00A0 are kept, C0 controls are stripped). Oracles mirror
-    * the exact same class, so both engines always agree with each
-    * other. */
+  /** Strip leading/trailing C0 controls + Unicode whitespace —
+    * Python `str.strip()` parity (the reference strips names with
+    * bare `.strip()`, user_mapper.py:235, processor.py:224). The
+    * class is every char Python's `str.isspace()` accepts (ASCII
+    * whitespace, NEL, NBSP, Ogham space, the U+2000 block, line/para
+    * separators, narrow NBSP, math space, ideographic space) plus
+    * the remaining C0 controls (Java-`trim`-style; Python keeps
+    * \x00-\x08 etc., a deliberate superset for junk-name robustness).
+    * Spark's `trim` removes spaces only — a name like "x  "
+    * would count as 3 chars without this. Written with `\x{...}`
+    * escapes, which parse identically in Java regex and DuckDB's
+    * RE2; `PY_WS_CLASS` is mirrored verbatim in the C3/C6 oracles
+    * (SparkEntry.stripRe), so both engines always agree. */
+  private[graft] val PY_WS_CLASS: String =
+    "\\x00-\\x20\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}"
   private def strip(c: Column): Column =
-    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    regexp_replace(c, s"^[$PY_WS_CLASS]+|[$PY_WS_CLASS]+$$", "")
 
   /** The reference's file-name/junk detector for candidate display
     * names (user_mapper.py:235 `_is_file_name`), ported rule-for-rule:
@@ -343,6 +350,34 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("percentile(value, array(0.5D, 0.9D, 0.95D))").as("ps"))
+      .select(col("event_type"), col("n"),
+        round(col("ps").getItem(0), 6).as("p50"),
+        round(col("ps").getItem(1), 6).as("p90"),
+        round(col("ps").getItem(2), 6).as("p95"))
+      .orderBy(col("event_type"))
+
+  /** B9b — `q_percentiles_approx`: the SKETCH form of B9 for true
+    * 100-TB group sizes. Exact `percentile` buffers the per-group
+    * value multiset in aggregation state — the one memory term in the
+    * library that grows with data volume. `approx_percentile`
+    * (Greenwald–Khanna / QuantileSummaries) keeps O(accuracy)
+    * state per group INDEPENDENT of row count, with a guaranteed
+    * RANK error ≤ n/accuracy — here accuracy=10000, so every
+    * reported quantile sits within ±0.01% of the requested rank in
+    * the group's sorted order. Same shape as B9: one map-side-
+    * combining shuffle on the group key.
+    *
+    * Contract: DuckDB's approx_quantile is a differently-seeded
+    * t-digest, so hash parity across engines is impossible by
+    * construction — the driver records the weaker rows-only check
+    * (no oracleSql entry), and EventOpsSpec enforces the real
+    * guarantee: each approx quantile's RANK in the exact sorted
+    * values is within the documented bound of the requested rank. */
+  def percentilesApprox(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.5D, 0.9D, 0.95D), 10000)").as("ps"))
       .select(col("event_type"), col("n"),
         round(col("ps").getItem(0), 6).as("p50"),
         round(col("ps").getItem(1), 6).as("p90"),

@@ -58,4 +58,19 @@ class ClustersSpec extends SparkTestBase {
       .filter(col("cluster_id") =!= col("min_doc")).count()
     assert(bad === 0)
   }
+
+  test("dedupFamily equals the union of the three standalone queries") {
+    val fam = Clusters.dedupFamily(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    val pairs = graft.operators.Dedup.dedupMinhash(t).collect()
+      .map(r => ("pair", r.getLong(0), r.getLong(1), Some(r.getDouble(2))))
+    val clusters = Clusters.dedupClusters(t).collect()
+      .map(r => ("cluster", r.getLong(0), r.getLong(1), Some(-1.0)))
+    val contam = graft.operators.Dedup.decontaminate(t).collect()
+      .map(r => ("contam", r.getLong(0), r.getLong(1), Some(r.getDouble(2))))
+    assert(fam === (pairs ++ clusters ++ contam).toSet)
+    assert(fam.nonEmpty)
+  }
 }

@@ -116,12 +116,44 @@ class EventOpsSpec extends SparkTestBase {
       ("report.pdf attached", true), ("clip.MOV", true),
       ("Screenshot 2024-01-01", true), ("debug log dump", true),
       ("a/b", true), ("c\\d", true), ("http site", true), ("www.x", true),
-      ("y" * 101, true))
+      ("y" * 101, true),
+      // Python-str.strip parity: a name that is all Unicode
+      // whitespace (NBSP, ideographic space, line separator, narrow
+      // NBSP) strips to empty -> under-2-chars -> rejected, exactly
+      // as the reference's bare .strip() would see it
+      ("\u00A0\u3000\u2028\u202F", true),
+      // and Unicode whitespace PADDING strips without harming the name
+      ("\u00A0Alice Smith\u3000", false))
     val out = cases.toDF("name", "expected")
       .select(EventOps.isFileName(col("name")).as("got"), col("expected"), col("name"))
       .collect()
     out.foreach { r =>
       assert(r.getBoolean(0) === r.getBoolean(1), s"name=${r.getString(2)}")
+    }
+  }
+
+  test("percentilesApprox honors the documented rank-error bound") {
+    val approx = EventOps.percentilesApprox(t).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val byType = t.events.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(byType.keySet === approx.keySet)
+    for ((et, vals) <- byType) {
+      val (n, p50, p90, p95) = approx(et)
+      assert(n === vals.length.toLong)
+      for ((qf, av) <- Seq(0.5 -> p50, 0.9 -> p90, 0.95 -> p95)) {
+        // approx_percentile returns an element of the group; its rank
+        // window must cover the requested rank within n/accuracy
+        // (the GK guarantee) plus slack for the 6-dp output rounding
+        val lo = vals.count(_ < av - 1e-6)
+        val hi = vals.count(_ <= av + 1e-6)
+        val target = qf * n
+        val tol = n / 10000.0 + 2
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$et q=$qf approx=$av n=$n rankWindow=[$lo,$hi]")
+      }
     }
   }
 

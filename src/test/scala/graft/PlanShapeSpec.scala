@@ -16,6 +16,10 @@ class PlanShapeSpec extends SparkTestBase {
     "q_search_bruteforce", "q_search_filtered", "q_search_context",
     "q_knn_join",
     "q_ann_ivf", "q_scalar_subquery", "q_dedup_embedding",
+    // the recall evaluator broadcasts the same tiny sides as
+    // q_ann_ivf (√n centroid table, the sampled query vectors) plus a
+    // 3-row probes axis exploded from a 1-row range
+    "q_ivf_recall",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // tf⋈df rows, same shape as q_scalar_subquery
     "q_tfidf")
