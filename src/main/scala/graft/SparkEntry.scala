@@ -28,6 +28,10 @@ object SparkEntry {
     "q_topk"            -> q(Relational.topK),
     "q_window_rank"     -> q(Relational.windowRank),
     "q_distinct_agg"    -> q(Relational.distinctAgg),
+    // A7b: HLL++ sketch distinct — no oracleSql entry ON PURPOSE
+    // (register hashing is engine-specific; rows-only driver check,
+    // RelationalSpec enforces the rsd bound vs exact A7)
+    "q_distinct_approx" -> q(Relational.distinctAggApprox),
     "q_semi_join"       -> q(Relational.semiJoin),
     "q_anti_join"       -> q(Relational.antiJoin),
     "q_semi_bloom"      -> q(JoinPruning.semiBloomQuery),

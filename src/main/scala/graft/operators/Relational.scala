@@ -116,6 +116,29 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** A7b — `q_distinct_approx`: the SKETCH form of A7 for true 100-TB
+    * key cardinalities. Exact `countDistinct` expands each group's
+    * value set through the shuffle (Expand + two-phase agg — state
+    * and shuffled bytes grow with the number of DISTINCT keys per
+    * group); `approx_count_distinct` (HyperLogLog++) carries a
+    * fixed-size register sketch per group — one ordinary map-side-
+    * combining pass, state independent of cardinality — at a
+    * documented relative standard error (rsd 0.01 here, so ±~1-3%
+    * in practice at 2σ).
+    *
+    * Contract: HLL++ register hashing is engine-specific, so
+    * cross-engine hash parity is impossible by construction — the
+    * driver records the rows-only check (no oracleSql entry) and
+    * RelationalSpec enforces the real guarantee: each approx count
+    * within 5 rsd of the exact A7 value. (Same contract family as
+    * B9b `q_percentiles_approx`.) */
+  def distinctAggApprox(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   /** A8 — EXISTS as a left-semi join. The probe side only answers
     * "does this custkey appear", so it is pre-aggregated to distinct
     * keys BEFORE the join: at scale this cuts the shuffled bytes by

@@ -78,6 +78,23 @@ class RelationalSpec extends SparkTestBase {
     assert(total === t.orders.count())
   }
 
+  test("distinctAggApprox within the HLL++ rsd bound of exact counts") {
+    val exact = Relational.distinctAgg(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Relational.distinctAggApprox(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((status, (nCustApprox, nOrders)) <- approx) {
+      val (nCust, nOrdersExact) = exact(status)
+      // n_orders is exact in both queries
+      assert(nOrders === nOrdersExact)
+      // rsd 0.01 -> allow 5 sigma (plus a floor for tiny groups)
+      val tol = math.max(5.0, nCust * 0.05)
+      assert(math.abs(nCustApprox - nCust) <= tol,
+        s"$status approx=$nCustApprox exact=$nCust")
+    }
+  }
+
   test("broadcast join plan actually broadcasts the dim side") {
     val plan = Relational.joinBroadcast(t).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
