@@ -9,6 +9,8 @@
 # Usage: sbt package && bash scripts/standalone_scaling.sh
 #   REPS=3 (repeats per shape, min is the signal on this noisy box)
 #   MULT=8 (corpus replication, as SCALING.md §2)
+#   NCPP=1 (spark.shuffle.io.numConnectionsPerPeer — the §4 A/B
+#           showed 2.0-4.4x on the 2x16 shape at 8 vs the default 1)
 # Appends one JSON line per run to .scaling_standalone.jsonl.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -31,6 +33,7 @@ sleep 5
 
 REPS=${REPS:-3}
 MULT=${MULT:-8}
+NCPP=${NCPP:-1}
 # pass-major order (all shapes, then repeat) spaces a shape's repeats
 # minutes apart so one noisy co-tenant window cannot poison all reps
 for rep in $(seq 1 "$REPS"); do
@@ -43,7 +46,9 @@ for rep in $(seq 1 "$REPS"); do
       --class graft.ScalingProbe --driver-memory 8g \
       --executor-cores "$EC" --executor-memory "$EM" \
       --conf spark.cores.max=32 --conf spark.ui.enabled=false \
-      "$JAR" 2>/dev/null | grep '^{"metric"' >> "$OUT" \
+      --conf spark.shuffle.io.numConnectionsPerPeer="$NCPP" \
+      "$JAR" 2>/dev/null | grep '^{"metric"' \
+      | sed "s/}$/,\"ncpp\":$NCPP}/" >> "$OUT" \
       || echo "RUN FAILED rep=$rep exec_cores=$EC" >&2
   done
 done
