@@ -134,6 +134,10 @@ object GraftTableFunctions {
     tvf("graft_dedup_exact")(Dedup.dedupExact),
     tvf("graft_dedup_minhash")(Dedup.dedupMinhash),
     tvf("graft_dedup_clusters")(Clusters.dedupClusters),
+    // the composed shared-stage run (pairs + clusters + contamination
+    // from ONE shingle+signature build) — the SQL form of the
+    // session-level shared-stage contract
+    tvf("graft_dedup_family")(Clusters.dedupFamily),
     tvf("graft_ngram_jaccard")(Dedup.ngramJaccard),
     tvf("graft_quality_score")(TextAnalysis.qualityScore),
     tvf("graft_tfidf")(TextAnalysis.tfidf),

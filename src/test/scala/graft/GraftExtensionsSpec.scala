@@ -71,6 +71,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(clusters === graft.operators.Clusters.dedupClusters(t).count())
     assert(spark.sql(
       s"SELECT sum(n_docs) AS n FROM graft_pipeline('$sfDir')").first().getLong(0) > 0)
+    // the composed shared-stage family from SQL: per-kind counts
+    // match the standalone DSL queries
+    val famCounts = spark.sql(
+      s"""SELECT kind, count(*) AS n FROM graft_dedup_family('$sfDir')
+         |GROUP BY kind""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(famCounts.getOrElse("pair", 0L) ===
+      graft.operators.Dedup.dedupMinhash(t).count())
+    assert(famCounts.getOrElse("cluster", 0L) ===
+      graft.operators.Clusters.dedupClusters(t).count())
+    assert(famCounts.getOrElse("contam", 0L) ===
+      graft.operators.Dedup.decontaminate(t).count())
   }
 
   test("table functions reject non-literal arguments at analysis time") {
