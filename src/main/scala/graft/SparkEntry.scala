@@ -62,6 +62,7 @@ object SparkEntry {
     "q_tfidf"         -> q(TextAnalysis.tfidf),
     "q_pipeline_e2e"  -> q(TextAnalysis.pipelineE2e),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
+    "q_repetition"    -> q(TextAnalysis.repetition),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -710,6 +711,45 @@ object SparkEntry {
         |  CAST(LEAST(256, n_chars - start) AS BIGINT) AS chunk_chars
         |FROM e
         |ORDER BY doc_id, start""".stripMargin,
+    // F11: the repetition counts replayed with DuckDB list algebra
+    // over the same token list (top counts via per-distinct-value
+    // filter lengths — O(distinct·n) per row is fine at oracle
+    // scale); the flag thresholds compare the ROUNDED fractions on
+    // both engines.
+    "q_repetition" ->
+      """WITH wl AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(ws),
+        |      x -> len(list_filter(ws, y -> y = x)))) AS top_word_c,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
+        |  FROM wl),
+        |st2 AS (
+        |  SELECT doc_id, n_words, n_distinct, top_word_c,
+        |    len(bgs) AS n_bigrams,
+        |    CASE WHEN len(bgs) > 0 THEN
+        |      list_max(list_transform(list_distinct(bgs),
+        |        x -> len(list_filter(bgs, y -> y = x)))) END AS top_bigram_c
+        |  FROM st),
+        |fr AS (
+        |  SELECT doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(n_distinct AS BIGINT) AS n_distinct,
+        |    ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |    ROUND(CAST(top_word_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |    ROUND(COALESCE(CAST(top_bigram_c AS DOUBLE) / n_bigrams, 0.0), 6)
+        |      AS top_bigram_frac
+        |  FROM st2)
+        |SELECT doc_id, n_words, n_distinct, dup_word_frac, top_word_frac,
+        |  top_bigram_frac,
+        |  (dup_word_frac > 0.85 OR top_bigram_frac > 0.18) AS flagged
+        |FROM fr
+        |ORDER BY doc_id""".stripMargin,
     // F9: every stage of the composed pipeline replayed in SQL —
     // F2's rounded quality gate, E1's normalization hash with
     // min-doc_id canonicalization, F5's salted-md5 split.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -272,5 +273,57 @@ object TextAnalysis {
         phoneRe, "[PHONE]").as("redacted"),
       nEmails.as("n_emails"),
       nPhones.as("n_phones"))
+  }
+
+  /** F11 — `q_repetition`: repetition-based quality signals — the
+    * Gopher/C4-style filters that catch boilerplate and degenerate
+    * (looping) text, which length/stopword scores (F2) miss entirely:
+    * duplicate-word fraction (1 − distinct/total), most-frequent-word
+    * fraction, and most-frequent-BIGRAM fraction (the classic
+    * "top n-gram share" rule; a generation loop or a repeated
+    * template phrase drives it toward 1 while leaving word-level
+    * stats plausible). A doc is flagged when dup_word_frac > 0.85 or
+    * top_bigram_frac > 0.18 (Gopher-magnitude thresholds).
+    *
+    * Shape: tokens explode once; bigrams come from one `lead` over
+    * the same (doc_id, pos) window the shingle pipeline uses; counts
+    * are two-level map-side-combining aggregates keyed on
+    * (doc_id, token) then doc_id — every stage hash-partitions on
+    * doc-derived keys, so the pass is scan-proportional at 100 TB
+    * with no skew beyond document length. The oracle replays the
+    * counts with DuckDB list algebra over the same token list. */
+  def repetition(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("w"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("bg"),
+        lead(col("w"), 1).over(w).isNotNull.as("has_bg"))
+    val wordStats = tok
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast(LongType).as("n_words"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        max(col("c")).as("top_word_c"))
+    val bigramStats = tok.filter(col("has_bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
+    val dupFrac = round(lit(1.0) -
+      col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+    val topWordFrac = round(
+      col("top_word_c").cast("double") / col("n_words").cast("double"), 6)
+    val topBigramFrac = round(coalesce(
+      col("top_bigram_c").cast("double") / col("n_bigrams").cast("double"),
+      lit(0.0)), 6)
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        dupFrac.as("dup_word_frac"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"))
+      .withColumn("flagged",
+        (col("dup_word_frac") > 0.85 || col("top_bigram_frac") > 0.18)
+          .cast("boolean"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -152,4 +152,31 @@ class TextAnalysisSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("repetition matches a brute-force per-doc recompute") {
+    val got = TextAnalysis.repetition(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size === docs.length)
+    for ((id, text) <- docs) {
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      val bgs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val r = got(id)
+      assert(r.getLong(1) === ws.size.toLong, s"n_words doc $id")
+      assert(r.getLong(2) === ws.distinct.size.toLong, s"n_distinct doc $id")
+      // mirror Spark's round: HALF_UP on the decimal value (rint's
+      // HALF_EVEN diverges on exact ties like 1/128 = 0.0078125)
+      def rd(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dup = rd(1.0 - ws.distinct.size.toDouble / ws.size)
+      val topW = rd(ws.groupBy(identity).values.map(_.size).max.toDouble / ws.size)
+      val topB = if (bgs.isEmpty) 0.0
+        else rd(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+      assert(r.getDouble(3) === dup, s"dup_word_frac doc $id")
+      assert(r.getDouble(4) === topW, s"top_word_frac doc $id")
+      assert(r.getDouble(5) === topB, s"top_bigram_frac doc $id")
+      assert(r.getBoolean(6) === (dup > 0.85 || topB > 0.18), s"flagged doc $id")
+    }
+  }
 }
