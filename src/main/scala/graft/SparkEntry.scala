@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
     "q_dedup_clusters"  -> q(Clusters.dedupClusters),
     "q_decontaminate"   -> q(Dedup.decontaminate),
+    "q_ngram_overlap"   -> q(Dedup.ngramOverlap),
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_containment"     -> q(Dedup.containment),
@@ -811,6 +812,30 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_dedup_family" -> dedupFamilyOracle,
+    // E7b: 13-gram list construction in DuckDB (1-based inclusive
+    // slices; list_aggregate string_agg preserves list order), the
+    // same whole-bucket DF cap via QUALIFY, opposite-tag equi-join.
+    "q_ngram_overlap" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    (CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$$', 1), ''), '1') AS BIGINT) % 5 = 0) AS is_eval,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, is_eval,
+         |    unnest(CASE WHEN len(ws) >= 13 THEN list_distinct(list_transform(
+         |      range(1, len(ws) - 11),
+         |      i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))
+         |    ELSE [] END) AS g
+         |  FROM w),
+         |sh AS (
+         |  SELECT doc_id, is_eval, g FROM sh0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= ${operators.Dedup.maxBucketSize})
+         |SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+         |  COUNT(*) AS n_shared
+         |FROM sh a JOIN sh b ON a.g = b.g AND a.is_eval AND NOT b.is_eval
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY eval_id, train_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
     // (drop shingles in > maxBucketSize docs before pairing; sizes

@@ -213,10 +213,7 @@ object Dedup {
     * supplies only the (doc_id, source) corpus-tag projection — a
     * cheap two-column scan, never the text. */
   def decontaminateStaged(st: SharedStages, documents: DataFrame): DataFrame = {
-    val srcNum = nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
-      .cast(LongType)
-    val tags = documents.select(col("doc_id"),
-      (pmod(coalesce(srcNum, lit(1L)), lit(5L)) === 0).as("is_eval"))
+    val tags = documents.select(col("doc_id"), isEvalTag.as("is_eval"))
     // tags ride the (tiny, checkpointed) signature frame into the
     // band explode; the merge-hinted self-join reuses ONE exchange of
     // it, so the join computes once even un-checkpointed
@@ -243,6 +240,54 @@ object Dedup {
         when(col("ea"), col("doc_a")).otherwise(col("doc_b")).as("eval_id"),
         when(col("ea"), col("doc_b")).otherwise(col("doc_a")).as("train_id"),
         col("jaccard"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** The corpus tag rule shared by E7 and E7b: sources with numeric
+    * suffix % 5 == 0 are the "eval" corpus (ANSI-safe; a stand-in for
+    * a real catalog). */
+  private def isEvalTag: org.apache.spark.sql.Column = {
+    val srcNum = nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+      .cast(LongType)
+    pmod(coalesce(srcNum, lit(1L)), lit(5L)) === 0
+  }
+
+  /** E7b — `q_ngram_overlap`: exact 13-GRAM cross-corpus overlap —
+    * the GPT-3/PaLM-style decontamination rule, complementary to
+    * E7's MinHash route: E7 finds documents that are near-duplicates
+    * AS A WHOLE (Jaccard ≥ 0.8 of the 3-gram sets); this flags an
+    * eval document whose 13-word span appears VERBATIM anywhere in
+    * training — a quoted benchmark question inside an otherwise
+    * unrelated page, which whole-document similarity never reaches.
+    *
+    * Shape: 13-gram rows via word explode + 12 `lead`s over the one
+    * (doc_id, pos) window (the shingle pipeline's shape — partial
+    * grams at doc end drop via the last lead's null), distinct,
+    * document-frequency-capped like every exact shingle join
+    * ([[cappedShingleRowsOf]]'s rule: a 13-gram in >1000 docs is
+    * boilerplate, and pairing it is O(df²) for no signal), then ONE
+    * merge self-join on the gram restricted to opposite tags — only
+    * cross-corpus candidates materialize. Output counts the shared
+    * capped 13-grams per (eval, train) pair. */
+  def ngramOverlap(t: Tables): DataFrame = {
+    val n = 13
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w))
+    val grams = t.documents
+      .select(col("doc_id"), isEvalTag.as("is_eval"),
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("is_eval"),
+        concat_ws(" ", (col("w") +: leads): _*).as("g"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("is_eval"), col("g"))
+      .distinct()
+    val capped = capBuckets(grams, Seq("g")).localCheckpoint()
+    capped.as("a").hint("merge")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.is_eval") && !col("b.is_eval"))
+      .groupBy(col("a.doc_id").as("eval_id"), col("b.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("eval_id"), col("train_id"))
   }
 

@@ -130,4 +130,25 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"))
   }
+
+  test("ngramOverlap matches a brute-force 13-gram intersection") {
+    val got = Dedup.ngramOverlap(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = t.documents.select("doc_id", "source", "text").collect().map { r =>
+      val num = "([0-9]+)$".r.findFirstMatchIn(r.getString(1))
+        .map(_.group(1).toLong).getOrElse(1L)
+      val ws = r.getString(2).trim.toLowerCase.split("\\s+").toSeq
+      (r.getLong(0), num % 5 == 0,
+        ws.sliding(13).filter(_.size == 13).map(_.mkString(" ")).toSet)
+    }
+    // DF cap is a no-op at this corpus size (no 13-gram spans >1000
+    // docs) so plain intersections are the expected answer
+    val expected = (for {
+      (e, true, ge) <- docs
+      (tr, false, gt) <- docs
+      shared = (ge & gt).size if shared > 0
+    } yield (e, tr) -> shared.toLong).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
