@@ -274,10 +274,10 @@ object EmbeddingStore {
     * and in-cell pair generation grows with them. Two-level
     * assignment stays O(√k) per vector either way. At extreme k the
     * fine-centroid table outgrows a broadcast (≈250 MB at 1e9
-    * vectors); the level-2 attach is already an equi-join on the
-    * coarse group, so dropping the broadcast hint there (AQE picks a
-    * shuffle join) is the documented cluster-scale adjustment. E5's
-    * oracle replays this exact rule. */
+    * vectors); the level-2 attach is an equi-join on the coarse
+    * group, and [[assignCells]] drops its broadcast hint
+    * automatically past 200k cells (AQE then plans the shuffle
+    * join). E5's oracle replays this exact rule. */
   def numCellsFor(n: Long): Int =
     math.max(2, math.max(
       math.ceil(math.sqrt(n.toDouble)),
@@ -377,8 +377,8 @@ object EmbeddingStore {
     * oracle replays it level by level). */
   private[graft] def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    val kc = math.max(1,
-      math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
+    val k = centroids.count()
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarseSeeds = centroids.orderBy(col("cell")).limit(kc)
       .select(col("cell").as("seed_cell"), col("centroid"))
       .collect().zipWithIndex
@@ -407,10 +407,17 @@ object EmbeddingStore {
     val coarsePick = argmaxAttach(vectors, coarseDf.select(col("coarse"),
       col("centroid")), "coarse")
     // level 2: argmax over ONLY that group's fine centroids (equi-join
-    // on the coarse id keeps the scored fan-out at ~k/√k per vector)
+    // on the coarse id keeps the scored fan-out at ~k/√k per vector).
+    // The fine table is k rows (~(dim·4+16) B each): broadcast while
+    // that is comfortably tens of MB; past ~200k cells (a 100 TB-scale
+    // corpus at τ=1024 rows/cell) the hint drops and AQE plans the
+    // shuffle join on `coarse` — the cluster-scale adjustment the
+    // numCellsFor scaladoc documents, now automatic
+    val fineSide =
+      if (k <= 200000L) broadcast(fineGrouped) else fineGrouped
     argmaxScored(
       coarsePick.as("v")
-        .join(broadcast(fineGrouped).as("c"), Seq("coarse"))
+        .join(fineSide.as("c"), Seq("coarse"))
         .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
           col("c.cell").as("cell"),
           // rounded like level 1 (argmaxAttach) — both argmax levels
