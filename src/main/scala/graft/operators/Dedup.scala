@@ -462,9 +462,9 @@ object Dedup {
     // seed centroids = the numCellsFor(n) lowest vec_ids (the shared
     // deterministic rule — max(2, ⌈√n⌉, ⌈n/τ⌉), τ = targetCellRows —
     // that the persisted index, the recall evaluator and the E5
-    // oracle all replay in lockstep), collected to the driver and
-    // re-parallelized with their cell index — driver-held index
-    // metadata, like EmbeddingStore.buildIvfIndex's seeds.
+    // oracle all replay in lockstep). The seed table stays
+    // DISTRIBUTED (k grows linearly under the n/τ rule); only the
+    // ⌈√k⌉ coarse seeds inside assignCells ever reach the driver.
     val cent = EmbeddingStore.seedCentroids(
       emb.select(col("vec_id").as("doc_id"), col("embedding")))
     // two-level nearest-centroid assignment, shared verbatim with the

@@ -283,24 +283,69 @@ object EmbeddingStore {
       math.ceil(math.sqrt(n.toDouble)),
       math.ceil(n.toDouble / targetCellRows)).toInt)
 
-  /** Deterministic seed centroids over a (doc_id, embedding) frame:
-    * the numCellsFor(n) lowest ids become cells 0..k-1 in id order.
-    * The collect is k rows of dim floats — driver-held index metadata
-    * (≈250 MB at 1e9 vectors with the n/τ rule; past that, the seed
-    * table would persist distributed and only its ids collect).
-    * Shared by E5's dedup blocking and the recall evaluator so their
-    * assignments are bit-identical and both oracles replay ONE rule. */
-  private[graft] def seedCentroids(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    val numCells = numCellsFor(emb.count())
-    val seeds = emb.orderBy(col("doc_id")).limit(numCells)
-      .select(col("doc_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0)).zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    spark.createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
-      .toDF("cell", "centroid")
-      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+  /** Past this many cells, centroid/rank tables stop broadcasting
+    * (≈200k rows × (dim·4+16) B ≈ 50 MB) and their joins fall back to
+    * AQE-planned shuffle equi-joins. Shared by [[seedTable]] and
+    * [[assignCells]] so both sides of the rule flip together. */
+  private[graft] val broadcastCellCap = 200000L
+
+  /** High-water mark of rows any IVF-path helper has materialized on
+    * the driver (instrumentation for the O(√k) driver contract —
+    * IvfIndexSpec asserts it never exceeds ⌈√k⌉ + probes). */
+  private[graft] val driverRowsHighWater =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Every driver collect in the IVF path flows through here with an
+    * explicit bound, so a future rule change can never silently
+    * reintroduce a linear driver materialization — exceeding the
+    * bound fails fast instead of OOMing the driver of a
+    * 1000-executor job. */
+  private def collectBounded(df: DataFrame, bound: Long,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    require(rows.length <= bound,
+      s"$what would hold ${rows.length} rows on the driver (bound $bound)")
+    driverRowsHighWater.getAndUpdate(m => math.max(m, rows.length.toLong))
+    rows
   }
+
+  /** Distributed seed table: the k lowest doc_ids become cells 0..k-1
+    * in id order, and the seeds STAY DISTRIBUTED. Under the n/τ cell
+    * rule k grows linearly with the corpus (~1M cells ≈ 250 MB of
+    * vectors at 1e9, GBs at 1e10), so a driver collect here — round
+    * 6's shape — would be the job's scale ceiling. Instead the rank
+    * is a single-column range sort + zipWithIndex (order-preserving
+    * across range partitions, deterministic because doc_id is a total
+    * order) and the vectors attach via an equi-join on doc_id;
+    * nothing row-shaped reaches the driver. The 8-byte id column is
+    * the only thing sorted (~8 GB at 1e9 rows — routine for a
+    * cluster sort). The rank side broadcasts while small and falls
+    * back past [[broadcastCellCap]]. Eagerly checkpointed so every
+    * downstream pass (count, coarse-seed scan, assignment join) reads
+    * the materialized k-row block instead of re-running the corpus
+    * sort. */
+  private[graft] def seedTable(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val ranks = emb.select(col("doc_id")).sort(col("doc_id"))
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => i < k }
+      .map { case (r, i) => (r.getLong(0), i.toInt) }
+    val rankDf = spark.createDataFrame(ranks).toDF("doc_id", "cell")
+    val rankSide = if (k <= broadcastCellCap) broadcast(rankDf) else rankDf
+    emb.join(rankSide, Seq("doc_id"))
+      .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
+      .localCheckpoint()
+  }
+
+  /** Deterministic seed centroids over a (doc_id, embedding) frame:
+    * the numCellsFor(n) lowest ids become cells 0..k-1 in id order —
+    * a distributed [[seedTable]]; the only driver materialization in
+    * the whole assignment path is [[assignCells]]'s ⌈√k⌉ coarse
+    * seeds. Shared by E5's dedup blocking and the recall evaluator so
+    * their assignments are bit-identical and both oracles replay ONE
+    * rule. */
+  private[graft] def seedCentroids(emb: DataFrame): DataFrame =
+    seedTable(emb, numCellsFor(emb.count()))
 
   /** Build a persisted IVF index: deterministic k-means-lite (seed
     * centroids = the ceil(√n) lowest doc_ids, one Lloyd refinement),
@@ -309,17 +354,11 @@ object EmbeddingStore {
     * the reference's full-store scan being narrowed to candidate
     * sets, and the layout that makes D4's cell filter a
     * `PartitionFilters` entry instead of a row filter. Centroids
-    * persist next to the cells. The seed collect is k=√n rows of
-    * dim floats (~8 MB at 1e9 vectors) — driver-held index metadata,
-    * like the reference's stored watermark. */
+    * persist next to the cells. Seeds come from the distributed
+    * [[seedTable]] — no driver collect anywhere in the build. */
   def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
     val k = numCellsFor(vectors.count())
-    val seeds = vectors.orderBy(col("doc_id")).limit(k)
-      .select(col("doc_id"), col("embedding")).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    val seedDf = spark.createDataFrame(spark.sparkContext.parallelize(seeds.toSeq))
-      .toDF("cell", "centroid")
-      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    val seedDf = seedTable(vectors, k)
     val assigned = assignCells(vectors, seedDf)
     // one Lloyd iteration: per-cell mean, re-normalized
     val refined = assigned
@@ -331,6 +370,9 @@ object EmbeddingStore {
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0)))
           .cast("array<float>").as("centroid"))
+      // k rows, consumed by several passes inside assignCells — pin
+      // them so the corpus-wide posexplode aggregation runs once
+      .localCheckpoint()
     val finalAssign = assignCells(vectors, refined)
     finalAssign.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     refined.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -379,9 +421,10 @@ object EmbeddingStore {
     val spark = vectors.sparkSession
     val k = centroids.count()
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val coarseSeeds = centroids.orderBy(col("cell")).limit(kc)
-      .select(col("cell").as("seed_cell"), col("centroid"))
-      .collect().zipWithIndex
+    val coarseSeeds = collectBounded(
+      centroids.orderBy(col("cell")).limit(kc)
+        .select(col("cell").as("seed_cell"), col("centroid")),
+      kc, "coarse seed centroids").zipWithIndex
       .map { case (r, i) => (i, r.getInt(0), r.getSeq[Float](1).toArray) }
     val coarseDf = spark
       .createDataFrame(spark.sparkContext.parallelize(coarseSeeds.toSeq))
@@ -414,7 +457,7 @@ object EmbeddingStore {
     // shuffle join on `coarse` — the cluster-scale adjustment the
     // numCellsFor scaladoc documents, now automatic
     val fineSide =
-      if (k <= 200000L) broadcast(fineGrouped) else fineGrouped
+      if (k <= broadcastCellCap) broadcast(fineGrouped) else fineGrouped
     argmaxScored(
       coarsePick.as("v")
         .join(fineSide.as("c"), Seq("coarse"))
@@ -472,11 +515,12 @@ object EmbeddingStore {
     val cells = spark.read.parquet(s"$path/cells")
     val qv = cells.filter(col("doc_id") === queryDocId)
       .select(col("embedding").as("qv"))
-    val probedCells = centroids.join(broadcast(qv))
-      .select(col("cell"), cosineSim(col("centroid"), col("qv")).as("cs"))
-      .orderBy(col("cs").desc, col("cell"))
-      .limit(probes)
-      .collect().map(_.getInt(0))
+    val probedCells = collectBounded(
+      centroids.join(broadcast(qv))
+        .select(col("cell"), cosineSim(col("centroid"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(probes),
+      probes, "probed cell ids").map(_.getInt(0))
     cells
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .filter(col("doc_id") =!= queryDocId)

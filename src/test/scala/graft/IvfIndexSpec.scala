@@ -27,6 +27,37 @@ class IvfIndexSpec extends SparkTestBase {
     assert(numCellsFor(1000000000L) === math.ceil(1e9 / 1024).toInt)
   }
 
+  test("seed/assignment path stays distributed: driver holds only O(sqrt(k)) rows") {
+    import EmbeddingStore._
+    val t = Tables(spark, sfDir)
+    val emb = embed(t.documents).drop("shard")
+    val n = emb.count()
+    val k = numCellsFor(n)
+
+    driverRowsHighWater.set(0)
+    val cent = seedCentroids(emb)
+    // the seed table is complete and distributed: k cells 0..k-1,
+    // mapped to the k lowest doc_ids in id order (the rule every
+    // oracle replays)
+    assert(cent.count() === k.toLong)
+    val expected = emb.orderBy(col("doc_id")).limit(k)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val got = cent.orderBy(col("cell"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(got.map(_._1).toSeq === (0 until k))
+    assert(got.map(_._2).toSeq === expected.toSeq)
+
+    // full assignment + a pruned index probe: the only rows the
+    // driver may ever hold are the coarse seeds (ceil(sqrt(k))) and
+    // probe ids — never the k-row seed table, which grows linearly
+    // with the corpus under the n/tau rule
+    val assigned = assignCells(emb, cent)
+    assert(assigned.count() === n)
+    val bound = math.ceil(math.sqrt(k.toDouble)).toLong
+    assert(driverRowsHighWater.get() <= bound,
+      s"IVF path held ${driverRowsHighWater.get()} rows on the driver (bound $bound)")
+  }
+
   test("persisted IVF index: partition-pruned probe matches exact scoring") {
     val dir = Files.createTempDirectory("graft-ivf").toFile
     dir.deleteOnExit()
