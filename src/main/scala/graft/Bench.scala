@@ -96,7 +96,20 @@ object Bench {
       else names.map(wall).sum
     val cpuTotal = if (failed.nonEmpty) -1.0 else names.map(cpu).sum
     val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall)},"queries_cpu":${fmt(cpu)},"cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"sf":"$sfDir"}""")
+    // the full per-query line grew past what a bounded log tail keeps
+    // (round 6's driver artifact truncated it to unparseable), so the
+    // headline facts go out THREE ways: a short self-contained JSON
+    // line FIRST (always fits any tail), then the full per-query line,
+    // and the full JSON also written to a file next to the run
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"nqueries":${names.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall)},"queries_cpu":${fmt(cpu)},"cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"sf":"$sfDir"}"""
+    println(headline)
+    println(full)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
