@@ -285,31 +285,30 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, score, rnk FROM r
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+    // D4: probes the SAME seeded two-level IVF cells as E5/D7 (one
+    // shared numCellsFor rule, one shared replay scaffold) — score
+    // the query against the cell centroids, prune to the 2 nearest
+    // cells, exact cosine only inside those cells.
     "q_ann_ivf" ->
-      """WITH ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |cent AS (SELECT label, i, ROUND(AVG(v),6) AS cv FROM ev GROUP BY label, i),
-        |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
-        |cs AS (
-        |  SELECT c.label,
-        |         ROUND(COALESCE(ROUND(SUM(c.cv*q.qv),6)
-        |           / NULLIF(SQRT(ROUND(SUM(c.cv*c.cv),6))
-        |             * SQRT(ROUND(SUM(q.qv*q.qv),6)),0),0),6) AS cscore
-        |  FROM cent c JOIN q ON c.i = q.i GROUP BY c.label),
-        |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2),
-        |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
-        |s AS (
-        |  SELECT ev.vec_id, ev.label, SUM(ev.v*q.qv) AS dot, SQRT(SUM(ev.v*ev.v)) AS en
-        |  FROM ev JOIN q ON ev.i = q.i
-        |  WHERE ev.vec_id <> 0 AND ev.label IN (SELECT label FROM probe)
-        |  GROUP BY ev.vec_id, ev.label)
-        |SELECT vec_id, label,
-        |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
-        |FROM s
-        |ORDER BY score DESC, vec_id
-        |LIMIT 10""".stripMargin,
+      s"""$ivfAssignCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM cent c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |s AS (
+         |  SELECT e.vec_id, a.cell, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id, a.cell)
+         |SELECT vec_id, cell,
+         |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |FROM s
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
     // Store-coverage stat (reference get_database_stats, engine.py:228):
     // embeddings.vec_id keys events.event_id as in D6.
     "q_embedding_coverage" ->
@@ -891,54 +890,7 @@ object SparkEntry {
     // cosine with lowest-key tie-break; zero-norm divisions guarded
     // to 0 like CosineSimilarity. Pairs then form within cells.
     "q_dedup_embedding" ->
-      """WITH ev AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |nc AS (
-        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
-        |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
-        |  FROM embeddings),
-        |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
-        |seed AS (
-        |  SELECT vec_id,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
-        |  FROM embeddings
-        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
-        |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
-        |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
-        |fgs AS (
-        |  SELECT c.cell, k.coarse,
-        |    ROUND(COALESCE(SUM(c.v*k.v)
-        |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-        |  FROM cent c JOIN co k ON c.i = k.i
-        |  GROUP BY c.cell, k.coarse),
-        |fg AS (
-        |  SELECT cell,
-        |    CASE WHEN cell < (SELECT kc FROM kcn) THEN cell ELSE coarse END AS coarse
-        |  FROM fgs
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1),
-        |l1s AS (
-        |  SELECT e.vec_id, k.coarse,
-        |    ROUND(COALESCE(SUM(e.v*k.v)
-        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-        |  FROM ev e JOIN co k ON e.i = k.i
-        |  GROUP BY e.vec_id, k.coarse),
-        |l1 AS (
-        |  SELECT vec_id, coarse FROM l1s
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
-        |l2s AS (
-        |  SELECT e.vec_id, f.cell,
-        |    ROUND(COALESCE(SUM(e.v*c.v)
-        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
-        |  FROM ev e
-        |  JOIN l1 ON e.vec_id = l1.vec_id
-        |  JOIN fg f ON f.coarse = l1.coarse
-        |  JOIN cent c ON c.cell = f.cell AND c.i = e.i
-        |  GROUP BY e.vec_id, f.cell),
-        |asg AS (
-        |  SELECT vec_id, cell FROM l2s
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
+      s"""$ivfAssignCte,
         |s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ax.cell AS cell,
         |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
@@ -956,54 +908,7 @@ object SparkEntry {
     // top-k, cell-pruned ANN top-k, and the recall ratio per probe
     // count — all on 6dp-rounded scores with id tie-breaks.
     "q_ivf_recall" ->
-      """WITH ev AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |nc AS (
-        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
-        |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
-        |  FROM embeddings),
-        |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
-        |seed AS (
-        |  SELECT vec_id,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
-        |  FROM embeddings
-        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
-        |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
-        |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
-        |fgs AS (
-        |  SELECT c.cell, k.coarse,
-        |    ROUND(COALESCE(SUM(c.v*k.v)
-        |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-        |  FROM cent c JOIN co k ON c.i = k.i
-        |  GROUP BY c.cell, k.coarse),
-        |fg AS (
-        |  SELECT cell,
-        |    CASE WHEN cell < (SELECT kc FROM kcn) THEN cell ELSE coarse END AS coarse
-        |  FROM fgs
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1),
-        |l1s AS (
-        |  SELECT e.vec_id, k.coarse,
-        |    ROUND(COALESCE(SUM(e.v*k.v)
-        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-        |  FROM ev e JOIN co k ON e.i = k.i
-        |  GROUP BY e.vec_id, k.coarse),
-        |l1 AS (
-        |  SELECT vec_id, coarse FROM l1s
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
-        |l2s AS (
-        |  SELECT e.vec_id, f.cell,
-        |    ROUND(COALESCE(SUM(e.v*c.v)
-        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
-        |  FROM ev e
-        |  JOIN l1 ON e.vec_id = l1.vec_id
-        |  JOIN fg f ON f.coarse = l1.coarse
-        |  JOIN cent c ON c.cell = f.cell AND c.i = e.i
-        |  GROUP BY e.vec_id, f.cell),
-        |asg AS (
-        |  SELECT vec_id, cell FROM l2s
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
+      s"""$ivfAssignCte,
         |qe AS (
         |  SELECT e.vec_id AS qid, e.i, e.v FROM ev e WHERE e.vec_id % 100 = 0),
         |prs AS (
@@ -1264,6 +1169,67 @@ object SparkEntry {
        |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Shared DuckDB replay of the seeded two-level IVF assignment
+    * (EmbeddingStore.seedCentroids + assignCells): cells = the
+    * numCellsFor(n) lowest vec_ids in id order; coarse seeds = the
+    * ceil(sqrt(k)) lowest cells; fine cells group under their argmax
+    * coarse centroid with each coarse seed pinned to its own group;
+    * every vector argmaxes the coarse level then only its group's
+    * fine centroids — 6dp-rounded cosines, lowest-key tie-breaks,
+    * zero-norm divisions guarded to 0 like CosineSimilarity.
+    * Produces CTEs ev(vec_id,i,v), cent(cell,i,v) and asg(vec_id,
+    * cell); shared verbatim by E5, D7 and D4 so all three rows
+    * replay ONE rule. */
+  private val ivfAssignCte: String =
+    """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |nc AS (
+        |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+        |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
+        |  FROM embeddings),
+        |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
+        |seed AS (
+        |  SELECT vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        |  FROM embeddings
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
+        |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
+        |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
+        |fgs AS (
+        |  SELECT c.cell, k.coarse,
+        |    ROUND(COALESCE(SUM(c.v*k.v)
+        |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM cent c JOIN co k ON c.i = k.i
+        |  GROUP BY c.cell, k.coarse),
+        |fg AS (
+        |  SELECT cell,
+        |    CASE WHEN cell < (SELECT kc FROM kcn) THEN cell ELSE coarse END AS coarse
+        |  FROM fgs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1),
+        |l1s AS (
+        |  SELECT e.vec_id, k.coarse,
+        |    ROUND(COALESCE(SUM(e.v*k.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+        |  FROM ev e JOIN co k ON e.i = k.i
+        |  GROUP BY e.vec_id, k.coarse),
+        |l1 AS (
+        |  SELECT vec_id, coarse FROM l1s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
+        |l2s AS (
+        |  SELECT e.vec_id, f.cell,
+        |    ROUND(COALESCE(SUM(e.v*c.v)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
+        |  FROM ev e
+        |  JOIN l1 ON e.vec_id = l1.vec_id
+        |  JOIN fg f ON f.coarse = l1.coarse
+        |  JOIN cent c ON c.cell = f.cell AND c.i = e.i
+        |  GROUP BY e.vec_id, f.cell),
+        |asg AS (
+        |  SELECT vec_id, cell FROM l2s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
 
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
     * take vec_id=0 as the query, join on position, aggregate dot and

@@ -216,40 +216,40 @@ object VectorSearch {
       .orderBy(col("probes"))
   }
 
-  /** D4 — IVF-style ANN in two stages (SURVEY.md §5): coarse quantize
-    * the corpus to per-label centroids (a k-means-lite with
-    * deterministic assignment so DuckDB can replicate), score the
-    * query against the tiny broadcast centroid table, prune to the 2
-    * nearest cells, then run EXACT cosine only inside the probed cells.
-    * At 100 TB the corpus would be written partitioned by cell, so the
-    * probe prunes partitions at the source; here the cell filter is a
-    * pushed-down `label IN (…)`.
+  /** D4 — IVF ANN over the REAL index cells (SURVEY.md §5): the
+    * corpus is quantized by the exact seeded two-level rule the
+    * persisted index, E5's dedup blocking and D7's recall evaluator
+    * share (`EmbeddingStore.seedCentroids` + `assignCells`, cell
+    * count = `numCellsFor(n)` so expected cell size is
+    * corpus-independent); the query scores the broadcast centroid
+    * table, prunes to the 2 nearest cells, and exact cosine runs only
+    * inside those cells. The round-2 per-LABEL variant this replaces
+    * had a cell count fixed at the label cardinality — in-cell scan
+    * cost grew linearly with the corpus. At 100 TB the cells are the
+    * persisted index's partition layout (`searchIvf` probes them via
+    * PartitionFilters); here the probe is a broadcast semi-join on
+    * the cell id over the checkpointed assignment.
     *
-    * Parity: centroid components round to 6 dp, centroid scores round
-    * to 6 dp, probe order (score desc, label asc), final order
-    * (score desc, vec_id asc) — all mirrored in the oracle SQL.
-    */
+    * Parity: centroid scores round to 6 dp, probe order (score desc,
+    * cell asc), final order (score desc, vec_id asc) — the oracle
+    * replays the shared assignment scaffold plus this probe. */
   def annIvf(t: Tables): DataFrame = {
-    val e = t.embeddings
-    val pos = e.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("i", "v")))
-    val cent = pos.groupBy(col("label"), col("i"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-    val qpos = pos.filter(col("vec_id") === 0)
-      .select(col("i"), col("v").cast("double").as("qv"))
-    val centScore = cent.join(broadcast(qpos), "i")
-      .groupBy(col("label"))
-      .agg(round(
-        round(sum(col("cv") * col("qv")), 6) /
-          (sqrt(round(sum(col("cv") * col("cv")), 6)) *
-           sqrt(round(sum(col("qv") * col("qv")), 6))), 6).as("cscore"))
-    val probed = centScore
-      .orderBy(col("cscore").desc, col("label")).limit(2)
-      .select(col("label"))
-    e.join(broadcast(probed), "label")
-      .filter(col("vec_id") =!= 0)
-      .join(broadcast(queryVec(t)))
-      .select(col("vec_id"), col("label"),
+    val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val cent = EmbeddingStore.seedCentroids(emb)
+    // eager checkpoint: the query-vector lookup and the candidate
+    // scan are two independent consumers of the assignment (lazy
+    // would re-run the two-level quantization per consumer)
+    val assigned = EmbeddingStore.assignCells(emb, cent).localCheckpoint()
+    val qv = assigned.filter(col("doc_id") === 0)
+      .select(col("embedding").as("qv"))
+    val probed = cent.join(broadcast(qv))
+      .select(col("cell"), score(col("centroid"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("cell")).limit(2)
+      .select(col("cell"))
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("doc_id") =!= 0)
+      .join(broadcast(qv))
+      .select(col("doc_id").as("vec_id"), col("cell"),
         score(col("embedding"), col("qv")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
