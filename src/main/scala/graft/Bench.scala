@@ -73,6 +73,15 @@ object Bench {
           s"[bench] IVF index setup failed (q_search_ivf will include " +
             s"the build): ${e.getMessage}")
     }
+    // and the date-partitioned events layout probed by
+    // q_incremental_pruned
+    try graft.sources.Bucketing.ensureEventsByDate(spark, sfDir)
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] date-partitioned events setup failed " +
+            s"(q_incremental_pruned will include the rewrite): ${e.getMessage}")
+    }
     // wall[q] / cpu[q] = minimum across passes; -1 marks a query that
     // failed in ANY pass (a regression must read as a failure, never
     // as a suspiciously fast timing)

@@ -86,6 +86,9 @@ object SparkEntry {
     "q_json_extract" -> q(EventOps.jsonExtract),
     "q_event_stats" -> q(EventOps.eventStats),
     "q_incremental" -> q(EventOps.incremental),
+    // B5b: same watermark scan over the date-partitioned layout —
+    // the plan prunes day partitions at the file listing
+    "q_incremental_pruned" -> q(EventOps.incrementalPruned),
     "q_asof_join"   -> q(EventOps.asofJoin),
     "q_range_join"  -> q(EventOps.rangeJoin),
     "q_percentiles" -> q(EventOps.percentiles),
@@ -446,6 +449,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events""".stripMargin,
     "q_incremental" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    // B5b reads the date-partitioned rewrite of the SAME rows, so the
+    // oracle is B5's flat-table scan verbatim (the partition predicate
+    // is implied by the watermark and drops nothing).
+    "q_incremental_pruned" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,

@@ -94,6 +94,26 @@ object EventOps {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
 
+  /** B5b — `q_incremental_pruned`: the same watermark scan over the
+    * DATE-PARTITIONED events layout
+    * ([[graft.sources.Bucketing.ensureEventsByDate]]). The derived
+    * `event_date >= date(watermark)` predicate is a PARTITION filter
+    * — whole day-directories never enter the file listing — and the
+    * exact `ts > watermark` predicate still pushes into the surviving
+    * files' row groups. `date(ts) >= '2024-01-20'` is implied by
+    * `ts > '2024-01-20 00:00:00'`, so the result set is EXACTLY B5's
+    * (the oracle runs B5's SQL over the flat table). At 100 TB this
+    * is the difference between listing 30 days and listing one — the
+    * incremental contract SURVEY §8 promises. */
+  def incrementalPruned(t: Tables): DataFrame = {
+    val path = graft.sources.Bucketing.ensureEventsByDate(t.spark, t.dir)
+    t.spark.read.parquet(path)
+      .filter(col("event_date") >= lit("2024-01-20").cast("date") &&
+        col("ts") > lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   /** C2 — prev/next message context (reference processor.py:266
     * `get_message_context`): one window pass computes both neighbors
     * for every row — versus the reference's two point queries per

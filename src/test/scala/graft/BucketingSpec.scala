@@ -33,6 +33,25 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("q_incremental_pruned: watermark scan prunes day partitions and matches the flat scan") {
+    val t = Tables(spark, sfDir)
+    val df = graft.operators.EventOps.incrementalPruned(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the derived date predicate must land as a PARTITION filter
+    // (whole day-directories skipped at the file listing), and the
+    // exact watermark must still push into the surviving files
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_date") && !plan.contains("PartitionFilters: []"),
+      s"no partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ts"),
+      s"watermark not pushed in:\n$plan")
+    // identical rows to the flat-table scan (B5)
+    val flat = graft.operators.EventOps.incremental(t)
+    assert(df.count() === flat.count())
+    assert(df.except(flat).isEmpty && flat.except(df).isEmpty)
+  }
+
   test("q_join_bucketed: end-to-end plan has no exchange at all") {
     val t = Tables(spark, sfDir)
     val df = Bucketing.joinBucketed(t)
