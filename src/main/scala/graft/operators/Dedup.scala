@@ -246,7 +246,7 @@ object Dedup {
   /** The corpus tag rule shared by E7 and E7b: sources with numeric
     * suffix % 5 == 0 are the "eval" corpus (ANSI-safe; a stand-in for
     * a real catalog). */
-  private def isEvalTag: org.apache.spark.sql.Column = {
+  private[operators] def isEvalTag: org.apache.spark.sql.Column = {
     val srcNum = nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
       .cast(LongType)
     pmod(coalesce(srcNum, lit(1L)), lit(5L)) === 0
@@ -269,13 +269,19 @@ object Dedup {
     * merge self-join on the gram restricted to opposite tags — only
     * cross-corpus candidates materialize. Output counts the shared
     * capped 13-grams per (eval, train) pair. */
-  def ngramOverlap(t: Tables): DataFrame = {
+  def ngramOverlap(t: Tables): DataFrame =
+    ngramOverlapStats(TextAnalysis.posTokens(t.documents))
+      .orderBy(col("eval_id"), col("train_id"))
+
+  /** E7b over an already-tokenized (doc_id, is_eval, pos, w) frame —
+    * the composed pipeline (F9) feeds one shared token stage to this
+    * gate and the repetition gate, so the corpus is read and exploded
+    * once for both. Unordered (the standalone row adds the sort). */
+  private[operators] def ngramOverlapStats(tokens: DataFrame): DataFrame = {
     val n = 13
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(k => lead(col("w"), k).over(w))
-    val grams = t.documents
-      .select(col("doc_id"), isEvalTag.as("is_eval"),
-        posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val grams = tokens
       .select(col("doc_id"), col("is_eval"),
         concat_ws(" ", (col("w") +: leads): _*).as("g"),
         leads.last.isNotNull.as("full"))
@@ -288,7 +294,6 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.is_eval") && !col("b.is_eval"))
       .groupBy(col("a.doc_id").as("eval_id"), col("b.doc_id").as("train_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("eval_id"), col("train_id"))
   }
 
   /** Exact Jaccard from per-pair intersection counts and per-doc set

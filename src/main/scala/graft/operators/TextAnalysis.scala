@@ -185,25 +185,40 @@ object TextAnalysis {
   }
 
   /** F9 — `q_pipeline_e2e`: the library's stages composed into the
-    * canonical training-data pipeline — quality filter → exact dedup
-    * (keep the canonical doc per content hash) → deterministic
+    * canonical training-data pipeline — quality filter → repetition
+    * gate (F11: boilerplate/looping text the length-based score
+    * misses) → 13-gram decontamination (E7b: drop training docs
+    * sharing a verbatim 13-word span with the eval corpus) → exact
+    * dedup (keep the canonical doc per content hash) → deterministic
     * train/test split → per-(source, split) audit. One DataFrame
-    * program, so Catalyst plans ACROSS stage boundaries (the quality
-    * projection fuses into the scan; only the dedup groupBy and the
-    * final audit shuffle). This is the "switch to graft and run your
-    * pipeline" story end-to-end, and the oracle replays every stage
-    * in SQL, so the composition — not just the pieces — is
-    * correctness-checked. */
+    * program, so Catalyst plans ACROSS stage boundaries; the two
+    * token-level gates consume ONE shared, eagerly-materialized
+    * tokenize pass (posTokens), so the corpus text is read once for
+    * both — the E9 shared-stage contract applied to the pipeline.
+    * This is the "switch to graft and run your pipeline" story
+    * end-to-end, and the oracle replays every stage in SQL, so the
+    * composition — not just the pieces — is correctness-checked. */
   def pipelineE2e(t: Tables): DataFrame = {
     val kept = qualityScore(t)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"))
+    // one tokenize pass feeds both gates (two consumers — lazy would
+    // re-read and re-explode the corpus per gate)
+    val tok = posTokens(t.documents).localCheckpoint()
+    val repFlagged = repetitionStats(tok).filter(col("flagged"))
+      .select(col("doc_id"))
+    val contaminated = Dedup.ngramOverlapStats(tok)
+      .select(col("train_id").as("doc_id")).distinct()
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     // eager checkpoint: hashed feeds the canonical groupBy (keyed on
     // h) AND the final join (keyed on doc_id) — no exchange reuse is
     // possible across different keys, so without materialization the
-    // corpus scan + quality scoring + hashing would execute twice
+    // corpus scan + quality scoring + hashing would execute twice.
+    // The gate anti-joins key on doc_id; their right sides are tiny
+    // (flagged/contaminated ids), so AQE broadcasts them.
     val hashed = t.documents.join(kept, "doc_id")
+      .join(repFlagged, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), md5(norm).as("h"))
       .localCheckpoint()
     val canonical = hashed.groupBy(col("h"))
@@ -292,10 +307,22 @@ object TextAnalysis {
     * doc-derived keys, so the pass is scan-proportional at 100 TB
     * with no skew beyond document length. The oracle replays the
     * counts with DuckDB list algebra over the same token list. */
-  def repetition(t: Tables): DataFrame = {
+  def repetition(t: Tables): DataFrame =
+    repetitionStats(posTokens(t.documents)).orderBy(col("doc_id"))
+
+  /** Shared positional token stage for the repetition (F11) and
+    * 13-gram overlap (E7b) operators: ONE corpus read + tokenize →
+    * (doc_id, is_eval, pos, w). The composed pipeline materializes
+    * this once and feeds both gates. */
+  private[operators] def posTokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), Dedup.isEvalTag.as("is_eval"),
+      posexplode(words(col("text"))).as(Seq("pos", "w")))
+
+  /** F11 over an already-tokenized frame; unordered (the standalone
+    * row adds the sort). */
+  private[operators] def repetitionStats(tokens: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tok = t.documents
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val tok = tokens
       .select(col("doc_id"), col("w"),
         concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("bg"),
         lead(col("w"), 1).over(w).isNotNull.as("has_bg"))
@@ -324,6 +351,5 @@ object TextAnalysis {
       .withColumn("flagged",
         (col("dup_word_frac") > 0.85 || col("top_bigram_frac") > 0.18)
           .cast("boolean"))
-      .orderBy(col("doc_id"))
   }
 }
