@@ -137,7 +137,11 @@ class DedupSpec extends SparkTestBase {
     val docs = t.documents.select("doc_id", "source", "text").collect().map { r =>
       val num = "([0-9]+)$".r.findFirstMatchIn(r.getString(1))
         .map(_.group(1).toLong).getOrElse(1L)
-      val ws = r.getString(2).trim.toLowerCase.split("\\s+").toSeq
+      // mirror the engine exactly: Spark/DuckDB trim strips SPACES
+      // only (Java String.trim would also strip \n/\t and shift the
+      // token list on exotic inputs), and split keeps empty tokens
+      val ws = r.getString(2).toLowerCase
+        .replaceAll("^ +| +$", "").split("\\s+", -1).toSeq
       (r.getLong(0), num % 5 == 0,
         ws.sliding(13).filter(_.size == 13).map(_.mkString(" ")).toSet)
     }

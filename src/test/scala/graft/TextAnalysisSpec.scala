@@ -160,7 +160,11 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.size === docs.length)
     for ((id, text) <- docs) {
-      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      // space-only trim + empty-preserving split, mirroring the
+      // engine's words() (Java String.trim would diverge on docs
+      // bounded by \n/\t)
+      val ws = text.toLowerCase
+        .replaceAll("^ +| +$", "").split("\\s+", -1).toSeq
       val bgs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
       val r = got(id)
       assert(r.getLong(1) === ws.size.toLong, s"n_words doc $id")
