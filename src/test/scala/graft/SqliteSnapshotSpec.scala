@@ -45,6 +45,49 @@ class SqliteSnapshotSpec extends SparkTestBase {
     assert(kv("c").length === 0)
   }
 
+  test("bootstrapped events feed the query surface: B4/C2 reconcile with the sidecar") {
+    val dir = Files.createTempDirectory("graft-sqlite-events").toString
+    val n = SqliteSnapshot.loadEvents(spark, db, dir)
+    assert(n === 2000L)
+    val t = graft.sources.Tables(spark, dir)
+
+    // engine-independent ground truth: the JSONL sidecar, with ts
+    // reduced to the micros loadEvents derives from _createAt
+    val side = spark.read.json(res("chat_message.jsonl"))
+      .select(col("u").cast("long"), col("_mid").cast("long"), col("c"),
+        col("_createAt").cast("double"), col("t").cast("long"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getString(2), math.round(r.getDouble(3) * 1e6),
+        r.getLong(4)))
+
+    // B4 global stats over the SQLite-born dir
+    val s = graft.operators.EventOps.eventStats(t).first()
+    assert(s.getAs[Long]("n_events") === 2000L)
+    assert(s.getAs[Long]("n_users") === side.flatMap(_._1).distinct.length.toLong)
+    assert(s.getAs[Long]("n_types") === side.map(_._5).distinct.length.toLong)
+    val micros = side.map(_._4)
+    def epochMicros(ts: java.time.LocalDateTime): Long =
+      ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ts.getNano / 1000L
+    assert(epochMicros(s.getAs[java.time.LocalDateTime]("first_ts")) === micros.min)
+    assert(epochMicros(s.getAs[java.time.LocalDateTime]("last_ts")) === micros.max)
+
+    // C2 context over the same dir: every row's prev/next must equal
+    // the sidecar's per-user (ts, event_id)-ordered chain (props = c;
+    // null user_ids form one window partition, like Spark's)
+    val got = graft.operators.EventOps.msgContext(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(got.size === 2000)
+    side.groupBy(_._1).foreach { case (_, rows) =>
+      val chain = rows.sortBy(r => (r._4, r._2))
+      chain.zipWithIndex.foreach { case (r, i) =>
+        val prev = if (i == 0) "" else chain(i - 1)._3
+        val next = if (i == chain.length - 1) "" else chain(i + 1)._3
+        assert(got(r._2) === ((prev, next)), s"context of _mid ${r._2}")
+      }
+    }
+  }
+
   test("findLatestDatabase picks the newest main_*.sqlite") {
     val dir = Files.createTempDirectory("graft-dbdir")
     val older = dir.resolve("main_100.sqlite")
