@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-size scaling bench for the HEAVY query family.
+  *
+  * Every per-round bench row is sf0.1, where a ~0.3-0.5 s planning/
+  * scheduling floor per query dominates the data path (SCALING.md §1)
+  * — so none of those rows says how the heavy operators grow with the
+  * CORPUS. This main times exactly that: the four heaviest queries
+  * (`q_dedup_family`, `q_ngram_overlap`, `q_containment`,
+  * `q_ivf_recall`) over the sf0.1 corpus replicated 1×/2×/4×/8× with
+  * per-replica salting, run through the REAL `SparkEntry.queries`
+  * entries against materialized parquet dirs — one plan, growing
+  * data, per-(size, query) minima across passes.
+  *
+  * Salting (what makes the read honest):
+  *  - documents: every WORD is suffixed with the replica index — a
+  *    bijective word map, so each replica's shingle/token statistics
+  *    are identical to the base corpus while cross-replica similarity
+  *    is exactly zero; pair work grows linearly with the replication
+  *    (plain copies would near-match each other and pair stages would
+  *    grow quadratically by construction).
+  *  - embeddings: each replica's vectors are circularly SHIFTED by
+  *    the replica index — an orthogonal transform, so norms and every
+  *    in-replica pairwise cosine are preserved exactly while
+  *    cross-replica vectors decorrelate; the IVF cell-size and
+  *    recall statistics of each replica match the base corpus.
+  *
+  * Expected shapes (the claim this artifact tests): dedup_family,
+  * ngram_overlap and containment are equi-join/aggregate pipelines
+  * with DF-capped pair stages — ~linear in corpus size. ivf_recall's
+  * ANN probe side is linear, but its ground-truth side is a
+  * brute-force exact top-k over (sampled queries × corpus) where BOTH
+  * factors grow with the corpus — O(n²/10⁴) BY DESIGN (it is the
+  * offline diagnostic that defines recall); its curve is reported to
+  * document that, not to pass a linearity bar.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MULTS=1,2,4,8
+  *        sbt "runMain graft.CorpusScaling" → one JSON line
+  *        (also written to corpus_scaling.json).
+  */
+object CorpusScaling {
+
+  private val heavy = Seq(
+    "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall")
+
+  /** Materialize the mult× salted corpus dir (idempotent per
+    * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
+    * tables the heavy family reads. */
+  def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String = {
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_${hash}_x$mult")
+    val marker = new java.io.File(path, "_BUILT")
+    if (marker.exists()) return path.getAbsolutePath
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    // id ranges derived from the corpus' own max ids — hardcoded
+    // offsets would silently collide on large-id corpora
+    val docBase = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val docs = (0 until mult).map { i =>
+      docs0.select(
+        (col("doc_id") + lit(i.toLong * docBase)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1r$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
+
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embBase = emb0.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val dim = emb0.select(size(col("embedding"))).first().getInt(0)
+    val embs = (0 until mult).map { i =>
+      val r = i % dim
+      // circular shift by r: slice is 1-based; r=0 shifts nothing
+      val shifted =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb0.select(
+        (col("vec_id") + lit(i.toLong * embBase)).as("vec_id"),
+        shifted.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    embs.write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+
+    marker.createNewFile()
+    path.getAbsolutePath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getPlatformMXBean(
+      classOf[com.sun.management.OperatingSystemMXBean])
+
+    val dirs = mults.map(m => m -> ensureReplicatedDir(spark, sfDir, m)).toMap
+    // untimed warm-up at 1x absorbs codegen/classloading/Catalyst init
+    heavy.foreach(nm => SparkEntry.queries(nm)(spark, dirs(mults.min)).count())
+
+    // wall minima per (mult, query), pass-major like graft.Bench so
+    // one noisy window cannot poison all passes of a config
+    val wall = collection.mutable.Map[(Int, String), Double]()
+      .withDefaultValue(Double.MaxValue)
+    val loads = (0 until passes).map { _ =>
+      val load = osBean.getSystemLoadAverage
+      for (m <- mults; nm <- heavy) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(nm)(spark, dirs(m)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        wall((m, nm)) = math.min(wall((m, nm)), sec)
+      }
+      load
+    }
+    val sizesJson = mults.map { m =>
+      val qs = heavy.map(nm => "\"" + nm + f"\":${wall((m, nm))}%.3f")
+        .mkString("{", ",", "}")
+      s""""$m":$qs"""
+    }.mkString("{", ",", "}")
+    val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"corpus_scaling","sf":"$sfDir","mults":[${mults.mkString(",")}],"passes":$passes,"load_avg":$loadStr,"sizes":$sizesJson}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("corpus_scaling.json"), json + "\n")
+    spark.stop()
+  }
+}
