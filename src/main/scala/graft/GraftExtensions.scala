@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct, L2Norm, TextFunctions}
-import graft.operators.EventOps
+import graft.operators.{EmbeddingStore, EventOps}
 
 /** SQL surface for the library's scalar capabilities: the custom
   * Catalyst vector expressions (`cosine_sim`, `dot_product`,
@@ -138,6 +138,12 @@ object GraftTableFunctions {
     // from ONE shingle+signature build) — the SQL form of the
     // session-level shared-stage contract
     tvf("graft_dedup_family")(Clusters.dedupFamily),
+    // round-7 surfaces: exact 13-gram cross-corpus decontamination,
+    // the persisted-index probe, and the partition-pruned
+    // incremental scan
+    tvf("graft_ngram_overlap")(Dedup.ngramOverlap),
+    tvf("graft_search_ivf")(EmbeddingStore.searchIvfQuery),
+    tvf("graft_incremental_pruned")(EventOps.incrementalPruned),
     tvf("graft_ngram_jaccard")(Dedup.ngramJaccard),
     tvf("graft_quality_score")(TextAnalysis.qualityScore),
     tvf("graft_tfidf")(TextAnalysis.tfidf),

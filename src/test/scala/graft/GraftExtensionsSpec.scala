@@ -83,6 +83,21 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.Clusters.dedupClusters(t).count())
     assert(famCounts.getOrElse("contam", 0L) ===
       graft.operators.Dedup.decontaminate(t).count())
+    // round-7 surfaces: 13-gram decontamination, the persisted-index
+    // probe (builds into tmp on first call, reuses after), and the
+    // partition-pruned incremental scan
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_ngram_overlap('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.Dedup.ngramOverlap(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_search_ivf('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.EmbeddingStore.searchIvfQuery(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_incremental_pruned('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.EventOps.incremental(t).count())
   }
 
   test("table functions reject non-literal arguments at analysis time") {
