@@ -65,7 +65,15 @@ class IvfIndexSpec extends SparkTestBase {
     val t = Tables(spark, sfDir)
     val vectors = EmbeddingStore.embed(t.documents).drop("shard")
 
+    EmbeddingStore.driverRowsHighWater.set(0)
     EmbeddingStore.buildIvfIndex(spark, vectors, path)
+    // the BUILD also honors the O(sqrt(k)) driver contract: two
+    // two-level assignments run (seed + refined), each collecting
+    // only its coarse seeds
+    val kBuild = EmbeddingStore.numCellsFor(vectors.count())
+    assert(EmbeddingStore.driverRowsHighWater.get() <=
+      math.ceil(math.sqrt(kBuild.toDouble)).toLong,
+      s"index build held ${EmbeddingStore.driverRowsHighWater.get()} rows on the driver")
     val cells = spark.read.parquet(s"$path/cells")
     // index is a complete, disjoint re-layout of the corpus
     assert(cells.count() === vectors.count())
