@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
 object CorpusScaling {
 
   private val heavy = Seq(
-    "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall")
+    "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall",
+    "q_dedup_embedding")
 
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
