@@ -501,7 +501,12 @@ object Dedup {
       col("grp").as("i"), explode(sequence(col("grp"), lit(g - 1))).as("j"))
     val bSide = e.select(col("vec_id"), col("cell"), col("embedding"),
       explode(sequence(lit(0), col("grp"))).as("i"), col("grp").as("j"))
-    aSide.as("a")
+    // shuffle_hash: both sides read the checkpointed assignment (no
+    // ordering to exploit), and the rows carry the 64-float vectors —
+    // an SMJ would sort the fattest rows in the pipeline twice; each
+    // (cell, i, j) hash bucket is bounded by the τ-capped cell size
+    // over G groups
+    aSide.as("a").hint("shuffle_hash")
       .join(bSide.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
