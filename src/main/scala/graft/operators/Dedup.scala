@@ -184,11 +184,16 @@ object Dedup {
     }
 
   /** Exact-verification stage: count common shingles per candidate
-    * pair (candidates are tiny → broadcast into the shingle join). */
+    * pair (candidates are tiny → broadcast into the shingle join).
+    * The b-side re-joins the checkpointed shingle rows on
+    * (doc_id, sh) — no ordering to exploit post-checkpoint, so
+    * shuffle_hash skips the two sorts an SMJ would pay at scale;
+    * (doc_id, sh) rows are distinct, so every hash bucket is one
+    * row. */
   private def verifyCommon(ex: DataFrame, cand: DataFrame): DataFrame =
     ex.as("a")
       .join(broadcast(cand), col("a.doc_id") === col("doc_a"))
-      .join(ex.as("b"),
+      .join(ex.as("b").hint("shuffle_hash"),
         col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
