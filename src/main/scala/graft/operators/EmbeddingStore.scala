@@ -286,8 +286,11 @@ object EmbeddingStore {
   /** Past this many cells, centroid/rank tables stop broadcasting
     * (≈200k rows × (dim·4+16) B ≈ 50 MB) and their joins fall back to
     * AQE-planned shuffle equi-joins. Shared by [[seedTable]] and
-    * [[assignCells]] so both sides of the rule flip together. */
-  private[graft] val broadcastCellCap = 200000L
+    * [[assignCells]] so both sides of the rule flip together. A `var`
+    * ONLY so IvfIndexSpec can lower it and prove the shuffle-join
+    * branch is result-identical to the broadcast branch — corpora
+    * that big don't fit in a test. */
+  private[graft] var broadcastCellCap = 200000L
 
   /** High-water mark of rows any IVF-path helper has materialized on
     * the driver (instrumentation for the O(√k) driver contract —

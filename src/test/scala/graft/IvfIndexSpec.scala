@@ -58,6 +58,26 @@ class IvfIndexSpec extends SparkTestBase {
       s"IVF path held ${driverRowsHighWater.get()} rows on the driver (bound $bound)")
   }
 
+  test("past the broadcast cap, the shuffle-join assignment is result-identical") {
+    import EmbeddingStore._
+    val t = Tables(spark, sfDir)
+    val emb = embed(t.documents).drop("shard")
+    def assignment(): Seq[(Long, Int)] = {
+      val cent = seedCentroids(emb)
+      assignCells(emb, cent).select(col("doc_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    }
+    val viaBroadcast = assignment()
+    val saved = broadcastCellCap
+    try {
+      // force every centroid/rank join onto the >200k-cell code path
+      // (AQE-planned shuffle equi-joins); cell assignments must not
+      // move — only the physical strategy may
+      broadcastCellCap = 0L
+      assert(assignment() === viaBroadcast)
+    } finally broadcastCellCap = saved
+  }
+
   test("persisted IVF index: partition-pruned probe matches exact scoring") {
     val dir = Files.createTempDirectory("graft-ivf").toFile
     dir.deleteOnExit()
