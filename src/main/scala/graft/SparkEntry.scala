@@ -111,6 +111,9 @@ object SparkEntry {
     "q_multimodal_meta" -> q(Multimodal.multimodalMeta),
     "q_media_chunks"    -> q(Multimodal.mediaChunks),
     "q_frame_sample"    -> q(Multimodal.frameSample),
+    // G4: chunk → stub feature votes → dense media vector → cosine
+    // top-k through the same codegen'd expression the text store uses
+    "q_media_embedding" -> q(Multimodal.mediaEmbedding),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -685,6 +688,40 @@ object SparkEntry {
         |FROM h
         |GROUP BY doc_id, n_frames
         |ORDER BY doc_id""".stripMargin,
+    // G4: the oracle recomputes the chunk votes (2 hex chars parsed
+    // positionally → bucket, 3rd char → sign) and takes the cosine
+    // SPARSELY (bucket equi-join) — the dense zero components the
+    // Spark side materializes contribute nothing to dot or norms, and
+    // the vote sums are small integers, exact in float and double
+    // alike, so the 6dp scores agree bit-for-bit.
+    "q_media_embedding" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb,
+        |    LEAST(CAST(CEIL(strlen(text)/64.0) AS BIGINT), 33554430) AS nchunks
+        |  FROM documents WHERE strlen(text) > 0),
+        |e AS (
+        |  SELECT doc_id, md5(substr(text, CAST(ci*64 + 1 AS BIGINT), 64)) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, nchunks)) AS ci FROM c)),
+        |v0 AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(h,2,1)) - 1)) % 32 AS bucket,
+        |    CASE WHEN substr(h,3,1) <= '7' THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM e),
+        |s AS (SELECT doc_id, bucket, SUM(sign) AS v FROM v0 GROUP BY doc_id, bucket),
+        |q AS (SELECT bucket, v AS qv FROM s WHERE doc_id = 0),
+        |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+        |d AS (
+        |  SELECT s.doc_id, SUM(s.v * q.qv) AS dot
+        |  FROM s JOIN q ON s.bucket = q.bucket
+        |  WHERE s.doc_id <> 0
+        |  GROUP BY s.doc_id),
+        |nm AS (SELECT doc_id, SQRT(SUM(v*v)) AS nrm FROM s WHERE doc_id <> 0 GROUP BY doc_id)
+        |SELECT nm.doc_id,
+        |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*(SELECT qnorm FROM qn),0),0),6) AS score
+        |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id
+        |ORDER BY score DESC, nm.doc_id
+        |LIMIT 10""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

@@ -114,4 +114,64 @@ object Multimodal {
         sum(col("stub_width") * col("stub_height")).as("stub_pixels"))
       .orderBy(col("source"))
   }
+
+  /** G4 — `q_media_embedding`: the feature-extract leg of the
+    * multimodal pipeline, end to end — binary payload → fixed-size
+    * chunks → per-chunk STUB feature (md5-derived ±1 vote into one of
+    * `mediaDim` buckets — deterministic and engine-portable, standing
+    * in for a CLIP-style chunk encoder at the same signature) → dense
+    * `array<float>` media vector → cosine top-k against a query
+    * payload through the SAME codegen'd `cosine_sim` expression the
+    * text store uses. A production system swaps the vote arithmetic
+    * for a real encoder inside the chunk contract and every
+    * downstream plan (store, IVF index, search) is unchanged.
+    *
+    * Scale shape: chunk rows stay in their reader's partition (G2's
+    * locality contract), votes combine map-side per (doc, bucket),
+    * the dense fold is one map_from_entries per doc, and the query
+    * vector broadcasts into the scan — one shuffle on doc_id, then
+    * TakeOrderedAndProject. Parity: vote sums and the resulting
+    * vector components are small INTEGERS, exact in float and double
+    * alike, so cosine accumulation (double on both engines) matches
+    * DuckDB bit-for-bit at 6 dp; ties break on doc_id. */
+  def mediaEmbedding(t: Tables): DataFrame = {
+    val dim = 32
+    val chunk = 64
+    val maxChunks = Int.MaxValue.toLong / chunk - 1
+    val payload = col("text").cast("binary")
+    val nb = length(payload).cast(LongType)
+    val nChunks = least(ceil(nb / lit(chunk.toDouble)).cast(LongType),
+      lit(maxChunks))
+    val h = md5(col("p").substr((col("ci") * chunk + 1).cast("int"), lit(chunk)))
+    val votes = t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), payload.as("p"),
+        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+      .select(col("doc_id"),
+        // 2 hex chars → 0..255, folded to the bucket; 3rd char picks
+        // the sign (the oracle parses the same chars positionally)
+        (conv(substring(h, 1, 2), 16, 10).cast("int") % dim).as("bucket"),
+        when(substring(h, 3, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
+    // eager checkpoint: the query-vector lookup and the corpus scan
+    // are two independent consumers of the dense vectors (lazy would
+    // re-run the chunk explode + both aggregations per consumer)
+    val dense = votes
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)))
+          .cast("array<float>").as("media_vec"))
+      .localCheckpoint()
+    val qv = dense.filter(col("doc_id") === 0)
+      .select(col("media_vec").as("qv"))
+    dense.filter(col("doc_id") =!= 0)
+      .join(broadcast(qv))
+      .select(col("doc_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("media_vec"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
 }

@@ -56,4 +56,25 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getString(3).matches("[0-9a-f]{32}"))
     }
   }
+
+  test("mediaEmbedding: ranked cosine scores, query excluded, identical payloads score 1") {
+    val rows = Multimodal.mediaEmbedding(t).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(!rows.exists(_.getLong(0) === 0L), "query doc must not rank itself")
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(s => s >= -1.0000001 && s <= 1.0000001))
+    // a doc whose payload equals the query's must score exactly 1
+    // (same chunks → same votes → parallel vectors); find one if the
+    // corpus has an exact duplicate of doc 0
+    val q = t.documents.filter(col("doc_id") === 0)
+      .select(col("text")).first().getString(0)
+    val dup = t.documents
+      .filter(col("doc_id") =!= 0 && col("text") === q)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    dup.foreach { d =>
+      assert(rows.exists(r => r.getLong(0) === d && r.getDouble(1) === 1.0),
+        s"exact duplicate $d of the query payload must score 1.0")
+    }
+  }
 }

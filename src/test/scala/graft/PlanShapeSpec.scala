@@ -23,6 +23,8 @@ class PlanShapeSpec extends SparkTestBase {
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
+    // the media search broadcasts the 1-row query media vector
+    "q_media_embedding",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // tf⋈df rows, same shape as q_scalar_subquery
     "q_tfidf")
