@@ -100,7 +100,7 @@ object GraftFunctions {
 object GraftTableFunctions {
 
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{Clusters, Dedup, EventOps, TextAnalysis}
+  import graft.operators.{Clusters, Dedup, EventOps, Multimodal, TextAnalysis}
   import graft.sources.Tables
 
   /** Evaluate a foldable string argument (the data dir) at analysis
@@ -151,7 +151,11 @@ object GraftTableFunctions {
     tvf("graft_asof_join")(EventOps.asofJoin),
     tvf("graft_range_join")(EventOps.rangeJoin),
     tvf("graft_sessionize")(EventOps.sessionize),
-    tvf("graft_resample")(EventOps.resample))
+    tvf("graft_resample")(EventOps.resample),
+    // the multimodal preprocessor legs: feature-extract search and
+    // the stride-subsample resize
+    tvf("graft_media_embedding")(Multimodal.mediaEmbedding),
+    tvf("graft_media_resize")(Multimodal.mediaResize))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -114,6 +114,8 @@ object SparkEntry {
     // G4: chunk → stub feature votes → dense media vector → cosine
     // top-k through the same codegen'd expression the text store uses
     "q_media_embedding" -> q(Multimodal.mediaEmbedding),
+    // G5: stride block-subsample resize, fully per-row (zero shuffle)
+    "q_media_resize"    -> q(Multimodal.mediaResize),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -722,6 +724,33 @@ object SparkEntry {
         |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id
         |ORDER BY score DESC, nm.doc_id
         |LIMIT 10""".stripMargin,
+    // G5: the oracle replays the stride rule and the kept-block fold
+    // per row (list_transform + array_to_string — DuckDB's analogue of
+    // the Spark transform+array_join); 134217725 = Int.MaxValue/16 - 2,
+    // the Int-addressable offset cap both engines apply.
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents WHERE strlen(text) > 0),
+        |d AS (
+        |  SELECT doc_id, text, nb, nb % 640 AS w, (nb * 7) % 480 AS h,
+        |    GREATEST(1, CAST(CEIL(GREATEST(nb % 640, (nb * 7) % 480) / 224.0) AS BIGINT)) AS stride,
+        |    CAST(CEIL(nb / 16.0) AS BIGINT) AS nblocks
+        |  FROM m),
+        |k AS (
+        |  SELECT *, LEAST(CAST(FLOOR((nblocks - 1) / stride) AS BIGINT) + 1,
+        |                  CAST(FLOOR(134217725 / stride) AS BIGINT) + 1) AS kept
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, w, h, stride,
+        |    array_to_string(list_transform(range(0, kept),
+        |      i -> substr(text, CAST(i * stride * 16 + 1 AS BIGINT), 16)), '') AS rp
+        |  FROM k)
+        |SELECT doc_id, w AS stub_width, h AS stub_height, stride,
+        |  CAST(CEIL(w / stride) AS BIGINT) AS new_w,
+        |  CAST(CEIL(h / stride) AS BIGINT) AS new_h,
+        |  CAST(strlen(rp) AS BIGINT) AS resized_bytes, md5(rp) AS resized_md5
+        |FROM r""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

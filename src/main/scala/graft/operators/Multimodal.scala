@@ -174,4 +174,54 @@ object Multimodal {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** G5 — `q_media_resize`: the resize leg of the multimodal
+    * preprocessor (vision models consume a fixed max edge — 224 here,
+    * the ImageNet convention). The STUB "resize" keeps every
+    * `stride`-th 16-byte block of the payload, where
+    * `stride = ⌈max(w,h)/224⌉` from the stub-decoded dimensions —
+    * deterministic block subsampling standing in for a real
+    * interpolating scaler at the same contract (payload in → smaller
+    * payload + new dims out). Swap the block arithmetic for a codec
+    * resize and the plan is unchanged.
+    *
+    * Scale shape: ZERO shuffle — dims, stride, the kept-block fold
+    * (`transform` over a bounded index sequence + `array_join`) and
+    * the output hash are all per-row inside one whole-stage-codegen
+    * span; cost is one scan regardless of corpus size. The kept-block
+    * count is capped so byte offsets stay Int-addressable (same GB
+    * payload contract as mediaChunks; the oracle replays the cap). */
+  def mediaResize(t: Tables): DataFrame = {
+    val blk = 16
+    val target = 224.0
+    // last addressable block index (in block units): offsets
+    // i*stride*blk+1 must stay below Int.MaxValue for substr
+    val maxOffBlocks = Int.MaxValue.toLong / blk - 2
+    val p = col("text")
+    val nb = length(p).cast(LongType)
+    val (w, h) = stubDecode(nb)
+    val stride =
+      greatest(lit(1L), ceil(greatest(w, h) / lit(target)).cast(LongType))
+    val nBlocks = ceil(nb / lit(blk.toDouble)).cast(LongType)
+    val kept = least(
+      floor((nBlocks - 1) / stride) + 1,
+      floor(lit(maxOffBlocks) / stride) + 1)
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), p.as("p"),
+        w.as("stub_width"), h.as("stub_height"),
+        stride.as("stride"), kept.as("kept"))
+      .select(col("doc_id"), col("stub_width"), col("stub_height"),
+        col("stride"),
+        ceil(col("stub_width") / col("stride")).as("new_w"),
+        ceil(col("stub_height") / col("stride")).as("new_h"),
+        array_join(transform(sequence(lit(0L), col("kept") - 1),
+          i => col("p").substr(
+            (i * col("stride") * blk + 1).cast("int"), lit(blk))), "")
+          .as("rp"))
+      .select(col("doc_id"), col("stub_width"), col("stub_height"),
+        col("stride"), col("new_w"), col("new_h"),
+        length(col("rp")).cast(LongType).as("resized_bytes"),
+        md5(col("rp").cast("binary")).as("resized_md5"))
+  }
 }

@@ -98,6 +98,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM graft_incremental_pruned('$sfDir')")
       .first().getLong(0) ===
       graft.operators.EventOps.incremental(t).count())
+    // the multimodal preprocessor legs
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_media_embedding('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.Multimodal.mediaEmbedding(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_media_resize('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.Multimodal.mediaResize(t).count())
   }
 
   test("table functions reject non-literal arguments at analysis time") {

@@ -77,4 +77,41 @@ class MultimodalSpec extends SparkTestBase {
         s"exact duplicate $d of the query payload must score 1.0")
     }
   }
+
+  test("mediaResize: brute-force stride subsample parity on a sample") {
+    val out = Multimodal.mediaResize(t)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    val docs = t.documents.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).limit(50).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val nb = text.getBytes("UTF-8").length.toLong
+      val (w, h) = (nb % 640, (nb * 7) % 480)
+      val stride = math.max(1L, math.ceil(math.max(w, h) / 224.0).toLong)
+      val nBlocks = math.ceil(nb / 16.0).toLong
+      val kept = (nBlocks - 1) / stride + 1 // test payloads are far below the Int cap
+      val rp = (0L until kept).map { i =>
+        val off = (i * stride * 16).toInt
+        text.substring(off, math.min(off + 16, text.length))
+      }.mkString
+      val r = byId(id)
+      assert(r.getLong(1) === w && r.getLong(2) === h)
+      assert(r.getLong(3) === stride)
+      assert(r.getLong(4) === math.ceil(w.toDouble / stride).toLong)
+      assert(r.getLong(5) === math.ceil(h.toDouble / stride).toLong)
+      assert(r.getLong(6) === rp.getBytes("UTF-8").length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(7) === md, s"resized_md5 mismatch for doc $id")
+    }
+    // every non-empty doc appears exactly once, and a stride-1 doc is
+    // a byte-identical pass-through
+    assert(byId.size === t.documents.filter(length(col("text")) > 0).count())
+    byId.values.find(_.getLong(3) === 1L).foreach { r =>
+      val orig = t.documents.filter(col("doc_id") === r.getLong(0))
+        .select(col("text")).first().getString(0)
+      assert(r.getLong(6) === orig.getBytes("UTF-8").length.toLong)
+    }
+  }
 }
