@@ -116,6 +116,9 @@ object SparkEntry {
     "q_media_embedding" -> q(Multimodal.mediaEmbedding),
     // G5: stride block-subsample resize, fully per-row (zero shuffle)
     "q_media_resize"    -> q(Multimodal.mediaResize),
+    // F12: concat-and-chunk packing audit via a two-level distributed
+    // prefix sum (no single-partition-per-source window)
+    "q_pack_sequences"  -> q(TextAnalysis.packSequences),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -751,6 +754,38 @@ object SparkEntry {
         |  CAST(CEIL(h / stride) AS BIGINT) AS new_h,
         |  CAST(strlen(rp) AS BIGINT) AS resized_bytes, md5(rp) AS resized_md5
         |FROM r""".stripMargin,
+    // F12: the oracle replays the two-level prefix sum as the
+    // semantically identical single-level window cumsum (shard order
+    // is doc_id order). Window/agg SUM(BIGINT) is HUGEINT in DuckDB —
+    // cast back so schemas match.
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, nt,
+        |    CAST(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - nt AS start
+        |  FROM tok),
+        |b AS (
+        |  SELECT source, nt, CAST(FLOOR(start / 2048.0) AS BIGINT) AS bin,
+        |    (nt > 0 AND FLOOR((start + nt - 1) / 2048.0) > FLOOR(start / 2048.0)) AS spanning
+        |  FROM c),
+        |p AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN spanning THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |  FROM b GROUP BY source),
+        |mx AS (
+        |  SELECT source, MAX(c) AS max_docs_per_seq FROM (
+        |    SELECT source, bin, COUNT(*) AS c FROM b GROUP BY source, bin)
+        |  GROUP BY source)
+        |SELECT p.source, n_docs, total_tokens,
+        |  CAST(CEIL(total_tokens / 2048.0) AS BIGINT) AS n_seqs,
+        |  max_docs_per_seq, n_spanning,
+        |  ROUND(total_tokens / NULLIF(CEIL(total_tokens / 2048.0) * 2048.0, 0.0), 6) AS fill
+        |FROM p JOIN mx ON p.source = mx.source
+        |ORDER BY p.source""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

@@ -352,4 +352,69 @@ object TextAnalysis {
         (col("dup_word_frac") > 0.85 || col("top_bigram_frac") > 0.18)
           .cast("boolean"))
   }
+
+  /** F12 — `q_pack_sequences`: the concat-and-chunk packing audit a
+    * pretraining pipeline runs before writing training shards — docs
+    * ordered by doc_id within each source form one token stream,
+    * chunked into fixed `seqLen`-token sequences (docs spanning a
+    * boundary continue into the next sequence, GPT-style). Per
+    * source: doc/token totals, sequence count, the max number of
+    * docs starting in one sequence, how many docs span a boundary,
+    * and the overall fill fraction.
+    *
+    * The core is a PREFIX SUM over the per-source stream — and a
+    * single `Window.partitionBy(source)` cumsum is exactly the
+    * few-hot-partitions skew SCALING.md §6 measures (source
+    * cardinality is tiny; one task per source would sort the world).
+    * So the cumsum is TWO-LEVEL: a local cumsum inside bounded
+    * (source, shard) windows (shard = doc_id ⁄ 65536 — monotone in
+    * doc_id, so shard-then-id order equals id order), plus a
+    * cross-shard offset computed by a second cumsum over the tiny
+    * per-shard totals (n/65536 rows; recurse the same trick if that
+    * ever stops being small) joined back broadcast. Every heavy stage
+    * hash-partitions on (source, shard); nothing concentrates.
+    * The DuckDB oracle replays the semantically identical
+    * single-level window cumsum. */
+  def packSequences(t: Tables): DataFrame = {
+    val seqLen = 2048.0
+    val shardSz = 65536L
+    val nt = size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val tok = t.documents.select(
+      col("source"), col("doc_id"), nt.as("nt"),
+      floor(col("doc_id") / lit(shardSz)).cast(LongType).as("shard"))
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+    val local = tok.withColumn(
+      "local_start", sum(col("nt")).over(wLocal) - col("nt"))
+    val wShard = Window.partitionBy(col("source")).orderBy(col("shard"))
+    val shardOff = tok.groupBy(col("source"), col("shard"))
+      .agg(sum(col("nt")).as("st"))
+      .select(col("source"), col("shard"),
+        (sum(col("st")).over(wShard) - col("st")).as("shard_off"))
+    val docs = local
+      .join(broadcast(shardOff), Seq("source", "shard"))
+      .select(col("source"), col("nt"),
+        (col("shard_off") + col("local_start")).as("start"))
+      .select(col("source"), col("nt"),
+        floor(col("start") / lit(seqLen)).as("bin"),
+        (col("nt") > 0 &&
+          floor((col("start") + col("nt") - 1) / lit(seqLen)) >
+            floor(col("start") / lit(seqLen))).as("spanning"))
+    val perSource = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("total_tokens"),
+      sum(when(col("spanning"), 1L).otherwise(0L)).as("n_spanning"))
+    val maxPerBin = docs.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(max(col("c")).as("max_docs_per_seq"))
+    perSource.join(maxPerBin, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        ceil(col("total_tokens") / lit(seqLen)).as("n_seqs"),
+        col("max_docs_per_seq"), col("n_spanning"),
+        round(col("total_tokens") /
+          nullif(ceil(col("total_tokens") / lit(seqLen)) * lit(seqLen),
+            lit(0.0)), 6).as("fill"))
+      .orderBy(col("source"))
+  }
 }

@@ -183,4 +183,44 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getBoolean(6) === (dup > 0.85 || topB > 0.18), s"flagged doc $id")
     }
   }
+
+  test("packSequences matches a brute-force single-level cumsum audit") {
+    // the brute force IS the naive single-window formulation, so this
+    // also proves the two-level prefix sum is equivalent to it
+    val seqLen = 2048.0
+    val re = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+    val docs = t.documents.select(col("source"), col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val m = re.matcher(r.getString(2))
+        var n = 0L
+        while (m.find()) n += 1
+        (r.getString(0), r.getLong(1), n)
+      }
+      .groupBy(_._1)
+    val out = TextAnalysis.packSequences(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === docs.keySet)
+    docs.foreach { case (source, ds) =>
+      val sorted = ds.sortBy(_._2).map(_._3)
+      val starts = sorted.scanLeft(0L)(_ + _).init
+      val bins = starts.map(s => math.floor(s / seqLen).toLong)
+      val spanning = sorted.zip(starts).count { case (nt, s) =>
+        nt > 0 && math.floor((s + nt - 1) / seqLen) > math.floor(s / seqLen)
+      }
+      val total = sorted.sum
+      val nSeqs = math.ceil(total / seqLen).toLong
+      val r = out(source)
+      assert(r.getLong(1) === sorted.length.toLong, s"$source n_docs")
+      assert(r.getLong(2) === total, s"$source total_tokens")
+      assert(r.getLong(3) === nSeqs, s"$source n_seqs")
+      assert(r.getLong(4) ===
+        bins.groupBy(identity).values.map(_.length).max.toLong,
+        s"$source max_docs_per_seq")
+      assert(r.getLong(5) === spanning.toLong, s"$source n_spanning")
+      val fill = BigDecimal(total / (nSeqs * seqLen))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) === fill, s"$source fill")
+    }
+  }
 }
