@@ -155,7 +155,9 @@ object GraftTableFunctions {
     // the multimodal preprocessor legs: feature-extract search and
     // the stride-subsample resize
     tvf("graft_media_embedding")(Multimodal.mediaEmbedding),
-    tvf("graft_media_resize")(Multimodal.mediaResize))
+    tvf("graft_media_resize")(Multimodal.mediaResize),
+    // the packing audit (two-level prefix sum)
+    tvf("graft_pack_sequences")(TextAnalysis.packSequences))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

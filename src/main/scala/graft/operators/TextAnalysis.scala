@@ -373,6 +373,10 @@ object TextAnalysis {
     * per-shard totals (n/65536 rows; recurse the same trick if that
     * ever stops being small) joined back broadcast. Every heavy stage
     * hash-partitions on (source, shard); nothing concentrates.
+    * The slim token frame (ids + counts, no text) is eagerly
+    * checkpointed because BOTH levels consume it — lazy, the window
+    * branch and the shard-totals branch would each rescan the corpus
+    * and re-tokenize (the plan audit caught exactly that).
     * The DuckDB oracle replays the semantically identical
     * single-level window cumsum. */
   def packSequences(t: Tables): DataFrame = {
@@ -383,6 +387,7 @@ object TextAnalysis {
     val tok = t.documents.select(
       col("source"), col("doc_id"), nt.as("nt"),
       floor(col("doc_id") / lit(shardSz)).cast(LongType).as("shard"))
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
     val local = tok.withColumn(

@@ -107,6 +107,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM graft_media_resize('$sfDir')")
       .first().getLong(0) ===
       graft.operators.Multimodal.mediaResize(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_pack_sequences('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.packSequences(t).count())
   }
 
   test("table functions reject non-literal arguments at analysis time") {
