@@ -156,8 +156,9 @@ object GraftTableFunctions {
     // the stride-subsample resize
     tvf("graft_media_embedding")(Multimodal.mediaEmbedding),
     tvf("graft_media_resize")(Multimodal.mediaResize),
-    // the packing audit (two-level prefix sum)
-    tvf("graft_pack_sequences")(TextAnalysis.packSequences))
+    // the packing and mixture audits
+    tvf("graft_pack_sequences")(TextAnalysis.packSequences),
+    tvf("graft_mix_temperature")(TextAnalysis.mixTemperature))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

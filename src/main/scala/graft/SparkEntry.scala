@@ -119,6 +119,8 @@ object SparkEntry {
     // F12: concat-and-chunk packing audit via a two-level distributed
     // prefix sum (no single-partition-per-source window)
     "q_pack_sequences"  -> q(TextAnalysis.packSequences),
+    // F13: mT5-style temperature sampling weights per source
+    "q_mix_temperature" -> q(TextAnalysis.mixTemperature),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -786,6 +788,31 @@ object SparkEntry {
         |  ROUND(total_tokens / NULLIF(CEIL(total_tokens / 2048.0) * 2048.0, 0.0), 6) AS fill
         |FROM p JOIN mx ON p.source = mx.source
         |ORDER BY p.source""".stripMargin,
+    // F13: p^alpha quantized to integer micro-units before the
+    // normalization sum (order-independent, engine-exact); every
+    // output double then derives from exact BIGINTs via identical
+    // IEEE division, so 6dp rounding agrees.
+    "q_mix_temperature" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+        |m AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens / (SELECT tot FROM tot) AS p,
+        |    CAST(ROUND(POWER(n_tokens / (SELECT tot FROM tot), 0.3) * 1000000, 0) AS BIGINT) AS micro
+        |  FROM per),
+        |mt AS (SELECT CAST(SUM(micro) AS BIGINT) AS mtot FROM m)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(p, 6) AS p_natural,
+        |  ROUND(micro / (SELECT mtot FROM mt), 6) AS w_temp,
+        |  ROUND((micro / (SELECT mtot FROM mt)) / p, 6) AS boost
+        |FROM m
+        |ORDER BY source""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
     // both sides trim before splitting.

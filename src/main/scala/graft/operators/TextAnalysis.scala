@@ -353,6 +353,44 @@ object TextAnalysis {
           .cast("boolean"))
   }
 
+  /** F13 — `q_mix_temperature`: temperature-scaled source sampling
+    * weights — the mT5/PaLM multi-source rebalance rule
+    * w_i = p_i^α ⁄ Σ_j p_j^α (α = 0.3), where p_i is source i's
+    * natural token share. Low-resource sources are boosted, dominant
+    * ones damped; `boost` = w_i ⁄ p_i is the over/under-sampling
+    * factor (≡ effective epochs over the source at a fixed token
+    * budget). The audit a pipeline logs before building a mixture.
+    *
+    * Shape: ONE map-side-combining aggregate pass over the corpus
+    * (per-source doc/token totals), then all remaining arithmetic on
+    * the ~|sources| rows with two 1-row broadcast totals — nothing
+    * after the first aggregate grows with the corpus. Parity: the
+    * normalization sum Σ p^α is over DOUBLES whose addition order
+    * Spark does not fix, so each p^α is first quantized to integer
+    * MICRO-units (round(p^α·10⁶) as long) and the longs are summed —
+    * order-independent and engine-exact; every output double then
+    * derives from exact integers through identical IEEE ops. */
+  def mixTemperature(t: Tables): DataFrame = {
+    val alpha = 0.3
+    val nt = size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val per = t.documents.select(col("source"), nt.as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val m = per.join(broadcast(tot))
+      .withColumn("p", col("n_tokens") / col("tot"))
+      .withColumn("micro",
+        round(pow(col("p"), alpha) * 1e6, 0).cast(LongType))
+    val mtot = m.agg(sum(col("micro")).as("mtot"))
+    m.join(broadcast(mtot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("micro") / col("mtot"), 6).as("w_temp"),
+        round((col("micro") / col("mtot")) / col("p"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+
   /** F12 — `q_pack_sequences`: the concat-and-chunk packing audit a
     * pretraining pipeline runs before writing training shards — docs
     * ordered by doc_id within each source form one token stream,

@@ -111,6 +111,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM graft_pack_sequences('$sfDir')")
       .first().getLong(0) ===
       graft.operators.TextAnalysis.packSequences(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_mix_temperature('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.mixTemperature(t).count())
   }
 
   test("table functions reject non-literal arguments at analysis time") {

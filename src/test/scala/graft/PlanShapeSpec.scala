@@ -27,7 +27,10 @@ class PlanShapeSpec extends SparkTestBase {
     "q_media_embedding",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // tf⋈df rows, same shape as q_scalar_subquery
-    "q_tfidf")
+    "q_tfidf",
+    // the two 1-row normalization totals cross-broadcast into the
+    // per-source rows
+    "q_mix_temperature")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

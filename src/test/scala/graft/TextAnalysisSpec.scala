@@ -223,4 +223,31 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getDouble(6) === fill, s"$source fill")
     }
   }
+
+  test("mixTemperature: weights normalize, damp the head, boost the tail") {
+    val rows = TextAnalysis.mixTemperature(t).collect()
+    assert(rows.length > 1)
+    val wSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    val pSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 1e-4)
+    // temperature alpha<1 flattens the distribution: the largest
+    // source is damped (boost<1), the smallest boosted (boost>1),
+    // and w's ordering preserves p's
+    val byP = rows.sortBy(_.getDouble(3))
+    assert(byP.last.getDouble(5) < 1.0, "head source must be damped")
+    assert(byP.head.getDouble(5) > 1.0, "tail source must be boosted")
+    assert(byP.map(_.getDouble(4)).zip(byP.map(_.getDouble(4)).tail)
+      .forall { case (a, b) => a <= b + 1e-9 }, "w monotone in p")
+    // brute-force recompute through the same micro-unit contract
+    val tot = rows.map(_.getLong(2)).sum
+    val micro = rows.map(r =>
+      math.round(math.pow(r.getLong(2).toDouble / tot, 0.3) * 1e6))
+    val mtot = micro.sum
+    rows.zip(micro).foreach { case (r, mi) =>
+      val w = BigDecimal(mi.toDouble / mtot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === w, s"w_temp ${r.getString(0)}")
+    }
+  }
 }
