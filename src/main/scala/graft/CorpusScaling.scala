@@ -45,7 +45,7 @@ object CorpusScaling {
 
   private val heavy = Seq(
     "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall",
-    "q_dedup_embedding")
+    "q_dedup_embedding", "q_pack_sequences")
 
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet, the only

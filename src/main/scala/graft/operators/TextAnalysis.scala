@@ -405,16 +405,24 @@ object TextAnalysis {
     * few-hot-partitions skew SCALING.md §6 measures (source
     * cardinality is tiny; one task per source would sort the world).
     * So the cumsum is TWO-LEVEL: a local cumsum inside bounded
-    * (source, shard) windows (shard = doc_id ⁄ 65536 — monotone in
-    * doc_id, so shard-then-id order equals id order), plus a
-    * cross-shard offset computed by a second cumsum over the tiny
-    * per-shard totals (n/65536 rows; recurse the same trick if that
-    * ever stops being small) joined back broadcast. Every heavy stage
-    * hash-partitions on (source, shard); nothing concentrates.
-    * The slim token frame (ids + counts, no text) is eagerly
-    * checkpointed because BOTH levels consume it — lazy, the window
-    * branch and the shard-totals branch would each rescan the corpus
-    * and re-tokenize (the plan audit caught exactly that).
+    * (source, shard) windows, plus a cross-shard offset computed by a
+    * second cumsum over the small per-shard totals joined back
+    * broadcast. Shards come from `repartitionByRange(source, doc_id)`
+    * with ⌈n ⁄ 65536⌉ partitions + `spark_partition_id` — range
+    * bounds are SAMPLED, so shard count AND size stay bounded for any
+    * id distribution (a `doc_id ⁄ k` rule would degenerate on sparse
+    * 64-bit ids: one doc per shard, and the cross-shard pass becomes
+    * the single hot window again). Range partitions are monotone in
+    * (source, doc_id), so shard-then-id order equals id order and the
+    * result is boundary-independent — which is also why the sampled
+    * (physically nondeterministic) boundaries cannot leak into the
+    * answer. Recurse the same trick if per-shard totals ever stop
+    * being small. The slim token frame (ids + counts, no text) is
+    * eagerly checkpointed because BOTH levels consume it — lazy, the
+    * window branch and the shard-totals branch would each rescan the
+    * corpus and re-tokenize (the plan audit caught exactly that);
+    * the checkpoint also pins the sampled shard assignment so the
+    * two consumers cannot disagree on it.
     * The DuckDB oracle replays the semantically identical
     * single-level window cumsum. */
   def packSequences(t: Tables): DataFrame = {
@@ -422,9 +430,14 @@ object TextAnalysis {
     val shardSz = 65536L
     val nt = size(regexp_extract_all(col("text"),
       lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
-    val tok = t.documents.select(
-      col("source"), col("doc_id"), nt.as("nt"),
-      floor(col("doc_id") / lit(shardSz)).cast(LongType).as("shard"))
+    val tok0 = t.documents.select(
+      col("source"), col("doc_id"), nt.as("nt"))
+      .localCheckpoint()
+    val nShards = math.max(
+      t.documents.sparkSession.sparkContext.defaultParallelism,
+      (tok0.count() / shardSz + 1L).toInt)
+    val tok = tok0.repartitionByRange(nShards, col("source"), col("doc_id"))
+      .withColumn("shard", spark_partition_id().cast(LongType))
       .localCheckpoint()
     val wLocal = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
