@@ -224,6 +224,38 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("packSequences is correct on sparse 64-bit doc ids (range sharding)") {
+    // the claim behind the sampled-range sharding: an id-division rule
+    // degenerates on sparse ids, the range rule must not — and the
+    // cumsum result must be identical to the naive single-stream fold
+    val rnd = new scala.util.Random(42)
+    val ids = Iterator.continually(rnd.nextLong() & Long.MaxValue)
+      .distinct.take(400).toSeq
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      (s"src${i % 3}", id, Seq.fill(1 + i % 7)("tok w" + i).mkString(" "),
+        "en", 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_").toString
+    docs.toDF("source", "doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.packSequences(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val re = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+    docs.groupBy(_._1).foreach { case (source, ds) =>
+      val sorted = ds.sortBy(_._2).map { d =>
+        val m = re.matcher(d._3); var n = 0L; while (m.find()) n += 1; n
+      }
+      val starts = sorted.scanLeft(0L)(_ + _).init
+      val bins = starts.map(s => math.floor(s / 2048.0).toLong)
+      val r = out(source)
+      assert(r.getLong(1) === sorted.length.toLong, s"$source n_docs")
+      assert(r.getLong(2) === sorted.sum, s"$source total_tokens")
+      assert(r.getLong(4) ===
+        bins.groupBy(identity).values.map(_.length).max.toLong,
+        s"$source max_docs_per_seq")
+    }
+  }
+
   test("mixTemperature: weights normalize, damp the head, boost the tail") {
     val rows = TextAnalysis.mixTemperature(t).collect()
     assert(rows.length > 1)
