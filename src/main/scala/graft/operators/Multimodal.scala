@@ -186,18 +186,21 @@ object Multimodal {
     * resize and the plan is unchanged.
     *
     * Scale shape: ZERO shuffle — dims, stride, the kept-block fold
-    * (`transform` over a bounded index sequence + `array_join`) and
-    * the output hash are all per-row inside one whole-stage-codegen
-    * span; cost is one scan regardless of corpus size. The kept-block
-    * count is capped so byte offsets stay Int-addressable (same GB
-    * payload contract as mediaChunks; the oracle replays the cap). */
+    * (a binary `aggregate` over a bounded index sequence) and the
+    * output hash are all per-row inside one narrow stage; cost is one
+    * scan regardless of corpus size. The kept-block count is capped
+    * so byte offsets stay Int-addressable (same GB payload contract
+    * as mediaChunks; the oracle replays the cap). Everything is BYTE
+    * arithmetic on the binary payload end to end — dims, block
+    * slicing, output length and hash all agree on any byte content,
+    * not just ASCII (MultimodalSpec property-checks non-ASCII). */
   def mediaResize(t: Tables): DataFrame = {
     val blk = 16
     val target = 224.0
     // last addressable block index (in block units): offsets
     // i*stride*blk+1 must stay below Int.MaxValue for substr
     val maxOffBlocks = Int.MaxValue.toLong / blk - 2
-    val p = col("text")
+    val p = col("text").cast("binary")
     val nb = length(p).cast(LongType)
     val (w, h) = stubDecode(nb)
     val stride =
@@ -215,13 +218,14 @@ object Multimodal {
         col("stride"),
         ceil(col("stub_width") / col("stride")).as("new_w"),
         ceil(col("stub_height") / col("stride")).as("new_h"),
-        array_join(transform(sequence(lit(0L), col("kept") - 1),
-          i => col("p").substr(
-            (i * col("stride") * blk + 1).cast("int"), lit(blk))), "")
+        aggregate(sequence(lit(0L), col("kept") - 1),
+          lit(Array.emptyByteArray),
+          (acc, i) => concat(acc, col("p").substr(
+            (i * col("stride") * blk + 1).cast("int"), lit(blk))))
           .as("rp"))
       .select(col("doc_id"), col("stub_width"), col("stub_height"),
         col("stride"), col("new_w"), col("new_h"),
         length(col("rp")).cast(LongType).as("resized_bytes"),
-        md5(col("rp").cast("binary")).as("resized_md5"))
+        md5(col("rp")).as("resized_md5"))
   }
 }

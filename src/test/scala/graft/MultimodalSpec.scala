@@ -78,33 +78,44 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("mediaResize: brute-force stride subsample parity on a sample") {
-    val out = Multimodal.mediaResize(t)
-    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
-    val docs = t.documents.filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text")).limit(50).collect()
-    assert(docs.nonEmpty)
-    docs.foreach { d =>
-      val (id, text) = (d.getLong(0), d.getString(1))
-      val nb = text.getBytes("UTF-8").length.toLong
-      val (w, h) = (nb % 640, (nb * 7) % 480)
-      val stride = math.max(1L, math.ceil(math.max(w, h) / 224.0).toLong)
-      val nBlocks = math.ceil(nb / 16.0).toLong
-      val kept = (nBlocks - 1) / stride + 1 // test payloads are far below the Int cap
-      val rp = (0L until kept).map { i =>
-        val off = (i * stride * 16).toInt
-        text.substring(off, math.min(off + 16, text.length))
-      }.mkString
-      val r = byId(id)
+  /** Byte-exact mirror of the engine's resize rule. */
+  private def bruteResize(text: String): (Long, Long, Long, Long, Long, Long, String) = {
+    val bytes = text.getBytes("UTF-8")
+    val nb = bytes.length.toLong
+    val (w, h) = (nb % 640, (nb * 7) % 480)
+    val stride = math.max(1L, math.ceil(math.max(w, h) / 224.0).toLong)
+    val nBlocks = math.ceil(nb / 16.0).toLong
+    val kept = (nBlocks - 1) / stride + 1 // test payloads are far below the Int cap
+    val rp = (0L until kept).toArray.flatMap { i =>
+      val off = (i * stride * 16).toInt
+      bytes.slice(off, math.min(off + 16, bytes.length))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rp).map("%02x".format(_)).mkString
+    (w, h, stride, math.ceil(w.toDouble / stride).toLong,
+      math.ceil(h.toDouble / stride).toLong, rp.length.toLong, md)
+  }
+
+  private def assertResizeParity(out: Map[Long, org.apache.spark.sql.Row],
+      docs: Seq[(Long, String)]): Unit =
+    docs.foreach { case (id, text) =>
+      val (w, h, stride, nw, nh, rb, md) = bruteResize(text)
+      val r = out(id)
       assert(r.getLong(1) === w && r.getLong(2) === h)
       assert(r.getLong(3) === stride)
-      assert(r.getLong(4) === math.ceil(w.toDouble / stride).toLong)
-      assert(r.getLong(5) === math.ceil(h.toDouble / stride).toLong)
-      assert(r.getLong(6) === rp.getBytes("UTF-8").length.toLong)
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(rp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getLong(4) === nw && r.getLong(5) === nh)
+      assert(r.getLong(6) === rb, s"resized_bytes mismatch for doc $id")
       assert(r.getString(7) === md, s"resized_md5 mismatch for doc $id")
     }
+
+  test("mediaResize: brute-force stride subsample parity on a sample") {
+    val byId = Multimodal.mediaResize(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = t.documents.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).limit(50).collect()
+      .map(d => (d.getLong(0), d.getString(1))).toSeq
+    assert(docs.nonEmpty)
+    assertResizeParity(byId, docs)
     // every non-empty doc appears exactly once, and a stride-1 doc is
     // a byte-identical pass-through
     assert(byId.size === t.documents.filter(length(col("text")) > 0).count())
@@ -113,5 +124,27 @@ class MultimodalSpec extends SparkTestBase {
         .select(col("text")).first().getString(0)
       assert(r.getLong(6) === orig.getBytes("UTF-8").length.toLong)
     }
+  }
+
+  test("mediaResize: byte-exact on adversarial non-ASCII payloads") {
+    // multi-byte UTF-8 makes byte length diverge from char length —
+    // the property the byte-consistent refactor must hold: every
+    // offset, length and hash is BYTE arithmetic on the payload
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "a", "\u00e9", "\u2728", "\u4e2d", " ", "\n", "\u00df", "\ud83c\udfa5"))
+      .map(_.mkString)
+    val texts = org.scalacheck.Gen.listOfN(150, gen).sample.get
+      .filter(_.nonEmpty).distinct
+    val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resize_").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic"))
+      .withColumn("lang", lit("xx")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = Multimodal.mediaResize(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.size === docs.size)
+    assertResizeParity(byId, docs)
   }
 }
