@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * Every per-round bench row is sf0.1, where a ~0.3-0.5 s planning/
   * scheduling floor per query dominates the data path (SCALING.md §1)
   * — so none of those rows says how the heavy operators grow with the
-  * CORPUS. This main times exactly that: the four heaviest queries
+  * CORPUS. This main times exactly that: the six heaviest queries
   * (`q_dedup_family`, `q_ngram_overlap`, `q_containment`,
-  * `q_ivf_recall`) over the sf0.1 corpus replicated 1×/2×/4×/8× with
-  * per-replica salting, run through the REAL `SparkEntry.queries`
-  * entries against materialized parquet dirs — one plan, growing
-  * data, per-(size, query) minima across passes.
+  * `q_ivf_recall`, `q_dedup_embedding`, `q_pack_sequences`) over the
+  * sf0.1 corpus replicated 1×/2×/4×/8× with per-replica salting, run
+  * through the REAL `SparkEntry.queries` entries against
+  * materialized parquet dirs — one plan, growing data,
+  * per-(size, query) minima across passes.
   *
   * Salting (what makes the read honest):
   *  - documents: every WORD is suffixed with the replica index — a
@@ -31,11 +32,10 @@ import org.apache.spark.sql.functions._
   * Expected shapes (the claim this artifact tests): dedup_family,
   * ngram_overlap and containment are equi-join/aggregate pipelines
   * with DF-capped pair stages — ~linear in corpus size. ivf_recall's
-  * ANN probe side is linear, but its ground-truth side is a
-  * brute-force exact top-k over (sampled queries × corpus) where BOTH
-  * factors grow with the corpus — O(n²/10⁴) BY DESIGN (it is the
-  * offline diagnostic that defines recall); its curve is reported to
-  * document that, not to pass a linearity bar.
+  * query sample is a bounded COUNT (`VectorSearch.recallQueryCount`
+  * lowest matching ids), so once the cap binds (8× and 16× here) its
+  * ground-truth side is O(K·n) — one more linear scan; the 1×-4×
+  * points still grow sample×corpus because the cap hasn't bound yet.
   *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MULTS=1,2,4,8
   *        sbt "runMain graft.CorpusScaling" → one JSON line

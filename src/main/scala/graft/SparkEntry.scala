@@ -1162,13 +1162,19 @@ object SparkEntry {
         |WHERE ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) >= 0.35
         |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
     // D7: replays the E5 assignment scaffold verbatim (same seeded
-    // two-level quantizer), then probe ranking, exact brute-force
-    // top-k, cell-pruned ANN top-k, and the recall ratio per probe
-    // count — all on 6dp-rounded scores with id tie-breaks.
+    // two-level quantizer), then the BOUNDED query sample (the
+    // recallQueryCount lowest ids matching the rule — same
+    // TakeOrdered semantics as the Spark side), probe ranking, exact
+    // brute-force top-k, cell-pruned ANN top-k, and the recall ratio
+    // per probe count — all on 6dp-rounded scores with id tie-breaks.
     "q_ivf_recall" ->
       s"""$ivfAssignCte,
+        |qids AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0
+        |  ORDER BY vec_id LIMIT ${operators.VectorSearch.recallQueryCount}),
         |qe AS (
-        |  SELECT e.vec_id AS qid, e.i, e.v FROM ev e WHERE e.vec_id % 100 = 0),
+        |  SELECT e.vec_id AS qid, e.i, e.v
+        |  FROM ev e JOIN qids q ON e.vec_id = q.vec_id),
         |prs AS (
         |  SELECT qe.qid, c.cell,
         |    ROUND(COALESCE(SUM(qe.v*c.v)

@@ -28,6 +28,16 @@ import graft.sources.Tables
   */
 object VectorSearch {
 
+  /** D7's query-sample bound: the recall evaluator scores the K
+    * LOWEST ids matching the sample rule, never a fraction of the
+    * corpus — K is what keeps the query broadcast O(K·dim) and the
+    * exact ground-truth side O(K·n) at any corpus size. 100 is
+    * deliberately small enough that the 8×/16× corpus replications
+    * in SCALING.md §5 exercise the cap (160 and 320 matching ids);
+    * a production evaluator would raise it (the shape is unchanged —
+    * cost is linear in K). */
+  val recallQueryCount: Int = 100
+
   /** Deterministic "query embedding": the stored vector with vec_id=0
     * (the reference embeds the query text at search time,
     * processor.py:467 — no model in this sandbox, so the query is a
@@ -146,17 +156,27 @@ object VectorSearch {
     * (engine.py:105) and the empirical basis for choosing `probes`.
     * One row per probe count: (probes, k, recall), recall = |ANN top-k
     * ∩ exact top-k| / |exact top-k| averaged over a deterministic
-    * query sample (vec_id % 100 == 0).
+    * query sample: the [[recallQueryCount]] LOWEST ids matching
+    * vec_id % 100 == 0, via TakeOrdered — a bounded COUNT, not a
+    * fraction of the corpus.
     *
     * Scale shape: this is an OFFLINE index diagnostic — ground truth
     * is by definition a brute-force scan, so the sampled queries
     * broadcast and the corpus is scanned ONCE for the exact ranking
     * and once (cell-pruned) for the ANN side; per-query work never
-    * shuffles the corpus. Assignment is the exact seeded two-level
-    * quantizer E5 and the persisted index share, so the measured
-    * recall is the recall of the REAL assignment, and the whole
-    * evaluation is deterministic (6dp-rounded scores, id tie-breaks)
-    * — which is what lets DuckDB replay it as an oracle. */
+    * shuffles the corpus. The sample bound is what keeps that honest
+    * at 100 TB: a fixed-FRACTION sample (the round-7 shape) makes the
+    * query broadcast grow linearly with the corpus (~2.6 GB at 1e9
+    * vectors) and the exact ground-truth side sample×corpus — i.e.
+    * QUADRATIC in n; with the fixed COUNT the broadcast is O(K·dim)
+    * forever (K=100 ⇒ ~51 KB at dim 64) and ground truth is O(K·n) —
+    * one more linear scan, measured flat in SCALING.md §5 once the
+    * cap binds (8× and 16× corpus). Assignment is the exact seeded
+    * two-level quantizer E5 and the persisted index share, so the
+    * measured recall is the recall of the REAL assignment, and the
+    * whole evaluation is deterministic (6dp-rounded scores, id
+    * tie-breaks, id-ordered sample) — which is what lets DuckDB
+    * replay it as an oracle. */
   def ivfRecall(t: Tables): DataFrame = {
     val k = 10
     val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
@@ -165,8 +185,15 @@ object VectorSearch {
     // are three independent consumers of the assignment (see
     // dedupMinhash's scaladoc for why lazy would recompute per stage)
     val assigned = EmbeddingStore.assignCells(emb, cent).localCheckpoint()
+    // bounded sample: TakeOrdered keeps the K lowest matching ids —
+    // deterministic, oracle-replayable (ORDER BY vec_id LIMIT K), and
+    // O(K) rows regardless of corpus size; eagerly checkpointed so
+    // the three consumers below reuse the materialized K rows instead
+    // of re-running the corpus-wide sort each
     val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
       .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      .orderBy(col("qid")).limit(recallQueryCount)
+      .localCheckpoint()
     // probe ranking per query over the broadcast centroid table
     // (rounded like every ranked score here, unlike searchIvf's
     // internal probe pick, so the oracle can replay the ordering)
