@@ -43,9 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusScaling {
 
-  private val heavy = Seq(
+  private val defaultHeavy = Seq(
     "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall",
     "q_dedup_embedding", "q_pack_sequences")
+
+  /** SPARK_GRAFT_QUERIES narrows the run to a comma-separated subset
+    * (e.g. after changing one operator, re-fit just its curve without
+    * paying for the whole family). */
+  private def heavy: Seq[String] =
+    sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultHeavy)
 
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
