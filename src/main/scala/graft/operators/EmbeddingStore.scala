@@ -66,12 +66,23 @@ case class SearchState(
 
 object EmbeddingStore {
 
+  /** Default store width. The reference embeds at 384 dims
+    * (all-MiniLM-L6-v2, processor.py:174); the synthetic corpora ship
+    * 64-dim vectors, so 64 is the default and 384 is exercised by
+    * EmbeddingStoreSpec's reference-dimensionality tests plus the
+    * DimBench artifact — every operator downstream of [[embed]]
+    * (store, IVF build/assign/probe, cosine search) is
+    * width-agnostic: the width is carried by the data, and
+    * [[buildIvfIndex]] infers it from its input. */
   val dim = 64
   val numShards = 16
 
   /** Batch-embed cleaned document text → (doc_id, shard, embedding
-    * float[dim], norm 1). */
-  def embed(docs: DataFrame): DataFrame = {
+    * float[dim], norm 1). `dim` defaults to the store width; pass 384
+    * to embed at the reference's model dimensionality. */
+  def embed(docs: DataFrame): DataFrame = embed(docs, dim)
+
+  def embed(docs: DataFrame, dim: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
@@ -361,6 +372,11 @@ object EmbeddingStore {
     * [[seedTable]] — no driver collect anywhere in the build. */
   def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
     val k = numCellsFor(vectors.count())
+    // vector width comes from the DATA (one-row peek, not a scan), so
+    // the index builds unchanged at the reference's 384 dims as at the
+    // synthetic corpora's 64 — nothing downstream hardcodes the width
+    val vecDim = vectors.select(size(col("embedding")).as("d")).limit(1)
+      .first().getInt(0)
     val seedDf = seedTable(vectors, k)
     val assigned = assignCells(vectors, seedDf)
     // one Lloyd iteration: per-cell mean. Components round to 6 dp so
@@ -373,7 +389,7 @@ object EmbeddingStore {
       .groupBy(col("cell"))
       .agg(map_from_entries(collect_list(struct(col("i"), col("cv")))).as("m"))
       .select(col("cell"),
-        transform(sequence(lit(0), lit(dim - 1)),
+        transform(sequence(lit(0), lit(vecDim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0)))
           .cast("array<float>").as("centroid"))
       // k rows, consumed by several passes inside assignCells — pin

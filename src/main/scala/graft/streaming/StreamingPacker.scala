@@ -78,12 +78,16 @@ object StreamingPacker {
     * documents parquet files (the streaming file source requires a
     * directory; `Tables`' single-file layout stages into one).
     * Tokenization mirrors the batch operator's BPE-ish regex, so
-    * counts agree engine-wide. */
-  def sequences(spark: SparkSession, docsDir: String): Dataset[PackedSeq] = {
+    * counts agree engine-wide. `maxFilesPerTrigger` bounds each
+    * micro-batch (production backfill pacing; the recovery spec uses
+    * it to force a multi-batch run it can kill mid-stream). */
+  def sequences(spark: SparkSession, docsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[PackedSeq] = {
     import spark.implicits._
     val schema = spark.read.parquet(docsDir).schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader
       .parquet(docsDir)
       .select(col("source"), col("doc_id"),
         size(regexp_extract_all(col("text"),

@@ -49,6 +49,60 @@ class EmbeddingStoreSpec extends SparkTestBase {
     assert(v.except(twice).count() === 0)
   }
 
+  test("reference dimensionality: 384-dim embed/store/search matches brute force") {
+    // the reference embeds at 384 dims (all-MiniLM-L6-v2,
+    // processor.py:174); everything downstream of embed is
+    // width-agnostic, so the SAME pipeline must hold at 384 as at the
+    // synthetic corpora's 64
+    val d = 384
+    val v = EmbeddingStore.embed(t.documents, d)
+    val r = v.select(col("doc_id"), size(col("embedding")).as("d"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("n")).collect()
+    assert(r.length === t.documents.count())
+    r.foreach { row =>
+      assert(row.getInt(1) === d)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-5)
+    }
+    // the hashing actually uses the extra width: a dim-invariant bug
+    // (e.g. a hardcoded % 64) would never populate a bucket past 63
+    val usedBuckets = v
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("x") =!= 0.0f)
+      .agg(max(col("i"))).first().getInt(0)
+    assert(usedBuckets >= 64, s"highest populated bucket $usedBuckets — width unused")
+
+    val dir = Files.createTempDirectory("graft-store-384").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    EmbeddingStore.store(v, path)
+
+    // near-dup pair still embeds near-parallel at 384
+    val pair = Dedup.dedupMinhash(t).first()
+    val (a, b) = (pair.getLong(0), pair.getLong(1))
+    val hits = EmbeddingStore.search(spark, path, a, 3).collect()
+    assert(hits.map(_.getLong(0)).contains(b),
+      s"doc $b should be a top-3 neighbor of its near-dup $a at 384 dims")
+
+    // independent ground truth: plain-Scala cosine over the collected
+    // store, same 6dp HALF_UP rounding and (score desc, id asc) order
+    val all = spark.read.parquet(path).select("doc_id", "embedding")
+      .collect().map(row => row.getLong(0) -> row.getSeq[Float](1).toArray)
+    val qv = all.toMap.apply(a)
+    def cos6(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      val c = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = all.filter(_._1 != a)
+      .map { case (id, vec) => (id, cos6(vec, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).toSeq
+    assert(hits.map(h => (h.getLong(0), h.getDouble(1))).toSeq === expected)
+  }
+
   test("store + incremental update + search: near-dup docs are nearest neighbors") {
     val dir = Files.createTempDirectory("graft-store").toFile
     dir.deleteOnExit()

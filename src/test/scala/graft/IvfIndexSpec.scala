@@ -125,6 +125,43 @@ class IvfIndexSpec extends SparkTestBase {
       exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("384-dim IVF index: build infers the width, pruned probe stays exact") {
+    // the reference's model width (processor.py:174) through the
+    // PERSISTED index path: build infers dim from the data, centroids
+    // come out 384 wide, and the partition-pruned probe is exact
+    // within its probed cells — same contract as the 64-dim test
+    val dir = Files.createTempDirectory("graft-ivf-384").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents, 384).drop("shard")
+    EmbeddingStore.buildIvfIndex(spark, vectors, path)
+
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assert(centroids.select(size(col("centroid"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(384), "centroid width must follow the data")
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() === vectors.count())
+
+    val queryDoc = 0L
+    val hits = EmbeddingStore.searchIvf(spark, path, queryDoc, k = 5)
+    val rows = hits.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"384-dim cell scan not partition-pruned:\n$plan")
+    val probed = rows.map(_.getInt(1)).distinct.toSeq
+    val qv = cells.filter(col("doc_id") === queryDoc).select(col("embedding").as("qv"))
+    val exact = cells
+      .filter(col("cell").isin(probed: _*) && col("doc_id") =!= queryDoc)
+      .join(broadcast(qv))
+      .select(col("doc_id"), round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("incremental append: new vectors join the index without a rebuild") {
     val dir = Files.createTempDirectory("graft-ivf-app").toFile
     dir.deleteOnExit()
