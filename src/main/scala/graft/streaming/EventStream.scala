@@ -24,10 +24,16 @@ import org.apache.spark.sql.types.LongType
   * see the Tables.events scaladoc for the library-wide convention. */
 private[streaming] object EventStream {
 
-  def read(spark: SparkSession, inputDir: String): DataFrame = {
+  /** `maxFilesPerTrigger` bounds each micro-batch (production
+    * backfill pacing; the recovery spec uses it to force a
+    * multi-batch run it can kill mid-stream). */
+  def read(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(inputDir).schema
-    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val raw = reader.parquet(inputDir)
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -32,8 +32,9 @@ object IncrementalPipeline {
     * output hour_start converts back to TIMESTAMP_NTZ with the same
     * epoch arithmetic, so stream output equals batch
     * (EventOps.timeWindow) in ANY session timezone. */
-  def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame = {
-    EventStream.read(spark, inputDir)
+  def hourlyCounts(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    EventStream.read(spark, inputDir, maxFilesPerTrigger)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,180 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.{IncrementalPipeline, StreamingPacker}
+
+/** Crash-recovery proof for the streaming surface: with a DURABLE
+  * checkpoint and a transactional FILE sink, a query killed
+  * mid-stream and restarted emits exactly the rows the batch rule
+  * defines — no loss (keyed state and source offsets resume from the
+  * checkpoint) and no duplicates (the file sink's _spark_metadata
+  * commit log makes an interrupted batch's files invisible and its
+  * replay idempotent). The memory-sink AvailableNow harnesses prove
+  * semantics; THIS suite proves the production exactly-once story.
+  */
+class StreamingRecoverySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Run `q` until at least `minBatches` data batches committed, then
+    * kill it (stop() interrupts whatever batch is in flight — the
+    * crash). Fails the test if no progress within 120 s. */
+  private def killAfter(q: StreamingQuery, minBatches: Int): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    while (q.isActive &&
+        q.recentProgress.count(_.numInputRows > 0) < minBatches) {
+      Thread.sleep(20)
+      assert(System.currentTimeMillis() < deadline,
+        s"stream made no progress: ${q.recentProgress.length} batches")
+    }
+    if (q.isActive) q.stop()
+    q.awaitTermination()
+  }
+
+  private val tokenRe =
+    java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+  private def ntOf(text: String): Long = {
+    val m = tokenRe.matcher(text); var n = 0L; while (m.find()) n += 1; n
+  }
+
+  test("packer: killed mid-stream and restarted, emitted bins equal the batch rule") {
+    val in = Files.createTempDirectory("graft-rec-in").toFile
+    val sink = Files.createTempDirectory("graft-rec-sink").toFile
+    val ckpt = Files.createTempDirectory("graft-rec-ckpt").toFile
+    Seq(in, sink, ckpt).foreach(_.deleteOnExit())
+
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 600L).map { i =>
+      (s"s${i % 2}", i, Seq.fill(150 + rnd.nextInt(300))("w").mkString(" "))
+    }
+    // 12 single-part files in doc_id order; mtimes strictly increase
+    // so the file source's batch order IS the id order the batch rule
+    // packs in (maxFilesPerTrigger=1 => one file per micro-batch)
+    docs.grouped(50).zipWithIndex.foreach { case (slice, i) =>
+      slice.toDF("source", "doc_id", "text")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+      in.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
+          f.setLastModified(1000000L * (i + 1)))
+    }
+
+    def start(): StreamingQuery =
+      StreamingPacker.sequences(spark, in.getAbsolutePath, Some(1))
+        .writeStream
+        .format("parquet")
+        .option("path", sink.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    // run 1: crash after >= 2 committed batches, mid-stream
+    killAfter(start(), minBatches = 2)
+    val partial = spark.read.parquet(sink.getAbsolutePath).count()
+
+    // run 2: restart from the checkpoint, drain to completion
+    val q2 = start()
+    q2.awaitTermination()
+    val finalRows = spark.read.parquet(sink.getAbsolutePath)
+      .select("source", "seq_idx", "n_docs_started").collect()
+    assert(partial < finalRows.length,
+      s"kill was not mid-stream: $partial of ${finalRows.length} rows already emitted")
+
+    // no duplicates: (source, seq_idx) is a key
+    val keys = finalRows.map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length, "duplicate sequences emitted")
+
+    // no loss + state continuity across the kill: bins equal the
+    // batch concat-and-chunk rule exactly (a sequence OPEN at the
+    // kill point must keep filling after the restart)
+    val got = finalRows
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    docs.groupBy(_._1).foreach { case (source, ds) =>
+      val nts = ds.sortBy(_._2).map(d => ntOf(d._3))
+      val starts = nts.scanLeft(0L)(_ + _).init
+      val nClosed = nts.sum / StreamingPacker.seqLen
+      val startedPerBin = starts.map(_ / StreamingPacker.seqLen)
+        .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+      (0L until nClosed).foreach { b =>
+        assert(got.get((source, b)).contains(startedPerBin.getOrElse(b, 0L)),
+          s"$source seq $b docs_started")
+      }
+      assert(!got.contains((source, nClosed)),
+        s"$source open partial sequence must not be emitted")
+      assert(got.keys.count(_._1 == source) === nClosed,
+        s"$source emitted bin count")
+    }
+  }
+
+  test("hourly windows: killed mid-stream and restarted, closed windows emitted exactly once") {
+    val in = Files.createTempDirectory("graft-recw-in").toFile
+    val sink = Files.createTempDirectory("graft-recw-sink").toFile
+    val ckpt = Files.createTempDirectory("graft-recw-ckpt").toFile
+    Seq(in, sink, ckpt).foreach(_.deleteOnExit())
+
+    // 600 events, 3 min apart => ~30 h of event time; the last event
+    // lands mid-hour so the final watermark (max ts - 2 h) is never
+    // exactly on a window boundary
+    val n = 600
+    val events = spark.range(n.toLong).select(
+      col("id").as("event_id"),
+      expr("timestamp_ntz'2024-01-01 00:00:00' + " +
+        "make_dt_interval(0, 0, 0, id * 180)").as("ts"),
+      concat(lit("t"), pmod(col("id"), lit(3))).as("event_type"))
+    // 12 files in ts order with increasing mtimes, like the packer test
+    (0 until 12).foreach { i =>
+      events.filter(col("event_id") >= i * 50 && col("event_id") < (i + 1) * 50)
+        .repartition(1).sortWithinPartitions("event_id")
+        .write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+      in.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
+          f.setLastModified(1000000L * (i + 1)))
+    }
+
+    def start(): StreamingQuery =
+      IncrementalPipeline.hourlyCounts(spark, in.getAbsolutePath, Some(1))
+        .writeStream
+        .format("parquet")
+        .option("path", sink.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    killAfter(start(), minBatches = 2)
+    val q2 = start()
+    q2.awaitTermination()
+
+    val finalRows = spark.read.parquet(sink.getAbsolutePath).collect()
+    // exactly once: (hour_start, event_type) is a key
+    val keys = finalRows.map(r => (r.get(0).toString, r.getString(1)))
+    assert(keys.distinct.length === keys.length, "duplicate windows emitted")
+
+    // append mode emits exactly the windows the final watermark
+    // closed: window end <= max event ts - 2 h; counts equal batch
+    val maxTsSec = (n - 1).toLong * 180
+    val wmSec = maxTsSec - 2 * 3600
+    // hour h is closed iff its END fits under the watermark:
+    // (h+1)*3600 <= wmSec
+    val lastClosedHour = (wmSec - 3600) / 3600
+    val expected = (0L until n.toLong)
+      .map(i => (i * 180 / 3600, s"t${i % 3}"))
+      .filter(_._1 <= lastClosedHour)
+      .groupBy(identity).map { case ((h, et), xs) =>
+        (java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h), et) ->
+          xs.length.toLong
+      }
+    val got = finalRows.map { r =>
+      (r.getAs[java.time.LocalDateTime](0), r.getString(1)) -> r.getLong(2)
+    }.toMap
+    assert(got === expected,
+      s"closed-window set/counts diverge (expected ${expected.size} windows, got ${got.size})")
+  }
+}
