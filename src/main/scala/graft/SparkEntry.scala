@@ -76,6 +76,9 @@ object SparkEntry {
     "q_ngram_jaccard"   -> q(Dedup.ngramJaccard),
     "q_containment"     -> q(Dedup.containment),
     "q_dedup_embedding" -> q(Dedup.dedupEmbedding),
+    // E2b: the LSH tuning evaluator — candidate cost + recall per
+    // band/row layout against the exact E4 ground truth
+    "q_lsh_recall"      -> q(Dedup.lshRecall),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -1066,6 +1069,7 @@ object SparkEntry {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_dedup_family" -> dedupFamilyOracle,
@@ -1319,6 +1323,71 @@ object SparkEntry {
     s"""$minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** E2b oracle: generated from the SAME `Dedup.lshSettings` constant
+    * as the Spark side. Replays the 12-hash signatures, each layout's
+    * salted band buckets with the per-layout occupancy cap, the
+    * capped-shingle exact-Jaccard ≥ 0.5 ground truth (E4's rule), and
+    * the per-layout candidate count + recall. */
+  private def lshRecallOracle: String = {
+    val sigs = (0 until 12)
+      .map(k => s"    list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS h$k")
+      .mkString(",\n")
+    val bands = operators.Dedup.lshSettings.flatMap { case (nb, nr) =>
+      (0 until nb).map { bi =>
+        val rows = (0 until nr).map(k => s"h${bi * nr + k}").mkString(" || ")
+        s"  SELECT doc_id, $nb AS bands, $nr AS rows_per_band, md5('$nb/$nr:$bi|' || $rows) AS bucket FROM sig"
+      }
+    }.mkString("\n  UNION ALL\n")
+    val settingsValues = operators.Dedup.lshSettings
+      .map { case (nb, nr) => s"($nb, $nr)" }.mkString(", ")
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigs
+       |  FROM shl),
+       |ex0 AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+       |ex AS (SELECT doc_id, sh FROM ex0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= ${operators.Dedup.maxBucketSize}),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |cm AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (
+       |  SELECT cm.doc_a, cm.doc_b
+       |  FROM cm JOIN sz x ON cm.doc_a = x.doc_id JOIN sz y ON cm.doc_b = y.doc_id
+       |  WHERE CAST(cm.common AS DOUBLE)/CAST(x.n + y.n - cm.common AS DOUBLE) >= 0.5),
+       |tot AS (SELECT COUNT(*) AS t FROM truth),
+       |bk0 AS (
+       |$bands),
+       |bk AS (
+       |  SELECT doc_id, bands, rows_per_band, bucket FROM bk0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY bands, rows_per_band, bucket)
+       |    <= ${operators.Dedup.maxBucketSize}),
+       |cand AS (
+       |  SELECT DISTINCT a.bands, a.rows_per_band,
+       |    a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.bands = b.bands
+       |    AND a.rows_per_band = b.rows_per_band
+       |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |stats AS (
+       |  SELECT bands, rows_per_band, COUNT(*) AS n_candidates
+       |  FROM cand GROUP BY bands, rows_per_band),
+       |hits AS (
+       |  SELECT c.bands, c.rows_per_band, COUNT(*) AS h
+       |  FROM cand c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |  GROUP BY c.bands, c.rows_per_band),
+       |ps AS (SELECT * FROM (VALUES $settingsValues) AS v(bands, rows_per_band))
+       |SELECT ps.bands, ps.rows_per_band,
+       |  COALESCE(s.n_candidates, 0) AS n_candidates,
+       |  tot.t AS n_truth,
+       |  ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS recall
+       |FROM ps
+       |LEFT JOIN stats s ON ps.bands = s.bands AND ps.rows_per_band = s.rows_per_band
+       |LEFT JOIN hits h ON ps.bands = h.bands AND ps.rows_per_band = h.rows_per_band, tot
+       |ORDER BY ps.bands""".stripMargin
+  }
 
   /** E7 oracle: the E2 pair CTEs (identical capping and
     * verification), then the cross-corpus filter — restricting

@@ -319,6 +319,84 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The band/row layouts [[lshRecall]] evaluates over the 12-hash
+    * signature family: (bands, rows-per-band) with bands·rows = 12.
+    * E2 ships (4, 3); the evaluator measures what the neighbors of
+    * that choice trade — more rows per band (2, 6) is stricter
+    * (fewer candidates to verify, lower recall), fewer (6, 2) is
+    * looser. `private[graft]` so the DuckDB oracle generator derives
+    * from the SAME constant and the two sides cannot drift. */
+  private[graft] val lshSettings: Seq[(Int, Int)] = Seq((2, 6), (4, 3), (6, 2))
+
+  /** E2b — `q_lsh_recall`: the LSH tuning evaluator — E2's
+    * numHashes=12 / 4-band layout was a fixed constant with no
+    * measured basis (exactly the gap `q_ivf_recall` closes for the
+    * IVF `probes` knob). For each (bands, rows) layout in
+    * [[lshSettings]] this measures, against ground truth = the EXACT
+    * Jaccard ≥ 0.5 pairs over the capped shingle space (E4's rule),
+    *
+    *  - `n_candidates` — the verification COST: how many pairs the
+    *    banding sends to exact verification, and
+    *  - `recall` — the fraction of truly-similar pairs the banding
+    *    surfaces at all (what E2 can never find, no matter the
+    *    verification threshold).
+    *
+    * Scale shape: ground truth is E4's DF-capped shingle equi-join
+    * (linear by the cap, measured in SCALING.md §5); each layout's
+    * candidates come from the same capped band self-join as E2 —
+    * every stage an equi-join on a derived key, nothing all-pairs.
+    * Truth and candidate sets are eagerly checkpointed (each feeds
+    * two consumers). The bucket salt carries the layout id, so
+    * layouts never cross-collide. Everything is md5-derived and the
+    * caps are replayed in the oracle, so DuckDB reproduces the exact
+    * counts (reference anchor: the reference hand-tunes its
+    * similarity_threshold/limit knobs, engine.py:105 — this is the
+    * measured basis a 100 TB corpus demands before committing a
+    * layout to a full-corpus dedup run). */
+  def lshRecall(t: Tables): DataFrame = {
+    val st = sharedStages(t.documents)
+    // ground truth: E4's exact-Jaccard pairs (threshold 0.5) over the
+    // DF-capped shingle space, built from the already-materialized
+    // shared shingle rows
+    val ex = capBuckets(st.shingles, Seq("sh")).localCheckpoint()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = ex.as("a").hint("shuffle_hash")
+      .join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("common"))
+    val truth = jaccardFromCommon(common, sizes, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // one consumer per layout + the denominator
+    val totalDf = truth.agg(count(lit(1)).as("n_truth"))
+    lshSettings.map { case (nb, nr) =>
+      val bucketCols = (0 until nb).map { bi =>
+        md5(concat((lit(s"$nb/$nr:$bi|") +:
+          (0 until nr).map(k => col(s"h${bi * nr + k}"))): _*))
+      }
+      val buckets = capBuckets(
+        st.sigs.select(col("doc_id"),
+          explode(array(bucketCols: _*)).as("bucket")),
+        Seq("bucket"))
+      val cand = buckets.as("a").hint("merge")
+        .join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // consumed twice: the cost count + the hit join
+      val stats = cand.agg(count(lit(1)).as("n_candidates"))
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("hits"))
+      stats.crossJoin(hits).crossJoin(totalDf)
+        .select(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"),
+          round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
+  }
+
   /** E3 — SimHash: 64-bit fingerprint by per-bit weighted vote over
     * all tokens. TWO salted md5s per token supply all 64 bits (hex
     * char j's high bit — '0'-'7' vs '8'-'f' — is one vote, 32 chars

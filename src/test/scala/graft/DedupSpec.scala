@@ -8,6 +8,31 @@ import graft.sources.Tables
 class DedupSpec extends SparkTestBase {
   lazy val t = Tables(spark, sfDir)
 
+  test("lshRecall: one row per layout, truth = exact E4 pairs, nested layouts order the counts") {
+    val rows = Dedup.lshRecall(t).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Dedup.lshSettings.toSet)
+    // the denominator IS the E4 row's pair count (same 0.5 threshold,
+    // same capped shingle space)
+    val truth = Dedup.ngramJaccard(t).count()
+    rows.values.foreach { case (nCand, nTruth, recall) =>
+      assert(nTruth === truth)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(nCand >= 0L)
+    }
+    // the 12-hash layouts nest: a (2,6)-band collision implies its two
+    // (4,3) sub-bands collide, which imply their (6,2) sub-bands —
+    // so candidate counts and recall are monotone from strict to loose
+    // (occupancy caps could in principle invert this by dropping a
+    // bucket only in the looser layout; no bucket is near the cap at
+    // this SF)
+    val c = Dedup.lshSettings.map(s => rows(s)._1)
+    val r = Dedup.lshSettings.map(s => rows(s)._3)
+    assert(c === c.sorted, s"candidate counts not monotone: $c")
+    assert(r === r.sorted, s"recall not monotone: $r")
+  }
+
   test("dedupExact: one group per distinct normalized text, keep smallest id") {
     val rows = Dedup.dedupExact(t).collect()
     assert(rows.map(_.getString(2)).distinct.length === rows.length)
