@@ -51,6 +51,9 @@ object SparkEntry {
     // D8: the PERSISTED index end-to-end (build once into tmp
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
+    // D9: index-health stats over the same persisted index (cell
+    // skew, appended fraction, mean intra-cell cosine)
+    "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
     "q_embedding_coverage" -> q(EmbeddingStore.coverageQuery),
     // C1 + F-family: text cleaning and analysis
@@ -338,51 +341,7 @@ object SparkEntry {
     // exact top-10 inside only those cells.
     "q_search_ivf" ->
       s"""$ivfAssignCte,
-         |rc AS (
-         |  SELECT a.cell, e.i, ROUND(AVG(e.v),6) AS v
-         |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
-         |  GROUP BY a.cell, e.i),
-         |rk2 AS (
-         |  SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(DISTINCT cell))) AS BIGINT)) AS kc
-         |  FROM rc),
-         |co2m AS (
-         |  SELECT cell AS seed_cell,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS INTEGER) AS coarse
-         |  FROM (SELECT DISTINCT cell FROM rc)
-         |  QUALIFY ROW_NUMBER() OVER (ORDER BY cell) <= (SELECT kc FROM rk2)),
-         |co2 AS (SELECT m.coarse, r.i, r.v FROM co2m m JOIN rc r ON r.cell = m.seed_cell),
-         |fgs2 AS (
-         |  SELECT c.cell, k.coarse,
-         |    ROUND(COALESCE(SUM(c.v*k.v)
-         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-         |  FROM rc c JOIN co2 k ON c.i = k.i
-         |  GROUP BY c.cell, k.coarse),
-         |fg2 AS (
-         |  SELECT f.cell, COALESCE(m.coarse, f.coarse) AS coarse
-         |  FROM (SELECT cell, coarse FROM fgs2
-         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1) f
-         |  LEFT JOIN co2m m ON m.seed_cell = f.cell),
-         |l1s2 AS (
-         |  SELECT e.vec_id, k.coarse,
-         |    ROUND(COALESCE(SUM(e.v*k.v)
-         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-         |  FROM ev e JOIN co2 k ON e.i = k.i
-         |  GROUP BY e.vec_id, k.coarse),
-         |l12 AS (
-         |  SELECT vec_id, coarse FROM l1s2
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
-         |l2s2 AS (
-         |  SELECT e.vec_id, f.cell,
-         |    ROUND(COALESCE(SUM(e.v*c.v)
-         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
-         |  FROM ev e
-         |  JOIN l12 ON e.vec_id = l12.vec_id
-         |  JOIN fg2 f ON f.coarse = l12.coarse
-         |  JOIN rc c ON c.cell = f.cell AND c.i = e.i
-         |  GROUP BY e.vec_id, f.cell),
-         |asg2 AS (
-         |  SELECT vec_id, cell FROM l2s2
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1),
+         |$ivfRefinedCte,
          |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
          |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
          |prs AS (
@@ -401,6 +360,39 @@ object SparkEntry {
          |FROM s
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
+    // D9: replays build (shared ivfAssignCte + ivfRefinedCte), then
+    // the stats row. rcf casts the refined centroids through FLOAT —
+    // the engine STORES centroids as array<float>, so the oracle must
+    // score against the float-quantized values or ~0.5% of per-vector
+    // cosines would round differently in the 6th decimal and perturb
+    // the micro-unit mean. The built index has no appended rows, so
+    // appended_frac replays as 0.
+    "q_ivf_stats" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |rcf AS (SELECT cell, i, CAST(CAST(v AS FLOAT) AS DOUBLE) AS v FROM rc),
+         |ics AS (
+         |  SELECT a.vec_id,
+         |    ROUND(COALESCE(SUM(e.v*c.v)
+         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
+         |  FROM ev e
+         |  JOIN asg2 a ON e.vec_id = a.vec_id
+         |  JOIN rcf c ON c.cell = a.cell AND c.i = e.i
+         |  GROUP BY a.vec_id),
+         |csz AS (SELECT cell, COUNT(*) AS n FROM asg2 GROUP BY cell),
+         |agg AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM asg2) AS n_vectors,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csz) AS n_cells,
+         |    (SELECT CAST(MAX(n) AS BIGINT) FROM csz) AS max_cell,
+         |    (SELECT SUM(CAST(ROUND(cs*1000000) AS BIGINT)) FROM ics) AS s_micro)
+         |SELECT n_vectors, n_cells, max_cell,
+         |  ROUND(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |    / CAST(n_vectors AS DOUBLE), 6) AS cell_skew,
+         |  ROUND(CAST(0 AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS appended_frac,
+         |  ROUND(CAST(s_micro AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+         |    / 1000000.0, 6) AS mean_intra_cosine
+         |FROM agg""".stripMargin,
     // Store-coverage stat (reference get_database_stats, engine.py:228):
     // embeddings.vec_id keys events.event_id as in D6.
     "q_embedding_coverage" ->
@@ -1563,6 +1555,63 @@ object SparkEntry {
         |asg AS (
         |  SELECT vec_id, cell FROM l2s
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
+
+  /** Shared replay of the PERSISTED index build past the first-round
+    * assignment (`ivfAssignCte`'s `asg`): one Lloyd step (per-cell
+    * mean, components 6dp-rounded), then a SECOND two-level
+    * assignment against the refined centroids — cells may be
+    * non-contiguous after the Lloyd reassignment, so the coarse seeds
+    * are the rank-relabeled kc lowest surviving cells, exactly like
+    * assignCells' zipWithIndex relabel. Produces CTEs rc(cell,i,v)
+    * (refined centroids, exact 6dp doubles) and asg2(vec_id,cell)
+    * (the persisted assignment). Shared by D8's probe replay and
+    * D9's index-stats replay. */
+  private val ivfRefinedCte: String =
+    """rc AS (
+      |  SELECT a.cell, e.i, ROUND(AVG(e.v),6) AS v
+      |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
+      |  GROUP BY a.cell, e.i),
+      |rk2 AS (
+      |  SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(DISTINCT cell))) AS BIGINT)) AS kc
+      |  FROM rc),
+      |co2m AS (
+      |  SELECT cell AS seed_cell,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS INTEGER) AS coarse
+      |  FROM (SELECT DISTINCT cell FROM rc)
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY cell) <= (SELECT kc FROM rk2)),
+      |co2 AS (SELECT m.coarse, r.i, r.v FROM co2m m JOIN rc r ON r.cell = m.seed_cell),
+      |fgs2 AS (
+      |  SELECT c.cell, k.coarse,
+      |    ROUND(COALESCE(SUM(c.v*k.v)
+      |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+      |  FROM rc c JOIN co2 k ON c.i = k.i
+      |  GROUP BY c.cell, k.coarse),
+      |fg2 AS (
+      |  SELECT f.cell, COALESCE(m.coarse, f.coarse) AS coarse
+      |  FROM (SELECT cell, coarse FROM fgs2
+      |        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cscore DESC, coarse) = 1) f
+      |  LEFT JOIN co2m m ON m.seed_cell = f.cell),
+      |l1s2 AS (
+      |  SELECT e.vec_id, k.coarse,
+      |    ROUND(COALESCE(SUM(e.v*k.v)
+      |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
+      |  FROM ev e JOIN co2 k ON e.i = k.i
+      |  GROUP BY e.vec_id, k.coarse),
+      |l12 AS (
+      |  SELECT vec_id, coarse FROM l1s2
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, coarse) = 1),
+      |l2s2 AS (
+      |  SELECT e.vec_id, f.cell,
+      |    ROUND(COALESCE(SUM(e.v*c.v)
+      |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cscore
+      |  FROM ev e
+      |  JOIN l12 ON e.vec_id = l12.vec_id
+      |  JOIN fg2 f ON f.coarse = l12.coarse
+      |  JOIN rc c ON c.cell = f.cell AND c.i = e.i
+      |  GROUP BY e.vec_id, f.cell),
+      |asg2 AS (
+      |  SELECT vec_id, cell FROM l2s2
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
 
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
     * take vec_id=0 as the query, join on position, aggregate dot and

@@ -370,20 +370,46 @@ object EmbeddingStore {
     * `PartitionFilters` entry instead of a row filter. Centroids
     * persist next to the cells. Seeds come from the distributed
     * [[seedTable]] — no driver collect anywhere in the build. */
-  def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
+  def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String): Unit =
+    buildIvfIndex(spark, vectors, path, lloydIterations = 1)
+
+  /** `lloydIterations` is the refinement knob: each iteration is one
+    * assign → per-cell-mean step (assignment O(n·√k) via the
+    * two-level quantizer, the mean one keyed aggregation — a full
+    * extra corpus pass per iteration at 100 TB, which is why the
+    * default stays 1 and [[indexStats]]'s `mean_intra_cosine` is the
+    * number an operator watches to decide whether another iteration
+    * or a rebuild is worth that pass). IvfIndexSpec measures the
+    * default against `lloydIterations = 2` and pins that the quality
+    * stat does not degrade. */
+  def buildIvfIndex(spark: SparkSession, vectors: DataFrame, path: String,
+      lloydIterations: Int): Unit = {
+    require(lloydIterations >= 1, "at least one Lloyd refinement")
     val k = numCellsFor(vectors.count())
     // vector width comes from the DATA (one-row peek, not a scan), so
     // the index builds unchanged at the reference's 384 dims as at the
     // synthetic corpora's 64 — nothing downstream hardcodes the width
     val vecDim = vectors.select(size(col("embedding")).as("d")).limit(1)
       .first().getInt(0)
-    val seedDf = seedTable(vectors, k)
-    val assigned = assignCells(vectors, seedDf)
-    // one Lloyd iteration: per-cell mean. Components round to 6 dp so
-    // the refined centroids are ENGINE-REPLAYABLE (sum order across
-    // engines/partitions perturbs the last ulp of an avg; the 6dp
-    // round absorbs it — same parity contract as every scored value)
-    val refined = assigned
+    var centroids = seedTable(vectors, k)
+    for (_ <- 0 until lloydIterations)
+      centroids = lloydStep(assignCells(vectors, centroids), vecDim)
+    val finalAssign = assignCells(vectors, centroids)
+    // gen = 0 marks build-time rows; appendToIvfIndex writes gen = 1,
+    // which is what lets indexStats report the appended fraction the
+    // rebuild advice watches
+    finalAssign.withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** One Lloyd step: per-cell mean of the assigned vectors.
+    * Components round to 6 dp so the refined centroids are
+    * ENGINE-REPLAYABLE (sum order across engines/partitions perturbs
+    * the last ulp of an avg; the 6dp round absorbs it — same parity
+    * contract as every scored value). */
+  private def lloydStep(assigned: DataFrame, vecDim: Int): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("cell"), col("i")).agg(round(avg(col("v")), 6).as("cv"))
       .groupBy(col("cell"))
@@ -395,10 +421,6 @@ object EmbeddingStore {
       // k rows, consumed by several passes inside assignCells — pin
       // them so the corpus-wide posexplode aggregation runs once
       .localCheckpoint()
-    val finalAssign = assignCells(vectors, refined)
-    finalAssign.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    refined.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-  }
 
   /** Per-row argmax over pre-scored (doc_id, embedding, key, cscore)
     * rows — a map-side-combining aggregate on a (score, -key) struct,
@@ -515,7 +537,8 @@ object EmbeddingStore {
     val snap = vectors.localCheckpoint()
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned = assignCells(snap, centroids)
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    assigned.withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     val head = snap
       .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     UpdateStats(head.getLong(0),
@@ -526,7 +549,7 @@ object EmbeddingStore {
   /** Assignment-rule version tag baked into the on-disk index path: a
     * rule change must never silently probe an index built by an older
     * rule. */
-  private val indexRuleVersion = "r7-lloyd1-6dp"
+  private val indexRuleVersion = "r8-lloyd1-6dp-gen"
 
   /** Build-once location of the persisted IVF index for a data dir
     * (idempotent per (dir, rule version)). Like the bucketed table
@@ -595,5 +618,57 @@ object EmbeddingStore {
         round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** D9 — `q_ivf_stats`: the index-health row over the PERSISTED
+    * index (built once via [[ensureIndex]], like D8's probe). */
+  def indexStatsQuery(t: Tables): DataFrame =
+    indexStats(t.spark, ensureIndex(t))
+
+  /** Index-quality statistics — the numbers the scaladoc advice on
+    * [[appendToIvfIndex]] ("rebuild when the appended fraction gets
+    * large") and [[buildIvfIndex]] ("another Lloyd pass?") tell an
+    * operator to watch, as ONE cheap query (the reference's
+    * get_database_stats monitoring shape, engine.py:228, applied to
+    * the index):
+    *
+    *  - `n_vectors`, `n_cells`, `max_cell` — volume and the largest
+    *    probe a query can hit;
+    *  - `cell_skew` — max/mean cell size: high skew means probe cost
+    *    is load-imbalanced and the τ cap is being defeated by drift;
+    *  - `appended_frac` — fraction of vectors that arrived through
+    *    [[appendToIvfIndex]] since the last build (centroids have
+    *    never seen them — the drift proxy);
+    *  - `mean_intra_cosine` — mean 6dp cosine of every vector to its
+    *    own refined centroid: the quantizer-quality number another
+    *    Lloyd iteration should move up, and appends slowly erode.
+    *
+    * One scan of the cells plus a broadcast of the centroid table;
+    * both aggregations combine map-side, nothing lands on the driver
+    * but the single stats row. Parity: the mean is assembled from
+    * integer micro-units of the 6dp-rounded per-vector cosines (sum
+    * order cannot perturb it — the mixTemperature technique), and
+    * skew/fractions divide exact integers in one fixed association,
+    * so DuckDB replays the row bit-for-bit. */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val perCell = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("n")).as("max_cell"))
+    val perVec = cells.join(broadcast(centroids), "cell")
+      .select(col("gen"),
+        round(cosineSim(col("embedding"), col("centroid")), 6).as("cs"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("cs") * 1000000).cast("long")).as("s_micro"),
+        sum(col("gen").cast("long")).as("n_appended"))
+    perVec.crossJoin(perCell).select(
+      col("n_vectors"), col("n_cells"), col("max_cell"),
+      round(col("max_cell").cast("double") * col("n_cells").cast("double") /
+        col("n_vectors").cast("double"), 6).as("cell_skew"),
+      round(col("n_appended").cast("double") /
+        col("n_vectors").cast("double"), 6).as("appended_frac"),
+      round(col("s_micro").cast("double") / col("n_vectors").cast("double") /
+        lit(1000000.0), 6).as("mean_intra_cosine"))
   }
 }

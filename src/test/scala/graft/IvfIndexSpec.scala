@@ -125,6 +125,42 @@ class IvfIndexSpec extends SparkTestBase {
       exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("indexStats: health row tracks appends; a second Lloyd pass does not degrade quality") {
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents).drop("shard")
+    val base = vectors.filter(col("doc_id") < 400)
+    val delta = vectors.filter(col("doc_id") >= 400)
+    val p1 = Files.createTempDirectory("graft-stats1").toFile.getAbsolutePath
+
+    EmbeddingStore.buildIvfIndex(spark, base, p1)
+    val s1 = EmbeddingStore.indexStats(spark, p1).first()
+    assert(s1.getLong(0) === base.count(), "n_vectors")
+    assert(s1.getLong(1) >= 2 && s1.getLong(2) >= 1, "n_cells / max_cell")
+    assert(s1.getDouble(3) >= 1.0, "cell_skew is max/mean, >= 1 by definition")
+    assert(s1.getDouble(4) === 0.0, "fresh build has no appended rows")
+    assert(s1.getDouble(5) > 0.0 && s1.getDouble(5) <= 1.0, "mean intra-cell cosine")
+
+    // appends move exactly the appended_frac the rebuild advice watches
+    EmbeddingStore.appendToIvfIndex(spark, p1, delta)
+    val s2 = EmbeddingStore.indexStats(spark, p1).first()
+    assert(s2.getLong(0) === vectors.count())
+    val expFrac = BigDecimal(delta.count().toDouble / vectors.count().toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s2.getDouble(4) === expFrac, "appended_frac")
+
+    // a second Lloyd iteration re-centers the centroids a second time:
+    // the quality stat it exists to move must not degrade (small slack:
+    // the assignment argmax is on 6dp-rounded scores, so the objective
+    // is not EXACTLY the one Lloyd minimizes)
+    val p2 = Files.createTempDirectory("graft-stats2").toFile.getAbsolutePath
+    EmbeddingStore.buildIvfIndex(spark, base, p2, lloydIterations = 2)
+    assert(spark.read.parquet(s"$p2/cells").count() === base.count(),
+      "two-pass build is still a complete re-layout")
+    val s3 = EmbeddingStore.indexStats(spark, p2).first()
+    assert(s3.getDouble(5) >= s1.getDouble(5) - 0.02,
+      s"second Lloyd pass degraded mean intra-cell cosine: ${s3.getDouble(5)} vs ${s1.getDouble(5)}")
+  }
+
   test("384-dim IVF index: build infers the width, pruned probe stays exact") {
     // the reference's model width (processor.py:174) through the
     // PERSISTED index path: build infers dim from the data, centroids
