@@ -58,45 +58,36 @@ object CorpusScaling {
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
     * tables the heavy family reads. */
-  def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String = {
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_${hash}_x$mult")
-    val marker = new java.io.File(path, "_BUILT")
-    if (marker.exists()) return path.getAbsolutePath
+  def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String =
+    graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r7") { path =>
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      // id ranges derived from the corpus' own max ids — hardcoded
+      // offsets would silently collide on large-id corpora
+      val docBase = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1L
+      val docs = (0 until mult).map { i =>
+        docs0.select(
+          (col("doc_id") + lit(i.toLong * docBase)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
 
-    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-    // id ranges derived from the corpus' own max ids — hardcoded
-    // offsets would silently collide on large-id corpora
-    val docBase = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1L
-    val docs = (0 until mult).map { i =>
-      docs0.select(
-        (col("doc_id") + lit(i.toLong * docBase)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1r$i").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-    docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
-
-    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val embBase = emb0.agg(max(col("vec_id"))).first().getLong(0) + 1L
-    val dim = emb0.select(size(col("embedding"))).first().getInt(0)
-    val embs = (0 until mult).map { i =>
-      val r = i % dim
-      // circular shift by r: slice is 1-based; r=0 shifts nothing
-      val shifted =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r))
-      emb0.select(
-        (col("vec_id") + lit(i.toLong * embBase)).as("vec_id"),
-        shifted.as("embedding"), col("label"))
-    }.reduce(_ unionByName _)
-    embs.write.mode("overwrite").parquet(s"$path/embeddings.parquet")
-
-    marker.createNewFile()
-    path.getAbsolutePath
-  }
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val embBase = emb0.agg(max(col("vec_id"))).first().getLong(0) + 1L
+      val dim = emb0.select(size(col("embedding"))).first().getInt(0)
+      val embs = (0 until mult).map { i =>
+        val r = i % dim
+        // circular shift by r: slice is 1-based; r=0 shifts nothing
+        val shifted =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r))
+        emb0.select(
+          (col("vec_id") + lit(i.toLong * embBase)).as("vec_id"),
+          shifted.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      embs.write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -551,28 +551,20 @@ object EmbeddingStore {
     * rule. */
   private val indexRuleVersion = "r8-lloyd1-6dp-gen"
 
-  /** Build-once location of the persisted IVF index for a data dir
-    * (idempotent per (dir, rule version)). Like the bucketed table
-    * layout, the index is STORAGE — paid once at write/ETL time — so
-    * queries and benches probe an existing layout instead of timing
-    * the build. The path is a function of the exact dir (md5) plus
-    * the rule version; a missing _BUILT marker (fresh tmp, aborted
-    * build) triggers a full overwrite rebuild. */
-  def ensureIndex(t: Tables): String = {
-    val key = t.dir + ":" + indexRuleVersion
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ivf_$hash")
-    val marker = new java.io.File(path, "_BUILT")
-    if (!marker.exists()) {
+  /** Build-once location of the persisted IVF index for a data dir.
+    * Like the bucketed table layout, the index is STORAGE — paid once
+    * at write/ETL time — so queries and benches probe an existing
+    * layout instead of timing the build. Location, content-
+    * fingerprinted key and _BUILT idempotence all come from
+    * [[graft.sources.LayoutStore]] (layouts land beside the data when
+    * it is writable; one root to rm to force rebuilds; replaced data
+    * rekeys the layout so a stale index is never probed). */
+  def ensureIndex(t: Tables): String =
+    graft.sources.LayoutStore.ensure(t.dir, "ivf", indexRuleVersion) { path =>
       buildIvfIndex(t.spark,
         t.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
-        path.getAbsolutePath)
-      marker.createNewFile()
+        path)
     }
-    path.getAbsolutePath
-  }
 
   /** D8 — `q_search_ivf`: cosine top-k through the PERSISTED IVF
     * index end-to-end — build (once) → cell-partitioned parquet →

@@ -101,21 +101,14 @@ object Bucketing {
   def ensureEventsByDate(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     import org.apache.spark.sql.functions.{col, to_date}
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_events_bydate_$dirHash")
-    val marker = new java.io.File(path, "_BUILT")
-    if (!marker.exists()) {
+    LayoutStore.ensure(dir, "events_bydate", "r7") { path =>
       // source through Tables.events: the raw file's TIMESTAMP(NANOS)
       // ts is normalized to microsecond TIMESTAMP_NTZ there, so the
       // rewritten layout is directly readable and oracle-identical
       Tables(spark, dir).events
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
-        .parquet(path.getAbsolutePath)
-      marker.createNewFile()
+        .parquet(path)
     }
-    path.getAbsolutePath
   }
 }

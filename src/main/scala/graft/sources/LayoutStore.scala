@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.io.File
+
+/** Build-once home for DERIVED STORAGE LAYOUTS — the persisted IVF
+  * index, the date-partitioned events rewrite, the replicated scaling
+  * corpora: artifacts that are paid once at write/ETL time and probed
+  * by every query after (SURVEY.md §8). One object owns three
+  * decisions the ensure* helpers used to each make alone:
+  *
+  * WHERE — resolution order for the layouts root:
+  *  1. `SPARK_GRAFT_STORAGE_DIR` (explicit operator choice);
+  *  2. `<dataDir>/_graft_layouts` when the data dir is writable — the
+  *     production shape: layouts live BESIDE the data they derive
+  *     from, on the same storage the cluster already reads;
+  *  3. `<java.io.tmpdir>/graft_layouts_<user>` otherwise (this
+  *     sandbox's read-only testdata; user-suffixed so predictable
+  *     paths cannot collide across users on a shared host).
+  * Whatever resolves, it is ONE directory: `rm -rf` of the root
+  * forces every layout to rebuild.
+  *
+  * WHEN — a layout key is md5(absolute dir | content fingerprint |
+  * rule version). The FINGERPRINT folds each top-level entry's name,
+  * total size and mtime, so data replaced at the same path yields a
+  * NEW key and the stale layout is simply never probed again (the
+  * round-7 cache keyed on path alone would silently serve an index
+  * built from the old data). A rule change bumps the version string,
+  * same effect.
+  *
+  * HOW — `_BUILT`-marker idempotence, unchanged: a missing marker
+  * (fresh root, aborted build) triggers a full rebuild; a present
+  * marker short-circuits to the existing layout.
+  *
+  * (The bucketed tables are the one derived layout NOT here: a
+  * bucketed table's bucket spec lives in the session catalog, not in
+  * the files, so Spark owns its location — the warehouse dir — and
+  * Bucketing.ensureLayout manages it per session.)
+  */
+object LayoutStore {
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Is the dir MARKED writable? Deliberately the permission BITS
+    * (owner-write), not effective access (`canWrite`): a root process
+    * bypasses permission checks, so `canWrite` would claim a
+    * dr-xr-xr-x data dir writable and layouts would land inside a
+    * directory its owner explicitly marked read-only. */
+  private def markedWritable(dir: File): Boolean =
+    try {
+      import java.nio.file.attribute.PosixFilePermission.OWNER_WRITE
+      dir.isDirectory && java.nio.file.Files
+        .getPosixFilePermissions(dir.toPath).contains(OWNER_WRITE)
+    } catch { case _: Exception => false } // non-POSIX FS: assume read-only
+
+  /** The layouts root for a data dir (see object scaladoc). */
+  def root(dataDir: String): File =
+    sys.env.get("SPARK_GRAFT_STORAGE_DIR").map(new File(_)).getOrElse {
+      val data = new File(dataDir)
+      if (markedWritable(data)) new File(data, "_graft_layouts")
+      else new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_layouts_${sys.props.getOrElse("user.name", "anon")}")
+    }
+
+  /** Cheap content fingerprint of a data dir: (name, size, mtime) of
+    * each top-level entry (one stat walk, no data read — the same
+    * facts a parquet reader's file listing already fetches). Layout
+    * dirs are excluded so a root placed beside the data cannot
+    * fingerprint itself. */
+  def fingerprint(dataDir: String): String = {
+    def sizeOf(f: File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty[File]).map(sizeOf).sum
+    val entries = Option(new File(dataDir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filterNot(f => f.getName == "_graft_layouts" || f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${sizeOf(f)}:${f.lastModified()}")
+    md5(entries.mkString("|"))
+  }
+
+  /** Build-once: resolve the layout path for (dataDir, kind, rule
+    * version), run `build(path)` if its `_BUILT` marker is missing,
+    * and return the path. */
+  def ensure(dataDir: String, kind: String, ruleVersion: String)
+      (build: String => Unit): String = {
+    val abs = new File(dataDir).getAbsolutePath
+    val key = md5(s"$abs|${fingerprint(dataDir)}|$ruleVersion").take(12)
+    val path = new File(root(dataDir), s"${kind}_$key")
+    val marker = new File(path, "_BUILT")
+    if (!marker.exists()) {
+      build(path.getAbsolutePath)
+      path.mkdirs() // a build that wrote nothing still gets a marker home
+      marker.createNewFile()
+    }
+    path.getAbsolutePath
+  }
+}
