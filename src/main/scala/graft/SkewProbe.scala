@@ -215,7 +215,7 @@ object SkewProbe {
       s"salted collect_set total ($saltedSetN) != direct distinct ($directN)")
 
     val wall = collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
-    val maxTask = collection.mutable.Map[String, Long]().withDefaultValue(Long.MaxValue)
+    val maxTask = collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val loads = (0 until passes).map { _ =>
       val load = osBean.getSystemLoadAverage
       arms.foreach { case (name, run) =>
@@ -223,10 +223,23 @@ object SkewProbe {
         val t0 = System.nanoTime()
         run()
         val sec = (System.nanoTime() - t0) / 1e9
-        // give the listener's async bus a beat to drain before reading
-        Thread.sleep(500)
+        // drain the async listener bus by POLLING until maxMs holds
+        // still for two consecutive reads (bounded at 5 s) — on a
+        // loaded box the bus can lag well past any fixed beat, and an
+        // undercounted read here used to flow straight into the
+        // straggler stat
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val m = listener.maxMs
+          if (m == last) stable += 1 else { stable = 0; last = m }
+        }
         wall(name) = math.min(wall(name), sec)
-        maxTask(name) = math.min(maxTask(name), listener.maxMs)
+        // wall takes the MIN across passes (co-tenant noise is strictly
+        // additive) but the straggler signature takes the MAX: a pass
+        // whose listener still undercounted must not mask the
+        // straggler this probe exists to expose
+        maxTask(name) = math.max(maxTask(name), listener.maxMs)
       }
       load
     }

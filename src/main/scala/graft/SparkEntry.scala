@@ -696,6 +696,12 @@ object SparkEntry {
     // Spark side materializes contribute nothing to dot or norms, and
     // the vote sums are small integers, exact in float and double
     // alike, so the 6dp scores agree bit-for-bit.
+    // ASCII-corpus assumption (G4 and G5): the Spark side slices the
+    // BINARY payload by bytes; DuckDB 1.0 has no BLOB substr/md5, so
+    // this replay slices VARCHAR (character-indexed) while counting
+    // with strlen (bytes). On ASCII text the two agree exactly —
+    // every shipped corpus is ASCII — but a non-ASCII corpus would
+    // shift the oracle's chunk boundaries, not the engine's.
     "q_media_embedding" ->
       """WITH c AS (
         |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb,

@@ -190,10 +190,14 @@ object Multimodal {
     * output hash are all per-row inside one narrow stage; cost is one
     * scan regardless of corpus size. The kept-block count is capped
     * so byte offsets stay Int-addressable (same GB payload contract
-    * as mediaChunks; the oracle replays the cap). Everything is BYTE
+    * as mediaChunks; the oracle replays the cap). The ENGINE is byte
     * arithmetic on the binary payload end to end — dims, block
-    * slicing, output length and hash all agree on any byte content,
-    * not just ASCII (MultimodalSpec property-checks non-ASCII). */
+    * slicing, output length and hash hold on any byte content, not
+    * just ASCII (MultimodalSpec property-checks non-ASCII). The
+    * DuckDB ORACLE, though, must slice VARCHAR (DuckDB 1.0 has no
+    * BLOB substr/md5), which is character-indexed — so CROSS-ENGINE
+    * parity additionally assumes an ASCII corpus, true of every
+    * shipped testdata corpus and noted at the oracle. */
   def mediaResize(t: Tables): DataFrame = {
     val blk = 16
     val target = 224.0
