@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +56,34 @@ object CorpusScaling {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultHeavy)
 
+  /** Cumulative executor spill (memory + disk bytes) across a timed
+    * window — the graceful-degradation evidence for the constrained-
+    * heap runs in SCALING.md: under memory pressure the numbers to
+    * see are spill RISING while wall degrades smoothly, never an
+    * OOM. */
+  private final class SpillListener extends SparkListener {
+    val memB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskB = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memB.addAndGet(m.memoryBytesSpilled)
+        diskB.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { memB.set(0L); diskB.set(0L) }
+    /** Poll the async bus until the totals hold still (bounded). */
+    def settled(): (Long, Long) = {
+      var last = (-1L, -1L); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val now = (memB.get(), diskB.get())
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      (memB.get(), diskB.get())
+    }
+  }
+
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
     * tables the heavy family reads. */
@@ -106,20 +135,30 @@ object CorpusScaling {
       classOf[com.sun.management.OperatingSystemMXBean])
 
     val dirs = mults.map(m => m -> ensureReplicatedDir(spark, sfDir, m)).toMap
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
     // untimed warm-up at 1x absorbs codegen/classloading/Catalyst init
     heavy.foreach(nm => SparkEntry.queries(nm)(spark, dirs(mults.min)).count())
 
     // wall minima per (mult, query), pass-major like graft.Bench so
-    // one noisy window cannot poison all passes of a config
+    // one noisy window cannot poison all passes of a config; spill is
+    // the MAX across passes (the graceful-degradation evidence — an
+    // undercounted pass must not hide pressure)
     val wall = collection.mutable.Map[(Int, String), Double]()
       .withDefaultValue(Double.MaxValue)
+    val spillMb = collection.mutable.Map[(Int, String), Double]()
+      .withDefaultValue(0.0)
     val loads = (0 until passes).map { _ =>
       val load = osBean.getSystemLoadAverage
       for (m <- mults; nm <- heavy) {
+        spill.reset()
         val t0 = System.nanoTime()
         SparkEntry.queries(nm)(spark, dirs(m)).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val (memB, diskB) = spill.settled()
         wall((m, nm)) = math.min(wall((m, nm)), sec)
+        spillMb((m, nm)) =
+          math.max(spillMb((m, nm)), (memB + diskB) / 1e6)
       }
       load
     }
@@ -128,9 +167,15 @@ object CorpusScaling {
         .mkString("{", ",", "}")
       s""""$m":$qs"""
     }.mkString("{", ",", "}")
+    val spillJson = mults.map { m =>
+      val qs = heavy.map(nm => "\"" + nm + f"\":${spillMb((m, nm))}%.1f")
+        .mkString("{", ",", "}")
+      s""""$m":$qs"""
+    }.mkString("{", ",", "}")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"corpus_scaling","sf":"$sfDir","mults":[${mults.mkString(",")}],"passes":$passes,"load_avg":$loadStr,"sizes":$sizesJson}"""
+      s"""{"metric":"corpus_scaling","sf":"$sfDir","mults":[${mults.mkString(",")}],"passes":$passes,"heap_mb":$heapMb,"load_avg":$loadStr,"sizes":$sizesJson,"spill_mb":$spillJson}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("corpus_scaling.json"), json + "\n")
