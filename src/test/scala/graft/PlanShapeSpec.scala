@@ -30,7 +30,13 @@ class PlanShapeSpec extends SparkTestBase {
     "q_tfidf",
     // the two 1-row normalization totals cross-broadcast into the
     // per-source rows
-    "q_mix_temperature")
+    "q_mix_temperature",
+    // the index-health row assembles two 1-row aggregates (per-vector
+    // and per-cell) with a 1×1 cross-broadcast
+    "q_ivf_stats",
+    // per-layout 1-row stats (candidate count, hits, truth total)
+    // cross-broadcast into one row per layout — three 1×1 joins
+    "q_lsh_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {
