@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * Every per-round bench row is sf0.1, where a ~0.3-0.5 s planning/
   * scheduling floor per query dominates the data path (SCALING.md §1)
   * — so none of those rows says how the heavy operators grow with the
-  * CORPUS. This main times exactly that: the six heaviest queries
+  * CORPUS. This main times exactly that: the heaviest queries
   * (`q_dedup_family`, `q_ngram_overlap`, `q_containment`,
-  * `q_ivf_recall`, `q_dedup_embedding`, `q_pack_sequences`) over the
+  * `q_ivf_recall`, `q_dedup_embedding`, `q_pack_sequences`,
+  * `q_lsh_recall` — the `defaultHeavy` list below) over the
   * sf0.1 corpus replicated 1×/2×/4×/8× with per-replica salting, run
   * through the REAL `SparkEntry.queries` entries against
   * materialized parquet dirs — one plan, growing data,
@@ -46,7 +47,7 @@ object CorpusScaling {
 
   private val defaultHeavy = Seq(
     "q_dedup_family", "q_ngram_overlap", "q_containment", "q_ivf_recall",
-    "q_dedup_embedding", "q_pack_sequences")
+    "q_dedup_embedding", "q_pack_sequences", "q_lsh_recall")
 
   /** SPARK_GRAFT_QUERIES narrows the run to a comma-separated subset
     * (e.g. after changing one operator, re-fit just its curve without
