@@ -375,32 +375,54 @@ object Dedup {
         col("common"))
     val truth = jaccardFromCommon(common, sizes, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // one consumer per layout + the denominator
+      .localCheckpoint() // consumed by the hit join + the denominator
     val totalDf = truth.agg(count(lit(1)).as("n_truth"))
-    lshSettings.map { case (nb, nr) =>
+    // ALL layouts ride ONE bucket table, keyed (bands, rows_per_band,
+    // bucket) — exactly the oracle's shape. One capping window, one
+    // band self-join, one checkpoint and one hit join replace the
+    // per-layout pipeline triple; each layout's bucket space is
+    // disjoint by salt, so the layout axis adds nothing to the join
+    // itself. (Measured ~3% at sf0.1 — the evaluator's cost is the
+    // ground-truth stage plus the sequential stage critical path, not
+    // job count — but it is the simpler shape and the one the oracle
+    // replays verbatim.)
+    val allBuckets = lshSettings.map { case (nb, nr) =>
       val bucketCols = (0 until nb).map { bi =>
         md5(concat((lit(s"$nb/$nr:$bi|") +:
           (0 until nr).map(k => col(s"h${bi * nr + k}"))): _*))
       }
-      val buckets = capBuckets(
-        st.sigs.select(col("doc_id"),
-          explode(array(bucketCols: _*)).as("bucket")),
-        Seq("bucket"))
-      val cand = buckets.as("a").hint("merge")
-        .join(buckets.as("b"),
+      st.sigs.select(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
+        col("doc_id"), explode(array(bucketCols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val layoutKeys = Seq("bands", "rows_per_band")
+    val buckets = capBuckets(allBuckets, layoutKeys :+ "bucket")
+    val cand = buckets.as("a").hint("merge")
+      .join(buckets.as("b"),
+        col("a.bands") === col("b.bands") &&
+          col("a.rows_per_band") === col("b.rows_per_band") &&
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint() // consumed twice: the cost count + the hit join
-      val stats = cand.agg(count(lit(1)).as("n_candidates"))
-      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("hits"))
-      stats.crossJoin(hits).crossJoin(totalDf)
-        .select(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
-          col("n_candidates"), col("n_truth"),
-          round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
-            .as("recall"))
-    }.reduce(_ unionByName _).orderBy(col("bands"))
+      .select(col("a.bands").as("bands"),
+        col("a.rows_per_band").as("rows_per_band"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint() // consumed twice: the cost count + the hit join
+    val stats = cand.groupBy(layoutKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy(layoutKeys.map(col): _*).agg(count(lit(1)).as("hits"))
+    // the layout axis guarantees one output row per layout even if a
+    // layout produced zero candidates (the oracle's VALUES axis)
+    val axis = st.sigs.sparkSession.createDataFrame(lshSettings)
+      .toDF("bands", "rows_per_band")
+    axis.join(stats, layoutKeys, "left")
+      .join(hits, layoutKeys, "left")
+      .crossJoin(totalDf)
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_truth"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double"), 6).as("recall"))
+      .orderBy(col("bands"))
   }
 
   /** E3 — SimHash: 64-bit fingerprint by per-bit weighted vote over
