@@ -69,6 +69,9 @@ object SparkEntry {
     "q_pipeline_e2e"  -> q(TextAnalysis.pipelineE2e),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
+    // F14: token-budget selection — highest-quality docs until the
+    // budget is exhausted, via the two-level distributed prefix sum
+    "q_select_budget" -> q(TextAnalysis.selectBudget),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -858,6 +861,36 @@ object SparkEntry {
         |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+    // F14: replays the F2 quality formula and F3's regex lexer, then
+    // the running token sum in (quality desc, doc_id) order as one
+    // window cumsum — semantically identical to the engine's
+    // two-level distributed prefix sum. NULL-quality docs excluded
+    // BEFORE ranking on both sides (their null sort position is the
+    // one cross-engine ordering difference).
+    "q_select_budget" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, nt,
+        |    ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
+        |        + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars_m AS DOUBLE), 0.0))
+        |        + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, quality, nt,
+        |    CAST(SUM(nt) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q WHERE quality IS NOT NULL)
+        |SELECT doc_id, quality, nt, cum_tokens FROM c
+        |WHERE cum_tokens <= ${operators.TextAnalysis.selectBudgetTokens}
+        |ORDER BY cum_tokens""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,

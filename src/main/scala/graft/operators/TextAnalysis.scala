@@ -55,9 +55,28 @@ object TextAnalysis {
       pred.as("lang_pred"))
   }
 
+  /** The F2 composite quality over a `text` column, rounded to 6 dp —
+    * the ONE definition [[qualityScore]] and [[selectBudget]] both
+    * rank by (all ratios exact-integer divisions so both engines
+    * produce bit-identical doubles; empty text yields NULL via the
+    * nullif guards, not a Spark-NaN-vs-DuckDB-inf parity break). */
+  private def qualityExpr: org.apache.spark.sql.Column = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType)
+    val nStop = stopwordCount(ws, stopwords.head._2)
+    val punctRatio = nPunct.cast("double") / nullif(nChars.cast("double"), lit(0.0))
+    val stopRatio = nStop.cast("double") / nullif(nWords.cast("double"), lit(0.0))
+    round(
+      lit(0.4) * least(lit(1.0), nWords.cast("double") / 50.0) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0), 6)
+  }
+
   /** F2 — document quality scoring: length, punctuation density,
-    * stopword density, composite. All ratios are exact-integer
-    * divisions so both engines produce bit-identical doubles. */
+    * stopword density, composite ([[qualityExpr]]). */
   def qualityScore(t: Tables): DataFrame = {
     val ws = words(col("text"))
     val nWords = size(ws).cast(LongType)
@@ -65,19 +84,13 @@ object TextAnalysis {
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType)
     val nStop = stopwordCount(ws, stopwords.head._2)
-    // nullif guards: empty text must yield NULL in BOTH engines, not a
-    // Spark NaN vs DuckDB inf parity break
     val punctRatio = nPunct.cast("double") / nullif(nChars.cast("double"), lit(0.0))
     val stopRatio = nStop.cast("double") / nullif(nWords.cast("double"), lit(0.0))
-    val quality =
-      lit(0.4) * least(lit(1.0), nWords.cast("double") / 50.0) +
-        lit(0.3) * (lit(1.0) - punctRatio) +
-        lit(0.3) * least(lit(1.0), stopRatio * 5.0)
     t.documents.select(
       col("doc_id"), nWords.as("n_words"), nChars.as("n_chars_m"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stop_ratio"),
-      round(quality, 6).as("quality"))
+      qualityExpr.as("quality"))
   }
 
   /** F3 — token counting: whitespace tokens and a BPE-ish regex
@@ -472,5 +485,66 @@ object TextAnalysis {
           nullif(ceil(col("total_tokens") / lit(seqLen)) * lit(seqLen),
             lit(0.0)), 6).as("fill"))
       .orderBy(col("source"))
+  }
+
+  /** F14's selection budget (tokens). A constant so the oracle and
+    * the bench measure the same cutoff at every SF; 20k is ~70% of
+    * the smallest corpus's tokens, so the cutoff BINDS at every
+    * shipped SF (a budget no corpus reaches would make the selection
+    * vacuously total). */
+  val selectBudgetTokens: Long = 20000L
+
+  /** F14 — `q_select_budget`: token-budget data selection — keep the
+    * highest-quality documents until a token budget is exhausted, the
+    * standard construction of a quality-filtered pretraining mixture
+    * ("best N tokens", the selection step downstream of scoring that
+    * every budgeted training run performs). A document is selected
+    * iff the cumulative token count through it — in (quality desc,
+    * doc_id asc) order, [[qualityExpr]] quality, F3's regex-lexer
+    * tokens — stays within [[selectBudgetTokens]]. Output is the
+    * selected documents with their cumulative position.
+    *
+    * Scale shape: the naive form is a GLOBAL sort + single-partition
+    * running sum — the one-reducer shape that cannot hold at 100 TB.
+    * This runs the same two-level distributed prefix sum as
+    * [[packSequences]]: range-partition by the sort key
+    * (`repartitionByRange` samples the key distribution, so shard
+    * sizes are corpus-independent), per-shard window cumsum in
+    * parallel, then each shard's total offsets the next via a
+    * broadcast of the per-shard summary — the only single-partition
+    * window runs over SHARD SUMMARIES (n/65536 rows, ~150k at 1e10
+    * docs), never documents. Docs with NULL quality (empty text) are
+    * excluded BEFORE ranking on both engines — they carry no tokens
+    * and their null sort position is the one thing Spark and DuckDB
+    * order differently. */
+  def selectBudget(t: Tables): DataFrame = {
+    val shardSz = 65536L
+    val nt = size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    // one corpus scan computes both ranking inputs; eager checkpoint:
+    // the shard count probe and the range partitioning are two
+    // consumers (see packSequences)
+    val scored = t.documents
+      .select(col("doc_id"), nt.as("nt"), qualityExpr.as("quality"))
+      .filter(col("quality").isNotNull)
+      .localCheckpoint()
+    val nShards = math.max(
+      t.documents.sparkSession.sparkContext.defaultParallelism,
+      (scored.count() / shardSz + 1L).toInt)
+    val sharded = scored
+      .repartitionByRange(nShards, col("quality").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id().cast(LongType))
+      .localCheckpoint() // local cumsums + shard totals, two consumers
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = sharded.withColumn("local_cum", sum(col("nt")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+    val shardOff = sharded.groupBy(col("shard")).agg(sum(col("nt")).as("st"))
+      .select(col("shard"), (sum(col("st")).over(wShard) - col("st")).as("off"))
+    local.join(broadcast(shardOff), Seq("shard"))
+      .select(col("doc_id"), col("quality"), col("nt"),
+        (col("off") + col("local_cum")).as("cum_tokens"))
+      .filter(col("cum_tokens") <= selectBudgetTokens)
+      .orderBy(col("cum_tokens"))
   }
 }

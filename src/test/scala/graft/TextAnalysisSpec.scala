@@ -282,4 +282,36 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getDouble(4) === w, s"w_temp ${r.getString(0)}")
     }
   }
+
+  test("selectBudget: distributed prefix sum equals the naive global selection rule") {
+    val got = TextAnalysis.selectBudget(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, _, _, cum) => (cum, id) }.toSeq
+    // naive rule from the engine's own F2/F3 outputs: global sort by
+    // (quality desc, doc_id), running sum, keep while within budget
+    val quality = TextAnalysis.qualityScore(t).select("doc_id", "quality")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val nts = TextAnalysis.tokenCount(t).select("doc_id", "re_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expected = quality.toSeq
+      .collect { case (id, Some(q)) => (id, q) }
+      .sortBy { case (id, q) => (-q, id) }
+      .flatMap { case (id, q) =>
+        cum += nts(id)
+        if (cum <= TextAnalysis.selectBudgetTokens) Some((id, q, nts(id), cum))
+        else None
+      }
+      .sortBy { case (id, _, _, c) => (c, id) }
+    assert(expected.nonEmpty && expected.size < quality.size,
+      "budget must select a strict, non-empty subset at this SF")
+    assert(got === expected)
+    // budget respected; maximal: the next-best excluded doc would
+    // overflow it
+    assert(got.map(_._3).sum <= TextAnalysis.selectBudgetTokens)
+    assert(cum > TextAnalysis.selectBudgetTokens,
+      "corpus must exceed the budget for the cutoff to bind")
+  }
 }
