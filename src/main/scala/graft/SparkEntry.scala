@@ -76,6 +76,9 @@ object SparkEntry {
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
     "q_dedup_clusters"  -> q(Clusters.dedupClusters),
+    // E10: keep-best survivor per duplicate cluster (E6 closure ×
+    // F2 quality argmax)
+    "q_dedup_canonical" -> q(Clusters.dedupCanonical),
     "q_decontaminate"   -> q(Dedup.decontaminate),
     "q_ngram_overlap"   -> q(Dedup.ngramOverlap),
     "q_dedup_simhash"   -> q(Dedup.dedupSimhash),
@@ -1102,6 +1105,7 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dedup_canonical" -> dedupCanonicalOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_dedup_family" -> dedupFamilyOracle,
     // E7b: 13-gram list construction in DuckDB (1-based inclusive
@@ -1458,6 +1462,47 @@ object SparkEntry {
        |FROM reach
        |GROUP BY s
        |ORDER BY doc_id""".stripMargin
+
+  /** E10 oracle: the E6 recursive closure over the same pair CTEs,
+    * then the F2 quality formula per clustered doc and the
+    * per-cluster keep-best argmax (quality desc, doc_id asc). */
+  private def dedupCanonicalOracle: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |clusters AS (
+       |  SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |qb AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |qd AS (
+       |  SELECT doc_id,
+       |    ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
+       |        + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars_m AS DOUBLE), 0.0))
+       |        + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
+       |  FROM qb),
+       |sel AS (
+       |  SELECT c.cluster_id, c.doc_id AS keep_id, q.quality,
+       |    CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN qd q ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, keep_id, quality, n_members,
+       |  n_members - 1 AS n_dropped
+       |FROM sel WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** Composed-family oracle: the E2/E6/E7 oracles over ONE shared
     * pair CTE (exactly how the Spark side shares one materialized

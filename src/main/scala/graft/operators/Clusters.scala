@@ -115,6 +115,40 @@ object Clusters {
         col("label").cast(LongType).as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** E10 — `q_dedup_canonical`: the pipeline ACTION on dedup output —
+    * one surviving document per duplicate cluster, chosen by QUALITY
+    * (F2's composite score, ties to the lowest doc_id). Min-id
+    * survivorship (E6's cluster_id) keeps whatever happened to be
+    * crawled first; production dedup keeps the BEST copy — the
+    * keep-best rule this row implements end-to-end: E2 pairs → E6
+    * transitive closure → per-cluster quality argmax. One row per
+    * cluster: the survivor, its quality, and how many duplicates are
+    * dropped.
+    *
+    * Scale shape: the cluster frame holds only docs that appear in
+    * some near-dup pair; the quality attach is a plain equi-join on
+    * doc_id (AQE picks broadcast vs shuffle by the actual dup mass),
+    * and the argmax is the library's map-side-combining
+    * max-of-struct — no window over the corpus, nothing on the
+    * driver. Docs in clusters always have non-null quality (a doc in
+    * a pair has shingles, hence non-empty text). */
+  def dedupCanonical(t: Tables): DataFrame = {
+    val clusters = dedupClusters(t)
+    val quality = TextAnalysis.qualityScore(t)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("m.nid")).cast(LongType).as("keep_id"),
+        col("m.quality").as("quality"),
+        col("n_members"),
+        (col("n_members") - lit(1L)).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** `q_dedup_family` — the COMPOSED shared-stage run: E2 pairs, E6
     * clusters and E7 decontamination from ONE materialized
     * shingle+signature stage ([[Dedup.sharedStages]]), unioned into a

@@ -59,6 +59,33 @@ class ClustersSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("dedupCanonical keeps the max-quality member of every cluster") {
+    val clusters = Clusters.dedupClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.operators.TextAnalysis.qualityScore(t)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.minBy(id => (-quality(id), id))
+      cid -> (keep, quality(keep), ids.length.toLong)
+    }
+    val got = Clusters.dedupCanonical(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (cid, (keep, q, n)) =>
+      val (gk, gq, gn) = got(cid)
+      assert(gk === keep, s"cluster $cid survivor")
+      assert(gq === q, s"cluster $cid quality")
+      assert(gn === n, s"cluster $cid member count")
+    }
+    // keep-best genuinely differs from min-id survivorship somewhere,
+    // or the quality argmax would be dead weight
+    assert(expected.exists { case (cid, (keep, _, _)) => keep != cid },
+      "at least one cluster's best copy should not be its lowest id")
+  }
+
   test("dedupFamily equals the union of the three standalone queries") {
     val fam = Clusters.dedupFamily(t).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
