@@ -73,6 +73,17 @@ object Bench {
           s"[bench] IVF index setup failed (q_search_ivf will include " +
             s"the build): ${e.getMessage}")
     }
+    // same again for the persisted dedup signature state joined by
+    // q_dedup_incremental: built once at ETL time, so the bench times
+    // the delta run, not the base-corpus signature build
+    try graft.operators.Dedup.ensureDedupState(
+      graft.sources.Tables(spark, sfDir))
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] dedup state setup failed (q_dedup_incremental will " +
+            s"include the base build): ${e.getMessage}")
+    }
     // and the date-partitioned events layout probed by
     // q_incremental_pruned
     try graft.sources.Bucketing.ensureEventsByDate(spark, sfDir)

@@ -56,6 +56,11 @@ object SparkEntry {
     "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
     "q_vector_norms"      -> q(VectorSearch.vectorNorms),
     "q_embedding_coverage" -> q(EmbeddingStore.coverageQuery),
+    // D10: the reference's search() entry orchestration (cooldown →
+    // threshold → bounded incremental update → search) replayed over
+    // a fixed four-search clock sequence; output = final top-k +
+    // orchestration stats
+    "q_search_refresh"    -> q(EmbeddingStore.searchRefreshQuery),
     // C1 + F-family: text cleaning and analysis
     "q_text_clean"    -> q(TextAnalysis.textClean),
     "q_lang_id"       -> q(TextAnalysis.langId),
@@ -88,6 +93,11 @@ object SparkEntry {
     // E2b: the LSH tuning evaluator — candidate cost + recall per
     // band/row layout against the exact E4 ground truth
     "q_lsh_recall"      -> q(Dedup.lshRecall),
+    // E11: incremental delta dedup — only docs above the watermark
+    // are shingled; the base corpus joins in via its persisted
+    // signature state (LayoutStore), result = full E2 restricted to
+    // delta-touching pairs
+    "q_dedup_incremental" -> q(Dedup.dedupIncremental),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -289,6 +299,44 @@ object SparkEntry {
          |SELECT h.vec_id, h.score, c.user_id, c.ts, c.prev_msg, c.next_msg
          |FROM hits h JOIN ctx c ON h.vec_id = c.event_id
          |ORDER BY h.score DESC, h.vec_id""".stripMargin,
+    // D10: replays the fixed refresh episode end-to-end. The store
+    // the four-search sequence builds is exactly the lowest
+    // LEAST(n, 450) vec_ids (three bounded 150-vector updates walk
+    // the backlog in id order; the t=1030 search sits inside the
+    // cooldown and appends nothing), so every stat is a pure
+    // function of the corpus count and the final search is plain
+    // cosine top-k over that slice.
+    "q_search_refresh" ->
+      """WITH st AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT LEAST((SELECT COUNT(*) FROM embeddings), 450)),
+        |stats AS (
+        |  SELECT CAST(4 AS BIGINT) AS n_searches,
+        |    CAST(CEIL(LEAST(n.n, 450) / 150.0) AS BIGINT) AS n_updates,
+        |    CAST(LEAST(n.n, 450) AS BIGINT) AS total_processed,
+        |    (SELECT MAX(vec_id) FROM st) AS final_watermark
+        |  FROM (SELECT COUNT(*) AS n FROM embeddings) n),
+        |ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM st),
+        |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+        |s AS (
+        |  SELECT ev.vec_id, SUM(ev.v*q.qv) AS dot, SQRT(SUM(ev.v*ev.v)) AS en
+        |  FROM ev JOIN q ON ev.i = q.i
+        |  WHERE ev.vec_id <> 0
+        |  GROUP BY ev.vec_id),
+        |topk AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+        |  FROM s
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 10)
+        |SELECT t.doc_id, t.score, x.n_searches, x.n_updates,
+        |  x.total_processed, x.final_watermark
+        |FROM topk t, stats x
+        |ORDER BY t.score DESC, t.doc_id""".stripMargin,
     "q_knn_join" ->
       """WITH ev AS (
         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1103,6 +1151,16 @@ object SparkEntry {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    // E11: the incremental path must equal FULL E2 restricted to
+    // pairs with at least one side above the watermark (highest
+    // decile of ids) — so the oracle is exactly that: the E2 pair
+    // CTEs plus the delta-touching filter.
+    "q_dedup_incremental" ->
+      s"""$minhashPairsCtes,
+         |wm AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.9) AS BIGINT) AS w FROM documents)
+         |SELECT doc_a, doc_b, jaccard FROM pairs, wm
+         |WHERE doc_a > w OR doc_b > w
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_lsh_recall" -> lshRecallOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_canonical" -> dedupCanonicalOracle,
@@ -1359,11 +1417,14 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** E2b oracle: generated from the SAME `Dedup.lshSettings` constant
-    * as the Spark side. Replays the 12-hash signatures, each layout's
-    * salted band buckets with the per-layout occupancy cap, the
-    * capped-shingle exact-Jaccard ≥ 0.5 ground truth (E4's rule), and
-    * the per-layout candidate count + recall. */
+  /** E2b oracle: generated from the SAME `Dedup.lshSettings` /
+    * `recallSampleCount` constants as the Spark side. Replays the
+    * 12-hash signatures, each layout's salted band buckets with the
+    * per-layout occupancy cap, the BOUNDED capped-shingle
+    * exact-Jaccard ≥ 0.5 ground truth (E4's rule restricted to pairs
+    * touching the 100 lowest-id sample, canonical a-side-in-sample
+    * orientation), and the per-layout candidate count + recall over
+    * the same sampled pair space. */
   private def lshRecallOracle: String = {
     val sigs = (0 until 12)
       .map(k => s"    list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS h$k")
@@ -1381,14 +1442,22 @@ object SparkEntry {
        |  SELECT doc_id,
        |$sigs
        |  FROM shl),
+       |qids AS (
+       |  SELECT doc_id FROM documents ORDER BY doc_id
+       |  LIMIT ${operators.Dedup.recallSampleCount}),
        |ex0 AS (SELECT doc_id, unnest(s) AS sh FROM shl),
        |ex AS (SELECT doc_id, sh FROM ex0
        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= ${operators.Dedup.maxBucketSize}),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
        |cm AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |    GREATEST(a.doc_id, b.doc_id) AS doc_b, COUNT(*) AS common
+       |  FROM ex a
+       |  JOIN qids q ON a.doc_id = q.doc_id
+       |  JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |    AND (a.doc_id < b.doc_id
+       |      OR b.doc_id NOT IN (SELECT doc_id FROM qids))
+       |  GROUP BY 1, 2),
        |truth AS (
        |  SELECT cm.doc_a, cm.doc_b
        |  FROM cm JOIN sz x ON cm.doc_a = x.doc_id JOIN sz y ON cm.doc_b = y.doc_id
@@ -1402,10 +1471,15 @@ object SparkEntry {
        |    <= ${operators.Dedup.maxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT a.bands, a.rows_per_band,
-       |    a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bk a JOIN bk b ON a.bands = b.bands
+       |    LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+       |  FROM bk a
+       |  JOIN qids q ON a.doc_id = q.doc_id
+       |  JOIN bk b ON a.bands = b.bands
        |    AND a.rows_per_band = b.rows_per_band
-       |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |    AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+       |    AND (a.doc_id < b.doc_id
+       |      OR b.doc_id NOT IN (SELECT doc_id FROM qids))),
        |stats AS (
        |  SELECT bands, rows_per_band, COUNT(*) AS n_candidates
        |  FROM cand GROUP BY bands, rows_per_band),

@@ -328,12 +328,22 @@ object Dedup {
     * from the SAME constant and the two sides cannot drift. */
   private[graft] val lshSettings: Seq[(Int, Int)] = Seq((2, 6), (4, 3), (6, 2))
 
+  /** Ground-truth sample size for [[lshRecall]]: the evaluator
+    * measures recall over pairs TOUCHING the `recallSampleCount`
+    * lowest doc_ids, not the whole corpus — the same bounded-sample
+    * contract as D7's `recallQueryCount` (VectorSearch.scala). A
+    * tuning diagnostic at 100 TB should cost a sample × corpus pass,
+    * never a corpus × corpus pair join. `private[graft]` so the
+    * DuckDB oracle derives from the same constant. */
+  private[graft] val recallSampleCount = 100
+
   /** E2b — `q_lsh_recall`: the LSH tuning evaluator — E2's
     * numHashes=12 / 4-band layout was a fixed constant with no
     * measured basis (exactly the gap `q_ivf_recall` closes for the
     * IVF `probes` knob). For each (bands, rows) layout in
     * [[lshSettings]] this measures, against ground truth = the EXACT
-    * Jaccard ≥ 0.5 pairs over the capped shingle space (E4's rule),
+    * Jaccard ≥ 0.5 pairs over the capped shingle space (E4's rule)
+    * TOUCHING the [[recallSampleCount]] lowest-id sample docs,
     *
     *  - `n_candidates` — the verification COST: how many pairs the
     *    banding sends to exact verification, and
@@ -341,10 +351,11 @@ object Dedup {
     *    surfaces at all (what E2 can never find, no matter the
     *    verification threshold).
     *
-    * Scale shape: ground truth is E4's DF-capped shingle equi-join
-    * (linear by the cap, measured in SCALING.md §5); each layout's
-    * candidates come from the same capped band self-join as E2 —
-    * every stage an equi-join on a derived key, nothing all-pairs.
+    * Scale shape: BOTH truth and candidates are restricted to pairs
+    * touching the K = [[recallSampleCount]] lowest-id docs (D7's
+    * bounded-sample contract): the truth side is a K-doc × corpus
+    * DF-capped shingle equi-join, the candidate side a K-doc × corpus
+    * bucket join — sample-proportional cost, nothing corpus².
     * Truth and candidate sets are eagerly checkpointed (each feeds
     * two consumers). The bucket salt carries the layout id, so
     * layouts never cross-collide. Everything is md5-derived and the
@@ -354,25 +365,33 @@ object Dedup {
     * measured basis a 100 TB corpus demands before committing a
     * layout to a full-corpus dedup run).
     *
-    * Measured at sf0.1 (2000 docs, 256 true pairs): (2,6) recall
-    * 0.973 @ 249 candidates — misses 7 real pairs; (4,3) recall 1.0
-    * @ 258; (6,2) recall 1.0 @ 1100 — 4.3× the verification cost for
-    * zero extra recall. The evaluator CONFIRMS E2's shipped (4,3)
-    * as the knee of the curve. */
+    * The sampled evaluator preserves the round-8 full-corpus
+    * conclusion (then: (2,6) recall 0.973, (4,3) 1.0 @ 258, (6,2)
+    * 1.0 @ 4.3× the cost): (4,3) stays the knee of the curve. */
   def lshRecall(t: Tables): DataFrame = {
     val st = sharedStages(t.documents)
-    // ground truth: E4's exact-Jaccard pairs (threshold 0.5) over the
-    // DF-capped shingle space, built from the already-materialized
-    // shared shingle rows
+    // BOUNDED ground truth (same contract as D7's K=100 query
+    // sample): only pairs touching the `recallSampleCount` lowest
+    // doc_ids are measured, so the exact-Jaccard truth side costs one
+    // sample × corpus shingle join, not a corpus self-join. The
+    // sample rides a broadcast TakeOrdered frame — nothing collects.
+    val ids = t.documents.select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(recallSampleCount)
+    val inS = broadcast(ids.withColumn("in_s", lit(true)))
     val ex = capBuckets(st.shingles, Seq("sh")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = ex.as("a").hint("shuffle_hash")
-      .join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id"), col("b.doc_id"))
+    val exS = ex.join(broadcast(ids), "doc_id")
+    // canonical generation: the a-side is always a sample doc; a
+    // both-in-sample pair keeps only the a < b orientation so the
+    // least/greatest grouping never double-counts a shingle match
+    val common = exS.as("a").hint("shuffle_hash")
+      .join(ex.join(inS, Seq("doc_id"), "left").as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            !coalesce(col("b.in_s"), lit(false))))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .agg(count(lit(1)).as("common"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("common"))
     val truth = jaccardFromCommon(common, sizes, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // consumed by the hit join + the denominator
@@ -396,14 +415,21 @@ object Dedup {
     }.reduce(_ unionByName _)
     val layoutKeys = Seq("bands", "rows_per_band")
     val buckets = capBuckets(allBuckets, layoutKeys :+ "bucket")
-    val cand = buckets.as("a").hint("merge")
-      .join(buckets.as("b"),
+    // candidates restricted to the SAME sample-touching pair space as
+    // the truth (occupancy caps still count whole buckets), with the
+    // identical canonical-orientation rule
+    val cand = buckets.join(broadcast(ids), "doc_id").as("a").hint("merge")
+      .join(buckets.join(inS, Seq("doc_id"), "left").as("b"),
         col("a.bands") === col("b.bands") &&
           col("a.rows_per_band") === col("b.rows_per_band") &&
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            !coalesce(col("b.in_s"), lit(false))))
       .select(col("a.bands").as("bands"),
         col("a.rows_per_band").as("rows_per_band"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
       .localCheckpoint() // consumed twice: the cost count + the hit join
     val stats = cand.groupBy(layoutKeys.map(col): _*)
@@ -423,6 +449,151 @@ object Dedup {
         round(coalesce(col("hits"), lit(0L)).cast("double") /
           col("n_truth").cast("double"), 6).as("recall"))
       .orderBy(col("bands"))
+  }
+
+  // ---- E11: incremental delta dedup over persisted signature state ------
+
+  /** Watermark splitting the corpus into the persisted "yesterday"
+    * base (doc_id <= w) and today's delta (doc_id > w) — the highest
+    * decile of ids stands in for a daily crawl increment. ONE 1-row
+    * aggregate (parquet footer max, no scan) reaches the driver — the
+    * same operational-metadata shape as [[EmbeddingStore.updateSince]]'s
+    * watermark (reference keys incrementality the same way,
+    * engine.py:57). */
+  private[graft] def deltaWatermarkOf(documents: DataFrame): Long = {
+    val mx = documents.agg(max(col("doc_id"))).first()
+    if (mx.isNullAt(0)) -1L else math.floor(mx.getLong(0) * 0.9).toLong
+  }
+
+  /** Bump when the state schema or the signature rule changes: a rule
+    * change must never silently join deltas against stale state. */
+  private val dedupStateVersion = "r10-inc-v1"
+
+  /** Per-doc dedup state over distinct shingle rows: the SORTED
+    * shingle set (deterministic files), its size, and the 12 minhash
+    * components — everything E2 derives from a document, one row per
+    * doc. One map-side-combining aggregation; shared by the state
+    * build (old side) and the per-query delta (new side) so the two
+    * can never drift. */
+  private def docState(ex: DataFrame): DataFrame =
+    ex.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("sh"),
+        (0 until numHashes).map(k =>
+          min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k")): _*)
+      .select(col("doc_id") +: size(col("sh")).cast("long").as("n") +:
+        col("sh") +: (0 until numHashes).map(k => col(s"h$k")): _*)
+
+  /** Build-once persisted dedup state for the base corpus (doc_id <=
+    * watermark), under the content-fingerprinted [[graft.sources.LayoutStore]]
+    * root (replaced data rekeys the state; a rule change bumps
+    * [[dedupStateVersion]]):
+    *
+    *  - `docs/` — [[docState]] rows partitioned by `shard =
+    *    pmod(doc_id, 16)`, so verification's candidate-doc lookups
+    *    prune shards at the file listing (dynamic partition pruning
+    *    off the broadcast candidate list);
+    *  - `bcounts/` — per-band-bucket occupancy of the base corpus,
+    *    pre-aggregated so the delta run never re-counts (or even
+    *    re-derives) the old bucket rows.
+    *
+    * This is the heavy text work (corpus scan, shingle window,
+    * signature aggregation) paid ONCE at ETL time — exactly what the
+    * reference's incremental-first design amortizes (processor.py:320
+    * batched incremental scan). */
+  def ensureDedupState(t: Tables): String =
+    graft.sources.LayoutStore.ensure(t.dir, "dedupsig", dedupStateVersion) { path =>
+      val w = deltaWatermarkOf(t.documents)
+      docState(shingleRowsOf(t.documents.filter(col("doc_id") <= w)))
+        .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
+      t.spark.read.parquet(s"$path/docs")
+        .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+        .write.mode("overwrite").parquet(s"$path/bcounts")
+    }
+
+  /** E11 — `q_dedup_incremental`: near-dup pairs TOUCHING THE DELTA
+    * (at least one side above the watermark), WITHOUT recomputing the
+    * base corpus — the incremental mode a daily 100 TB pipeline
+    * actually runs (the reference is incremental-first: engine.py:57
+    * `update_embeddings` from a watermark, processor.py:320 batched
+    * incremental scan; every other E-row here is a full recompute).
+    *
+    * Result contract: IDENTICAL to full E2 restricted to pairs with a
+    * delta side — same signatures, same whole-corpus bucket occupancy
+    * caps (old occupancy comes from the persisted `bcounts`, so a
+    * bucket that full E2 would drop is dropped here too), same exact
+    * Jaccard ≥ 0.8 verification. The oracle IS full E2's pair CTEs
+    * filtered to delta-touching pairs.
+    *
+    * Scale shape — delta cost ∝ delta, not corpus:
+    *  - only delta docs are shingled/hashed (the corpus-scan stages);
+    *  - delta band buckets (tiny) BROADCAST against the persisted
+    *    occupancy table and state rows — the old side is read
+    *    (column-pruned to the 12 signature hashes), never shuffled,
+    *    and only buckets a delta doc touches can mint candidates;
+    *  - verification reads only candidate docs' shingle sets: the
+    *    broadcast candidate list carries the shard key, so the
+    *    doc-partitioned state prunes at the file listing.
+    * SCALING.md §9 measures the resulting delta-proportional cost. */
+  def dedupIncremental(t: Tables): DataFrame = {
+    val spark = t.spark
+    val w = deltaWatermarkOf(t.documents)
+    val path = ensureDedupState(t)
+    val old = spark.read.parquet(s"$path/docs")
+    val oldCounts = spark.read.parquet(s"$path/bcounts")
+    val ddocs = docState(
+      shingleRowsOf(t.documents.filter(col("doc_id") > w))).localCheckpoint()
+    val dbuckets = ddocs.select(col("doc_id"),
+      explode(array(bandBucketCols: _*)).as("bucket"))
+    val dcounts = dbuckets.groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    // whole-bucket occupancy = persisted old count + delta count; only
+    // delta-touched buckets can mint a delta-touching pair, so the old
+    // occupancy table is FILTERED by the broadcast touched set, never
+    // scanned into a shuffle
+    val touchedOld = oldCounts
+      .join(broadcast(dcounts.select(col("bucket"))), Seq("bucket"))
+    val survivors = dcounts.join(touchedOld, Seq("bucket"), "left")
+      .filter(coalesce(col("n_old"), lit(0L)) + col("n_new") <= maxBucketSize)
+      .select(col("bucket"))
+      .localCheckpoint() // tiny; consumed by both bucket-row joins
+    val oldRows = old
+      .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
+      .join(broadcast(survivors), "bucket")
+    val deltaRows = dbuckets.join(broadcast(survivors), "bucket")
+    val cand = broadcast(deltaRows.select(col("doc_id").as("did"), col("bucket")))
+      .join(oldRows.unionByName(deltaRows), Seq("bucket"))
+      .filter(col("did") =!= col("doc_id"))
+      .select(least(col("did"), col("doc_id")).as("doc_a"),
+        greatest(col("did"), col("doc_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint() // consumed by the candidate-doc list + verify
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+    // exact verification over ONLY candidate docs' stored shingle
+    // sets: the broadcast list joins on (shard, doc_id) so the state
+    // read prunes shard partitions dynamically; |A∩B| via
+    // array_intersect equals E2's common-shingle row count (rows are
+    // distinct), and the division is the same double expression
+    val sets = old.join(broadcast(candDocs), Seq("shard", "doc_id"))
+      .select(col("doc_id"), col("n"), col("sh"))
+      .unionByName(ddocs
+        .join(broadcast(candDocs.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"), col("n"), col("sh")))
+    broadcast(cand)
+      .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (col("na") + col("nb") -
+            size(array_intersect(col("sa"), col("sb")))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** E3 — SimHash: 64-bit fingerprint by per-bit weighted vote over

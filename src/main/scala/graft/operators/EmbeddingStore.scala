@@ -222,6 +222,25 @@ object EmbeddingStore {
   def searchWithRefresh(t: Tables, path: String, queryDocId: Long, k: Int,
       state: SearchState, policy: RefreshPolicy = RefreshPolicy(),
       nowEpochSec: Long, force: Boolean = false): (DataFrame, SearchState, Option[UpdateStats]) = {
+    val (next, stats) = refreshStep(
+      { val cov = coverage(t, path); cov.total - cov.embedded },
+      (wm, m) => updateSince(t, path, wm, Some(m)),
+      state, policy, nowEpochSec, force)
+    (searchOrEmpty(t.spark, path, queryDocId, k), next, stats)
+  }
+
+  /** The cooldown/threshold/bounded-update decision step shared by
+    * the documents-corpus and pre-embedded-vectors refresh paths —
+    * ONE re-expression of the reference's mutable orchestration
+    * (engine.py:140-151), pure in (state, clock). `lag` is by-name:
+    * it costs two counts and is only evaluated when the cooldown has
+    * passed. A zero-doc update is the reference's early return
+    * (engine.py:78): it never touches last_embedding_update_time, so
+    * a no-op refresh cannot start a cooldown that would delay a
+    * genuinely needed update by up to longCooldownSec. */
+  private def refreshStep(lag: => Long, doUpdate: (Long, Int) => UpdateStats,
+      state: SearchState, policy: RefreshPolicy, nowEpochSec: Long,
+      force: Boolean): (SearchState, Option[UpdateStats]) = {
     val counted = state.copy(searchCount = state.searchCount + 1)
     val shouldUpdate =
       if (force) true
@@ -235,39 +254,137 @@ object EmbeddingStore {
           val effThreshold =
             if (counted.searchCount <= 5) policy.updateThreshold * 3
             else policy.updateThreshold
-          val cov = coverage(t, path)
-          cov.total - cov.embedded > effThreshold
+          lag > effThreshold
         }
       }
-    val (stats, next) =
-      if (shouldUpdate) {
-        val u = updateSince(t, path, counted.watermark,
-          Some(policy.maxDocsPerUpdate))
-        // a zero-doc update is the reference's early return
-        // (engine.py:78): it never touches last_embedding_update_time,
-        // so a no-op forced refresh must NOT start a cooldown that
-        // would delay a genuinely needed update by up to
-        // longCooldownSec
-        (Some(u), counted.copy(watermark = u.newWatermark,
-          lastUpdateEpochSec =
-            if (u.processed > 0) nowEpochSec else counted.lastUpdateEpochSec))
-      } else (None, counted)
-    // a cold store whose lag is under the threshold never ran an
-    // update, so the store path may not exist yet — the reference
-    // sets up the vector DB and returns empty results
-    // (processor.py's fresh-DB branch); mirror coverage()'s
-    // missing-store handling with an empty result frame
-    val results =
-      try search(t.spark, path, queryDocId, k)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          import org.apache.spark.sql.types._
-          t.spark.createDataFrame(
-            t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("doc_id", LongType),
-              StructField("score", DoubleType))))
+    if (shouldUpdate) {
+      val u = doUpdate(counted.watermark, policy.maxDocsPerUpdate)
+      (counted.copy(watermark = u.newWatermark,
+        lastUpdateEpochSec =
+          if (u.processed > 0) nowEpochSec else counted.lastUpdateEpochSec),
+        Some(u))
+    } else (counted, None)
+  }
+
+  /** Does the throwable chain mean "the store directory isn't there
+    * yet"? Spark surfaces that as AnalysisException (PATH_NOT_FOUND
+    * at resolution) or a FileNotFoundException from the Hadoop
+    * listing (possibly wrapped), depending on when the path vanishes
+    * relative to schema inference. */
+  private def isMissingStore(e: Throwable): Boolean = e match {
+    case null => false
+    case _: org.apache.spark.sql.AnalysisException => true
+    case _: java.io.FileNotFoundException => true
+    case _ => isMissingStore(e.getCause)
+  }
+
+  /** Search tolerating a not-yet-created store — a cold store whose
+    * lag is under the threshold never ran an update, so the path may
+    * not exist; the reference sets up the vector DB and returns
+    * empty results (processor.py's fresh-DB branch). */
+  private def searchOrEmpty(spark: SparkSession, path: String,
+      queryDocId: Long, k: Int): DataFrame =
+    try search(spark, path, queryDocId, k)
+    catch {
+      case e if isMissingStore(e) =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("score", DoubleType))))
+    }
+
+  /** [[updateSince]] for a PRE-EMBEDDED (doc_id, embedding) corpus:
+    * the bounded delta appends directly (no embed step) — the path a
+    * pipeline whose vectors arrive from an upstream encoder runs.
+    * Same snapshot / watermark / TakeOrdered-bound contract. */
+  def updateVectorsSince(vectors: DataFrame, path: String, sinceDocId: Long,
+      maxDocs: Option[Int]): UpdateStats = {
+    val t0 = System.nanoTime()
+    val delta = vectors.filter(col("doc_id") > sinceDocId)
+    val bounded = maxDocs.fold(delta)(m => delta.orderBy(col("doc_id")).limit(m))
+    val fresh = bounded.localCheckpoint()
+    val head = fresh.agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
+    val processed = head.getLong(0)
+    if (processed > 0)
+      store(fresh.select(col("doc_id"),
+        pmod(col("doc_id"), lit(numShards)).as("shard"),
+        col("embedding").cast("array<float>").as("embedding")),
+        path, append = true)
+    UpdateStats(processed,
+      if (head.isNullAt(1)) sinceDocId else head.getLong(1),
+      (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** [[searchWithRefresh]] over a pre-embedded vector corpus: same
+    * [[refreshStep]] policy, lag measured corpus-count vs
+    * store-count, updates through [[updateVectorsSince]]. */
+  def searchWithRefreshVectors(vectors: DataFrame, path: String,
+      queryDocId: Long, k: Int, state: SearchState,
+      policy: RefreshPolicy = RefreshPolicy(), nowEpochSec: Long,
+      force: Boolean = false): (DataFrame, SearchState, Option[UpdateStats]) = {
+    val spark = vectors.sparkSession
+    val stored =
+      try spark.read.parquet(path).count()
+      catch { case e if isMissingStore(e) => 0L }
+    val (next, stats) = refreshStep(
+      vectors.count() - stored,
+      (wm, m) => updateVectorsSince(vectors, path, wm, Some(m)),
+      state, policy, nowEpochSec, force)
+    (searchOrEmpty(spark, path, queryDocId, k), next, stats)
+  }
+
+  /** `q_search_refresh` — the reference's search() ENTRY PATH
+    * (engine.py:105-175: cooldown gate, lag threshold, bounded
+    * incremental update, then the search itself) as a driver-checked
+    * row. A fixed four-search clock sequence against a fresh store
+    * (serverStart 1000; searches at t = 1000, 1030, 1100, 2000;
+    * short cooldown 60 inside the 600 s startup window, long 300
+    * after; threshold 0; 150-vector bounded updates):
+    *
+    *  - t=1000 — cold store, out of cooldown → update #1 (lowest 150
+    *    vec_ids), then search;
+    *  - t=1030 — INSIDE the 60 s cooldown → search only (the skip
+    *    the cooldown exists for);
+    *  - t=1100 — cooldown passed → update #2 (next 150);
+    *  - t=2000 — past the startup window, long cooldown 300 passed
+    *    → update #3 (next 150).
+    *
+    * Output = the final top-10 for query vec 0 over the store the
+    * sequence actually built (the lowest min(N, 450) vec_ids), plus
+    * the orchestration facts as constant columns (searches run,
+    * non-empty updates, vectors processed, final watermark). Every
+    * number is a pure function of the corpus count and the fixed
+    * sequence, so DuckDB replays the whole episode: store = ORDER BY
+    * vec_id LIMIT LEAST(n, 450), updates = CEIL(LEAST(n,450)/150).
+    * Scale: three bounded TakeOrdered updates + four metadata counts
+    * + one store-scan search — nothing corpus-shaped on the
+    * driver. */
+  def searchRefreshQuery(t: Tables): DataFrame = {
+    val vecs = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh")
+    val path = s"$dir/store"
+    val policy = RefreshPolicy(cooldownSec = 60, longCooldownSec = 300,
+      startupWindowSec = 600, updateThreshold = 0, maxDocsPerUpdate = 150)
+    var state = SearchState(watermark = -1L, serverStartEpochSec = 1000L)
+    var processed = 0L
+    var nUpdates = 0L
+    var results: DataFrame = null
+    Seq(1000L, 1030L, 1100L, 2000L).foreach { now =>
+      val (res, next, stats) =
+        searchWithRefreshVectors(vecs, path, 0L, 10, state, policy, now)
+      state = next
+      stats.filter(_.processed > 0).foreach { u =>
+        nUpdates += 1; processed += u.processed
       }
-    (results, next, stats)
+      results = res
+    }
+    results.select(col("doc_id"), col("score"),
+      lit(state.searchCount).as("n_searches"),
+      lit(nUpdates).as("n_updates"),
+      lit(processed).as("total_processed"),
+      lit(state.watermark).as("final_watermark"))
+      .orderBy(col("score").desc, col("doc_id"))
   }
 
   // ---- persisted IVF index ------------------------------------------------

@@ -13,9 +13,13 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(rows.keySet === Dedup.lshSettings.toSet)
-    // the denominator IS the E4 row's pair count (same 0.5 threshold,
-    // same capped shingle space)
-    val truth = Dedup.ngramJaccard(t).count()
+    // the denominator IS the E4 row's pair count restricted to pairs
+    // touching the 100 lowest-id sample (same 0.5 threshold, same
+    // capped shingle space, same bounded-sample rule)
+    val sample = t.documents.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(100).collect().map(_.getLong(0)).toSet
+    val truth = Dedup.ngramJaccard(t).collect()
+      .count(r => sample(r.getLong(0)) || sample(r.getLong(1))).toLong
     rows.values.foreach { case (nCand, nTruth, recall) =>
       assert(nTruth === truth)
       assert(recall >= 0.0 && recall <= 1.0)
@@ -31,6 +35,40 @@ class DedupSpec extends SparkTestBase {
     val r = Dedup.lshSettings.map(s => rows(s)._3)
     assert(c === c.sorted, s"candidate counts not monotone: $c")
     assert(r === r.sorted, s"recall not monotone: $r")
+  }
+
+  test("dedupIncremental equals full minhash restricted to delta-touching pairs") {
+    import spark.implicits._
+    // corpus = sf0.001 docs plus planted high-id near-copies of low-id
+    // docs, so the delta decile holds both delta-vs-base and
+    // delta-vs-delta near-dup pairs
+    val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    val copies = base.filter(col("doc_id") < 30)
+      .select((col("doc_id") + maxId + 1).as("doc_id"), col("source"),
+        concat(col("text"), lit(" incremental tail marker")).as("text"))
+    val dupPair = base.filter(col("doc_id") === 0)
+      .select((col("doc_id") + maxId + 40).as("doc_id"), col("source"),
+        concat(col("text"), lit(" incremental tail marker")).as("text"))
+    val docs = base.unionByName(copies).unionByName(dupPair)
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val t2 = Tables(spark, dir.getAbsolutePath)
+
+    val w = Dedup.deltaWatermarkOf(t2.documents)
+    assert(w < maxId + 1, "planted copies must fall in the delta")
+    val full = Dedup.dedupMinhashDocs(t2.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => a > w || b > w }
+    val actual = Dedup.dedupIncremental(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "the planted copies must produce delta pairs")
+    // both delta-vs-base and delta-vs-delta pairs must be present
+    assert(actual.exists { case (a, b, _) => a <= w && b > w })
+    assert(actual.exists { case (a, b, _) => a > w && b > w })
+    assert(actual === expected)
+    // and nothing base-vs-base leaks in
+    assert(actual.forall { case (a, b, _) => a > w || b > w })
   }
 
   test("dedupExact: one group per distinct normalized text, keep smallest id") {

@@ -235,6 +235,25 @@ class EmbeddingStoreSpec extends SparkTestBase {
       "a zero-doc update must not advance the update clock")
   }
 
+  test("searchRefreshQuery: the fixed episode builds the lowest-450 store and reports it") {
+    val out = EmbeddingStore.searchRefreshQuery(t).collect()
+    val n = t.embeddings.count()
+    val expectStored = math.min(n, 450L)
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(2) === 4L, "four searches ran")
+      assert(r.getLong(3) === math.ceil(expectStored / 150.0).toLong)
+      assert(r.getLong(4) === expectStored)
+    }
+    // every hit comes from the slice the bounded updates appended
+    val wm = out.head.getLong(5)
+    assert(out.forall(_.getLong(0) <= wm))
+    // scores strictly ranked, query doc excluded
+    assert(out.forall(_.getLong(0) != 0L))
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
   test("searchWithRefresh on a cold store below the threshold returns empty results") {
     import graft.operators.{RefreshPolicy, SearchState}
     val dir = Files.createTempDirectory("graft-cold").toFile
