@@ -61,6 +61,10 @@ object SparkEntry {
     // a fixed four-search clock sequence; output = final top-k +
     // orchestration stats
     "q_search_refresh"    -> q(EmbeddingStore.searchRefreshQuery),
+    // D11: brute-force search at the reference's 384-dim model width
+    // over raw hash-vote vectors — the width-regression canary (all
+    // other rows run the corpora's 64-dim vectors)
+    "q_search_dim384"     -> q(EmbeddingStore.searchDim384),
     // C1 + F-family: text cleaning and analysis
     "q_text_clean"    -> q(TextAnalysis.textClean),
     "q_lang_id"       -> q(TextAnalysis.langId),
@@ -337,6 +341,43 @@ object SparkEntry {
         |  x.total_processed, x.final_watermark
         |FROM topk t, stats x
         |ORDER BY t.score DESC, t.doc_id""".stripMargin,
+    // D11: sparse replay of the raw 384-bucket hash-vote embedding
+    // (G4's technique at the reference width): the C1 clean chain,
+    // whitespace tokens, md5 bucket = first-6-hex value % 384 parsed
+    // positionally, ±1 votes; cosine from integer vote sums is
+    // float/double-exact, so the 6dp scores agree bit-for-bit.
+    "q_search_dim384" -> {
+      val hex = "strpos('0123456789abcdef', substr(md5(w),%d,1)) - 1"
+      val value = (1 to 6).map(i => s"(${hex.format(i)}) * ${1L << (4 * (6 - i))}")
+        .mkString(" + ")
+      s"""WITH cl AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+         |    text, '\\s+', ' ', 'g'), 'https?://\\S+', '', 'g'),
+         |    '[^\\w\\s.,!?;:\\-''"]', '', 'g')) AS cleaned
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(cleaned)), '\\s+')) AS w
+         |  FROM cl),
+         |v0 AS (
+         |  SELECT doc_id, CAST(($value) % 384 AS INT) AS bucket,
+         |    CASE WHEN substr(md5(w),7,1) <= '7' THEN 1.0 ELSE -1.0 END AS sign
+         |  FROM tk),
+         |s AS (SELECT doc_id, bucket, SUM(sign) AS v FROM v0 GROUP BY doc_id, bucket),
+         |q AS (SELECT bucket, v AS qv FROM s WHERE doc_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |d AS (
+         |  SELECT s.doc_id, SUM(s.v * q.qv) AS dot
+         |  FROM s JOIN q ON s.bucket = q.bucket
+         |  WHERE s.doc_id <> 0
+         |  GROUP BY s.doc_id),
+         |nm AS (SELECT doc_id, SQRT(SUM(v*v)) AS nrm FROM s WHERE doc_id <> 0 GROUP BY doc_id)
+         |SELECT nm.doc_id,
+         |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*(SELECT qnorm FROM qn),0),0),6) AS score
+         |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id
+         |ORDER BY score DESC, nm.doc_id
+         |LIMIT 10""".stripMargin
+    },
     "q_knn_join" ->
       """WITH ev AS (
         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -750,12 +791,21 @@ object SparkEntry {
     // Spark side materializes contribute nothing to dot or norms, and
     // the vote sums are small integers, exact in float and double
     // alike, so the 6dp scores agree bit-for-bit.
-    // ASCII-corpus assumption (G4 and G5): the Spark side slices the
-    // BINARY payload by bytes; DuckDB 1.0 has no BLOB substr/md5, so
-    // this replay slices VARCHAR (character-indexed) while counting
-    // with strlen (bytes). On ASCII text the two agree exactly —
-    // every shipped corpus is ASCII — but a non-ASCII corpus would
-    // shift the oracle's chunk boundaries, not the engine's.
+    // ASCII-corpus assumption (G2-G5 ORACLES ONLY): the Spark side
+    // slices the BINARY payload by bytes; DuckDB 1.0 has no BLOB
+    // substr/md5 (probed), so this replay slices VARCHAR
+    // (character-indexed) while counting with strlen (bytes). On
+    // ASCII the two agree exactly — every shipped corpus is ASCII.
+    // The limit is STRUCTURAL in DuckDB 1.0, not fixable here: a
+    // byte slice can split a multi-byte char, and the invalid-UTF-8
+    // fragment is not even representable as VARCHAR for md5().
+    // The ENGINE side is proven byte-correct on non-ASCII corpora
+    // (2/3/4-byte chars straddling chunk/frame/stride boundaries)
+    // against independent JVM ground truth — MultimodalSpec's
+    // "non-ASCII:" cases. F10/q_text_chunks is CHARACTER-sliced on
+    // both engines (code points both sides) and its oracle verified
+    // non-ASCII-exact against DuckDB directly; it carries no such
+    // assumption.
     "q_media_embedding" ->
       """WITH c AS (
         |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb,

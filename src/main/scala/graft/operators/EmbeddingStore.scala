@@ -82,21 +82,8 @@ object EmbeddingStore {
     * to embed at the reference's model dimensionality. */
   def embed(docs: DataFrame): DataFrame = embed(docs, dim)
 
-  def embed(docs: DataFrame, dim: Int): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id"),
-        (conv(substring(col("h"), 1, 6), 16, 10).cast("int") % dim).as("bucket"),
-        when(substring(col("h"), 7, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
-    val sums = tok.groupBy(col("doc_id"), col("bucket"))
-      .agg(sum(col("sign")).as("v"))
-    val dense = sums.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
-    dense
+  def embed(docs: DataFrame, dim: Int): DataFrame =
+    embedRaw(docs, dim)
       // norm projected ONCE per row (a lambda-embedded aggregate would
       // re-run the fold per output element), with a zero-norm guard so
       // fully-cancelling hash votes yield a zero vector, not NaNs
@@ -108,6 +95,52 @@ object EmbeddingStore {
           .cast("array<float>").as("embedding"))
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(numShards)).as("shard"), col("embedding"))
+
+  /** The raw hash-vote stage of [[embed]]: dense UNNORMALIZED double
+    * vectors whose components are the ±1 vote sums — small integers,
+    * so float casts and sparse cross-engine replays are EXACT (the
+    * G4 technique), and cosine over them equals cosine over the
+    * normalized store vectors (scale invariance). The ONE definition
+    * of the tokenize → md5-bucket → vote pipeline; [[embed]]
+    * normalizes on top. */
+  def embedRaw(docs: DataFrame, dim: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 6), 16, 10).cast("int") % dim).as("bucket"),
+        when(substring(col("h"), 7, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+  }
+
+  /** `q_search_dim384` — the heavy-WIDTH bench row: brute-force
+    * cosine top-10 at the reference's model width (384,
+    * all-MiniLM-L6-v2, processor.py:174). The shipped corpora carry
+    * 64-dim vectors, so without this row every per-round bench query
+    * ran dim 64 and a width-dependent regression (the dense
+    * transform, the 384-wide cosine loop) could hide; the offline
+    * DimBench proved the width curve once, this row pins it every
+    * round. Raw integer votes ([[embedRaw]]) make the 6dp scores
+    * engine-exact. Scale shape: the query vector derives from ONE
+    * pre-filtered doc (no corpus checkpoint), the corpus side is a
+    * single tokenize→vote→score streaming pass, top-k via
+    * TakeOrdered. */
+  def searchDim384(t: Tables): DataFrame = {
+    val qv = embedRaw(t.documents.filter(col("doc_id") === 0L), 384)
+      .select(col("raw").cast("array<float>").as("qv"))
+    embedRaw(t.documents.filter(col("doc_id") =!= 0L), 384)
+      .select(col("doc_id"), col("raw").cast("array<float>").as("embedding"))
+      .join(broadcast(qv))
+      .select(col("doc_id"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Persist (or append) embeddings shard-partitioned — the vector
@@ -728,6 +761,54 @@ object EmbeddingStore {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Rebuild-on-drift — the action D9's numbers call for.
+    * [[indexStats]]'s `appended_frac` measures the fraction of the
+    * store the centroids have never seen ([[appendToIvfIndex]] keeps
+    * recall exact but lets the quantizer age); past `threshold` the
+    * index is re-fitted FROM ITS OWN CELLS — seed + one Lloyd pass
+    * over the stored vectors, the same corpus-wide passes a fresh
+    * build pays — and the result swapped in. The refresh happens
+    * UNDER THE SAME LayoutStore key: the key fingerprints the SOURCE
+    * data + rule, both unchanged by a re-fit (a new key per rebuild
+    * would leak every superseded layout forever). The build lands in
+    * a `_rebuild` staging dir first and the `_BUILT` marker drops for
+    * the swap, so an interrupted rebuild re-runs from the marker
+    * check instead of ever serving half an index. Returns whether a
+    * rebuild ran. Nothing corpus-shaped touches the driver: the
+    * decision reads the 1-row stats, the re-fit is the distributed
+    * build path. */
+  def rebuildIfDrifted(spark: SparkSession, path: String,
+      threshold: Double): Boolean = {
+    val frac = indexStats(spark, path).first().getAs[Double]("appended_frac")
+    if (frac <= threshold) false
+    else {
+      val staging = s"$path/_rebuild"
+      buildIvfIndex(spark,
+        spark.read.parquet(s"$path/cells").select(col("doc_id"), col("embedding")),
+        staging)
+      val root = new java.io.File(path)
+      val marker = new java.io.File(root, "_BUILT")
+      marker.delete()
+      def purge(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(purge)
+        f.delete()
+      }
+      Seq("cells", "centroids").foreach { d =>
+        purge(new java.io.File(root, d))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging, d),
+          java.nio.file.Paths.get(path, d))
+      }
+      purge(new java.io.File(staging))
+      marker.createNewFile()
+      true
+    }
+  }
+
+  /** [[rebuildIfDrifted]] over the ensured per-data-dir index. */
+  def rebuildIfDrifted(t: Tables, threshold: Double): Boolean =
+    rebuildIfDrifted(t.spark, ensureIndex(t), threshold)
 
   /** D9 — `q_ivf_stats`: the index-health row over the PERSISTED
     * index (built once via [[ensureIndex]], like D8's probe). */

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * `create_snapshot` — copy-on-read with snapshot reuse while the
   * source is unchanged, :128 `connect` — connect to the snapshot, and
   * processor.py:428's batched `chat_message` scan). The reference
-  * decrypts with a key pragma; this sandbox carries an unencrypted
-  * fixture, so the snapshot/scan machinery is the contract here.
+  * decrypts with a key pragma (connection.py:146, key from
+  * SEATALK_DB_KEY, :49) — SQLCipher v4 page decryption is implemented
+  * below ([[SqlCipher]]), so an encrypted store reads through the
+  * same B-tree path; a plaintext file (the committed fixture) skips
+  * it entirely.
   *
   * There is no SQLite JDBC driver on the classpath (and zero egress to
   * fetch one), so this reads the SQLite FILE FORMAT directly — it is
@@ -82,6 +85,152 @@ object SqliteSnapshot {
     }
   }
 
+  // ---- SQLCipher page encryption (v4 defaults) ---------------------------
+
+  /** SQLCipher layers page-level encryption under the standard SQLite
+    * format (the reference decrypts with `pragma key`,
+    * connection.py:146-147; the key arrives via the SEATALK_DB_KEY
+    * env var, connection.py:49). The container format is public
+    * (SQLCipher design doc + source): the first 16 file bytes are the
+    * KDF salt (they REPLACE the "SQLite format 3\0" magic); every
+    * page's non-reserved region is AES-256-CBC; the per-page reserve
+    * (header byte 20, = 80 under v4) holds the 16-byte IV followed by
+    * HMAC-SHA512(ciphertext || iv || page# as little-endian u32).
+    * Keys: key = PBKDF2-HMAC-SHA512(passphrase, salt, 256000, 32) —
+    * or the raw-key pragma form x'<64 hex>' which skips the KDF —
+    * and hmacKey = PBKDF2-HMAC-SHA512(key, salt ⊕ 0x3a, 2, 32). Page
+    * 1 is encrypted from byte 16 (the salt occupies 0-15); its
+    * decrypted bytes start at the page-size field, and the magic is
+    * reconstituted. Everything here is JDK crypto — no new
+    * dependencies. */
+  private[graft] object SqlCipher {
+    val saltLen = 16
+    val ivLen = 16
+    val hmacLen = 64 // SHA-512
+    val reserve = 80 // ivLen + hmacLen, already a multiple of the AES block
+    val kdfIterations = 256000
+    val hmacKdfIterations = 2
+
+    /** PBKDF2-HMAC-SHA512 over RAW password bytes. Hand-rolled
+      * (RFC 2898 §5.2) because the JDK SecretKeyFactory variant takes
+      * char[] and re-encodes as UTF-8 — wrong for the second
+      * derivation, whose "password" is the 32 raw key bytes. */
+    private[graft] def pbkdf2(password: Array[Byte], salt: Array[Byte],
+        iterations: Int, dkLen: Int): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA512")
+      mac.init(new javax.crypto.spec.SecretKeySpec(password, "HmacSHA512"))
+      val out = new Array[Byte](dkLen)
+      var block = 1
+      var filled = 0
+      while (filled < dkLen) {
+        mac.update(salt)
+        mac.update(Array[Byte]((block >>> 24).toByte, (block >>> 16).toByte,
+          (block >>> 8).toByte, block.toByte))
+        var u = mac.doFinal()
+        val acc = u.clone()
+        var i = 1
+        while (i < iterations) {
+          u = mac.doFinal(u)
+          var j = 0
+          while (j < acc.length) { acc(j) = (acc(j) ^ u(j)).toByte; j += 1 }
+          i += 1
+        }
+        val take = math.min(acc.length, dkLen - filled)
+        System.arraycopy(acc, 0, out, filled, take)
+        filled += take
+        block += 1
+      }
+      out
+    }
+
+    private val rawKeyRe = "(?i)^x'([0-9a-f]{64})'$".r
+
+    /** (cipher key, hmac key) from a `pragma key` value and the file
+      * salt — passphrase (KDF) or x'hex' raw form. */
+    def deriveKeys(keySpec: String, salt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val key = keySpec match {
+        case rawKeyRe(hex) =>
+          hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        case pass =>
+          pbkdf2(pass.getBytes(StandardCharsets.UTF_8), salt, kdfIterations, 32)
+      }
+      val hmacSalt = salt.map(b => (b ^ 0x3a).toByte)
+      (key, pbkdf2(key, hmacSalt, hmacKdfIterations, 32))
+    }
+
+    private def pageMac(hmacKey: Array[Byte], raw: Array[Byte], pageNo: Int,
+        pageSize: Int): Array[Byte] = {
+      val end = pageSize - reserve
+      val start = if (pageNo == 1) saltLen else 0
+      val mac = javax.crypto.Mac.getInstance("HmacSHA512")
+      mac.init(new javax.crypto.spec.SecretKeySpec(hmacKey, "HmacSHA512"))
+      mac.update(raw, start, end - start) // ciphertext
+      mac.update(raw, end, ivLen) // iv
+      mac.update(Array[Byte](pageNo.toByte, (pageNo >>> 8).toByte,
+        (pageNo >>> 16).toByte, (pageNo >>> 24).toByte)) // LE page number
+      mac.doFinal()
+    }
+
+    /** Does the stored page HMAC verify? Doubles as the key check and
+      * the page-size probe (a wrong page size misplaces the reserve,
+      * so the MAC cannot match). */
+    def hmacOk(hmacKey: Array[Byte], raw: Array[Byte], pageNo: Int,
+        pageSize: Int): Boolean =
+      java.security.MessageDigest.isEqual(
+        pageMac(hmacKey, raw, pageNo, pageSize),
+        java.util.Arrays.copyOfRange(raw,
+          pageSize - reserve + ivLen, pageSize - reserve + ivLen + hmacLen))
+
+    private def aes(mode: Int, key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data, off, len)
+    }
+
+    /** Decrypt one raw page; the result is a standard-format SQLite
+      * page (page 1 gets its magic back; the reserve region rides
+      * along unread — `usable` already excludes it). */
+    def decryptPage(key: Array[Byte], hmacKey: Array[Byte], raw: Array[Byte],
+        pageNo: Int, pageSize: Int): Array[Byte] = {
+      require(hmacOk(hmacKey, raw, pageNo, pageSize),
+        s"SQLCipher HMAC mismatch on page $pageNo — wrong key or corrupt page")
+      val end = pageSize - reserve
+      val start = if (pageNo == 1) saltLen else 0
+      val iv = java.util.Arrays.copyOfRange(raw, end, end + ivLen)
+      val pt = aes(javax.crypto.Cipher.DECRYPT_MODE, key, iv, raw, start,
+        end - start)
+      val out = new Array[Byte](pageSize)
+      if (pageNo == 1)
+        System.arraycopy("SQLite format 3".getBytes(StandardCharsets.US_ASCII),
+          0, out, 0, 15)
+      System.arraycopy(pt, 0, out, start, pt.length)
+      System.arraycopy(raw, end, out, end, reserve)
+      out
+    }
+
+    /** Encrypt one standard-format page — the fixture-writer
+      * counterpart of [[decryptPage]] (tests build an encrypted store
+      * with it; a pipeline could use it to write one back). The IV is
+      * caller-supplied so fixtures stay deterministic. */
+    private[graft] def encryptPage(key: Array[Byte], hmacKey: Array[Byte],
+        salt: Array[Byte], plain: Array[Byte], iv: Array[Byte],
+        pageNo: Int, pageSize: Int): Array[Byte] = {
+      val end = pageSize - reserve
+      val start = if (pageNo == 1) saltLen else 0
+      val ct = aes(javax.crypto.Cipher.ENCRYPT_MODE, key, iv, plain, start,
+        end - start)
+      val out = new Array[Byte](pageSize)
+      if (pageNo == 1) System.arraycopy(salt, 0, out, 0, saltLen)
+      System.arraycopy(ct, 0, out, start, ct.length)
+      System.arraycopy(iv, 0, out, end, ivLen)
+      val mac = pageMac(hmacKey, out, pageNo, pageSize)
+      System.arraycopy(mac, 0, out, end + ivLen, hmacLen)
+      out
+    }
+  }
+
   // ---- SQLite file format (sqlite.org/fileformat2.html) -----------------
 
   /** One declared column: name, type affinity, and whether it is the
@@ -90,24 +239,14 @@ object SqliteSnapshot {
 
   private[sources] case class TableDef(name: String, rootPage: Int, cols: Seq[Col])
 
-  /** Read-only pager over one SQLite file. Not thread-safe; open one
+  /** Read-only pager over one SQLite file, plaintext or SQLCipher-
+    * encrypted (v4 defaults; detected by the missing magic — the salt
+    * sits where "SQLite format 3\0" would). Not thread-safe; open one
     * per partition/task. */
-  private[sources] final class PageFile(path: String) extends AutoCloseable {
+  private[sources] final class PageFile(path: String, key: Option[String])
+      extends AutoCloseable {
+    def this(path: String) = this(path, None)
     private val raf = new RandomAccessFile(path, "r")
-    private val hdr = readAt(0, 100)
-    require(new String(hdr, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3",
-      s"$path is not a SQLite 3 database")
-    /** File-header page size is u16 big-endian; the value 1 encodes 65536. */
-    val pageSize: Int = {
-      val raw = ((hdr(16) & 0xff) << 8) | (hdr(17) & 0xff)
-      if (raw == 1) 65536 else raw
-    }
-    /** Usable bytes per page = page size minus the per-page reserved
-      * region (header byte 20, used by encryption extensions). */
-    val usable: Int = pageSize - (hdr(20) & 0xff)
-    require((hdr(56) & 0xff) == 0 && (hdr(57) & 0xff) == 0 &&
-      (hdr(58) & 0xff) == 0 && ((hdr(59) & 0xff) == 1),
-      "only UTF-8 text encoding is supported")
 
     private def readAt(off: Long, len: Int): Array[Byte] = {
       val b = new Array[Byte](len)
@@ -115,8 +254,67 @@ object SqliteSnapshot {
       raf.readFully(b)
       b
     }
-    /** Whole page, 1-indexed page numbers. */
-    def page(n: Int): Array[Byte] = readAt((n.toLong - 1) * pageSize, pageSize)
+
+    private val head16 = readAt(0, 16)
+    private val plain =
+      new String(head16, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3" &&
+        head16(15) == 0
+
+    /** (cipher key, hmac key, page size) for an encrypted file. The
+      * page size is not readable before decryption (the header field
+      * is itself encrypted), so it is probed: the page-1 HMAC only
+      * verifies at the true size, because any other size misplaces
+      * the reserve region the MAC lives in. */
+    private val crypt: Option[(Array[Byte], Array[Byte], Int)] =
+      if (plain) None
+      else {
+        val pass = key.getOrElse(sys.error(
+          s"$path is not a plaintext SQLite 3 database — it looks " +
+            "SQLCipher-encrypted (no magic); supply the key (the " +
+            "reference's pragma key, connection.py:146)"))
+        val (k, hk) = SqlCipher.deriveKeys(pass, head16)
+        val fileSize = raf.length()
+        val ps = Seq(4096, 1024, 2048, 8192, 512, 16384, 32768, 65536)
+          .find(p => fileSize % p == 0 && fileSize >= p &&
+            SqlCipher.hmacOk(hk, readAt(0, p), 1, p))
+          .getOrElse(sys.error(
+            s"$path: SQLCipher page-1 HMAC failed at every page size — " +
+              "wrong key, or a non-default cipher configuration " +
+              "(v4 assumed: AES-256-CBC, PBKDF2/HMAC-SHA512, 256k iterations)"))
+        Some((k, hk, ps))
+      }
+
+    private val hdr: Array[Byte] =
+      crypt match {
+        case None => readAt(0, 100)
+        case Some((_, _, ps)) => java.util.Arrays.copyOf(page(1), 100)
+      }
+
+    /** File-header page size is u16 big-endian; the value 1 encodes
+      * 65536. For an encrypted file the probed size is authoritative
+      * and the decrypted header field must agree. */
+    val pageSize: Int = {
+      val raw = ((hdr(16) & 0xff) << 8) | (hdr(17) & 0xff)
+      val fromHdr = if (raw == 1) 65536 else raw
+      crypt.foreach { case (_, _, ps) =>
+        require(fromHdr == ps,
+          s"decrypted header page size $fromHdr != probed $ps") }
+      fromHdr
+    }
+    /** Usable bytes per page = page size minus the per-page reserved
+      * region (header byte 20 — under SQLCipher v4 it is 80: IV +
+      * page HMAC). */
+    val usable: Int = pageSize - (hdr(20) & 0xff)
+    require((hdr(56) & 0xff) == 0 && (hdr(57) & 0xff) == 0 &&
+      (hdr(58) & 0xff) == 0 && ((hdr(59) & 0xff) == 1),
+      "only UTF-8 text encoding is supported")
+
+    /** Whole page, 1-indexed page numbers; decrypted transparently. */
+    def page(n: Int): Array[Byte] = crypt match {
+      case None => readAt((n.toLong - 1) * pageSize, pageSize)
+      case Some((k, hk, ps)) =>
+        SqlCipher.decryptPage(k, hk, readAt((n.toLong - 1) * ps, ps), n, ps)
+    }
     override def close(): Unit = raf.close()
   }
 
@@ -370,9 +568,9 @@ object SqliteSnapshot {
     * Driver work: schema + interior-page walk (metadata). Row work:
     * leaf pages decode in parallel, `slices` partitions. */
   def readTable(spark: SparkSession, dbPath: String, table: String,
-      slices: Int = 0): DataFrame = {
+      slices: Int = 0, key: Option[String] = None): DataFrame = {
     val (tdef, leaves) = {
-      val pf = new PageFile(dbPath)
+      val pf = new PageFile(dbPath, key)
       try {
         val d = tableDef(pf, table)
         (d, leafPages(pf, d.rootPage))
@@ -384,7 +582,10 @@ object SqliteSnapshot {
     val n = if (slices > 0) slices
       else math.min(leaves.size, spark.sparkContext.defaultParallelism).max(1)
     val rows = spark.sparkContext.parallelize(leaves, n).mapPartitions { it =>
-      val pf = new PageFile(dbPath)
+      // each task re-derives the page keys from the serialized pragma
+      // key string — the KDF costs ~0.1 s once per task, dwarfed by
+      // any real partition's page work
+      val pf = new PageFile(dbPath, key)
       // materialize the partition before closing the handle (pages per
       // partition are bounded by the slice, so this is partition-local
       // memory, not a collect)
@@ -407,11 +608,14 @@ object SqliteSnapshot {
 
   /** The full reference bootstrap (`connect`, connection.py:128):
     * find the newest store in `dbDir`, snapshot it, and read
-    * `chat_message` from the snapshot. */
+    * `chat_message` from the snapshot. The decryption key defaults to
+    * the reference's env var (SEATALK_DB_KEY, connection.py:49) and
+    * is only consulted for an actually-encrypted snapshot. */
   def connectChatMessages(spark: SparkSession, dbDir: String,
-      snapshotsDir: String): DataFrame = {
+      snapshotsDir: String,
+      key: Option[String] = sys.env.get("SEATALK_DB_KEY")): DataFrame = {
     val snap = createSnapshot(findLatestDatabase(dbDir), snapshotsDir)
-    readTable(spark, snap, "chat_message")
+    readTable(spark, snap, "chat_message", key = key)
   }
 
   /** chat_message → the events-shaped parquet the pipeline starts

@@ -235,6 +235,24 @@ class EmbeddingStoreSpec extends SparkTestBase {
       "a zero-doc update must not advance the update clock")
   }
 
+  test("searchDim384: raw-vote cosine equals normalized-store cosine at the model width") {
+    val out = EmbeddingStore.searchDim384(t).collect()
+    assert(out.length === 10)
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    // cosine is scale-invariant: the raw-vote scores must match a
+    // search over the NORMALIZED 384-dim store vectors (float
+    // rounding slack: the store path casts normalized doubles to
+    // float32, the raw path keeps exact integers)
+    val dir = java.nio.file.Files.createTempDirectory("graft-384cmp")
+    EmbeddingStore.store(EmbeddingStore.embed(t.documents, 384), s"$dir/store")
+    val viaStore = EmbeddingStore.search(spark, s"$dir/store", 0L, 10).collect()
+    assert(viaStore.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq)
+    viaStore.zip(out).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-5) }
+  }
+
   test("searchRefreshQuery: the fixed episode builds the lowest-450 store and reports it") {
     val out = EmbeddingStore.searchRefreshQuery(t).collect()
     val n = t.embeddings.count()

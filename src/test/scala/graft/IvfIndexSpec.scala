@@ -225,4 +225,41 @@ class IvfIndexSpec extends SparkTestBase {
     val hits = EmbeddingStore.searchIvf(spark, path, queryDocId = 450L, k = 5)
     assert(hits.count() > 0)
   }
+
+  test("rebuildIfDrifted: below threshold no-op; past it the quantizer recovers") {
+    val dir = Files.createTempDirectory("graft-ivf-drift").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents).drop("shard")
+    // a SMALL base and a LARGE append: the appended mass dominates,
+    // so the stale centroids have never seen most of the store — the
+    // drift shape the rebuild advice exists for
+    val base = vectors.filter(col("doc_id") < 100)
+    val delta = vectors.filter(col("doc_id") >= 100)
+    EmbeddingStore.buildIvfIndex(spark, base, path)
+    val fresh = EmbeddingStore.indexStats(spark, path).first()
+
+    // below threshold: untouched (marker intact, same cells)
+    assert(!EmbeddingStore.rebuildIfDrifted(spark, path, threshold = 0.5))
+    EmbeddingStore.appendToIvfIndex(spark, path, delta)
+    val drifted = EmbeddingStore.indexStats(spark, path).first()
+    assert(drifted.getDouble(4) > 0.5, "append must push appended_frac past 0.5")
+
+    // past threshold: refit from the stored cells
+    assert(EmbeddingStore.rebuildIfDrifted(spark, path, threshold = 0.5))
+    val rebuilt = EmbeddingStore.indexStats(spark, path).first()
+    assert(rebuilt.getLong(0) === vectors.count(), "no vector lost in the swap")
+    assert(rebuilt.getDouble(4) === 0.0, "a rebuild resets the drift measure")
+    // the quantizer-quality stat recovers: the refit centroids have
+    // seen every vector (the drifted ones had fitted 100 of 500)
+    assert(rebuilt.getDouble(5) >= drifted.getDouble(5),
+      s"rebuild must not degrade mean_intra_cosine: ${rebuilt.getDouble(5)} vs ${drifted.getDouble(5)}")
+    // the cell layout now follows the full corpus (cell count re-derived
+    // from n=500, not n=100), and the staging dir is gone
+    assert(rebuilt.getLong(1) === EmbeddingStore.numCellsFor(vectors.count()))
+    assert(!new java.io.File(path, "_rebuild").exists())
+    // probes still work end-to-end on the swapped-in layout
+    assert(EmbeddingStore.searchIvf(spark, path, queryDocId = 450L, k = 5).count() > 0)
+  }
 }

@@ -8,6 +8,144 @@ import graft.sources.Tables
 class MultimodalSpec extends SparkTestBase {
   lazy val t = Tables(spark, sfDir)
 
+  /** Non-ASCII corpus for the byte-semantics parity tests: multi-byte
+    * UTF-8 (2-, 3- and 4-byte sequences) positioned to STRADDLE the
+    * 64-byte chunk and 16-byte frame boundaries, so a char-indexed
+    * slicer would produce different chunks than the byte-indexed
+    * contract. (The shipped driver corpora are ASCII — these paths
+    * were byte-correct by construction but never PROVEN past ASCII;
+    * ground truth below is computed independently over
+    * `getBytes(UTF_8)` + MessageDigest, no Spark involved.) */
+  private lazy val unicodeDocs: Seq[(Long, String)] = Seq(
+    0L -> "query doc héllo 群聊 🎉 with ünïcode content",
+    1L -> "plain ascii text only",
+    2L -> ("a" * 63 + "é" + "b" * 40), // 2-byte char split at byte 63/64
+    3L -> ("x" * 62 + "群聊" + "y" * 70), // 3-byte chars at the boundary
+    4L -> ("z" * 61 + "🎉🎊" + "w" * 80), // 4-byte chars (surrogate pairs in UTF-16)
+    5L -> "héllo ☕ wörld — 群聊 🎉 café naïve",
+    6L -> ("群" * 100), // 300 bytes of pure 3-byte chars, several chunks
+    7L -> ("mixed 🎉" + "é" * 50 + " tail " + "☕" * 30),
+    8L -> "é") // single 2-byte char: payload shorter than one frame
+
+  private lazy val unicodeTable: Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nonascii")
+    import spark.implicits._
+    unicodeDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("src_1").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir.toString)
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+  private def slice(b: Array[Byte], off: Long, len: Int): Array[Byte] =
+    b.slice(off.toInt, math.min(off.toInt + len, b.length))
+
+  test("non-ASCII: mediaChunks slices BYTES, straddled chars split mid-sequence") {
+    val got = Multimodal.mediaChunks(unicodeTable).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    val want = unicodeDocs.flatMap { case (id, text) =>
+      val b = utf8(text)
+      (0 until math.ceil(b.length / 64.0).toInt).map { i =>
+        (id, i.toLong) ->
+          (math.min(64L, b.length - i * 64L), md5hex(slice(b, i * 64L, 64)))
+      }
+    }.toMap
+    assert(got === want)
+    // the boundary really split a multi-byte char: doc 2's first chunk
+    // ends in é's LEAD byte (0xc3), so its md5 differs from the md5 of
+    // any char-aligned 63- or 64-char prefix — byte semantics, proven
+    val char63 = md5hex(utf8(("a" * 63)))
+    val char64 = md5hex(utf8(("a" * 63 + "é")))
+    assert(got((2L, 0L))._2 !== char63)
+    assert(got((2L, 0L))._2 !== char64)
+  }
+
+  test("non-ASCII: frameSample byte frames match independent ground truth") {
+    val got = Multimodal.frameSample(unicodeTable).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val want = unicodeDocs.flatMap { case (id, text) =>
+      val b = utf8(text)
+      val nFrames = b.length / 16
+      if (b.length < 16) None
+      else {
+        val sampled = (0 until nFrames by 4)
+          .map(fi => md5hex(slice(b, fi * 16L, 16)))
+        Some(id -> (nFrames.toLong, sampled.length.toLong, sampled.min))
+      }
+    }.toMap
+    assert(got === want)
+  }
+
+  test("non-ASCII: mediaResize stride fold over bytes matches ground truth") {
+    val got = Multimodal.mediaResize(unicodeTable).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6), r.getString(7)))
+      .toMap
+    val want = unicodeDocs.map { case (id, text) =>
+      val b = utf8(text)
+      val nb = b.length.toLong
+      val (w, h) = (nb % 640, (nb * 7) % 480)
+      val stride = math.max(1L, math.ceil(math.max(w, h) / 224.0).toLong)
+      val nblocks = math.ceil(nb / 16.0).toLong
+      val kept = math.min((nblocks - 1) / stride + 1, 134217725L / stride + 1)
+      val rp = (0L until kept).toArray
+        .flatMap(i => slice(b, i * stride * 16, 16))
+      id -> (w, h, stride, rp.length.toLong, md5hex(rp))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("non-ASCII: textChunks slices CODE POINTS (vs byte slicing above)") {
+    val got = graft.operators.TextAnalysis.textChunks(unicodeTable).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val want = unicodeDocs.flatMap { case (id, text) =>
+      val n = text.codePointCount(0, text.length)
+      val lastStart = (math.ceil(n / 192.0).toLong - 1) * 192
+      (0L to lastStart by 192L).map { start =>
+        val a = text.offsetByCodePoints(0, start.toInt)
+        val b = text.offsetByCodePoints(0, math.min(start + 256, n).toInt)
+        (id, start) -> (text.substring(a, b), math.min(256L, n - start))
+      }
+    }.toMap
+    assert(got === want)
+  }
+
+  test("non-ASCII: mediaEmbedding vote pipeline tracks the byte chunks") {
+    val got = Multimodal.mediaEmbedding(unicodeTable).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // independent replay: byte chunks → md5 hex → positional 2-hex
+    // bucket % 32, 3rd-hex sign votes → cosine vs doc 0's votes,
+    // HALF_UP 6dp, (score desc, id) top-10 excluding the query doc
+    def votes(text: String): Map[Int, Double] = {
+      val b = utf8(text)
+      (0 until math.ceil(b.length / 64.0).toInt)
+        .map(i => md5hex(slice(b, i * 64L, 64)))
+        .groupBy(h => Integer.parseInt(h.substring(0, 2), 16) % 32)
+        .map { case (bk, hs) =>
+          bk -> hs.map(h => if (h(2) <= '7') 1.0 else -1.0).sum }
+        .filter(_._2 != 0.0) // cancelled buckets drop out of the agg? no —
+      // Spark keeps zero-sum buckets as rows; they contribute 0 to dot
+      // and norm alike, so keeping or dropping them is score-identical
+    }
+    val q = votes(unicodeDocs.head._2)
+    val qn = math.sqrt(q.values.map(v => v * v).sum)
+    val want = unicodeDocs.tail.map { case (id, text) =>
+      val v = votes(text)
+      val dot = v.map { case (b, x) => x * q.getOrElse(b, 0.0) }.sum
+      val nrm = math.sqrt(v.values.map(x => x * x).sum)
+      val s = if (nrm * qn == 0) 0.0 else dot / (nrm * qn)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got === want)
+  }
+
   test("multimodalMeta conserves docs and byte bounds are consistent") {
     val rows = Multimodal.multimodalMeta(t).collect()
     assert(rows.map(_.getLong(1)).sum === t.documents.count())

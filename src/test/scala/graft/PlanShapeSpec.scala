@@ -36,7 +36,12 @@ class PlanShapeSpec extends SparkTestBase {
     "q_ivf_stats",
     // per-layout 1-row stats (candidate count, hits, truth total)
     // cross-broadcast into one row per layout — three 1×1 joins
-    "q_lsh_recall")
+    "q_lsh_recall",
+    // the refresh episode's final search broadcasts the 1-row query
+    // vector into the store scan, like q_search_bruteforce
+    "q_search_refresh",
+    // the 384-dim search broadcasts the 1-row raw query vector
+    "q_search_dim384")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

@@ -13,6 +13,141 @@ import graft.sources.SqliteSnapshot
   * contains multi-level B-trees, NULLs, negative/6-byte/8-byte
   * integers, floats, unicode, an INTEGER PRIMARY KEY rowid alias, and
   * 1- and multi-page overflow chains. */
+/** Hand-assembled two-page SQLite database bytes with a NON-ZERO
+  * reserved region (80 bytes/page — SQLCipher v4's layout). The
+  * committed python-made fixture has reserve 0, and stock SQLite
+  * cannot create reserved space, so the encrypted-store round trip
+  * needs a file whose pages leave room for the IV + HMAC; cells are
+  * positioned off the END of the usable region, so a reserve cannot
+  * be retrofitted onto an existing file. Page 1 = header +
+  * sqlite_schema leaf (one table row); page 2 = the table leaf. */
+object MiniSqliteDb {
+  val pageSize = 4096
+  val reserve = 80
+  private val usable = pageSize - reserve
+
+  private def varint(v: Long): Array[Byte] = {
+    require(v >= 0 && v < (1L << 28), "mini builder emits short varints only")
+    if (v < 128) Array(v.toByte)
+    else if (v < (1 << 14))
+      Array((0x80 | (v >>> 7)).toByte, (v & 0x7f).toByte)
+    else Array((0x80 | (v >>> 14)).toByte,
+      (0x80 | ((v >>> 7) & 0x7f)).toByte, (v & 0x7f).toByte)
+  }
+
+  private def beBytes(v: Long, len: Int): Array[Byte] =
+    (0 until len).map(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+
+  /** (serial type, body bytes) for one record value. */
+  private def encodeValue(v: Any): (Long, Array[Byte]) = v match {
+    case null => (0L, Array.empty[Byte])
+    case x: Long =>
+      val len =
+        if (x >= -128 && x < 128) 1
+        else if (x >= -32768 && x < 32768) 2
+        else if (x >= -(1L << 23) && x < (1L << 23)) 3
+        else if (x >= -(1L << 31) && x < (1L << 31)) 4
+        else if (x >= -(1L << 47) && x < (1L << 47)) 6
+        else 8
+      val t = len match { case 6 => 5L; case 8 => 6L; case n => n.toLong }
+      (t, beBytes(x, len))
+    case x: Double =>
+      (7L, beBytes(java.lang.Double.doubleToLongBits(x), 8))
+    case x: String =>
+      val b = x.getBytes("UTF-8"); (13L + 2L * b.length, b)
+    case x: Array[Byte] => (12L + 2L * x.length, x)
+  }
+
+  private def record(values: Seq[Any]): Array[Byte] = {
+    val enc = values.map(encodeValue)
+    val typeBytes = enc.flatMap(e => varint(e._1)).toArray
+    // header length includes its own varint; our headers are short so
+    // one byte always suffices
+    val hdrLen = typeBytes.length + 1
+    require(hdrLen < 128)
+    Array(hdrLen.toByte) ++ typeBytes ++ enc.flatMap(_._2)
+  }
+
+  private def cell(rowid: Long, payload: Array[Byte]): Array[Byte] =
+    varint(payload.length.toLong) ++ varint(rowid) ++ payload
+
+  private def leafPage(cells: Seq[Array[Byte]], page1Header: Option[Array[Byte]]): Array[Byte] = {
+    val pg = new Array[Byte](pageSize)
+    val h = page1Header.map { hdr =>
+      System.arraycopy(hdr, 0, pg, 0, 100); 100
+    }.getOrElse(0)
+    pg(h) = 0x0d
+    pg(h + 3) = ((cells.length >>> 8) & 0xff).toByte
+    pg(h + 4) = (cells.length & 0xff).toByte
+    var off = usable
+    cells.zipWithIndex.foreach { case (c, i) =>
+      off -= c.length
+      System.arraycopy(c, 0, pg, off, c.length)
+      val p = h + 8 + 2 * i
+      pg(p) = ((off >>> 8) & 0xff).toByte
+      pg(p + 1) = (off & 0xff).toByte
+    }
+    pg(h + 5) = ((off >>> 8) & 0xff).toByte
+    pg(h + 6) = (off & 0xff).toByte
+    pg
+  }
+
+  private def fileHeader: Array[Byte] = {
+    val b = new Array[Byte](100)
+    System.arraycopy("SQLite format 3".getBytes("US-ASCII"), 0, b, 0, 15)
+    b(16) = ((pageSize >>> 8) & 0xff).toByte; b(17) = (pageSize & 0xff).toByte
+    b(18) = 1; b(19) = 1
+    b(20) = reserve.toByte
+    b(21) = 64; b(22) = 32; b(23) = 32
+    b(27) = 1 // change counter
+    b(31) = 2 // db size in pages
+    b(43) = 1 // schema cookie
+    b(47) = 4 // schema format
+    b(59) = 1 // text encoding: UTF-8
+    b(95) = 1 // version-valid-for
+    System.arraycopy(beBytes(3040000L, 4), 0, b, 96, 4)
+    b
+  }
+
+  val createSql =
+    "CREATE TABLE msgs (sid INTEGER, _mid INTEGER PRIMARY KEY, c TEXT, " +
+      "t INTEGER, _createAt REAL, u INTEGER)"
+
+  /** (sid, rowid/_mid, c, t, _createAt, u) — NULLs, negative /
+    * 6-byte / 8-byte ints, doubles and unicode all exercised. */
+  val rows: Seq[(Any, Long, String, Any, Double, Any)] = Seq(
+    (10L, 1L, "hello world", 1L, 1756000000.5, 100L),
+    (null, 2L, "café ☕ 群聊", -7L, 1756000001.25, 70000L),
+    (123456789012L, 3L, "third row payload", 281474976710655L, -2.5, null),
+    (-1L, 4L, "", 9223372036854775807L, 0.0, 5L))
+
+  /** The complete plaintext database file. */
+  def plainFile: Array[Byte] = {
+    val schemaCell = cell(1L,
+      record(Seq("table", "msgs", "msgs", 2L, createSql)))
+    val msgCells = rows.map { case (sid, mid, c, t, at, u) =>
+      // the INTEGER PRIMARY KEY slot is NULL in the record; its value
+      // is the rowid
+      cell(mid, record(Seq(sid, null, c, t, at, u)))
+    }
+    leafPage(Seq(schemaCell), Some(fileHeader)) ++ leafPage(msgCells, None)
+  }
+
+  /** SQLCipher-v4-encrypt the plaintext file (deterministic IVs). */
+  def encryptedFile(pass: String): Array[Byte] = {
+    import graft.sources.SqliteSnapshot.SqlCipher
+    val salt = (0 until 16).map(_.toByte).toArray
+    val (k, hk) = SqlCipher.deriveKeys(pass, salt)
+    val plain = plainFile
+    (0 until plain.length / pageSize).map { i =>
+      val pg = java.util.Arrays.copyOfRange(plain, i * pageSize, (i + 1) * pageSize)
+      val iv = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"graft-fixture-iv-${i + 1}".getBytes("UTF-8")).take(16)
+      SqlCipher.encryptPage(k, hk, salt, pg, iv, i + 1, pageSize)
+    }.reduce(_ ++ _)
+  }
+}
+
 class SqliteSnapshotSpec extends SparkTestBase {
 
   private def res(name: String): String =
@@ -35,6 +170,72 @@ class SqliteSnapshotSpec extends SparkTestBase {
     // the overflow rows really decoded in full (multi-page chain)
     val maxLen = got.agg(max(length(col("c")))).first().getInt(0)
     assert(maxLen > 10000, s"multi-page overflow payload must survive (max $maxLen)")
+  }
+
+  private def expectedMiniRows =
+    MiniSqliteDb.rows.map { case (sid, mid, c, t, at, u) =>
+      (Option(sid).map(_.asInstanceOf[Long]), mid, c,
+        Option(t).map(_.asInstanceOf[Long]), at,
+        Option(u).map(_.asInstanceOf[Long]))
+    }.toSet
+
+  private def readMiniRows(path: String, key: Option[String]) =
+    SqliteSnapshot.readTable(spark, path, "msgs", key = key).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+        r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSet
+
+  test("hand-built reserved-region database reads as plaintext") {
+    // the mini builder is the encrypted fixture's foundation — prove
+    // its bytes parse through the SAME reader the python-made fixture
+    // already validates, including the non-zero reserve the cells are
+    // positioned against
+    val dir = Files.createTempDirectory("graft-mini-sqlite")
+    val p = dir.resolve("main_1.sqlite")
+    Files.write(p, MiniSqliteDb.plainFile)
+    assert(readMiniRows(p.toString, None) === expectedMiniRows)
+  }
+
+  test("SQLCipher store round-trips: passphrase KDF, raw-key form, page-size probe") {
+    val dir = Files.createTempDirectory("graft-enc-sqlite")
+    val p = dir.resolve("main_2.sqlite")
+    Files.write(p, MiniSqliteDb.encryptedFile("graft test key"))
+    // the encrypted file must NOT look like plaintext SQLite
+    val head = Files.readAllBytes(p).take(15)
+    assert(new String(head, "US-ASCII") != "SQLite format 3")
+    // passphrase path (PBKDF2-HMAC-SHA512, 256k iterations)
+    assert(readMiniRows(p.toString, Some("graft test key")) === expectedMiniRows)
+    // raw-key pragma form x'hex' skips the KDF and must land on the
+    // same page keys (hex = the derived key, computed independently
+    // by python hashlib.pbkdf2_hmac — also anchors the KDF itself)
+    val knownKeyHex =
+      "2f0609d246fa73ee26c4cc88f4d1cccbac76f787155410b989b7636a9789a4cc"
+    assert(readMiniRows(p.toString, Some(s"x'$knownKeyHex'")) === expectedMiniRows)
+  }
+
+  test("SQLCipher: wrong key and missing key fail loudly; plaintext ignores the key") {
+    val dir = Files.createTempDirectory("graft-enc-bad")
+    val p = dir.resolve("main_3.sqlite")
+    Files.write(p, MiniSqliteDb.encryptedFile("graft test key"))
+    val wrong = intercept[RuntimeException](readMiniRows(p.toString, Some("nope")))
+    assert(wrong.getMessage.contains("HMAC"),
+      s"wrong-key failure must implicate the key check: ${wrong.getMessage}")
+    val missing = intercept[RuntimeException](readMiniRows(p.toString, None))
+    assert(missing.getMessage.toLowerCase.contains("encrypted"))
+    // a key against the plaintext committed fixture is simply unused
+    val got = SqliteSnapshot.readTable(spark, db, "kv", key = Some("irrelevant"))
+    assert(got.count() === 3)
+  }
+
+  test("PBKDF2-HMAC-SHA512 matches an independent implementation") {
+    import graft.sources.SqliteSnapshot.SqlCipher
+    // expected values computed with python hashlib.pbkdf2_hmac — an
+    // implementation that shares no code with ours; covers the
+    // 2-iteration short path AND a multi-block (40-byte) derivation
+    val got = SqlCipher.pbkdf2("pw".getBytes("UTF-8"), "salt".getBytes("UTF-8"), 2, 40)
+    assert(got.map("%02x".format(_)).mkString ===
+      "8816cc3aaf71373639c3415049b2b6572f8d2bad8d7641ff6402939df50db47aefea61bf81b34afa")
   }
 
   test("blob column decodes exactly") {

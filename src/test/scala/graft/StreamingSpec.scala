@@ -77,6 +77,56 @@ class StreamingSpec extends SparkTestBase {
     assert(tsMismatch === 0)
   }
 
+  test("streaming near-dup pairs reconcile with batch minhash dedup, across micro-batches") {
+    import graft.streaming.StreamingDeduper
+    val t = Tables(spark, sfDir)
+    val base = t.documents.select(col("doc_id"), col("text"))
+    // two stream deliveries: the low half first, then the high half
+    // PLUS planted near-copies of low-half docs — so real pairs span
+    // the delivery boundary and only carried state can find them
+    val half1 = base.filter(col("doc_id") < 250)
+    val copies = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" streamed tail")).as("text"))
+    val half2 = base.filter(col("doc_id") >= 250).unionByName(copies)
+
+    val in = Files.createTempDirectory("graft-stream-neardup").toFile
+    val ckpt = Files.createTempDirectory("graft-stream-neardup-ckpt").toFile
+    val out = Files.createTempDirectory("graft-stream-neardup-out").toFile
+    half1.write.mode("append").parquet(in.getAbsolutePath)
+    StreamingDeduper.runAvailableNow(spark, in.getAbsolutePath,
+      ckpt.getAbsolutePath, out.getAbsolutePath)
+    val p1 = spark.read.parquet(out.getAbsolutePath).collect()
+
+    half2.write.mode("append").parquet(in.getAbsolutePath)
+    StreamingDeduper.runAvailableNow(spark, in.getAbsolutePath,
+      ckpt.getAbsolutePath, out.getAbsolutePath)
+    val pAll = spark.read.parquet(out.getAbsolutePath).collect()
+    val p1Keys = p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = pAll.filterNot(r => p1Keys((r.getLong(0), r.getLong(1))))
+
+    // multi-bucket re-emissions dedup at the sink, like batch E2's
+    // candidate distinct()
+    val streamed = (p1 ++ p2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .dedupMinhashDocs(half1.unionByName(half2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "planted copies must make real pairs")
+    assert(streamed === batch,
+      s"stream/batch divergence: only-stream=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+    // the second run found CROSS-DELIVERY pairs via carried state —
+    // and found them without re-emitting run-1 pairs
+    val run1Pairs: Set[(Long, Long)] =
+      p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run2Pairs: Set[(Long, Long)] =
+      p2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run2Pairs.exists(p => p._1 < 250 && p._2 >= 10000))
+    assert(run2Pairs.intersect(run1Pairs).isEmpty,
+      "restart from checkpoint must not re-verify old docs against each other")
+  }
+
   test("streaming reader handles a RAW nanos-timestamp event directory") {
     // copy the original TIMESTAMP(NANOS) parquet file untouched — the
     // stream must truncate nanos itself, not depend on Tables' rewrite
