@@ -573,11 +573,17 @@ object Dedup {
       .distinct()
       .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
     // exact verification over ONLY candidate docs' stored shingle
-    // sets: the broadcast list joins on (shard, doc_id) so the state
-    // read prunes shard partitions dynamically; |A∩B| via
+    // sets. The candidate shard list (≤ 16 ints — bounded by the
+    // shard modulus, index metadata like D8's probed cell ids) turns
+    // into a STATIC partition filter, so the state read prunes shard
+    // directories at the file listing unconditionally — DPP would do
+    // this only when its stats heuristics fire. |A∩B| via
     // array_intersect equals E2's common-shingle row count (rows are
     // distinct), and the division is the same double expression
-    val sets = old.join(broadcast(candDocs), Seq("shard", "doc_id"))
+    val candShards = candDocs.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val sets = old.filter(col("shard").isin(candShards: _*))
+      .join(broadcast(candDocs), Seq("shard", "doc_id"))
       .select(col("doc_id"), col("n"), col("sh"))
       .unionByName(ddocs
         .join(broadcast(candDocs.select(col("doc_id"))), Seq("doc_id"))
