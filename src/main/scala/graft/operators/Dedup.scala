@@ -466,8 +466,9 @@ object Dedup {
   }
 
   /** Bump when the state schema or the signature rule changes: a rule
-    * change must never silently join deltas against stale state. */
-  private val dedupStateVersion = "r10-inc-v1"
+    * change must never silently join deltas against stale state
+    * (v2: the _WATERMARK coverage marker joined the layout). */
+  private val dedupStateVersion = "r10-inc-v2"
 
   /** Per-doc dedup state over distinct shingle rows: the SORTED
     * shingle set (deterministic files), its size, and the 12 minhash
@@ -501,16 +502,86 @@ object Dedup {
     * reference's incremental-first design amortizes (processor.py:320
     * batched incremental scan). */
   def ensureDedupState(t: Tables): String =
-    graft.sources.LayoutStore.ensure(t.dir, "dedupsig", dedupStateVersion) { path =>
-      val w = deltaWatermarkOf(t.documents)
-      docState(shingleRowsOf(t.documents.filter(col("doc_id") <= w)))
-        .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
-      t.spark.read.parquet(s"$path/docs")
-        .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
-        .write.mode("overwrite").parquet(s"$path/bcounts")
+    graft.sources.LayoutStore.ensure(t.dir, "dedupsig", dedupStateVersion) {
+      buildDedupState(t.documents, deltaWatermarkOf(t.documents), _)
     }
+
+  /** Explicit-path state builder: persist the dedup state for docs
+    * with `doc_id <= watermark` (see [[ensureDedupState]] for the
+    * layout). The watermark is recorded beside the data so
+    * [[advanceDedupState]] knows where coverage ends. */
+  def buildDedupState(documents: DataFrame, watermark: Long, path: String): Unit = {
+    val spark = documents.sparkSession
+    docState(shingleRowsOf(documents.filter(col("doc_id") <= watermark)))
+      .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
+    spark.read.parquet(s"$path/docs")
+      .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+      .write.mode("overwrite").parquet(s"$path/bcounts")
+    writeWatermark(path, watermark)
+  }
+
+  private def writeWatermark(path: String, w: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_WATERMARK"), w.toString)
+
+  /** The doc_id coverage recorded in a state dir. */
+  def stateWatermark(path: String): Long =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_WATERMARK")).trim.toLong
+
+  /** DAY TWO of the incremental loop: fold everything above the
+    * state's watermark INTO the state, so the next day's delta joins
+    * against today's full corpus — without this, yesterday's delta
+    * would be re-shingled forever and the state would age into a
+    * full recompute. Mirrors the reference's watermark advance after
+    * each incremental pass (engine.py:98 returns the new watermark
+    * the caller persists).
+    *
+    * Cost ∝ delta: only the delta is shingled; its doc rows APPEND
+    * into the touched shard partitions (history never rewritten);
+    * the occupancy table merges old + delta counts — a rewrite of
+    * the NARROW per-bucket table only, staged then swapped. The
+    * watermark file writes LAST, so a crash mid-advance leaves the
+    * old watermark and the next advance re-runs — on an append-only
+    * corpus that re-run re-derives the same rows, and the doc-side
+    * consumers join per (shard, doc_id) through aggregates that
+    * tolerate the transient duplicate; a production deployment puts
+    * this under a transactional table format for exactly-once
+    * advances. Assumes an APPEND-ONLY corpus (the daily-crawl
+    * model); replaced history needs a rebuild (the
+    * content-fingerprinted [[ensureDedupState]] key handles that
+    * case by construction). Returns the new watermark. */
+  def advanceDedupState(documents: DataFrame, path: String): Long = {
+    val spark = documents.sparkSession
+    val w0 = stateWatermark(path)
+    val mx = documents.agg(max(col("doc_id"))).first()
+    val w1 = if (mx.isNullAt(0)) w0 else mx.getLong(0)
+    if (w1 <= w0) return w0
+    val delta = docState(shingleRowsOf(
+      documents.filter(col("doc_id") > w0 && col("doc_id") <= w1)))
+      .localCheckpoint() // consumed by the doc append AND the count merge
+    delta.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
+    val deltaCounts = delta
+      .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+    val merged = spark.read.parquet(s"$path/bcounts")
+      .unionByName(deltaCounts)
+      .groupBy(col("bucket")).agg(sum(col("n_old")).as("n_old"))
+    merged.write.mode("overwrite").parquet(s"$path/bcounts_next")
+    def purge(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(purge)
+      f.delete()
+    }
+    purge(new java.io.File(path, "bcounts"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path, "bcounts_next"),
+      java.nio.file.Paths.get(path, "bcounts"))
+    writeWatermark(path, w1)
+    w1
+  }
 
   /** E11 — `q_dedup_incremental`: near-dup pairs TOUCHING THE DELTA
     * (at least one side above the watermark), WITHOUT recomputing the
@@ -536,14 +607,21 @@ object Dedup {
     *    broadcast candidate list carries the shard key, so the
     *    doc-partitioned state prunes at the file listing.
     * SCALING.md §9 measures the resulting delta-proportional cost. */
-  def dedupIncremental(t: Tables): DataFrame = {
-    val spark = t.spark
-    val w = deltaWatermarkOf(t.documents)
-    val path = ensureDedupState(t)
+  def dedupIncremental(t: Tables): DataFrame =
+    dedupIncrementalAgainst(t.documents, ensureDedupState(t))
+
+  /** The E11 delta join against an EXPLICIT state dir (the daily
+    * loop drives this directly: build once, then per day
+    * `dedupIncrementalAgainst` → act on the pairs →
+    * [[advanceDedupState]]). The delta is everything above the
+    * state's recorded watermark. */
+  def dedupIncrementalAgainst(documents: DataFrame, path: String): DataFrame = {
+    val spark = documents.sparkSession
+    val w = stateWatermark(path)
     val old = spark.read.parquet(s"$path/docs")
     val oldCounts = spark.read.parquet(s"$path/bcounts")
     val ddocs = docState(
-      shingleRowsOf(t.documents.filter(col("doc_id") > w))).localCheckpoint()
+      shingleRowsOf(documents.filter(col("doc_id") > w))).localCheckpoint()
     val dbuckets = ddocs.select(col("doc_id"),
       explode(array(bandBucketCols: _*)).as("bucket"))
     val dcounts = dbuckets.groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))

@@ -96,29 +96,49 @@ object SqliteSnapshot {
     * page's non-reserved region is AES-256-CBC; the per-page reserve
     * (header byte 20, = 80 under v4) holds the 16-byte IV followed by
     * HMAC-SHA512(ciphertext || iv || page# as little-endian u32).
-    * Keys: key = PBKDF2-HMAC-SHA512(passphrase, salt, 256000, 32) —
-    * or the raw-key pragma form x'<64 hex>' which skips the KDF —
-    * and hmacKey = PBKDF2-HMAC-SHA512(key, salt ⊕ 0x3a, 2, 32). Page
-    * 1 is encrypted from byte 16 (the salt occupies 0-15); its
-    * decrypted bytes start at the page-size field, and the magic is
+    * Keys: key = PBKDF2(passphrase, salt, iterations, 32) — or the
+    * raw-key pragma form x'<64 hex>' which skips the KDF — and
+    * hmacKey = PBKDF2(key, salt ⊕ 0x3a, 2, 32); the KDF/HMAC
+    * function and iteration count are the cipher GENERATION's
+    * ([[Config]]: v4 = SHA-512 × 256k, v3 = SHA-1 × 64k), probed
+    * jointly with the page size via the page-1 HMAC. Page 1 is
+    * encrypted from byte 16 (the salt occupies 0-15); its decrypted
+    * bytes start at the page-size field, and the magic is
     * reconstituted. Everything here is JDK crypto — no new
     * dependencies. */
   private[graft] object SqlCipher {
     val saltLen = 16
     val ivLen = 16
-    val hmacLen = 64 // SHA-512
-    val reserve = 80 // ivLen + hmacLen, already a multiple of the AES block
-    val kdfIterations = 256000
+
+    /** One cipher generation's parameters. SQLCipher's major
+      * versions changed the KDF/HMAC defaults; both share the salt
+      * layout, AES-256-CBC pages and the reserve = IV + HMAC rounded
+      * up to the AES block. */
+    final case class Config(name: String, macAlgo: String, hmacLen: Int,
+        kdfIterations: Int) {
+      val reserve: Int = {
+        val raw = ivLen + hmacLen
+        (raw + 15) / 16 * 16
+      }
+    }
+    /** v4 (2018+): PBKDF2-HMAC-SHA512 × 256k, HMAC-SHA512. */
+    val v4 = Config("v4", "HmacSHA512", 64, 256000)
+    /** v3 (2013-2018): PBKDF2-HMAC-SHA1 × 64k, HMAC-SHA1. */
+    val v3 = Config("v3", "HmacSHA1", 20, 64000)
+    /** Probe order: current default first. */
+    val configs = Seq(v4, v3)
+
     val hmacKdfIterations = 2
 
-    /** PBKDF2-HMAC-SHA512 over RAW password bytes. Hand-rolled
-      * (RFC 2898 §5.2) because the JDK SecretKeyFactory variant takes
-      * char[] and re-encodes as UTF-8 — wrong for the second
-      * derivation, whose "password" is the 32 raw key bytes. */
-    private[graft] def pbkdf2(password: Array[Byte], salt: Array[Byte],
-        iterations: Int, dkLen: Int): Array[Byte] = {
-      val mac = javax.crypto.Mac.getInstance("HmacSHA512")
-      mac.init(new javax.crypto.spec.SecretKeySpec(password, "HmacSHA512"))
+    /** PBKDF2 over RAW password bytes with the config's HMAC.
+      * Hand-rolled (RFC 2898 §5.2) because the JDK SecretKeyFactory
+      * variant takes char[] and re-encodes as UTF-8 — wrong for the
+      * second derivation, whose "password" is the 32 raw key
+      * bytes. */
+    private[graft] def pbkdf2(macAlgo: String, password: Array[Byte],
+        salt: Array[Byte], iterations: Int, dkLen: Int): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance(macAlgo)
+      mac.init(new javax.crypto.spec.SecretKeySpec(password, macAlgo))
       val out = new Array[Byte](dkLen)
       var block = 1
       var filled = 0
@@ -147,23 +167,25 @@ object SqliteSnapshot {
 
     /** (cipher key, hmac key) from a `pragma key` value and the file
       * salt — passphrase (KDF) or x'hex' raw form. */
-    def deriveKeys(keySpec: String, salt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    def deriveKeys(cfg: Config, keySpec: String,
+        salt: Array[Byte]): (Array[Byte], Array[Byte]) = {
       val key = keySpec match {
         case rawKeyRe(hex) =>
           hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
         case pass =>
-          pbkdf2(pass.getBytes(StandardCharsets.UTF_8), salt, kdfIterations, 32)
+          pbkdf2(cfg.macAlgo, pass.getBytes(StandardCharsets.UTF_8), salt,
+            cfg.kdfIterations, 32)
       }
       val hmacSalt = salt.map(b => (b ^ 0x3a).toByte)
-      (key, pbkdf2(key, hmacSalt, hmacKdfIterations, 32))
+      (key, pbkdf2(cfg.macAlgo, key, hmacSalt, hmacKdfIterations, 32))
     }
 
-    private def pageMac(hmacKey: Array[Byte], raw: Array[Byte], pageNo: Int,
-        pageSize: Int): Array[Byte] = {
-      val end = pageSize - reserve
+    private def pageMac(cfg: Config, hmacKey: Array[Byte], raw: Array[Byte],
+        pageNo: Int, pageSize: Int): Array[Byte] = {
+      val end = pageSize - cfg.reserve
       val start = if (pageNo == 1) saltLen else 0
-      val mac = javax.crypto.Mac.getInstance("HmacSHA512")
-      mac.init(new javax.crypto.spec.SecretKeySpec(hmacKey, "HmacSHA512"))
+      val mac = javax.crypto.Mac.getInstance(cfg.macAlgo)
+      mac.init(new javax.crypto.spec.SecretKeySpec(hmacKey, cfg.macAlgo))
       mac.update(raw, start, end - start) // ciphertext
       mac.update(raw, end, ivLen) // iv
       mac.update(Array[Byte](pageNo.toByte, (pageNo >>> 8).toByte,
@@ -172,14 +194,15 @@ object SqliteSnapshot {
     }
 
     /** Does the stored page HMAC verify? Doubles as the key check and
-      * the page-size probe (a wrong page size misplaces the reserve,
-      * so the MAC cannot match). */
-    def hmacOk(hmacKey: Array[Byte], raw: Array[Byte], pageNo: Int,
-        pageSize: Int): Boolean =
+      * the config/page-size probe (a wrong page size or cipher
+      * generation misplaces the reserve, so the MAC cannot match). */
+    def hmacOk(cfg: Config, hmacKey: Array[Byte], raw: Array[Byte],
+        pageNo: Int, pageSize: Int): Boolean =
       java.security.MessageDigest.isEqual(
-        pageMac(hmacKey, raw, pageNo, pageSize),
+        pageMac(cfg, hmacKey, raw, pageNo, pageSize),
         java.util.Arrays.copyOfRange(raw,
-          pageSize - reserve + ivLen, pageSize - reserve + ivLen + hmacLen))
+          pageSize - cfg.reserve + ivLen,
+          pageSize - cfg.reserve + ivLen + cfg.hmacLen))
 
     private def aes(mode: Int, key: Array[Byte], iv: Array[Byte],
         data: Array[Byte], off: Int, len: Int): Array[Byte] = {
@@ -192,11 +215,11 @@ object SqliteSnapshot {
     /** Decrypt one raw page; the result is a standard-format SQLite
       * page (page 1 gets its magic back; the reserve region rides
       * along unread — `usable` already excludes it). */
-    def decryptPage(key: Array[Byte], hmacKey: Array[Byte], raw: Array[Byte],
-        pageNo: Int, pageSize: Int): Array[Byte] = {
-      require(hmacOk(hmacKey, raw, pageNo, pageSize),
+    def decryptPage(cfg: Config, key: Array[Byte], hmacKey: Array[Byte],
+        raw: Array[Byte], pageNo: Int, pageSize: Int): Array[Byte] = {
+      require(hmacOk(cfg, hmacKey, raw, pageNo, pageSize),
         s"SQLCipher HMAC mismatch on page $pageNo — wrong key or corrupt page")
-      val end = pageSize - reserve
+      val end = pageSize - cfg.reserve
       val start = if (pageNo == 1) saltLen else 0
       val iv = java.util.Arrays.copyOfRange(raw, end, end + ivLen)
       val pt = aes(javax.crypto.Cipher.DECRYPT_MODE, key, iv, raw, start,
@@ -206,7 +229,7 @@ object SqliteSnapshot {
         System.arraycopy("SQLite format 3".getBytes(StandardCharsets.US_ASCII),
           0, out, 0, 15)
       System.arraycopy(pt, 0, out, start, pt.length)
-      System.arraycopy(raw, end, out, end, reserve)
+      System.arraycopy(raw, end, out, end, cfg.reserve)
       out
     }
 
@@ -214,10 +237,10 @@ object SqliteSnapshot {
       * counterpart of [[decryptPage]] (tests build an encrypted store
       * with it; a pipeline could use it to write one back). The IV is
       * caller-supplied so fixtures stay deterministic. */
-    private[graft] def encryptPage(key: Array[Byte], hmacKey: Array[Byte],
-        salt: Array[Byte], plain: Array[Byte], iv: Array[Byte],
-        pageNo: Int, pageSize: Int): Array[Byte] = {
-      val end = pageSize - reserve
+    private[graft] def encryptPage(cfg: Config, key: Array[Byte],
+        hmacKey: Array[Byte], salt: Array[Byte], plain: Array[Byte],
+        iv: Array[Byte], pageNo: Int, pageSize: Int): Array[Byte] = {
+      val end = pageSize - cfg.reserve
       val start = if (pageNo == 1) saltLen else 0
       val ct = aes(javax.crypto.Cipher.ENCRYPT_MODE, key, iv, plain, start,
         end - start)
@@ -225,8 +248,8 @@ object SqliteSnapshot {
       if (pageNo == 1) System.arraycopy(salt, 0, out, 0, saltLen)
       System.arraycopy(ct, 0, out, start, ct.length)
       System.arraycopy(iv, 0, out, end, ivLen)
-      val mac = pageMac(hmacKey, out, pageNo, pageSize)
-      System.arraycopy(mac, 0, out, end + ivLen, hmacLen)
+      val mac = pageMac(cfg, hmacKey, out, pageNo, pageSize)
+      System.arraycopy(mac, 0, out, end + ivLen, cfg.hmacLen)
       out
     }
   }
@@ -260,34 +283,40 @@ object SqliteSnapshot {
       new String(head16, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3" &&
         head16(15) == 0
 
-    /** (cipher key, hmac key, page size) for an encrypted file. The
-      * page size is not readable before decryption (the header field
-      * is itself encrypted), so it is probed: the page-1 HMAC only
-      * verifies at the true size, because any other size misplaces
-      * the reserve region the MAC lives in. */
-    private val crypt: Option[(Array[Byte], Array[Byte], Int)] =
+    /** (config, cipher key, hmac key, page size) for an encrypted
+      * file. Neither the cipher generation nor the page size is
+      * readable before decryption (the header field is itself
+      * encrypted), so both are probed jointly: the page-1 HMAC only
+      * verifies under the true (config, size), because anything else
+      * misplaces the reserve region the MAC lives in or derives the
+      * wrong keys. v4 defaults probe first, then v3 — the two KDFs a
+      * store in the wild actually uses. */
+    private val crypt: Option[(SqlCipher.Config, Array[Byte], Array[Byte], Int)] =
       if (plain) None
       else {
         val pass = key.getOrElse(sys.error(
           s"$path is not a plaintext SQLite 3 database — it looks " +
             "SQLCipher-encrypted (no magic); supply the key (the " +
             "reference's pragma key, connection.py:146)"))
-        val (k, hk) = SqlCipher.deriveKeys(pass, head16)
         val fileSize = raf.length()
-        val ps = Seq(4096, 1024, 2048, 8192, 512, 16384, 32768, 65536)
-          .find(p => fileSize % p == 0 && fileSize >= p &&
-            SqlCipher.hmacOk(hk, readAt(0, p), 1, p))
+        val sizes = Seq(4096, 1024, 2048, 8192, 512, 16384, 32768, 65536)
+          .filter(p => fileSize % p == 0 && fileSize >= p)
+        Some(SqlCipher.configs.iterator.map { cfg =>
+          val (k, hk) = SqlCipher.deriveKeys(cfg, pass, head16)
+          sizes.find(p => SqlCipher.hmacOk(cfg, hk, readAt(0, p), 1, p))
+            .map(p => (cfg, k, hk, p))
+        }.collectFirst { case Some(hit) => hit }
           .getOrElse(sys.error(
-            s"$path: SQLCipher page-1 HMAC failed at every page size — " +
-              "wrong key, or a non-default cipher configuration " +
-              "(v4 assumed: AES-256-CBC, PBKDF2/HMAC-SHA512, 256k iterations)"))
-        Some((k, hk, ps))
+            s"$path: SQLCipher page-1 HMAC failed for every (cipher " +
+              "generation, page size) candidate — wrong key, or a " +
+              "non-default cipher configuration (probed v4: " +
+              "PBKDF2/HMAC-SHA512 x 256k, and v3: PBKDF2/HMAC-SHA1 x 64k)")))
       }
 
     private val hdr: Array[Byte] =
       crypt match {
         case None => readAt(0, 100)
-        case Some((_, _, ps)) => java.util.Arrays.copyOf(page(1), 100)
+        case Some(_) => java.util.Arrays.copyOf(page(1), 100)
       }
 
     /** File-header page size is u16 big-endian; the value 1 encodes
@@ -296,7 +325,7 @@ object SqliteSnapshot {
     val pageSize: Int = {
       val raw = ((hdr(16) & 0xff) << 8) | (hdr(17) & 0xff)
       val fromHdr = if (raw == 1) 65536 else raw
-      crypt.foreach { case (_, _, ps) =>
+      crypt.foreach { case (_, _, _, ps) =>
         require(fromHdr == ps,
           s"decrypted header page size $fromHdr != probed $ps") }
       fromHdr
@@ -312,8 +341,8 @@ object SqliteSnapshot {
     /** Whole page, 1-indexed page numbers; decrypted transparently. */
     def page(n: Int): Array[Byte] = crypt match {
       case None => readAt((n.toLong - 1) * pageSize, pageSize)
-      case Some((k, hk, ps)) =>
-        SqlCipher.decryptPage(k, hk, readAt((n.toLong - 1) * ps, ps), n, ps)
+      case Some((cfg, k, hk, ps)) =>
+        SqlCipher.decryptPage(cfg, k, hk, readAt((n.toLong - 1) * ps, ps), n, ps)
     }
     override def close(): Unit = raf.close()
   }

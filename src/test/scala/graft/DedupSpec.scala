@@ -71,6 +71,51 @@ class DedupSpec extends SparkTestBase {
     assert(actual.forall { case (a, b, _) => a > w || b > w })
   }
 
+  test("advanceDedupState closes the daily loop: day-2 delta joins day-1's folded state") {
+    import spark.implicits._
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    // day 1 = the corpus; day 2 appends near-copies of day-1 docs
+    // (some of base docs, some of day-1-DELTA docs — the latter only
+    // pair if the advance really folded that delta into the state)
+    val day1 = base
+    val w1 = maxId - 50 // day-1 state covers ids <= w1; delta = the top 50
+    val day2Copies = base.filter(col("doc_id") < 10 ||
+        (col("doc_id") > maxId - 10 && col("doc_id") <= maxId))
+      .select((col("doc_id") + maxId + 1).as("doc_id"),
+        concat(col("text"), lit(" day two tail")).as("text"))
+    val day2 = day1.unionByName(day2Copies)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-daily-dedup")
+    val path = s"$dir/state"
+    Dedup.buildDedupState(day1, w1, path)
+    assert(Dedup.stateWatermark(path) === w1)
+
+    // day 1: delta = (w1, maxId]
+    val full1 = Dedup.dedupMinhashDocs(day1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got1 = Dedup.dedupIncrementalAgainst(day1, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got1 === full1.filter { case (a, b, _) => a > w1 || b > w1 })
+
+    // advance folds the day-1 delta in; watermark moves to maxId
+    assert(Dedup.advanceDedupState(day1, path) === maxId)
+    assert(Dedup.advanceDedupState(day1, path) === maxId, "idempotent no-op")
+
+    // day 2: delta = the appended copies only — and pairs against
+    // day-1-delta docs (ids > w1) are only findable through the
+    // ADVANCED state
+    val full2 = Dedup.dedupMinhashDocs(day2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got2 = Dedup.dedupIncrementalAgainst(day2, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 === full2.filter { case (a, b, _) => a > maxId || b > maxId })
+    assert(got2.exists { case (a, b, _) => a > w1 && a <= maxId && b > maxId },
+      "a day-2 copy of a day-1-DELTA doc must pair via the folded state")
+    assert(got2.exists { case (a, _, _) => a < 10 },
+      "a day-2 copy of a day-1-base doc must pair via the original state")
+  }
+
   test("dedupExact: one group per distinct normalized text, keep smallest id") {
     val rows = Dedup.dedupExact(t).collect()
     assert(rows.map(_.getString(2)).distinct.length === rows.length)

@@ -23,8 +23,10 @@ import graft.sources.SqliteSnapshot
   * sqlite_schema leaf (one table row); page 2 = the table leaf. */
 object MiniSqliteDb {
   val pageSize = 4096
+  /** Per-page reserved bytes — SQLCipher v4's 80 by default; the v3
+    * round trip builds with 48 (16 IV + 20 HMAC-SHA1 rounded to the
+    * AES block). */
   val reserve = 80
-  private val usable = pageSize - reserve
 
   private def varint(v: Long): Array[Byte] = {
     require(v >= 0 && v < (1L << 28), "mini builder emits short varints only")
@@ -71,7 +73,8 @@ object MiniSqliteDb {
   private def cell(rowid: Long, payload: Array[Byte]): Array[Byte] =
     varint(payload.length.toLong) ++ varint(rowid) ++ payload
 
-  private def leafPage(cells: Seq[Array[Byte]], page1Header: Option[Array[Byte]]): Array[Byte] = {
+  private def leafPage(cells: Seq[Array[Byte]],
+      page1Header: Option[Array[Byte]], rsv: Int): Array[Byte] = {
     val pg = new Array[Byte](pageSize)
     val h = page1Header.map { hdr =>
       System.arraycopy(hdr, 0, pg, 0, 100); 100
@@ -79,7 +82,7 @@ object MiniSqliteDb {
     pg(h) = 0x0d
     pg(h + 3) = ((cells.length >>> 8) & 0xff).toByte
     pg(h + 4) = (cells.length & 0xff).toByte
-    var off = usable
+    var off = pageSize - rsv
     cells.zipWithIndex.foreach { case (c, i) =>
       off -= c.length
       System.arraycopy(c, 0, pg, off, c.length)
@@ -92,12 +95,12 @@ object MiniSqliteDb {
     pg
   }
 
-  private def fileHeader: Array[Byte] = {
+  private def fileHeader(rsv: Int): Array[Byte] = {
     val b = new Array[Byte](100)
     System.arraycopy("SQLite format 3".getBytes("US-ASCII"), 0, b, 0, 15)
     b(16) = ((pageSize >>> 8) & 0xff).toByte; b(17) = (pageSize & 0xff).toByte
     b(18) = 1; b(19) = 1
-    b(20) = reserve.toByte
+    b(20) = rsv.toByte
     b(21) = 64; b(22) = 32; b(23) = 32
     b(27) = 1 // change counter
     b(31) = 2 // db size in pages
@@ -121,8 +124,9 @@ object MiniSqliteDb {
     (123456789012L, 3L, "third row payload", 281474976710655L, -2.5, null),
     (-1L, 4L, "", 9223372036854775807L, 0.0, 5L))
 
-  /** The complete plaintext database file. */
-  def plainFile: Array[Byte] = {
+  /** The complete plaintext database file at a given per-page
+    * reserve (the cipher generation's IV+HMAC footprint). */
+  def plainFile(rsv: Int = reserve): Array[Byte] = {
     val schemaCell = cell(1L,
       record(Seq("table", "msgs", "msgs", 2L, createSql)))
     val msgCells = rows.map { case (sid, mid, c, t, at, u) =>
@@ -130,20 +134,24 @@ object MiniSqliteDb {
       // is the rowid
       cell(mid, record(Seq(sid, null, c, t, at, u)))
     }
-    leafPage(Seq(schemaCell), Some(fileHeader)) ++ leafPage(msgCells, None)
+    leafPage(Seq(schemaCell), Some(fileHeader(rsv)), rsv) ++
+      leafPage(msgCells, None, rsv)
   }
 
-  /** SQLCipher-v4-encrypt the plaintext file (deterministic IVs). */
-  def encryptedFile(pass: String): Array[Byte] = {
+  /** SQLCipher-encrypt the plaintext file (deterministic IVs) under
+    * a cipher generation's parameters — v4 by default. */
+  def encryptedFile(pass: String,
+      cfg: graft.sources.SqliteSnapshot.SqlCipher.Config =
+        graft.sources.SqliteSnapshot.SqlCipher.v4): Array[Byte] = {
     import graft.sources.SqliteSnapshot.SqlCipher
     val salt = (0 until 16).map(_.toByte).toArray
-    val (k, hk) = SqlCipher.deriveKeys(pass, salt)
-    val plain = plainFile
+    val (k, hk) = SqlCipher.deriveKeys(cfg, pass, salt)
+    val plain = plainFile(cfg.reserve)
     (0 until plain.length / pageSize).map { i =>
       val pg = java.util.Arrays.copyOfRange(plain, i * pageSize, (i + 1) * pageSize)
       val iv = java.security.MessageDigest.getInstance("SHA-256")
         .digest(s"graft-fixture-iv-${i + 1}".getBytes("UTF-8")).take(16)
-      SqlCipher.encryptPage(k, hk, salt, pg, iv, i + 1, pageSize)
+      SqlCipher.encryptPage(cfg, k, hk, salt, pg, iv, i + 1, pageSize)
     }.reduce(_ ++ _)
   }
 }
@@ -193,8 +201,18 @@ class SqliteSnapshotSpec extends SparkTestBase {
     // positioned against
     val dir = Files.createTempDirectory("graft-mini-sqlite")
     val p = dir.resolve("main_1.sqlite")
-    Files.write(p, MiniSqliteDb.plainFile)
+    Files.write(p, MiniSqliteDb.plainFile())
     assert(readMiniRows(p.toString, None) === expectedMiniRows)
+  }
+
+  test("SQLCipher v3 store round-trips through the config probe") {
+    import graft.sources.SqliteSnapshot.SqlCipher
+    // an OLDER store (PBKDF2-HMAC-SHA1 x 64k, HMAC-SHA1, reserve 48):
+    // the reader must land on the v3 config by probe, not by being told
+    val dir = Files.createTempDirectory("graft-enc-v3")
+    val p = dir.resolve("main_4.sqlite")
+    Files.write(p, MiniSqliteDb.encryptedFile("graft v3 key", SqlCipher.v3))
+    assert(readMiniRows(p.toString, Some("graft v3 key")) === expectedMiniRows)
   }
 
   test("SQLCipher store round-trips: passphrase KDF, raw-key form, page-size probe") {
@@ -228,14 +246,20 @@ class SqliteSnapshotSpec extends SparkTestBase {
     assert(got.count() === 3)
   }
 
-  test("PBKDF2-HMAC-SHA512 matches an independent implementation") {
+  test("PBKDF2 matches an independent implementation (both HMACs)") {
     import graft.sources.SqliteSnapshot.SqlCipher
     // expected values computed with python hashlib.pbkdf2_hmac — an
     // implementation that shares no code with ours; covers the
-    // 2-iteration short path AND a multi-block (40-byte) derivation
-    val got = SqlCipher.pbkdf2("pw".getBytes("UTF-8"), "salt".getBytes("UTF-8"), 2, 40)
-    assert(got.map("%02x".format(_)).mkString ===
+    // 2-iteration short path AND multi-block derivations for both
+    // cipher generations' HMACs
+    val sha512 = SqlCipher.pbkdf2("HmacSHA512",
+      "pw".getBytes("UTF-8"), "salt".getBytes("UTF-8"), 2, 40)
+    assert(sha512.map("%02x".format(_)).mkString ===
       "8816cc3aaf71373639c3415049b2b6572f8d2bad8d7641ff6402939df50db47aefea61bf81b34afa")
+    val sha1 = SqlCipher.pbkdf2("HmacSHA1",
+      "pw".getBytes("UTF-8"), "salt".getBytes("UTF-8"), 2, 25)
+    assert(sha1.map("%02x".format(_)).mkString ===
+      "133a0b823b029801576d5a38793387e88064dd5faef257e16a")
   }
 
   test("blob column decodes exactly") {
