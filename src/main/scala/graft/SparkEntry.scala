@@ -81,6 +81,9 @@ object SparkEntry {
     // F14: token-budget selection — highest-quality docs until the
     // budget is exhausted, via the two-level distributed prefix sum
     "q_select_budget" -> q(TextAnalysis.selectBudget),
+    // F15: CCNet/Gopher-style LM-perplexity quality score — mean
+    // smoothed bigram log-prob per doc, micro-unit-exact
+    "q_lm_score"      -> q(TextAnalysis.lmScore),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1366,6 +1369,42 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS recall
         |FROM ps LEFT JOIN hits ON ps.probes = hits.probes, total
         |ORDER BY ps.probes""".stripMargin,
+    // F15: bigrams via a positional self-join (Spark uses one lead
+    // window — same consecutive pairs); per-pair logp quantized to
+    // integer micro-units BEFORE the weighted doc sum, so summation
+    // order cannot perturb the score on either engine; the mean
+    // divides two exact integers in one fixed association.
+    "q_lm_score" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM tk0),
+         |big AS (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |pd AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM big GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+         |uc AS (SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+         |sc AS (
+         |  SELECT pd.doc_id, pd.k,
+         |    CAST(ROUND(LN(CAST(bc.c2 + 1 AS DOUBLE)
+         |      / CAST(uc.c1 + vv.v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS micro
+         |  FROM pd
+         |  JOIN bc ON pd.w1 = bc.w1 AND pd.w2 = bc.w2
+         |  JOIN uc ON pd.w1 = uc.w1, vv),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * micro) AS BIGINT) AS ms
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  ROUND(CAST(ms AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS mean_logp,
+         |  (ROUND(CAST(ms AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6)
+         |    >= ${operators.TextAnalysis.lmScoreThreshold}) AS kept
+         |FROM d
+         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -547,4 +547,68 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= selectBudgetTokens)
       .orderBy(col("cum_tokens"))
   }
+
+  /** F15's keep threshold on the mean bigram log-probability
+    * (CCNet/Gopher keep the low-perplexity slice; with scores rounded
+    * to 6dp first, the comparison is engine-exact). Set at ≈ the
+    * corpus' 10th percentile so the flag separates a real tail — a
+    * production pipeline tunes this against its reference corpus,
+    * like the reference hand-tunes its similarity threshold
+    * (engine.py:105). `private[graft]` so the oracle derives from
+    * the same constant. */
+  private[graft] val lmScoreThreshold = -3.45
+
+  /** F15 — `q_lm_score`: language-model quality scoring — the
+    * CCNet/Gopher-style perplexity filter, the standard pipeline
+    * stage between the heuristic gates (F2/F11) and dedup: score
+    * each document by the mean log-probability of its word bigrams
+    * under an add-one-smoothed bigram LM, and keep the
+    * higher-likelihood slice (boilerplate and word salad both score
+    * low). The LM trains on the corpus itself in the SAME pass — the
+    * self-scoring variant; swapping the count tables for a clean
+    * reference corpus's counts changes only the two join inputs.
+    *
+    * Per token pair: logp = ln((C(w1,w2) + 1) / (C(w1) + V)). Each
+    * DISTINCT (doc, w1, w2)'s logp quantizes to integer MICRO-UNITS
+    * before the weighted per-doc sum (the F13 technique): summation
+    * order can never perturb the score, so DuckDB replays it
+    * bit-for-bit; the mean divides two exact integers in one fixed
+    * association and rounds to 6dp.
+    *
+    * Scale shape: one tokenize pass feeds three map-side-combining
+    * aggregations (per-doc bigram multiplicities, corpus bigram
+    * counts, unigram counts); scoring is two equi-joins on the
+    * bigram/prefix keys (vocabulary-keyed shuffles — too big to
+    * broadcast at 100 TB, exactly like F8's tf⋈df) plus the 1-row
+    * vocab-size cross-broadcast. Nothing quadratic, nothing
+    * collected. */
+  def lmScore(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tok
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .localCheckpoint() // feeds the per-doc, corpus-bigram AND score passes
+    val perDoc = big.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val bigramC = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val unigramC = tok.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tok.agg(countDistinct(col("w")).as("v"))
+    perDoc
+      .join(bigramC, Seq("w1", "w2"))
+      .join(unigramC, Seq("w1"))
+      .join(broadcast(vocab))
+      .select(col("doc_id"), col("k"),
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6).cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("micro_sum").cast("double") / col("n_bigrams").cast("double") /
+          lit(1e6), 6).as("mean_logp"))
+      .withColumn("kept", col("mean_logp") >= lmScoreThreshold)
+      .orderBy(col("doc_id"))
+  }
 }

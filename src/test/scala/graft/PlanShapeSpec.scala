@@ -40,6 +40,9 @@ class PlanShapeSpec extends SparkTestBase {
     // the refresh episode's final search broadcasts the 1-row query
     // vector into the store scan, like q_search_bruteforce
     "q_search_refresh",
+    // the 1-row vocabulary-size aggregate cross-broadcasts into the
+    // scored bigram rows, same shape as q_tfidf's corpus-size attach
+    "q_lm_score",
     // the 384-dim search broadcasts the 1-row raw query vector
     "q_search_dim384")
 

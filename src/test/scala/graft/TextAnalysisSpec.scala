@@ -314,4 +314,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(cum > TextAnalysis.selectBudgetTokens,
       "corpus must exceed the budget for the cutoff to bind")
   }
+
+  test("lmScore: smoothed bigram log-probs bounded, flag tracks the threshold") {
+    val rows = TextAnalysis.lmScore(t).collect()
+    // one row per doc with >= 2 tokens; every corpus doc qualifies here
+    assert(rows.length === t.documents.count())
+    // P(w2|w1) = (c2+1)/(c1+V) lies in (0, 1): every mean log-prob is
+    // strictly negative, and bounded below by ln(1/(maxC1 + V))
+    val tok = t.documents.select(
+      org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.words(col("text"))).as("w"))
+    val v = tok.distinct().count()
+    val maxC1 = tok.groupBy("w").count().agg(max("count")).first().getLong(0)
+    val floor = math.log(1.0 / (maxC1 + v))
+    rows.foreach { r =>
+      val mean = r.getDouble(2)
+      assert(mean < 0.0 && mean >= floor - 1e-6, s"score out of bounds: $mean")
+      assert(r.getBoolean(3) === (mean >= TextAnalysis.lmScoreThreshold))
+      assert(r.getLong(1) > 0)
+    }
+    // the threshold separates a real tail on this corpus: some kept,
+    // some dropped
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+    // repeated boilerplate scores HIGH likelihood (this filter is
+    // complementary to F11's repetition gate, which catches it): a
+    // doc made of the corpus' most common bigram must beat the median
+    val med = rows.map(_.getDouble(2)).sorted.apply(rows.length / 2)
+    assert(rows.map(_.getDouble(2)).max > med)
+  }
 }
