@@ -31,8 +31,13 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private val numHashes = 12
-  private val numBands = 4 // 4 bands × 3 rows
+  // private[graft]: streaming.StreamingDeduper computes the SAME
+  // signatures/buckets per-doc in pure Scala and must share these
+  // (StreamingSpec's batch reconciliation would catch drift, but
+  // sharing makes drift impossible to write)
+  private[graft] val numHashes = 12
+  private[graft] val numBands = 4 // 4 bands × 3 rows
+  private[graft] val minhashJaccardThreshold = 0.8
 
   /** LSH bucket-occupancy cap: any band bucket larger than this is
     * dropped from candidate generation (with its pairs) instead of
@@ -161,7 +166,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardFromCommon(verifyCommon(st.shingles, cand),
-      st.sigs.select(col("doc_id"), col("n")), threshold = 0.8)
+      st.sigs.select(col("doc_id"), col("n")), minhashJaccardThreshold)
   }
 
   /** One pass builds the 12-hash signature AND the shingle-set size
@@ -238,7 +243,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardFromCommon(verifyCommon(st.shingles, cand),
-      st.sigs.select(col("doc_id"), col("n")), threshold = 0.8)
+      st.sigs.select(col("doc_id"), col("n")), minhashJaccardThreshold)
       .join(tags.select(col("doc_id").as("doc_a"), col("is_eval").as("ea")),
         "doc_a")
       .select(
@@ -676,7 +681,7 @@ object Dedup {
           (col("na") + col("nb") -
             size(array_intersect(col("sa"), col("sb")))).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= minhashJaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

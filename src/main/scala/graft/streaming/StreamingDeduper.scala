@@ -56,10 +56,12 @@ case class BucketState(docs: List[(Long, Seq[String])], saturated: Boolean)
   * dedup horizon), which is a policy knob, not a shape change. */
 object StreamingDeduper {
 
-  private val numHashes = 12
-  private val numBands = 4
-  private val maxBucketSize = 1000
-  private val threshold = 0.8
+  // the batch side's constants, shared so the two pipelines cannot
+  // drift (StreamingSpec additionally reconciles end-to-end)
+  private val numHashes = graft.operators.Dedup.numHashes
+  private val numBands = graft.operators.Dedup.numBands
+  private val maxBucketSize = graft.operators.Dedup.maxBucketSize
+  private val threshold = graft.operators.Dedup.minhashJaccardThreshold
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
