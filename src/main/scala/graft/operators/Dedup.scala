@@ -531,10 +531,19 @@ object Dedup {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_WATERMARK"), w.toString)
 
-  /** The doc_id coverage recorded in a state dir. */
-  def stateWatermark(path: String): Long =
+  /** The doc_id coverage recorded in a state dir. Refuses a state
+    * whose last advance did not complete (`_ADVANCING` marker
+    * present): its docs/bcounts may be partially mutated, and
+    * joining deltas against it would silently drop or duplicate
+    * pairs — rebuild with [[buildDedupState]] instead. */
+  def stateWatermark(path: String): Long = {
+    require(!new java.io.File(path, "_ADVANCING").exists(),
+      s"dedup state at $path has an interrupted advance (_ADVANCING " +
+        "marker present) — its tables may be partially mutated; rebuild " +
+        "it with buildDedupState")
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_WATERMARK")).trim.toLong
+  }
 
   /** DAY TWO of the incremental loop: fold everything above the
     * state's watermark INTO the state, so the next day's delta joins
@@ -547,44 +556,54 @@ object Dedup {
     * Cost ∝ delta: only the delta is shingled; its doc rows APPEND
     * into the touched shard partitions (history never rewritten);
     * the occupancy table merges old + delta counts — a rewrite of
-    * the NARROW per-bucket table only, staged then swapped. The
-    * watermark file writes LAST, so a crash mid-advance leaves the
-    * old watermark and the next advance re-runs — on an append-only
-    * corpus that re-run re-derives the same rows, and the doc-side
-    * consumers join per (shard, doc_id) through aggregates that
-    * tolerate the transient duplicate; a production deployment puts
-    * this under a transactional table format for exactly-once
-    * advances. Assumes an APPEND-ONLY corpus (the daily-crawl
-    * model); replaced history needs a rebuild (the
+    * the NARROW per-bucket table only, staged then swapped by
+    * renames.
+    *
+    * Crash discipline — FAIL LOUD, never serve a half-advanced
+    * state: an `_ADVANCING` marker brackets every mutation, and both
+    * [[stateWatermark]] (so every reader) and this method refuse a
+    * state whose marker is still present — a crash anywhere inside
+    * the advance (mid-append, mid-swap, pre-watermark) therefore
+    * surfaces as an explicit rebuild-me error on next use rather
+    * than silently dropped/duplicated pairs from double-counted
+    * occupancy or re-appended doc rows. A plain filesystem offers no
+    * multi-file commit, so exactly-once ADVANCES (as opposed to
+    * exactly-once detection of a failed one) need the state under a
+    * transactional table format — that substitution changes only the
+    * read/write calls here. Assumes an APPEND-ONLY corpus (the
+    * daily-crawl model); replaced history needs a rebuild (the
     * content-fingerprinted [[ensureDedupState]] key handles that
     * case by construction). Returns the new watermark. */
   def advanceDedupState(documents: DataFrame, path: String): Long = {
     val spark = documents.sparkSession
-    val w0 = stateWatermark(path)
+    val w0 = stateWatermark(path) // also refuses an interrupted state
     val mx = documents.agg(max(col("doc_id"))).first()
     val w1 = if (mx.isNullAt(0)) w0 else mx.getLong(0)
     if (w1 <= w0) return w0
     val delta = docState(shingleRowsOf(
       documents.filter(col("doc_id") > w0 && col("doc_id") <= w1)))
       .localCheckpoint() // consumed by the doc append AND the count merge
-    delta.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
-      .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
-    val deltaCounts = delta
-      .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+    // the merged occupancy table computes BEFORE the marker goes up:
+    // it reads the old bcounts, and staging it first keeps the
+    // marked window down to the append + two renames
     val merged = spark.read.parquet(s"$path/bcounts")
-      .unionByName(deltaCounts)
+      .unionByName(delta
+        .select(col("doc_id"), explode(array(bandBucketCols: _*)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_old")))
       .groupBy(col("bucket")).agg(sum(col("n_old")).as("n_old"))
     merged.write.mode("overwrite").parquet(s"$path/bcounts_next")
-    def purge(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(purge)
-      f.delete()
-    }
-    purge(new java.io.File(path, "bcounts"))
+    val advancing = java.nio.file.Paths.get(path, "_ADVANCING")
+    java.nio.file.Files.writeString(advancing, w1.toString)
+    delta.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
+    val old = java.nio.file.Paths.get(path, "bcounts_replaced")
+    java.nio.file.Files.move(java.nio.file.Paths.get(path, "bcounts"), old)
     java.nio.file.Files.move(
       java.nio.file.Paths.get(path, "bcounts_next"),
       java.nio.file.Paths.get(path, "bcounts"))
+    graft.sources.LayoutStore.deleteRecursively(old.toFile)
     writeWatermark(path, w1)
+    java.nio.file.Files.delete(advancing)
     w1
   }
 

@@ -217,7 +217,7 @@ object EmbeddingStore {
     val total = t.documents.count()
     val embedded =
       try t.spark.read.parquet(path).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      catch { case e if isMissingStore(e) => 0L }
     val pct =
       if (total > 0) math.round(embedded * 1000.0 / total) / 10.0 else 0.0
     CoverageStats(total, embedded, pct)
@@ -357,11 +357,15 @@ object EmbeddingStore {
       policy: RefreshPolicy = RefreshPolicy(), nowEpochSec: Long,
       force: Boolean = false): (DataFrame, SearchState, Option[UpdateStats]) = {
     val spark = vectors.sparkSession
-    val stored =
-      try spark.read.parquet(path).count()
-      catch { case e if isMissingStore(e) => 0L }
+    // both counts live INSIDE the by-name lag thunk: a search sitting
+    // in the cooldown pays neither (refreshStep's contract)
     val (next, stats) = refreshStep(
-      vectors.count() - stored,
+      {
+        val stored =
+          try spark.read.parquet(path).count()
+          catch { case e if isMissingStore(e) => 0L }
+        vectors.count() - stored
+      },
       (wm, m) => updateVectorsSince(vectors, path, wm, Some(m)),
       state, policy, nowEpochSec, force)
     (searchOrEmpty(spark, path, queryDocId, k), next, stats)
@@ -772,12 +776,19 @@ object EmbeddingStore {
     * UNDER THE SAME LayoutStore key: the key fingerprints the SOURCE
     * data + rule, both unchanged by a re-fit (a new key per rebuild
     * would leak every superseded layout forever). The build lands in
-    * a `_rebuild` staging dir first and the `_BUILT` marker drops for
-    * the swap, so an interrupted rebuild re-runs from the marker
-    * check instead of ever serving half an index. Returns whether a
-    * rebuild ran. Nothing corpus-shaped touches the driver: the
-    * decision reads the 1-row stats, the re-fit is the distributed
-    * build path. */
+    * a `_rebuild` staging dir first; the swap is RENAMES ONLY (old
+    * dirs move aside before the new move in, deletes come last), and
+    * the `_BUILT` marker drops for its duration — so for a
+    * LayoutStore-ensured path an interrupted rebuild re-runs from
+    * the marker check instead of ever serving half an index. A
+    * caller managing an EXPLICIT path carries that discipline
+    * itself: a crash mid-swap leaves `_rebuild`/`_replaced` dirs and
+    * no marker as the loud evidence, and the recovery is to re-run
+    * the build — a plain filesystem has no multi-dir commit, which
+    * is the transactional-format substitution note from
+    * advanceDedupState again. Returns whether a rebuild ran.
+    * Nothing corpus-shaped touches the driver: the decision reads
+    * the 1-row stats, the re-fit is the distributed build path. */
   def rebuildIfDrifted(spark: SparkSession, path: String,
       threshold: Double): Boolean = {
     val frac = indexStats(spark, path).first().getAs[Double]("appended_frac")
@@ -790,17 +801,16 @@ object EmbeddingStore {
       val root = new java.io.File(path)
       val marker = new java.io.File(root, "_BUILT")
       marker.delete()
-      def purge(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(purge)
-        f.delete()
-      }
       Seq("cells", "centroids").foreach { d =>
-        purge(new java.io.File(root, d))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(path, d),
+          java.nio.file.Paths.get(path, s"${d}_replaced"))
         java.nio.file.Files.move(
           java.nio.file.Paths.get(staging, d),
           java.nio.file.Paths.get(path, d))
       }
-      purge(new java.io.File(staging))
+      Seq("cells_replaced", "centroids_replaced", "_rebuild").foreach(d =>
+        graft.sources.LayoutStore.deleteRecursively(new java.io.File(root, d)))
       marker.createNewFile()
       true
     }

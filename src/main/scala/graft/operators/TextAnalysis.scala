@@ -583,8 +583,13 @@ object TextAnalysis {
     * vocab-size cross-broadcast. Nothing quadratic, nothing
     * collected. */
   def lmScore(t: Tables): DataFrame = {
+    // materialized ONCE (eager, the sharedStages rationale): the
+    // bigram window, the unigram counts and the vocab size are three
+    // independent consumers that would otherwise each re-run the
+    // corpus tokenize from lineage
     val tok = t.documents
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val big = tok
       .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))

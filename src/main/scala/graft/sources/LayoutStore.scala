@@ -80,6 +80,14 @@ object LayoutStore {
     md5(entries.mkString("|"))
   }
 
+  /** Recursive delete of a layout directory — the one shared
+    * implementation for every staged-swap site (dedup state advance,
+    * IVF rebuild). */
+  def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Build-once: resolve the layout path for (dataDir, kind, rule
     * version), run `build(path)` if its `_BUILT` marker is missing,
     * and return the path. */

@@ -295,9 +295,10 @@ object SqliteSnapshot {
       if (plain) None
       else {
         val pass = key.getOrElse(sys.error(
-          s"$path is not a plaintext SQLite 3 database — it looks " +
-            "SQLCipher-encrypted (no magic); supply the key (the " +
-            "reference's pragma key, connection.py:146)"))
+          s"$path has no SQLite 3 magic: either it is " +
+            "SQLCipher-encrypted (supply the key — the reference's " +
+            "pragma key, connection.py:146) or it is not a SQLite " +
+            "database at all"))
         val fileSize = raf.length()
         val sizes = Seq(4096, 1024, 2048, 8192, 512, 16384, 32768, 65536)
           .filter(p => fileSize % p == 0 && fileSize >= p)
@@ -308,9 +309,10 @@ object SqliteSnapshot {
         }.collectFirst { case Some(hit) => hit }
           .getOrElse(sys.error(
             s"$path: SQLCipher page-1 HMAC failed for every (cipher " +
-              "generation, page size) candidate — wrong key, or a " +
+              "generation, page size) candidate — wrong key, a " +
               "non-default cipher configuration (probed v4: " +
-              "PBKDF2/HMAC-SHA512 x 256k, and v3: PBKDF2/HMAC-SHA1 x 64k)")))
+              "PBKDF2/HMAC-SHA512 x 256k, and v3: PBKDF2/HMAC-SHA1 " +
+              "x 64k), or not a SQLite database at all")))
       }
 
     private val hdr: Array[Byte] =

@@ -72,7 +72,12 @@ object StreamingDeduper {
     * (same trim/lower/split, same hash salts, same string-min), as a
     * pure per-doc function. */
   private[graft] def features(text: String): (Seq[String], Seq[String]) = {
-    val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    // default-locale toLowerCase ON PURPOSE: Spark's lower() takes
+    // the same java toLowerCase path for non-ASCII text, so sharing
+    // the JVM's locale is what keeps batch and stream shingles
+    // identical — Locale.ROOT here would diverge from batch on a
+    // JVM whose default locale has special casing (tr/az dotless i)
+    val ws = text.trim.toLowerCase.split("\\s+", -1)
     val sh =
       if (ws.length < 3) Seq.empty[String]
       else ws.iterator.sliding(3).withPartial(false)
@@ -94,7 +99,11 @@ object StreamingDeduper {
     // order so intra-batch pairs are deterministic
     docs.toSeq.sortBy(_.doc_id).foreach { d =>
       if (!st.saturated && !st.docs.exists(_._1 == d.doc_id)) {
-        if (st.docs.size >= maxBucketSize) st = st.copy(saturated = true)
+        if (st.docs.size >= maxBucketSize)
+          // a saturated bucket never pairs or grows again — drop its
+          // doc list too, or up to maxBucketSize shingle sets per hot
+          // bucket would ride the checkpoint forever as dead weight
+          st = BucketState(Nil, saturated = true)
         else {
           val sa = d.shingles.toSet
           st.docs.foreach { case (oid, osh) =>

@@ -117,14 +117,20 @@ class StreamingSpec extends SparkTestBase {
       s"stream/batch divergence: only-stream=${(streamed -- batch).take(5)} " +
         s"only-batch=${(batch -- streamed).take(5)}")
     // the second run found CROSS-DELIVERY pairs via carried state —
-    // and found them without re-emitting run-1 pairs
-    val run1Pairs: Set[(Long, Long)] =
-      p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // and found them without re-emitting run-1 pairs: every run-1
+    // pair key's OCCURRENCE COUNT (multi-bucket emissions included)
+    // is unchanged in the full sink after run 2
     val run2Pairs: Set[(Long, Long)] =
       p2.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run2Pairs.exists(p => p._1 < 250 && p._2 >= 10000))
-    assert(run2Pairs.intersect(run1Pairs).isEmpty,
-      "restart from checkpoint must not re-verify old docs against each other")
+    def occurrences(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(r => (r.getLong(0), r.getLong(1))).map { case (k, v) => k -> v.length }
+    val occ1 = occurrences(p1)
+    val occAll = occurrences(pAll)
+    occ1.foreach { case (k, n) =>
+      assert(occAll(k) === n,
+        s"restart re-emitted run-1 pair $k (${occAll(k)} vs $n sink rows)")
+    }
   }
 
   test("streaming reader handles a RAW nanos-timestamp event directory") {
