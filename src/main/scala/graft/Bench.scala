@@ -126,15 +126,15 @@ object Bench {
       else names.map(wall).sum
     val cpuTotal = if (failed.nonEmpty) -1.0 else names.map(cpu).sum
     val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    // the full per-query line grew past what a bounded log tail keeps
-    // (round 6's driver artifact truncated it to unparseable), so the
-    // headline facts go out THREE ways: a short self-contained JSON
-    // line FIRST (always fits any tail), then the full per-query line,
-    // and the full JSON also written to a file next to the run
+    // the driver keeps only a bounded tail of stdout (~2,000 chars), so
+    // the LAST line must be the one it parses: print the ~4 KB full
+    // per-query line FIRST (humans / logs), write it to a file (the
+    // durable artifact), and end stdout with a short self-contained
+    // headline JSON (<200 chars — always survives any tail)
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"nqueries":${names.size},"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall)},"queries_cpu":${fmt(cpu)},"cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"sf":"$sfDir"}"""
-    println(headline)
     println(full)
+    println(headline)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable =>

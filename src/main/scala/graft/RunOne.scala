@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: run ONE named SparkEntry query against a data dir and
   * dump its result to parquet — the per-query slice of [[Verify]], for
   * iterating on a single operator/oracle pair without paying the full
-  * 79-query dump. Same session conf as Verify so results are
+  * SparkEntry.queries dump. Same session conf as Verify so results are
   * comparable. Usage: runMain graft.RunOne <name> <sfDir> <outDir> */
 object RunOne {
   def main(args: Array[String]): Unit = {

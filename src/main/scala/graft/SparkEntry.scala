@@ -376,8 +376,9 @@ object SparkEntry {
          |  GROUP BY s.doc_id),
          |nm AS (SELECT doc_id, SQRT(SUM(v*v)) AS nrm FROM s WHERE doc_id <> 0 GROUP BY doc_id)
          |SELECT nm.doc_id,
-         |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*(SELECT qnorm FROM qn),0),0),6) AS score
-         |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id
+         |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*qn.qnorm,0),0),6) AS score
+         |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id, qn
+         |WHERE qn.qnorm IS NOT NULL
          |ORDER BY score DESC, nm.doc_id
          |LIMIT 10""".stripMargin
     },

@@ -130,7 +130,10 @@ object EmbeddingStore {
     * engine-exact. Scale shape: the query vector derives from ONE
     * pre-filtered doc (no corpus checkpoint), the corpus side is a
     * single tokenize→vote→score streaming pass, top-k via
-    * TakeOrdered. */
+    * TakeOrdered. Contract when doc_id 0 is absent (or tokenless):
+    * the query frame is empty, the cross join yields 0 rows, and the
+    * oracle agrees (its q CTE is an inner dependency of the final
+    * select via `WHERE qnorm IS NOT NULL`). */
   def searchDim384(t: Tables): DataFrame = {
     val qv = embedRaw(t.documents.filter(col("doc_id") === 0L), 384)
       .select(col("raw").cast("array<float>").as("qv"))
@@ -416,12 +419,19 @@ object EmbeddingStore {
       }
       results = res
     }
-    results.select(col("doc_id"), col("score"),
+    val out = results.select(col("doc_id"), col("score"),
       lit(state.searchCount).as("n_searches"),
       lit(nUpdates).as("n_updates"),
       lit(processed).as("total_processed"),
       lit(state.watermark).as("final_watermark"))
       .orderBy(col("score").desc, col("doc_id"))
+      // eager localCheckpoint pins the ≤10-row result in the block
+      // manager so the per-invocation temp store can be deleted NOW —
+      // a multi-pass bench would otherwise leak one parquet store
+      // into /tmp per call
+      .localCheckpoint(true)
+    graft.sources.LayoutStore.deleteRecursively(dir.toFile)
+    out
   }
 
   // ---- persisted IVF index ------------------------------------------------

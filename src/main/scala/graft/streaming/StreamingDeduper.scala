@@ -72,12 +72,19 @@ object StreamingDeduper {
     * (same trim/lower/split, same hash salts, same string-min), as a
     * pure per-doc function. */
   private[graft] def features(text: String): (Seq[String], Seq[String]) = {
-    // default-locale toLowerCase ON PURPOSE: Spark's lower() takes
-    // the same java toLowerCase path for non-ASCII text, so sharing
-    // the JVM's locale is what keeps batch and stream shingles
-    // identical — Locale.ROOT here would diverge from batch on a
-    // JVM whose default locale has special casing (tr/az dotless i)
-    val ws = text.trim.toLowerCase.split("\\s+", -1)
+    // replicate Spark's lower() hybrid exactly: UTF8String takes a
+    // locale-independent ASCII fast path for fully-ASCII strings and
+    // falls back to java's default-locale toLowerCase only when the
+    // string contains non-ASCII. A plain default-locale toLowerCase
+    // here would diverge from batch on a tr/az-locale JVM for
+    // all-ASCII text ('I' → dotless 'ı' while batch maps 'i');
+    // Locale.ROOT everywhere would diverge on the non-ASCII path.
+    val trimmed = text.trim
+    val lowered =
+      if (trimmed.forall(_ < 0x80))
+        trimmed.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      else trimmed.toLowerCase
+    val ws = lowered.split("\\s+", -1)
     val sh =
       if (ws.length < 3) Seq.empty[String]
       else ws.iterator.sliding(3).withPartial(false)
