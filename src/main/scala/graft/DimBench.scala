@@ -71,11 +71,31 @@ object DimBench {
         best((d, "probe20")) = math.min(best((d, "probe20")),
           timed((0L until 20L).foreach(q =>
             EmbeddingStore.searchIvf(spark, index, q, k = 10).count())))
+        // the compressed-domain probe over the same index: ADC over
+        // the PQ code sidecar instead of full-width cosine
+        best((d, "probe20_pq")) = math.min(best((d, "probe20_pq")),
+          timed((0L until 20L).foreach(q =>
+            graft.operators.ProductQuantizer.searchIvfPq(spark, index, q, k = 10)
+              .count())))
+        // the scan-bytes claim, measured: on-disk bytes a probe's cell
+        // scan draws from (vector cells vs code sidecar). A constant
+        // across passes — min() just records it once per dim.
+        def dirBytes(p: String): Double = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+            else f.length()
+          walk(new java.io.File(p)).toDouble
+        }
+        best((d, "cells_bytes")) = math.min(best((d, "cells_bytes")),
+          dirBytes(s"$index/cells"))
+        best((d, "pq_codes_bytes")) = math.min(best((d, "pq_codes_bytes")),
+          dirBytes(s"$index/pq_codes"))
       }
       load
     }
     val dimsJson = dims.map { d =>
-      val stages = Seq("embed_store", "index_build", "probe20")
+      val stages = Seq("embed_store", "index_build", "probe20", "probe20_pq",
+        "cells_bytes", "pq_codes_bytes")
         .map(s => "\"" + s + f"\":${best((d, s))}%.3f").mkString("{", ",", "}")
       s""""$d":$stages"""
     }.mkString("{", ",", "}")

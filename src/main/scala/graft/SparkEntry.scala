@@ -51,6 +51,7 @@ object SparkEntry {
     // D8: the PERSISTED index end-to-end (build once into tmp
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
+    "q_search_ivfpq"      -> q(ProductQuantizer.searchIvfPqQuery),
     // D9: index-health stats over the same persisted index (cell
     // skew, appended fraction, mean intra-cell cosine)
     "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
@@ -458,6 +459,62 @@ object SparkEntry {
          |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
          |FROM s
          |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+    // D12: compressed-domain probe through the persisted IVF-PQ
+    // index. Replays the build (shared CTEs) and D8's probe choice,
+    // then the PQ layer: integer micro-unit quantization
+    // (ROUND(v*1e6) AS BIGINT), seeded codebooks = the 16 lowest
+    // vec_ids' subvectors (8 dims per subspace), code assignment =
+    // argmin of EXACT integer squared L2 (ties to the lowest code
+    // id), ADC = the sum of the query's integer subspace distances at
+    // each candidate's codes. All-integer end to end, so the hash
+    // matches bit-for-bit with no rounding contract needed.
+    "q_search_ivfpq" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |z AS (
+         |  SELECT vec_id, CAST(FLOOR((i-1)/8.0) AS INT) AS sub,
+         |         CAST((i-1)%8 AS INT) AS j,
+         |         CAST(ROUND(v*1000000) AS BIGINT) AS zv
+         |  FROM ev),
+         |seeds AS (
+         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cid
+         |  FROM embeddings
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+         |cbk AS (SELECT s.cid, d.sub, d.j, d.zv AS cv
+         |        FROM seeds s JOIN z d ON d.vec_id = s.vec_id),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM asg2 a
+         |  WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0),
+         |ds AS (
+         |  SELECT d.vec_id, d.sub, c.cid,
+         |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS dist
+         |  FROM z d JOIN cbk c ON c.sub = d.sub AND c.j = d.j
+         |  WHERE d.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY d.vec_id, d.sub, c.cid),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM ds
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+         |qd AS (
+         |  SELECT d.sub, c.cid,
+         |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS qdist
+         |  FROM z d JOIN cbk c ON c.sub = d.sub AND c.j = d.j
+         |  WHERE d.vec_id = 0
+         |  GROUP BY d.sub, c.cid)
+         |SELECT co.vec_id AS doc_id, ca.cell,
+         |  CAST(SUM(q2.qdist) AS BIGINT) AS adist
+         |FROM codes co
+         |JOIN qd q2 ON q2.sub = co.sub AND q2.cid = co.cid
+         |JOIN cand ca ON ca.vec_id = co.vec_id
+         |GROUP BY co.vec_id, ca.cell
+         |ORDER BY adist, doc_id
          |LIMIT 10""".stripMargin,
     // D9: replays build (shared ivfAssignCte + ivfRefinedCte), then
     // the stats row. rcf casts the refined centroids through FLOAT —

@@ -478,7 +478,7 @@ object EmbeddingStore {
     * reintroduce a linear driver materialization — exceeding the
     * bound fails fast instead of OOMing the driver of a
     * 1000-executor job. */
-  private def collectBounded(df: DataFrame, bound: Long,
+  private[graft] def collectBounded(df: DataFrame, bound: Long,
       what: String): Array[org.apache.spark.sql.Row] = {
     val rows = df.collect()
     require(rows.length <= bound,
@@ -565,6 +565,11 @@ object EmbeddingStore {
     finalAssign.withColumn("gen", lit(0))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // PQ sidecars (codebooks + cell-partitioned codes) build from the
+    // JUST-WRITTEN cells, not the lazy assignment frame — re-using
+    // the materialized layout costs one read where re-evaluating
+    // finalAssign would re-run the whole two-level assignment DAG
+    ProductQuantizer.buildPq(spark, spark.read.parquet(s"$path/cells"), path)
   }
 
   /** One Lloyd step: per-cell mean of the assigned vectors.
@@ -700,9 +705,15 @@ object EmbeddingStore {
     // watermark would skip rows forever)
     val snap = vectors.localCheckpoint()
     val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = assignCells(snap, centroids)
+    // eager checkpoint: the assignment feeds TWO writes (cells and
+    // the PQ code sidecar) — without it the second write re-runs the
+    // whole two-level assignment over the delta
+    val assigned = assignCells(snap, centroids).localCheckpoint()
     assigned.withColumn("gen", lit(1))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // keep the PQ code sidecar append-consistent with the cells: the
+    // appended vectors encode against the PERSISTED codebooks
+    ProductQuantizer.appendPq(spark, assigned, path)
     val head = snap
       .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     UpdateStats(head.getLong(0),
@@ -713,7 +724,7 @@ object EmbeddingStore {
   /** Assignment-rule version tag baked into the on-disk index path: a
     * rule change must never silently probe an index built by an older
     * rule. */
-  private val indexRuleVersion = "r8-lloyd1-6dp-gen"
+  private val indexRuleVersion = "r11-lloyd1-6dp-gen-pq16x8"
 
   /** Build-once location of the persisted IVF index for a data dir.
     * Like the bucketed table layout, the index is STORAGE — paid once
@@ -750,22 +761,45 @@ object EmbeddingStore {
     * ints, like the reference's stored watermark), and turning them
     * into literals is what lets the file listing prune partitions
     * statically. */
+  /** The probed-cell choice shared by the exact ([[searchIvf]]) and
+    * compressed ([[ProductQuantizer.searchIvfPq]]) probes: top
+    * `probes` refined centroids by 6dp-rounded cosine against the
+    * query's stored vector, cell-id tie-break. Probe scores round
+    * BEFORE the ranking (like every ranked score in the library) so
+    * the choice is deterministic across engines and the oracle can
+    * replay it. The returned ids are index METADATA (a handful of
+    * ints), bounded-collected. */
+  private[graft] def probeCells(spark: SparkSession, path: String,
+      queryDocId: Long, probes: Int): Array[Int] =
+    probeCellsWithQuery(spark, path, queryDocId, probes)._1
+
+  /** [[probeCells]] plus the query's stored vector, from the SAME
+    * bounded metadata job (the vector rides the collected probe rows
+    * instead of costing a second scan) — the compressed probe needs
+    * both. */
+  private[graft] def probeCellsWithQuery(spark: SparkSession, path: String,
+      queryDocId: Long, probes: Int): (Array[Int], Option[Seq[Float]]) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qv = spark.read.parquet(s"$path/cells")
+      .filter(col("doc_id") === queryDocId)
+      .select(col("embedding").as("qv"))
+    val rows = collectBounded(
+      centroids.join(broadcast(qv))
+        .select(col("cell"),
+          round(cosineSim(col("centroid"), col("qv")), 6).as("cs"),
+          col("qv"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(probes),
+      probes, "probed cell ids")
+    (rows.map(_.getInt(0)), rows.headOption.map(_.getSeq[Float](2)))
+  }
+
   def searchIvf(spark: SparkSession, path: String, queryDocId: Long,
       k: Int, probes: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
     val qv = cells.filter(col("doc_id") === queryDocId)
       .select(col("embedding").as("qv"))
-    // probe scores round to 6 dp BEFORE the ranking (like every
-    // ranked score in the library) so the probed-cell choice is
-    // deterministic across engines and the oracle can replay it
-    val probedCells = collectBounded(
-      centroids.join(broadcast(qv))
-        .select(col("cell"),
-          round(cosineSim(col("centroid"), col("qv")), 6).as("cs"))
-        .orderBy(col("cs").desc, col("cell"))
-        .limit(probes),
-      probes, "probed cell ids").map(_.getInt(0))
+    val probedCells = probeCells(spark, path, queryDocId, probes)
     cells
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .filter(col("doc_id") =!= queryDocId)
@@ -811,7 +845,9 @@ object EmbeddingStore {
       val root = new java.io.File(path)
       val marker = new java.io.File(root, "_BUILT")
       marker.delete()
-      Seq("cells", "centroids").foreach { d =>
+      // the PQ sidecars are part of the index and swap with it — a
+      // re-fit leaves new cells probing old codes otherwise
+      Seq("cells", "centroids", "pq_codebooks", "pq_codes").foreach { d =>
         java.nio.file.Files.move(
           java.nio.file.Paths.get(path, d),
           java.nio.file.Paths.get(path, s"${d}_replaced"))
@@ -819,7 +855,8 @@ object EmbeddingStore {
           java.nio.file.Paths.get(staging, d),
           java.nio.file.Paths.get(path, d))
       }
-      Seq("cells_replaced", "centroids_replaced", "_rebuild").foreach(d =>
+      Seq("cells_replaced", "centroids_replaced", "pq_codebooks_replaced",
+        "pq_codes_replaced", "_rebuild").foreach(d =>
         graft.sources.LayoutStore.deleteRecursively(new java.io.File(root, d)))
       marker.createNewFile()
       true

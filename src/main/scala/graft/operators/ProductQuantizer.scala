@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Product-quantization (PQ) layer over the persisted IVF index — the
+  * scan-bytes lever for vector search at 100 TB (reference: the
+  * corpus the reference scans per search, processor.py:436, is raw
+  * float32 vectors; at its 384-dim width that is ~1.5 KB/vector,
+  * and IVF cell pruning alone still reads full-width vectors inside
+  * every probed cell. PQ is the standard compressed-domain answer
+  * from the public ANN literature — PAPERS.md's survey: split each
+  * vector into `m = dim/subDim` subvectors, quantize each subvector
+  * to one of `numCentroids` codebook entries, store only the code
+  * ids, and score a query against codes via an asymmetric-distance
+  * lookup table).
+  *
+  * EXACTNESS CONTRACT (what makes the DuckDB oracle replay bit-for-
+  * bit): every float component is quantized to an integer micro-unit
+  * (`round(v·10⁶)` as BIGINT) BEFORE any arithmetic, so codebook
+  * build, code assignment (argmin of integer squared L2, ties to the
+  * lowest code id) and the ADC scores are EXACT integer computations
+  * — no float-summation order can perturb an assignment or a rank on
+  * either engine. This is the same micro-unit discipline as
+  * q_mix_temperature / q_lm_score applied to distances.
+  *
+  * Scale shape:
+  *  - codebooks are deterministic seeds — the `numCentroids` lowest
+  *    doc_ids' subvectors (the numCellsFor-style rule: derivable by
+  *    any engine from the corpus alone, no iterative training state
+  *    to ship). m·numCentroids rows of metadata (~KBs), broadcast
+  *    into the encode as literals.
+  *  - encoding is a single codegen'd projection over the corpus
+  *    (m·numCentroids·subDim integer mul-adds per row) at index
+  *    BUILD time — storage cost, paid once, like the bucketed layout.
+  *  - the probe scans ONLY (doc_id, codes) from the probed cell
+  *    partitions: `codes` is m small ints vs dim floats — the
+  *    24-32× scan-bytes reduction that keeps probe I/O flat as
+  *    vector width grows.
+  *  - the ADC table (m·numCentroids integer distances) is index
+  *    metadata, collected via the same bounded-driver discipline as
+  *    the probed cell ids, then folded into the scan as a literal
+  *    lookup — the probe plan is scan → project → TakeOrdered, no
+  *    join, no shuffle beyond top-k.
+  */
+object ProductQuantizer {
+
+  /** Dims per subspace. dim must divide evenly: 64-dim → 8
+    * subspaces, the reference's 384-dim → 48. */
+  val subDim = 8
+
+  /** Codebook entries per subspace (codes are 0..15 — nibble-sized;
+    * 256 is the classic choice for billion-scale corpora but needs
+    * ≥256 seed rows to be meaningful; 16 keeps the deterministic
+    * seeded codebook honest at test SFs while the layout and probe
+    * are representation-identical at any ncent). */
+  val numCentroids = 16
+
+  /** Micro-unit scale shared with the oracle: CAST(ROUND(v*1e6) AS
+    * BIGINT) on both engines. Embedding components are O(1), so
+    * quantized values are ~1e6, squared ~1e12, and a full ADC sum
+    * stays far inside BIGINT. */
+  private val quantScale = 1e6
+
+  /** Integer micro-unit quantization of a float vector column. */
+  private[graft] def quantize(vec: Column): Column =
+    transform(vec, v => round(v.cast("double") * quantScale).cast("long"))
+
+  /** Driver-side twin of [[quantize]] — mirrors Spark's Round
+    * (BigDecimal.valueOf + HALF_UP, away from zero on halves; plain
+    * math.round would differ on negative .5 boundaries). */
+  private[graft] def quantizeLong(v: Float): Long =
+    java.math.BigDecimal.valueOf(v.toDouble * quantScale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Deterministic seeded codebooks for a (doc_id, embedding) corpus:
+    * the `numCentroids` lowest doc_ids become codes 0..ncent-1 in id
+    * order, one quantized subvector per subspace. Runs as a
+    * distributed TakeOrdered; the collect is bounded index metadata
+    * (ncent rows), through the same instrumented gate as the IVF
+    * coarse seeds. Returns (sub, cid, cvec) rows. */
+  private[graft] def codebookRows(vectors: DataFrame,
+      dim: Int): Seq[(Int, Int, Seq[Long])] = {
+    require(dim % subDim == 0, s"dim $dim not divisible by subDim $subDim")
+    val seeds = EmbeddingStore.collectBounded(
+      vectors.select(col("doc_id"), quantize(col("embedding")).as("qv"))
+        .orderBy(col("doc_id")).limit(numCentroids),
+      numCentroids, "PQ codebook seeds")
+    for {
+      (r, cid) <- seeds.zipWithIndex.toSeq
+      s <- 0 until dim / subDim
+    } yield (s, cid, r.getSeq[Long](1).slice(s * subDim, (s + 1) * subDim))
+  }
+
+  /** Code-assignment column over a quantized vector column `qv`:
+    * per subspace, argmin over the codebook of the exact integer
+    * squared L2, ties to the lowest code id. A dedicated codegen'd
+    * expression ([[PqEncode]]): the m·ncent·subDim inner loop stays
+    * primitive (an unrolled function-tree overflows a generated
+    * method; higher-order functions interpret with per-element
+    * boxing — ~40× slower measured at 384 dims). */
+  private def codesExpr(cb: Seq[(Int, Int, Seq[Long])], m: Int): Column = {
+    val nested: Array[Array[Array[Long]]] = (0 until m).map(s =>
+      cb.filter(_._1 == s).sortBy(_._2).map(_._3.toArray).toArray).toArray
+    GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(col("qv")), nested))
+  }
+
+  /** Build the PQ sidecars for an assigned corpus (doc_id, embedding,
+    * cell): `pq_codebooks` (the tiny seeded codebook table) and
+    * `pq_codes` (doc_id, codes) PARTITIONED BY CELL — the same
+    * partition key as the index cells, so a probe prunes code files
+    * at the listing exactly like vector files. Called inside the
+    * index build; storage, not query work. */
+  def buildPq(spark: SparkSession, assigned: DataFrame, path: String): Unit = {
+    val dim = assigned.select(size(col("embedding")).as("d")).limit(1)
+      .first().getInt(0)
+    val m = dim / subDim
+    val cb = codebookRows(assigned, dim)
+    spark.createDataFrame(cb).toDF("sub", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    encodeWith(assigned, cb, m)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq_codes")
+  }
+
+  /** Encode appended vectors against the PERSISTED codebooks and
+    * append their codes — [[EmbeddingStore.appendToIvfIndex]]'s PQ
+    * sibling. The codebook is FIXED after build (standard IVF-PQ
+    * posture: like centroid drift, codebook aging is what
+    * rebuild-on-drift bounds); appended rows stay probe-visible in
+    * the compressed domain with no rewrite. */
+  def appendPq(spark: SparkSession, assigned: DataFrame, path: String): Unit = {
+    val cb = readCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    encodeWith(assigned, cb, m)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/pq_codes")
+  }
+
+  private def encodeWith(assigned: DataFrame, cb: Seq[(Int, Int, Seq[Long])],
+      m: Int): DataFrame =
+    assigned
+      .select(col("doc_id"), col("cell"), quantize(col("embedding")).as("qv"))
+      .select(col("doc_id"), col("cell"), codesExpr(cb, m).as("codes"))
+
+  /** The persisted codebook table back as driver-side metadata
+    * (m·ncent rows, bounded), memoized per (path, dir-mtime):
+    * codebooks are immutable between builds (appends never touch
+    * them; a rebuild swaps the directory and bumps its mtime, which
+    * invalidates the entry), so repeated probes against one index pay
+    * the read job once. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Seq[(Int, Int, Seq[Long])]]()
+
+  private def readCodebooks(spark: SparkSession,
+      path: String): Seq[(Int, Int, Seq[Long])] = {
+    val dir = s"$path/pq_codebooks"
+    val key = (dir, new java.io.File(dir).lastModified())
+    codebookCache.computeIfAbsent(key, _ =>
+      EmbeddingStore.collectBounded(
+        spark.read.parquet(dir),
+        numCentroids * 64L, "PQ codebooks")
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq)
+  }
+
+  /** `q_search_ivfpq` — compressed-domain ANN through the persisted
+    * IVF-PQ index: probe the 2 nearest refined centroids (exactly
+    * D8's probe), then rank the probed cells' vectors by ASYMMETRIC
+    * DISTANCE — the query's exact quantized subvectors against each
+    * vector's codebook entries, an m-lookup sum per candidate — over
+    * a scan that reads ONLY the code sidecar (never a float vector).
+    * Smallest adist first, doc_id tie-break. The ADC lookup table is
+    * index metadata (m·ncent integer distances): computed by one tiny
+    * codebook×query job, bounded-collected, and folded into the scan
+    * as a literal nested-array lookup, so the final plan is a
+    * partition-pruned scan → codegen'd projection → TakeOrdered.
+    * Output (doc_id, cell, adist) is all-integer — engine-exact by
+    * construction. */
+  def searchIvfPq(spark: SparkSession, path: String, queryDocId: Long,
+      k: Int, probes: Int = 2): DataFrame = {
+    val (probed, qFloat) =
+      EmbeddingStore.probeCellsWithQuery(spark, path, queryDocId, probes)
+    val cb = readCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val codesTable = spark.read.parquet(s"$path/pq_codes")
+    if (qFloat.isEmpty) {
+      // absent query doc: same empty-frame contract as the other
+      // search rows — and the oracle's probe CTE is empty too
+      return codesTable.select(col("doc_id"), col("cell"),
+        lit(0L).as("adist")).limit(0)
+    }
+    // the query's exact quantized vector — same micro-unit rule as
+    // [[quantize]], applied to the floats the probe job already
+    // carried back (float→double is exact, so [[quantizeLong]] ≡ the
+    // column expression)
+    val qv = qFloat.get.map(quantizeLong)
+    // ADC table: adc(s)(c) = exact integer squared L2 between the
+    // query's subvector s and codebook entry c
+    val adc: Seq[Seq[Long]] = (0 until m).map { s =>
+      cb.filter(_._1 == s).sortBy(_._2).map { case (_, _, cv) =>
+        (0 until subDim).map { i =>
+          val d = qv(s * subDim + i) - cv(i); d * d
+        }.sum
+      }
+    }
+    // ONE literal node (not a CreateArray tree — at 384 dims that is
+    // ~800 nodes the analyzer re-walks on every probe)
+    val adcLit = typedLit(adc)
+    val adist = (0 until m).map(s =>
+      element_at(element_at(adcLit, s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1))
+      .reduce(_ + _)
+    codesTable
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .filter(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), col("cell"), adist.as("adist"))
+      .orderBy(col("adist").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Driver-contract wrapper: IVF-PQ top-10 for query doc 0 over the
+    * build-once persisted index. */
+  def searchIvfPqQuery(t: Tables): DataFrame =
+    searchIvfPq(t.spark, EmbeddingStore.ensureIndex(t), queryDocId = 0L,
+      k = 10, probes = 2)
+}
+
+/** PQ code assignment as a native Catalyst expression: for each of
+  * the codebook's subspaces, the argmin over its entries of the EXACT
+  * integer squared L2 against the matching slice of the quantized
+  * input vector; ties take the lowest code id (strict `<` over
+  * entries iterated in cid order). The codebook rides the plan as a
+  * reference object — primitive `long[][][]`, no per-row boxing —
+  * and the whole triple loop inlines into whole-stage codegen. */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cands = codebook(s)
+      val sub = cands(0).length
+      var best = Long.MaxValue; var bc = 0; var c = 0
+      while (c < cands.length) {
+        val cv = cands(c); var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = arr.getLong(s * sub + i) - cv(i); d += diff * diff; i += 1
+        }
+        if (d < best) { best = d; bc = c }
+        c += 1
+      }
+      codes(s) = bc; s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, qv => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[][][]")
+      val codes = ctx.freshName("codes"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bc = ctx.freshName("bc")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val sub = ctx.freshName("sub"); val cands = ctx.freshName("cands")
+      s"""
+         |int[] $codes = new int[$cb.length];
+         |for (int $s = 0; $s < $cb.length; $s++) {
+         |  long[][] $cands = $cb[$s];
+         |  int $sub = $cands[0].length;
+         |  long $best = Long.MAX_VALUE; int $bc = 0;
+         |  for (int $c = 0; $c < $cands.length; $c++) {
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      long $diff = $qv.getLong($s * $sub + $i) - $cands[$c][$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; $bc = $c; }
+         |  }
+         |  $codes[$s] = $bc;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}

@@ -87,12 +87,15 @@ class IvfIndexSpec extends SparkTestBase {
 
     EmbeddingStore.driverRowsHighWater.set(0)
     EmbeddingStore.buildIvfIndex(spark, vectors, path)
-    // the BUILD also honors the O(sqrt(k)) driver contract: two
+    // the BUILD also honors the bounded-driver contract: two
     // two-level assignments run (seed + refined), each collecting
-    // only its coarse seeds
+    // only its ceil(sqrt(k)) coarse seeds, plus the PQ sidecar's
+    // numCentroids codebook seeds — a corpus-independent constant
     val kBuild = EmbeddingStore.numCellsFor(vectors.count())
-    assert(EmbeddingStore.driverRowsHighWater.get() <=
+    val buildBound = math.max(
       math.ceil(math.sqrt(kBuild.toDouble)).toLong,
+      graft.operators.ProductQuantizer.numCentroids.toLong)
+    assert(EmbeddingStore.driverRowsHighWater.get() <= buildBound,
       s"index build held ${EmbeddingStore.driverRowsHighWater.get()} rows on the driver")
     val cells = spark.read.parquet(s"$path/cells")
     // index is a complete, disjoint re-layout of the corpus
