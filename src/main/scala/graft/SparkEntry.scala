@@ -62,10 +62,16 @@ object SparkEntry {
     // a fixed four-search clock sequence; output = final top-k +
     // orchestration stats
     "q_search_refresh"    -> q(EmbeddingStore.searchRefreshQuery),
+    "q_advance_day"       -> q(AdvanceDay.advanceDayQuery),
     // D11: brute-force search at the reference's 384-dim model width
     // over raw hash-vote vectors — the width-regression canary (all
     // other rows run the corpora's 64-dim vectors)
     "q_search_dim384"     -> q(EmbeddingStore.searchDim384),
+    // D7b: the recall/probes curve at the reference's 384-dim width —
+    // no oracleSql ON PURPOSE (the evaluator's exactness is pinned by
+    // D7's full 64-dim replay; VectorSearchSpec bounds these values;
+    // rows-only driver check, like A7b/B9b)
+    "q_ivf_recall_dim384" -> q(VectorSearch.ivfRecallDim384),
     // C1 + F-family: text cleaning and analysis
     "q_text_clean"    -> q(TextAnalysis.textClean),
     "q_lang_id"       -> q(TextAnalysis.langId),
@@ -516,6 +522,58 @@ object SparkEntry {
          |GROUP BY co.vec_id, ca.cell
          |ORDER BY adist, doc_id
          |LIMIT 10""".stripMargin,
+    // D13/q_advance_day: the daily-loop episode. The dedup half
+    // replays as pure corpus facts (advanced watermark = MAX(doc_id);
+    // state rows = shingle-bearing docs; delta = the upper half). The
+    // index half: the ~half-corpus delta trips the 0.2 drift gate, so
+    // the reported index is a REBUILT full-corpus index — identical
+    // by construction to a fresh build (same seed rule, same 6dp
+    // Lloyd step, gen reset to 0), i.e. exactly what the D9 oracle
+    // replays with appended_frac = 0.
+    "q_advance_day" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |rcf AS (SELECT cell, i, CAST(CAST(v AS FLOAT) AS DOUBLE) AS v FROM rc),
+         |ics AS (
+         |  SELECT a.vec_id,
+         |    ROUND(COALESCE(SUM(e.v*c.v)
+         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
+         |  FROM ev e
+         |  JOIN asg2 a ON e.vec_id = a.vec_id
+         |  JOIN rcf c ON c.cell = a.cell AND c.i = e.i
+         |  GROUP BY a.vec_id),
+         |csz AS (SELECT cell, COUNT(*) AS n FROM asg2 GROUP BY cell),
+         |agg AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM asg2) AS n_vectors,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csz) AS n_cells,
+         |    (SELECT CAST(MAX(n) AS BIGINT) FROM csz) AS max_cell,
+         |    (SELECT SUM(CAST(ROUND(cs*1000000) AS BIGINT)) FROM ics) AS s_micro),
+         |dw AS (SELECT CAST(FLOOR(MAX(doc_id)/2.0) AS BIGINT) AS w0,
+         |              MAX(doc_id) AS w1 FROM documents),
+         |dws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |        FROM documents),
+         |dsh AS (SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+         |      range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |    ELSE [] END AS s FROM dws),
+         |sdocs AS (SELECT doc_id FROM dsh WHERE len(s) > 0),
+         |es AS (SELECT CAST(FLOOR(MAX(vec_id)/2.0) AS BIGINT) AS sp,
+         |              CAST(COUNT(*) AS BIGINT) AS ne FROM embeddings)
+         |SELECT
+         |  (SELECT w1 FROM dw) AS dedup_watermark,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sdocs) AS state_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sdocs
+         |     WHERE doc_id > (SELECT w0 FROM dw)) AS delta_docs,
+         |  (SELECT CAST(COUNT(*) > 0.2 * (SELECT ne FROM es) AS BOOLEAN)
+         |     FROM embeddings WHERE vec_id > (SELECT sp FROM es)) AS rebuild_ran,
+         |  n_vectors, n_cells, max_cell,
+         |  ROUND(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |    / CAST(n_vectors AS DOUBLE), 6) AS cell_skew,
+         |  ROUND(CAST(0 AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS appended_frac,
+         |  ROUND(CAST(s_micro AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+         |    / 1000000.0, 6) AS mean_intra_cosine
+         |FROM agg""".stripMargin,
     // D9: replays build (shared ivfAssignCte + ivfRefinedCte), then
     // the stats row. rcf casts the refined centroids through FLOAT —
     // the engine STORES centroids as array<float>, so the oracle must

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The DAILY PRODUCTION LOOP as one driver-checked episode — the
+  * composition the individual pieces exist for (reference: the MCP
+  * server's steady state is exactly this cycle — engine.py:57
+  * incremental update from a watermark, engine.py:98 persist the new
+  * watermark, engine.py:228 report stats; the repo's batch analogue
+  * runs it over both state stores):
+  *
+  *  1. yesterday's DEDUP STATE folds forward ([[Dedup.advanceDedupState]]:
+  *     delta-only shingling, occupancy merge, watermark advance);
+  *  2. the delta's vectors APPEND to the IVF index
+  *     ([[EmbeddingStore.appendToIvfIndex]]: assigned with the
+  *     persisted centroids, PQ codes included);
+  *  3. the drift gate fires ([[EmbeddingStore.rebuildIfDrifted]]:
+  *     appended fraction over threshold → staged re-fit + rename
+  *     swap);
+  *  4. the post-advance health row reports ([[EmbeddingStore.indexStats]]).
+  *
+  * `q_advance_day` runs the cycle against a FRESH base = the lower
+  * half of each corpus (doc_id ≤ ⌊max/2⌋), delta = the upper half —
+  * a fixed episode whose every output number is a pure function of
+  * the corpus, so DuckDB replays it: the advanced watermark is
+  * max(doc_id); the state holds exactly the shingle-bearing docs; the
+  * ~half-corpus delta trips the 0.2 drift threshold, so the index the
+  * stats row describes is a REBUILT index over the full corpus —
+  * identical by construction to a fresh full build (same seed rule,
+  * same 6dp Lloyd step, gen reset to 0), which is what D9's oracle
+  * already replays.
+  *
+  * Output facts are read back from the PERSISTED stores (the state's
+  * _WATERMARK file, its docs table, the rebuilt index), not echoed
+  * from inputs — the row fails if any stage half-runs. Scale shape:
+  * every stage is the documented delta-proportional or storage-stage
+  * path; nothing here adds a new corpus-shaped pass. */
+object AdvanceDay {
+
+  /** Drift threshold for the episode: the ~half-corpus delta must
+    * trip it deterministically. */
+  private val driftThreshold = 0.2
+
+  def advanceDayQuery(t: Tables): DataFrame = {
+    val spark = t.spark
+    val base = java.nio.file.Files.createTempDirectory("graft-day")
+    val statePath = s"$base/dedup"
+    val indexPath = s"$base/ivf"
+
+    // --- yesterday: base state over the lower half of each corpus
+    val maxDoc = t.documents.agg(max(col("doc_id"))).first().getLong(0)
+    val docSplit = maxDoc / 2
+    Dedup.buildDedupState(t.documents, docSplit, statePath)
+    val vectors = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+    val vecSplit = maxVec / 2
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= vecSplit), indexPath)
+
+    // --- today: the four-stage advance
+    Dedup.advanceDedupState(t.documents, statePath)
+    EmbeddingStore.appendToIvfIndex(spark, indexPath,
+      vectors.filter(col("doc_id") > vecSplit))
+    val rebuildRan =
+      EmbeddingStore.rebuildIfDrifted(spark, indexPath, driftThreshold)
+
+    // --- read the outcome back from the persisted stores
+    val dedupWatermark = Dedup.stateWatermark(statePath)
+    val stateDocs = spark.read.parquet(s"$statePath/docs")
+    val nStateDocs = stateDocs.count()
+    val nDeltaDocs = stateDocs.filter(col("doc_id") > docSplit).count()
+    val out = EmbeddingStore.indexStats(spark, indexPath)
+      .select(
+        lit(dedupWatermark).as("dedup_watermark"),
+        lit(nStateDocs).as("state_docs"),
+        lit(nDeltaDocs).as("delta_docs"),
+        lit(rebuildRan).as("rebuild_ran"),
+        col("n_vectors"), col("n_cells"), col("max_cell"),
+        col("cell_skew"), col("appended_frac"), col("mean_intra_cosine"))
+      // 1-row result: pin it so the per-invocation stores delete now
+      // (same discipline as searchRefreshQuery's temp store)
+      .localCheckpoint(true)
+    graft.sources.LayoutStore.deleteRecursively(base.toFile)
+    out
+  }
+}

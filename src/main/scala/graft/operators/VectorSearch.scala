@@ -177,9 +177,28 @@ object VectorSearch {
     * whole evaluation is deterministic (6dp-rounded scores, id
     * tie-breaks, id-ordered sample) — which is what lets DuckDB
     * replay it as an oracle. */
-  def ivfRecall(t: Tables): DataFrame = {
+  def ivfRecall(t: Tables): DataFrame =
+    ivfRecallOver(t.spark,
+      t.embeddings.select(col("vec_id").as("doc_id"), col("embedding")))
+
+  /** D7's evaluation at the REFERENCE's 384-dim width (the width
+    * canary for the recall/probes trade, like D11 is for search
+    * cost): same evaluator, vectors = the raw-vote hash embedding of
+    * the documents corpus at dim 384 ([[EmbeddingStore.embedRaw]],
+    * D11's exactness technique). No oracleSql ON PURPOSE — the
+    * evaluator's cross-engine exactness is already pinned by D7's
+    * full replay at 64 dims, and this row exists to measure the
+    * width's effect on the recall curve, not to re-prove the
+    * machinery; VectorSearchSpec bounds its values instead (driver
+    * records the rows-only check, like A7b/B9b). */
+  def ivfRecallDim384(t: Tables): DataFrame =
+    ivfRecallOver(t.spark,
+      EmbeddingStore.embedRaw(t.documents, 384)
+        .select(col("doc_id"), col("raw").cast("array<float>").as("embedding")))
+
+  private def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame): DataFrame = {
     val k = 10
-    val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
     val cent = EmbeddingStore.seedCentroids(emb)
     // eager checkpoint: queries, the exact ranking and the ANN side
     // are three independent consumers of the assignment (see
@@ -214,7 +233,7 @@ object VectorSearch {
       .filter(col("rk") <= k)
       .select(col("qid"), col("doc_id"))
       .localCheckpoint() // consumed by every probe level + the denominator
-    val probeLevels = t.spark.range(1)
+    val probeLevels = spark.range(1)
       .select(explode(array(lit(1), lit(2), lit(4))).as("probes"))
     // ANN side: candidates = vectors in each query's top-`probes`
     // cells (each vector lives in exactly one cell, so no dedup

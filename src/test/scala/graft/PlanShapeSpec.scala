@@ -44,7 +44,9 @@ class PlanShapeSpec extends SparkTestBase {
     // scored bigram rows, same shape as q_tfidf's corpus-size attach
     "q_lm_score",
     // the 384-dim search broadcasts the 1-row raw query vector
-    "q_search_dim384")
+    "q_search_dim384",
+    // D7's evaluator shape at 384 dims — same tiny broadcast sides
+    "q_ivf_recall_dim384")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

@@ -19,6 +19,18 @@ class VectorSearchSpec extends SparkTestBase {
       s"probing more cells can only add candidates: ${recalls.mkString(",")}")
     assert(recalls.last > 0.0, "probing 4 cells must recover some exact neighbors")
   }
+
+  test("ivfRecallDim384: the width canary keeps the D7 contract at 384 dims") {
+    val r = VectorSearch.ivfRecallDim384(t).collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    assert(r.forall(_.getInt(1) === 10))
+    val recalls = r.map(_.getDouble(2))
+    assert(recalls.forall(x => x >= 0.0 && x <= 1.0))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"probing more cells can only add candidates: ${recalls.mkString(",")}")
+    assert(recalls.last > 0.0,
+      "probing 4 cells must recover some exact neighbors at 384 dims")
+  }
   import spark.implicits._
 
   test("cosineSim: parallel vectors 1, orthogonal 0, zero-norm guard 0") {
