@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * serial-type encoding, overflow-page chains, and the
   * INTEGER-PRIMARY-KEY rowid alias. WAL reading is NOT implemented —
   * the snapshot copy is of a quiesced file, exactly like the
-  * reference's (apsw opens the snapshot, never the live DB).
+  * reference's (apsw opens the snapshot, never the live DB). A main
+  * file with an uncheckpointed `-wal` sidecar still reads
+  * CONSISTENTLY — as the last checkpointed state, wal-only commits
+  * invisible (pinned by SqliteSnapshotSpec's WAL-sidecar case).
   *
   * Spark-first scale shape: the driver walks only the B-tree's
   * INTERIOR pages (a ~0.3% fraction at fanout ~300) to enumerate leaf

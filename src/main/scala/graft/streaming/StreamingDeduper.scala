@@ -137,13 +137,25 @@ object StreamingDeduper {
     * land verifies ONLY the new docs against everything prior — the
     * incremental contract, live. */
   def runAvailableNow(spark: SparkSession, inputDir: String,
-      checkpointDir: String, outDir: String): Unit = {
+      checkpointDir: String, outDir: String): Unit =
+    start(spark, inputDir, checkpointDir, outDir).awaitTermination()
+
+  /** [[runAvailableNow]] without the await, returning the live query
+    * handle — what a crash-recovery harness needs (kill mid-stream,
+    * restart from the checkpoint). `maxFilesPerTrigger` bounds a
+    * micro-batch to that many input files so multi-batch runs are
+    * forceable on small corpora. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      outDir: String, maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val docs = spark.readStream
+    val reader = spark.readStream
       .schema("doc_id LONG, text STRING")
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(inputDir)
       .as[DocIn]
-    val q = pairs(spark, docs)
+    pairs(spark, docs)
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -151,7 +163,6 @@ object StreamingDeduper {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
   }
 
   /** Verified near-dup pairs over a document stream. The caller's

@@ -180,6 +180,25 @@ class SqliteSnapshotSpec extends SparkTestBase {
     assert(maxLen > 10000, s"multi-page overflow payload must survive (max $maxLen)")
   }
 
+  test("WAL store with an uncheckpointed -wal sidecar: main file reads consistently, wal rows invisible") {
+    // the documented stance (SqliteSnapshot scaladoc; reference
+    // connection.py:124 copies ONLY the main DB file): WAL is not
+    // implemented, the main file is read as the last CHECKPOINTED —
+    // i.e. consistent — state. The fixture committed rows 1..60,
+    // checkpointed, then committed 61..100 which live only in the
+    // -wal sidecar sitting next to the main file.
+    val got = SqliteSnapshot.readTable(spark, res("wal_main.sqlite"), "msgs")
+      .select(col("_mid"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (1L to 60L).map(i => (i, s"checkpointed $i")).toSet
+    assert(got === want,
+      "main-file read must be exactly the checkpointed state: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // and in particular no partial/half-applied wal content
+    assert(!got.exists(_._2.startsWith("wal-only")),
+      "rows living only in the -wal must be invisible to the reader")
+  }
+
   private def expectedMiniRows =
     MiniSqliteDb.rows.map { case (sid, mid, c, t, at, u) =>
       (Option(sid).map(_.asInstanceOf[Long]), mid, c,

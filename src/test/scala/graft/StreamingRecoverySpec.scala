@@ -177,4 +177,69 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(got === expected,
       s"closed-window set/counts diverge (expected ${expected.size} windows, got ${got.size})")
   }
+
+  test("near-dup deduper: killed mid-stream and restarted, pairs equal the uninterrupted run") {
+    import graft.streaming.StreamingDeduper
+    val t = graft.sources.Tables(spark, sfDir)
+    // base docs + planted near-copies of EARLY docs carrying high ids,
+    // so real pairs span micro-batch boundaries (file order = id
+    // order) and only checkpoint-carried bucket state can find them
+    // after a restart
+    val base = t.documents.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val copies = base.take(12).map { case (id, text) =>
+      (id + 100000L, text + " streamed tail")
+    }
+    val docs = base ++ copies
+
+    val in = Files.createTempDirectory("graft-recd-in").toFile
+    val ckpt = Files.createTempDirectory("graft-recd-ckpt").toFile
+    val sink = Files.createTempDirectory("graft-recd-sink").toFile
+    val ckptRef = Files.createTempDirectory("graft-recd-ckpt2").toFile
+    val sinkRef = Files.createTempDirectory("graft-recd-sink2").toFile
+    Seq(in, ckpt, sink, ckptRef, sinkRef).foreach(_.deleteOnExit())
+    docs.grouped((docs.length + 11) / 12).zipWithIndex.foreach { case (slice, i) =>
+      slice.toSeq.toDF("doc_id", "text")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+      in.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
+          f.setLastModified(1000000L * (i + 1)))
+    }
+
+    // crashed run: kill after >= 2 committed batches, resume, drain
+    killAfter(StreamingDeduper.start(spark, in.getAbsolutePath,
+      ckpt.getAbsolutePath, sink.getAbsolutePath, Some(1)), minBatches = 2)
+    val partial = spark.read.parquet(sink.getAbsolutePath).count()
+    StreamingDeduper.start(spark, in.getAbsolutePath,
+      ckpt.getAbsolutePath, sink.getAbsolutePath, Some(1)).awaitTermination()
+    // uninterrupted reference run over the same input
+    StreamingDeduper.start(spark, in.getAbsolutePath,
+      ckptRef.getAbsolutePath, sinkRef.getAbsolutePath, Some(1))
+      .awaitTermination()
+
+    def emitted(dir: File): Seq[(Long, Long, Double)] =
+      spark.read.parquet(dir.getAbsolutePath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recovered = emitted(sink)
+    val reference = emitted(sinkRef)
+    assert(reference.nonEmpty, "planted copies must make real pairs")
+    assert(partial < recovered.size.toLong,
+      s"kill was not mid-stream: $partial of ${recovered.size} rows already emitted")
+    // pair SET identical — no loss (bucket state resumed, so pairs
+    // whose sides straddle the kill point are still found) ...
+    assert(recovered.toSet === reference.toSet,
+      s"recovered/uninterrupted divergence: " +
+        s"only-recovered=${(recovered.toSet -- reference.toSet).take(5)} " +
+        s"only-reference=${(reference.toSet -- recovered.toSet).take(5)}")
+    // ... and no duplicates: the file sink's commit log makes the
+    // interrupted batch's replay idempotent, so every pair's
+    // OCCURRENCE COUNT (legitimate multi-bucket re-emissions
+    // included) matches the uninterrupted run exactly
+    def occ(xs: Seq[(Long, Long, Double)]) =
+      xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(occ(recovered) === occ(reference),
+      "emission multiplicities diverge from the uninterrupted run")
+  }
 }
