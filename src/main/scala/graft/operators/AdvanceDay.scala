@@ -22,8 +22,9 @@ import graft.sources.Tables
   *     swap);
   *  4. the post-advance health row reports ([[EmbeddingStore.indexStats]]).
   *
-  * `q_advance_day` runs the cycle against a FRESH base = the lower
-  * half of each corpus (doc_id ≤ ⌊max/2⌋), delta = the upper half —
+  * `q_advance_day` runs the cycle against a private copy of the
+  * once-built base = the lower half of each corpus
+  * (doc_id ≤ ⌊max/2⌋), delta = the upper half —
   * a fixed episode whose every output number is a pure function of
   * the corpus, so DuckDB replays it: the advanced watermark is
   * max(doc_id); the state holds exactly the shingle-bearing docs; the
@@ -44,22 +45,44 @@ object AdvanceDay {
     * trip it deterministically. */
   private val driftThreshold = 0.2
 
+  /** Yesterday's base — the half-corpus dedup state + half-corpus
+    * IVF index — is ETL: in production it simply EXISTS (it is the
+    * previous day's output), so it is built once per (data dir,
+    * rule) via the same [[graft.sources.LayoutStore.ensure]]
+    * discipline as `ensureDedupState`/`ensureIndex`, never rebuilt
+    * per query invocation. Each invocation copies it (storage-layer
+    * file copy, no Spark jobs) so the advance mutates a private
+    * copy and the cached base stays pristine. */
+  private def ensureDayBase(t: Tables): String =
+    graft.sources.LayoutStore.ensure(t.dir, "daybase", "v1") { path =>
+      val maxDoc = t.documents.agg(max(col("doc_id"))).first().getLong(0)
+      Dedup.buildDedupState(t.documents, maxDoc / 2, s"$path/dedup")
+      val vectors = t.embeddings
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+      EmbeddingStore.buildIvfIndex(t.spark,
+        vectors.filter(col("doc_id") <= maxVec / 2), s"$path/ivf")
+    }
+
   def advanceDayQuery(t: Tables): DataFrame = {
     val spark = t.spark
+    val pristine = ensureDayBase(t)
     val base = java.nio.file.Files.createTempDirectory("graft-day")
     val statePath = s"$base/dedup"
     val indexPath = s"$base/ivf"
+    graft.sources.LayoutStore.copyRecursively(
+      new java.io.File(pristine, "dedup"), new java.io.File(statePath))
+    graft.sources.LayoutStore.copyRecursively(
+      new java.io.File(pristine, "ivf"), new java.io.File(indexPath))
 
-    // --- yesterday: base state over the lower half of each corpus
+    // the split points (parquet-footer max aggs, no scan) — needed
+    // for the delta filters and the readback below
     val maxDoc = t.documents.agg(max(col("doc_id"))).first().getLong(0)
     val docSplit = maxDoc / 2
-    Dedup.buildDedupState(t.documents, docSplit, statePath)
     val vectors = t.embeddings
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
     val vecSplit = maxVec / 2
-    EmbeddingStore.buildIvfIndex(spark,
-      vectors.filter(col("doc_id") <= vecSplit), indexPath)
 
     // --- today: the four-stage advance
     Dedup.advanceDedupState(t.documents, statePath)

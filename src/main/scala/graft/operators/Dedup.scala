@@ -62,6 +62,23 @@ object Dedup {
       .drop("bucket_n")
   }
 
+  /** [[capBuckets]] semantics (drop every row of a >cap bucket) for a
+    * consumer that does NOT shuffle on the bucket key downstream —
+    * where the count window's full-data exchange would be paid for
+    * nothing. A partial-agg count (shuffles one row per DISTINCT key,
+    * not per data row) finds the overfull keys, and a broadcast anti
+    * join removes them map-side. The broadcast side is one row per
+    * OVERFULL bucket — ≤ n/cap even adversarially, and in practice a
+    * handful (boilerplate shingles); a corpus where it isn't belongs
+    * with exact dedup first (the [[maxBucketSize]] rationale). */
+  private def capBucketsAgg(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val overfull = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(keys.map(col): _*)
+    df.join(broadcast(overfull), keys, "left_anti")
+  }
+
   /** Distinct (doc_id, shingle) ROWS — not per-row arrays. The word
     * stream explodes once, word 3-grams assemble via two `lead`s over
     * (doc_id, pos), then distinct. Measured 20-40× faster than the
@@ -383,13 +400,25 @@ object Dedup {
     val ids = t.documents.select(col("doc_id"))
       .orderBy(col("doc_id")).limit(recallSampleCount)
     val inS = broadcast(ids.withColumn("in_s", lit(true)))
-    val ex = capBuckets(st.shingles, Seq("sh")).localCheckpoint()
+    // agg-based capping, not the count window: nothing downstream
+    // shuffles on `sh` any more (the truth join broadcasts the
+    // sample side), so the window's full-shingle-table exchange
+    // would be paid without a reuser. Checkpointed: three consumers
+    // (sizes, the broadcast sample side, the truth b-side) —
+    // re-deriving the anti join per consumer measured 1.7× worse
+    // than one materialization
+    val ex = capBucketsAgg(st.shingles, Seq("sh")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exS = ex.join(broadcast(ids), "doc_id")
     // canonical generation: the a-side is always a sample doc; a
     // both-in-sample pair keeps only the a < b orientation so the
-    // least/greatest grouping never double-counts a shingle match
-    val common = exS.as("a").hint("shuffle_hash")
+    // least/greatest grouping never double-counts a shingle match.
+    // The a-side is K sample docs' shingles — BROADCAST it, so the
+    // corpus-side shingle table streams map-side out of its
+    // checkpoint instead of shuffling by `sh` (the evaluator's
+    // single biggest exchange before round 11); only the matched
+    // pairs shuffle, into the groupBy
+    val common = broadcast(exS).as("a")
       .join(ex.join(inS, Seq("doc_id"), "left").as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
           (col("a.doc_id") < col("b.doc_id") ||
@@ -419,11 +448,20 @@ object Dedup {
         col("doc_id"), explode(array(bucketCols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
     val layoutKeys = Seq("bands", "rows_per_band")
-    val buckets = capBuckets(allBuckets, layoutKeys :+ "bucket")
+    // agg-capped + checkpointed for the same reason as `ex`: the
+    // candidate join broadcasts the sample side below, so no consumer
+    // reuses a bucket-keyed exchange, and the two consumers (a/b
+    // sides) read the materialized blocks instead of re-deriving the
+    // cap twice
+    val buckets = capBucketsAgg(allBuckets, layoutKeys :+ "bucket")
+      .localCheckpoint()
     // candidates restricted to the SAME sample-touching pair space as
     // the truth (occupancy caps still count whole buckets), with the
-    // identical canonical-orientation rule
-    val cand = buckets.join(broadcast(ids), "doc_id").as("a").hint("merge")
+    // identical canonical-orientation rule. The a-side is K sample
+    // docs × ~12 bucket rows — broadcast, so the full bucket table
+    // never sorts (the pre-round-11 merge join sorted all
+    // layouts × corpus rows to serve a 1,200-row probe side)
+    val cand = broadcast(buckets.join(broadcast(ids), "doc_id")).as("a")
       .join(buckets.join(inS, Seq("doc_id"), "left").as("b"),
         col("a.bands") === col("b.bands") &&
           col("a.rows_per_band") === col("b.rows_per_band") &&

@@ -192,9 +192,15 @@ object VectorSearch {
     * machinery; VectorSearchSpec bounds its values instead (driver
     * records the rows-only check, like A7b/B9b). */
   def ivfRecallDim384(t: Tables): DataFrame =
+    // the synthesized 384-dim frame is EAGERLY pinned: unlike D7's
+    // parquet-backed embeddings (re-scan ≈ free), every re-scan here
+    // re-runs the corpus tokenize→vote embed pipeline, and the
+    // evaluator's seed/count/assign stages would re-run it 4× —
+    // measured ~3× the query's own CPU before this checkpoint
     ivfRecallOver(t.spark,
       EmbeddingStore.embedRaw(t.documents, 384)
-        .select(col("doc_id"), col("raw").cast("array<float>").as("embedding")))
+        .select(col("doc_id"), col("raw").cast("array<float>").as("embedding"))
+        .localCheckpoint())
 
   private def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame): DataFrame = {

@@ -80,6 +80,21 @@ object LayoutStore {
     md5(entries.mkString("|"))
   }
 
+  /** Recursive copy of a layout directory — for episodes that MUTATE
+    * a persisted store (the daily-advance row): the pristine base is
+    * built once via [[ensure]], and each run copies it to a private
+    * location before advancing, so the cached layout is never
+    * dirtied. A file copy is storage-layer work (no Spark jobs). */
+  def copyRecursively(src: File, dst: File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => copyRecursively(f, new File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Recursive delete of a layout directory — the one shared
     * implementation for every staged-swap site (dedup state advance,
     * IVF rebuild). */
