@@ -112,6 +112,11 @@ object SparkEntry {
     // signature state (LayoutStore), result = full E2 restricted to
     // delta-touching pairs
     "q_dedup_incremental" -> q(Dedup.dedupIncremental),
+    // E12: span-level exact-substring dedup — remove every repeated
+    // 13-word span except its first occurrence corpus-wide (the
+    // Lee-et-al substring pass, gram-positional instead of
+    // suffix-array so it distributes)
+    "q_dedup_spans"     -> q(Dedup.dedupSpans),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -1331,6 +1336,45 @@ object SparkEntry {
          |WHERE doc_a > w OR doc_b > w
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_lsh_recall" -> lshRecallOracle,
+    // E12: gram OCCURRENCES are positional (unnest + 1-based range;
+    // the Spark side is 0-based — pos never leaves either query, so
+    // only its ordering matters and each side stays self-consistent).
+    // Survivor rule = row_number over the gram hash ordered by
+    // (doc_id, pos); coverage = sliding MAX over the previous 12
+    // positions (RANGE, integer pos); kept text reassembles in pos
+    // order (string_agg skips the NULLed covered words) and hashes.
+    "q_dedup_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+         |  FROM w),
+         |occ0 AS (
+         |  SELECT doc_id, CAST(unnest(range(1, len(ws) - ${operators.Dedup.spanGramLen - 2})) AS INT) AS i, ws
+         |  FROM w WHERE len(ws) >= ${operators.Dedup.spanGramLen}),
+         |occ AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(list_aggregate(ws[i:i+${operators.Dedup.spanGramLen - 1}], 'string_agg', ' ')) AS gh
+         |  FROM occ0),
+         |flag AS (
+         |  SELECT doc_id, pos,
+         |    (row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) > 1) AS dup
+         |  FROM occ),
+         |cov AS (
+         |  SELECT t.doc_id, t.pos, t.w,
+         |    MAX(CASE WHEN COALESCE(f.dup, FALSE) THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY t.doc_id ORDER BY t.pos
+         |       RANGE BETWEEN ${operators.Dedup.spanGramLen - 1} PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tok t LEFT JOIN flag f ON t.doc_id = f.doc_id AND t.pos = f.pos)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(covered) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' ' ORDER BY pos), '')) AS kept_hash
+         |FROM cov
+         |GROUP BY doc_id
+         |HAVING SUM(covered) > 0
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_canonical" -> dedupCanonicalOracle,
     "q_decontaminate" -> decontaminateOracle,

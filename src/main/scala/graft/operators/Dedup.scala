@@ -947,4 +947,75 @@ object Dedup {
       .filter(col("score") >= 0.35)
       .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
   }
+
+  // ---- E12: span-level exact-substring dedup --------------------------
+
+  /** Span length for [[dedupSpans]]: 13 words — E7b's verbatim-overlap
+    * rule, reused so "a repeated span" means the same thing corpus-wide
+    * and cross-corpus. */
+  private[graft] val spanGramLen = 13
+
+  /** E12 — `q_dedup_spans`: span-level exact-substring deduplication —
+    * the published "remove repeated substrings, keep one occurrence"
+    * pass (Lee et al. 2022, *Deduplicating Training Data Makes
+    * Language Models Better*; they cut ≥50-BPE-token repeats via a
+    * suffix array). Doc-level dedup (E1-E5) drops whole near-copies;
+    * this removes the VERBATIM spans that survive it — boilerplate
+    * headers, license blocks, quoted chunks — from every occurrence
+    * but the first. The suffix-array formulation is single-machine;
+    * the Spark re-expression is gram-positional:
+    *
+    *  1. every [[spanGramLen]]-word gram OCCURRENCE (doc_id, pos) —
+    *     positions, not the distinct-gram sets E4/E7b use;
+    *  2. an occurrence is `dup` unless it is the gram's FIRST
+    *     occurrence corpus-wide (row_number = 1 by (doc_id, pos) over
+    *     the gram — the deterministic survivor rule);
+    *  3. a word is covered iff some dup occurrence starts within the
+    *     previous spanGramLen-1 positions — a rangeBetween sliding
+    *     max, so overlapping repeated grams merge into maximal spans
+    *     with NO interval join;
+    *  4. per doc: token count, removed count, md5 of the kept text.
+    *
+    * Scale shape: three full-width shuffles of the token stream (by
+    * doc_id for gram assembly, by gram hash for the survivor rule, by
+    * doc_id for coverage+reassembly — the last two stages share one
+    * exchange) and nothing pairwise anywhere: the survivor rule is a
+    * per-gram aggregate, so a gram in a million docs costs a million
+    * rows in one partition's SORT, never a million² join (no
+    * occupancy cap needed — contrast minhashPairs). Grams shuffle as
+    * md5 hashes (32 chars), not the ~90-char raw span. Emits only
+    * docs that lost at least one word. */
+  def dedupSpans(t: Tables): DataFrame = {
+    val n = spanGramLen
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = t.documents.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(byPos))
+    // gram = the n-word span STARTING at pos (null in the last n-1
+    // positions of a doc — those rows ride through the survivor
+    // window under a unique per-row key, so the null tail of every
+    // document cannot pile into one skewed partition)
+    val grams = tok.select(col("doc_id"), col("pos"), col("w"),
+      when(leads.last.isNotNull,
+        md5(concat_ws(" ", (col("w") +: leads): _*))).as("gh"))
+    val byGram = Window.partitionBy(
+      coalesce(col("gh"), concat(lit(" "), col("doc_id"), lit(":"), col("pos"))))
+      .orderBy(col("doc_id"), col("pos"))
+    val flagged = grams.withColumn("dup",
+      (col("gh").isNotNull && row_number().over(byGram) > 1).cast("int"))
+    val covered = flagged.withColumn("covered",
+      max(col("dup")).over(byPos.rangeBetween(-(n - 1), 0)))
+    covered.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("n_removed"),
+        // kept words reassemble in pos order via a struct sort —
+        // collect_list drops the null (covered) entries
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("covered") === 0, struct(col("pos"), col("w"))))),
+          s => s.getField("w")))).as("kept_hash"))
+      .filter(col("n_removed") > 0)
+      .orderBy(col("doc_id"))
+  }
 }

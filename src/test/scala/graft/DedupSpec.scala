@@ -263,4 +263,33 @@ class DedupSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("dedupSpans: first occurrence survives, overlaps merge, full copies empty out") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")       // unique preamble
+    val s13 = (1 to 13).map(i => s"s$i").mkString(" ")     // shared span
+    val b = (1 to 5).map(i => s"b$i").mkString(" ")        // unique preamble
+    val t13 = (1 to 13).map(i => s"t$i").mkString(" ")     // doc-4-only span
+    val docs = Seq(
+      (0L, "src1", s"$a $s13"),        // S's first occurrence: untouched
+      (1L, "src1", s"$b $s13"),        // S repeats: removed here
+      (2L, "src1", s"$a $s13"),        // full copy of doc 0: fully removed
+      (3L, "src1", (1 to 12).map(i => s"c$i").mkString(" ")), // < 13 words
+      (4L, "src1", s"$t13 x $t13")     // within-doc repeat: 2nd copy cut
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = Dedup.dedupSpans(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // docs 0 (first occurrence) and 3 (too short for any gram) lose
+    // nothing and therefore do not appear at all
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L) === ((18L, 13L, md5Of(b))))      // S cut, preamble kept
+    assert(got(2L) === ((33L, 33L, md5Of("")))) // every gram repeats doc 0
+    assert(got(4L) === ((27L, 13L, md5Of(s"$t13 x")))) // 2nd T cut, 1st kept
+  }
 }
