@@ -52,6 +52,10 @@ object SparkEntry {
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
     "q_search_ivfpq"      -> q(ProductQuantizer.searchIvfPqQuery),
+    // D14: two-stage retrieval — IVF candidates (k1=50) reranked by
+    // lexical Jaccard against the query text, blended in integer
+    // micro-units
+    "q_search_rerank"     -> q(VectorSearch.searchRerank),
     // D9: index-health stats over the same persisted index (cell
     // skew, appended fraction, mean intra-cell cosine)
     "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
@@ -470,6 +474,46 @@ object SparkEntry {
          |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
          |FROM s
          |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+    // D14: stage 1 replays D8's oracle (build CTEs + probe choice)
+    // widened to 50 candidates; stage 2 is lexical Jaccard over
+    // distinct word sets vs the query doc's text, blended with the
+    // cosine in integer micro-units (both addends round from exact
+    // integer-ratio doubles, so the sum is engine-exact).
+    "q_search_rerank" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |s AS (
+         |  SELECT e.vec_id, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg2 a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id),
+         |cand AS (
+         |  SELECT vec_id AS doc_id,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |  FROM s ORDER BY score DESC, doc_id LIMIT 50),
+         |wq AS (SELECT list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS wq
+         |       FROM documents WHERE doc_id = 0),
+         |lx AS (
+         |  SELECT c.doc_id, c.score,
+         |    len(list_intersect(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+')), wq.wq)) AS common,
+         |    len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))) AS nd,
+         |    len(wq.wq) AS nq
+         |  FROM cand c JOIN documents d ON d.doc_id = c.doc_id, wq)
+         |SELECT doc_id, score,
+         |  ROUND(CAST(common AS DOUBLE)/CAST(nd + nq - common AS DOUBLE), 6) AS lex_score,
+         |  CAST(ROUND(score*1000000) AS BIGINT)
+         |    + CAST(ROUND(CAST(common AS DOUBLE)/CAST(nd + nq - common AS DOUBLE)*1000000) AS BIGINT) AS rerank_mu
+         |FROM lx
+         |ORDER BY rerank_mu DESC, doc_id
          |LIMIT 10""".stripMargin,
     // D12: compressed-domain probe through the persisted IVF-PQ
     // index. Replays the build (shared CTEs) and D8's probe choice,

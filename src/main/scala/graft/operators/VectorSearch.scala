@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.TextFunctions.words
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -106,6 +107,43 @@ object VectorSearch {
       .select(col("vec_id"), col("score"), col("user_id"), col("ts"),
         col("prev_msg"), col("next_msg"))
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** D14 — `q_search_rerank`: the TWO-STAGE retrieval stack — ANN
+    * candidate generation through the persisted IVF index (D8's
+    * probe, widened to k₁ = 50), then a rerank of only those
+    * candidates against the query's TEXT (the reference serves
+    * embedding hits whose text the client reads, engine.py:105; a
+    * production stack reranks that text before returning — the
+    * cross-encoder slot). The reranker here is deterministic lexical
+    * Jaccard over distinct word sets (a real model is a sandboxless
+    * stub, like `embed`), and the combined score adds cosine and
+    * lexical in INTEGER MICRO-UNITS so the blend is engine-exact.
+    *
+    * Scale shape: stage 1 reads probes/k of the index (partition
+    * pruning); stage 2 joins the ≤ k₁ BROADCAST candidates into the
+    * documents scan — per-query rerank cost is k₁ texts, never a
+    * corpus pass, exactly why two-stage retrieval exists. */
+  def searchRerank(t: Tables): DataFrame = {
+    val k1 = 50
+    val cand = EmbeddingStore
+      .searchIvf(t.spark, EmbeddingStore.ensureIndex(t),
+        queryDocId = 0L, k = k1, probes = 2)
+      .select(col("doc_id"), col("score"))
+    val qw = t.documents.filter(col("doc_id") === 0)
+      .select(array_distinct(words(col("text"))).as("wq"))
+    val wd = array_distinct(words(col("text")))
+    val common = size(array_intersect(wd, col("wq")))
+    val lex = common.cast("double") /
+      (size(wd) + size(col("wq")) - common).cast("double")
+    t.documents.join(broadcast(cand), "doc_id")
+      .crossJoin(broadcast(qw))
+      .select(col("doc_id"), col("score"),
+        round(lex, 6).as("lex_score"),
+        (round(col("score") * 1e6, 0).cast(LongType) +
+          round(lex * 1e6, 0).cast(LongType)).as("rerank_mu"))
+      .orderBy(col("rerank_mu").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors

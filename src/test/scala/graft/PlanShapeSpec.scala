@@ -23,6 +23,9 @@ class PlanShapeSpec extends SparkTestBase {
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
+    // the rerank stage cross-broadcasts the 1-row query word set
+    // into the ≤50 candidate texts
+    "q_search_rerank",
     // the media search broadcasts the 1-row query media vector
     "q_media_embedding",
     // the 1-row corpus-size aggregate cross-broadcasts into the

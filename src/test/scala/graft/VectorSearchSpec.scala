@@ -96,6 +96,37 @@ class VectorSearchSpec extends SparkTestBase {
     assert(df.filter(col("norm") <= 0).count() === 0)
   }
 
+  test("searchRerank: candidates come from the IVF probe, blend is exact micro-units") {
+    val rows = VectorSearch.searchRerank(t).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length && !ids.contains(0L))
+    // stage-1 containment: every reranked hit is an IVF candidate
+    val cand = graft.operators.EmbeddingStore
+      .searchIvf(spark, graft.operators.EmbeddingStore.ensureIndex(t), 0L, 50, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(cand))
+    // ordered by the blended micro-unit score, which is at least the
+    // cosine part (lexical >= 0) and exactly score_mu + lex_mu
+    val mus = rows.map(_.getLong(3))
+    assert(mus.zip(mus.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (score, lex, mu) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(mu >= math.round(score * 1e6))
+      assert(lex >= 0.0 && lex <= 1.0)
+      assert(math.abs(mu - (math.round(score * 1e6) + math.round(lex * 1e6))) <= 1)
+    }
+    // pin the lexical rule itself: recompute the top hit's Jaccard
+    // from the raw texts with an independent tokenization
+    def wordsOf(id: Long): Set[String] = t.documents
+      .filter(col("doc_id") === id).select("text").first().getString(0)
+      .toLowerCase.replaceAll("^ +| +$", "").split("\\s+", -1).toSet
+    val wq = wordsOf(0L)
+    val w1 = wordsOf(rows.head.getLong(0))
+    val expected = (w1 & wq).size.toDouble / (w1 | wq).size.toDouble
+    assert(math.abs(rows.head.getDouble(2) - expected) < 1e-6)
+  }
+
   test("plan: brute-force scoring stays in whole-stage codegen, queries broadcast") {
     val df = VectorSearch.searchBruteforce(t)
     df.collect() // materialize so AQE finalizes the plan (codegen spans visible)
