@@ -95,6 +95,10 @@ object SparkEntry {
     // F15: CCNet/Gopher-style LM-perplexity quality score — mean
     // smoothed bigram log-prob per doc, micro-unit-exact
     "q_lm_score"      -> q(TextAnalysis.lmScore),
+    // F16: the per-source data card — docs, tokens, mean quality
+    // (micro-unit-exact), exact-dup rate, language mix, one row per
+    // source
+    "q_source_profile" -> q(TextAnalysis.sourceProfile),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1130,6 +1134,60 @@ object SparkEntry {
         |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+    // F16: one doc-level CTE reusing the F2 quality formula (rounded
+    // to 6dp, then integer micro-units — NULLs for empty text drop
+    // from SUM and COUNT on both engines), F1's CASE-chain language
+    // pred, and E1's normalized-text md5; dup = corpus-wide hash
+    // group > 1; majority language ties to the lexicographically
+    // first (ROW_NUMBER cnt DESC, lang == the engine's min-struct).
+    "q_source_profile" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('el','la','de','y','en'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, toks, h,
+        |    CAST(ROUND(ROUND(0.4*least(1.0, CAST(toks AS DOUBLE)/50.0)
+        |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars AS DOUBLE), 0.0))
+        |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(toks AS DOUBLE), 0.0)*5.0), 6)
+        |      * 1000000) AS BIGINT) AS q_mu,
+        |    CASE WHEN n_stop = greatest(n_stop,c_es,c_de,c_fr) THEN 'en'
+        |         WHEN c_es = greatest(n_stop,c_es,c_de,c_fr) THEN 'es'
+        |         WHEN c_de = greatest(n_stop,c_es,c_de,c_fr) THEN 'de'
+        |         ELSE 'fr' END AS lang
+        |  FROM b),
+        |c AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS nh FROM d),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(q_mu) AS BIGINT) AS q_sum,
+        |    COUNT(q_mu) AS q_n,
+        |    CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |  FROM c GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS cnt FROM d GROUP BY source, lang),
+        |nl AS (SELECT source, COUNT(*) AS n_langs FROM lc GROUP BY source),
+        |lp AS (
+        |  SELECT source, lang AS top_lang FROM lc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, lang) = 1)
+        |SELECT b2.source, b2.n_docs, b2.n_tokens,
+        |  ROUND(CAST(b2.n_tokens AS DOUBLE)/CAST(b2.n_docs AS DOUBLE), 6) AS mean_tokens,
+        |  ROUND(CAST(b2.q_sum AS DOUBLE)/CAST(b2.q_n AS DOUBLE)/1000000.0, 6) AS mean_quality,
+        |  b2.dup_docs,
+        |  ROUND(CAST(b2.dup_docs AS DOUBLE)/CAST(b2.n_docs AS DOUBLE), 6) AS dup_rate,
+        |  nl.n_langs, lp.top_lang
+        |FROM base b2 JOIN nl ON b2.source = nl.source JOIN lp ON b2.source = lp.source
+        |ORDER BY b2.source""".stripMargin,
     // F14: replays the F2 quality formula and F3's regex lexer, then
     // the running token sum in (quality desc, doc_id) order as one
     // window cumsum — semantically identical to the engine's

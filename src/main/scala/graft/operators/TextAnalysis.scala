@@ -40,19 +40,28 @@ object TextAnalysis {
     val counts = stopwords.map { case (lang, stops) =>
       lang -> stopwordCount(ws, stops)
     }
-    val best = greatest(counts.map(_._2): _*)
-    // first language in declaration order attaining the max — the
-    // oracle's CASE chain mirrors this exactly
-    val pred = counts.init.foldRight(lit(counts.last._1)) {
-      case ((lang, cnt), els) => when(cnt === best, lang).otherwise(els)
-    }
     t.documents.select(
       col("doc_id"),
       counts.head._2.as("c_en"),
       counts(1)._2.as("c_es"),
       counts(2)._2.as("c_de"),
       counts(3)._2.as("c_fr"),
-      pred.as("lang_pred"))
+      langPredExpr.as("lang_pred"))
+  }
+
+  /** F1's predicted-language column over `text` — first language in
+    * declaration order attaining the max profile count (the oracle's
+    * CASE chain mirrors this exactly). Shared by [[langId]] and the
+    * per-source profile so the two can never drift. */
+  private def langPredExpr: org.apache.spark.sql.Column = {
+    val ws = words(col("text"))
+    val counts = stopwords.map { case (lang, stops) =>
+      lang -> stopwordCount(ws, stops)
+    }
+    val best = greatest(counts.map(_._2): _*)
+    counts.init.foldRight(lit(counts.last._1): org.apache.spark.sql.Column) {
+      case ((lang, cnt), els) => when(cnt === best, lang).otherwise(els)
+    }
   }
 
   /** The F2 composite quality over a `text` column, rounded to 6 dp —
@@ -615,5 +624,58 @@ object TextAnalysis {
           lit(1e6), 6).as("mean_logp"))
       .withColumn("kept", col("mean_logp") >= lmScoreThreshold)
       .orderBy(col("doc_id"))
+  }
+
+  /** F16 — `q_source_profile`: the per-source DATA CARD — the audit
+    * table a training pipeline publishes per corpus slice (docs,
+    * token volume, mean quality, exact-duplicate rate, language mix)
+    * before anything trains on it. Every column reuses the family's
+    * ONE rule: tokens = F3's whitespace count, quality = F2's
+    * [[qualityExpr]] (summed in integer micro-units so the mean is an
+    * exact integer sum — empty-text NULLs drop from both sum and
+    * count), duplicates = E1's normalized-text md5 (a doc is a dup if
+    * its hash group has > 1 member CORPUS-wide, so a copy spanning
+    * two sources counts in both), language = F1's [[langPredExpr]]
+    * (per-source majority, ties to the lexicographically first).
+    *
+    * Scale shape: ONE corpus scan builds the checkpointed doc-level
+    * frame (one narrow row per doc); the dup window shuffles it by
+    * text hash, the profile agg by source, the language leg by
+    * (source, lang) — all partial-agg-combined, nothing pairwise,
+    * output one row per source. */
+  def sourceProfile(t: Tables): DataFrame = {
+    val docLevel = t.documents.select(
+      col("source"),
+      size(words(col("text"))).cast(LongType).as("toks"),
+      round(qualityExpr * 1e6, 0).cast(LongType).as("q_mu"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+      langPredExpr.as("lang"))
+      .localCheckpoint() // feeds the dup-window and the language legs
+    val withDup = docLevel.withColumn("is_dup",
+      when(count(lit(1)).over(Window.partitionBy(col("h"))) > 1, 1L)
+        .otherwise(0L))
+    val base = withDup.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("q_mu")).as("q_sum"),
+      count(col("q_mu")).as("q_n"),
+      sum(col("is_dup")).as("dup_docs"))
+    val langLeg = docLevel.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("cnt")).as("nc"), col("lang").as("lg"))).as("m"))
+      .select(col("source"), col("n_langs"), col("m.lg").as("top_lang"))
+    base.join(langLeg, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_tokens"),
+        round(col("q_sum").cast("double") / col("q_n").cast("double") /
+          lit(1e6), 6).as("mean_quality"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("n_langs"), col("top_lang"))
+      .orderBy(col("source"))
   }
 }

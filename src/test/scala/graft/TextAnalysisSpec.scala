@@ -342,4 +342,36 @@ class TextAnalysisSpec extends SparkTestBase {
     val med = rows.map(_.getDouble(2)).sorted.apply(rows.length / 2)
     assert(rows.map(_.getDouble(2)).max > med)
   }
+
+  test("sourceProfile: dup rate counts corpus-wide hash groups, language majority holds") {
+    import spark.implicits._
+    val en = "the cat sat of the mat and went to town a lot"
+    val es = "el gato y la casa de madrid en verano"
+    val docs = Seq(
+      (0L, "alpha", en),                   // dup of doc 3 (cross-source)
+      (1L, "alpha", s"$en extra words"),
+      (2L, "alpha", es),                   // minority language in alpha
+      (3L, "beta", en),                    // dup of doc 0
+      (4L, "beta", es),
+      (5L, "beta", es.toUpperCase)         // dup of doc 4 (E1 normalizes case)
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.sourceProfile(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("alpha", "beta"))
+    val (a, b) = (got("alpha"), got("beta"))
+    assert(a.getLong(1) === 3L && b.getLong(1) === 3L)            // n_docs
+    // dup groups are CORPUS-wide: group {0,3} spans alpha/beta, and
+    // group {2,4,5} (the es text, once per source plus beta's
+    // case-variant — E1 normalizes case) spans both too, so alpha
+    // counts docs 0 and 2, beta counts 3, 4 and 5
+    assert(a.getLong(5) === 2L, "alpha dup_docs")
+    assert(b.getLong(5) === 3L, "beta dup_docs")
+    // language mix: alpha = 2 en + 1 es, beta = 1 en + 2 es
+    assert(a.getLong(7) === 2L && a.getString(8) === "en")
+    assert(b.getLong(7) === 2L && b.getString(8) === "es")
+    // mean tokens is the exact ratio
+    assert(a.getDouble(3) === math.rint((12L + 14L + 9L) * 1e6 / 3.0) / 1e6)
+  }
 }
