@@ -242,4 +242,64 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(occ(recovered) === occ(reference),
       "emission multiplicities diverge from the uninterrupted run")
   }
+
+  test("vector ingest: streamed appends equal one-shot batch append; resume appends nothing") {
+    import graft.operators.EmbeddingStore
+    import graft.streaming.StreamingVectorIngest
+    val t = graft.sources.Tables(spark, sfDir)
+    val vectors = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val split = vectors.agg(max(col("doc_id"))).first().getLong(0) / 2
+
+    val idxStream = Files.createTempDirectory("graft-vi-idx").toFile
+    val idxBatch = Files.createTempDirectory("graft-vi-idxb").toFile
+    val in = Files.createTempDirectory("graft-vi-in").toFile
+    val ckpt = Files.createTempDirectory("graft-vi-ckpt").toFile
+    Seq(idxStream, idxBatch, in, ckpt).foreach(_.deleteOnExit())
+    // identical half-corpus base on both sides
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= split), idxStream.getAbsolutePath)
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= split), idxBatch.getAbsolutePath)
+
+    // the delta lands as three separate files — three micro-batches
+    // under maxFilesPerTrigger = 1
+    val delta = vectors.filter(col("doc_id") > split)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    delta.grouped((delta.length + 2) / 3).foreach { slice =>
+      slice.toSeq.toDF("doc_id", "embedding")
+        .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+    }
+
+    StreamingVectorIngest.run(spark, in.getAbsolutePath,
+      idxStream.getAbsolutePath, ckpt.getAbsolutePath,
+      availableNow = true, maxFilesPerTrigger = Some(1)).awaitTermination()
+    EmbeddingStore.appendToIvfIndex(spark, idxBatch.getAbsolutePath,
+      vectors.filter(col("doc_id") > split))
+
+    // assignment uses the persisted centroids and PQ the persisted
+    // codebooks, both fixed — so three micro-batch appends must land
+    // byte-identical facts to the one-shot append
+    def cells(d: File) = spark.read.parquet(s"${d.getAbsolutePath}/cells")
+      .select("doc_id", "cell", "gen").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def codes(d: File) = spark.read.parquet(s"${d.getAbsolutePath}/pq_codes")
+      .select("doc_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(cells(idxStream) === cells(idxBatch))
+    assert(codes(idxStream) === codes(idxBatch))
+
+    // resume over the same checkpoint: the file source remembers the
+    // processed files and the batchId guard skips replays — nothing
+    // double-appends
+    val before = spark.read.parquet(s"${idxStream.getAbsolutePath}/cells").count()
+    StreamingVectorIngest.run(spark, in.getAbsolutePath,
+      idxStream.getAbsolutePath, ckpt.getAbsolutePath,
+      availableNow = true, maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(spark.read.parquet(s"${idxStream.getAbsolutePath}/cells").count() === before)
+    // and every vector appears exactly once
+    val perDoc = spark.read.parquet(s"${idxStream.getAbsolutePath}/cells")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(perDoc === 0L, "a doc_id was appended more than once")
+  }
 }
