@@ -99,6 +99,9 @@ object SparkEntry {
     // (micro-unit-exact), exact-dup rate, language mix, one row per
     // source
     "q_source_profile" -> q(TextAnalysis.sourceProfile),
+    // F17: the published Gopher per-document quality gates — zero
+    // shuffle, complementary to F2's ranking score
+    "q_gopher_rules"   -> q(TextAnalysis.gopherRules),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1133,6 +1136,43 @@ object SparkEntry {
         |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars_m AS DOUBLE), 0.0))
         |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
         |FROM b
+        |ORDER BY doc_id""".stripMargin,
+    // F17: per-row mirror of the Gopher gates; `kept` compares the
+    // UNROUNDED exact-integer ratios like the engine (display columns
+    // round to 6dp); Spark's regex split and DuckDB's string_split
+    // both keep trailing empty lines, so the line stats agree.
+    "q_gopher_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS charsw,
+        |    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS symbols
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(charsw AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS mean_wlen,
+        |    CAST(symbols AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•\-\*]'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS BIGINT) AS n_stop_kinds
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  ROUND(mean_wlen, 6) AS mean_wlen,
+        |  ROUND(symbol_ratio, 6) AS symbol_ratio,
+        |  ROUND(bullet_ratio, 6) AS bullet_ratio,
+        |  ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+        |  n_stop_kinds,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+        |   AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2) AS kept
+        |FROM d
         |ORDER BY doc_id""".stripMargin,
     // F16: one doc-level CTE reusing the F2 quality formula (rounded
     // to 6dp, then integer micro-units — NULLs for empty text drop

@@ -626,6 +626,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F17 — `q_gopher_rules`: the published Gopher document-quality
+    * rule set (Rae et al. 2021, *Scaling Language Models* §A1.1 —
+    * carried into MassiveText/Dolma-style pipelines), complementary
+    * to F2's composite score: F2 RANKS, this GATES on the classic
+    * per-document heuristics —
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio (# and …) ≤ 0.1
+    *  - < 90% of lines start with a bullet (•, -, *)
+    *  - < 30% of lines end with an ellipsis (… or ...)
+    *  - ≥ 80% of words contain an (ASCII) letter
+    *  - ≥ 2 DISTINCT stopwords present (the family's en list)
+    *
+    * Pure per-row projection — zero shuffle at any corpus size (the
+    * final sort is presentation). `kept` gates on the UNROUNDED
+    * exact-integer ratios; the 6dp-rounded display columns and every
+    * threshold comparison replay identically in the oracle. Mean
+    * word length divides the normalized text's non-space char count
+    * by the word count (no per-word HOF pass); line stats split on
+    * '\n' with trailing-empty parity between Spark's regex split and
+    * DuckDB's string_split. */
+  def gopherRules(t: Tables): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val meanWlen =
+      length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+        .cast("double") / nWords.cast("double")
+    val symbolRatio =
+      (length(col("text")) - length(regexp_replace(col("text"), "[#…]", "")))
+        .cast("double") / nWords.cast("double")
+    val lines = split(col("text"), "\n")
+    val bulletRatio = size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]")))
+      .cast("double") / size(lines).cast("double")
+    val ellipsisRatio = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / size(lines).cast("double")
+    val alphaRatio = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val nStopKinds =
+      size(array_intersect(ws, lit(stopwords.head._2.toArray))).cast(LongType)
+    t.documents.select(
+      col("doc_id"), nWords.as("n_words"),
+      round(meanWlen, 6).as("mean_wlen"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      nStopKinds.as("n_stop_kinds"),
+      (nWords.between(50, 100000) && meanWlen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
+        alphaRatio >= 0.8 && nStopKinds >= 2).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F16 — `q_source_profile`: the per-source DATA CARD — the audit
     * table a training pipeline publishes per corpus slice (docs,
     * token volume, mean quality, exact-duplicate rate, language mix)

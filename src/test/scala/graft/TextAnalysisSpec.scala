@@ -374,4 +374,33 @@ class TextAnalysisSpec extends SparkTestBase {
     // mean tokens is the exact ratio
     assert(a.getDouble(3) === math.rint((12L + 14L + 9L) * 1e6 / 3.0) / 1e6)
   }
+
+  test("gopherRules: each gate trips on its own pathology, clean prose passes") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps over a lazy dog and runs to " * 5).trim
+    val docs = Seq(
+      (0L, "s", prose),                                    // clean: kept
+      (1L, "s", "the a of and to"),                        // too short
+      (2L, "s", prose + " " + "#" * 60),                   // symbol flood
+      (3L, "s", (1 to 12).map(i => s"- the bullet item of and $i row here").mkString("\n")), // all-bullet lines
+      (4L, "s", (1 to 12).map(i => s"the line of and $i trails off...").mkString("\n")),     // all-ellipsis lines
+      (5L, "s", prose + " " + (1 to 30).map(_.toString * 2).mkString(" ")), // digit-only words
+      (6L, "s", ("zzz " * 60).trim)                        // no stopwords
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.gopherRules(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getBoolean(8), "clean prose must pass")
+    assert(!got(1L).getBoolean(8), "word-count floor")
+    assert(!got(2L).getBoolean(8) && got(2L).getDouble(3) > 0.1, "symbol ratio")
+    assert(!got(3L).getBoolean(8) && got(3L).getDouble(4) >= 0.9, "bullet lines")
+    assert(!got(4L).getBoolean(8) && got(4L).getDouble(5) >= 0.3, "ellipsis lines")
+    assert(!got(5L).getBoolean(8) && got(5L).getDouble(6) < 0.8, "alpha-word floor")
+    assert(!got(6L).getBoolean(8) && got(6L).getLong(7) < 2L, "stopword floor")
+    // mean word length of the clean doc is the exact char/word ratio
+    val words0 = prose.split(" ")
+    val exp = words0.map(_.length).sum.toDouble / words0.length
+    assert(math.abs(got(0L).getDouble(2) - exp) < 1e-6)
+  }
 }
