@@ -100,7 +100,7 @@ object GraftFunctions {
 object GraftTableFunctions {
 
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{Clusters, Dedup, EventOps, Multimodal, TextAnalysis}
+  import graft.operators.{Clusters, Dedup, EventOps, Multimodal, TextAnalysis, VectorSearch}
   import graft.sources.Tables
 
   /** Evaluate a foldable string argument (the data dir) at analysis
@@ -158,7 +158,13 @@ object GraftTableFunctions {
     tvf("graft_media_resize")(Multimodal.mediaResize),
     // the packing and mixture audits
     tvf("graft_pack_sequences")(TextAnalysis.packSequences),
-    tvf("graft_mix_temperature")(TextAnalysis.mixTemperature))
+    tvf("graft_mix_temperature")(TextAnalysis.mixTemperature),
+    // round 11: span dedup, the two-stage rerank, the data card and
+    // the Gopher gates — the full pipeline surface stays SQL-reachable
+    tvf("graft_dedup_spans")(Dedup.dedupSpans),
+    tvf("graft_search_rerank")(VectorSearch.searchRerank),
+    tvf("graft_source_profile")(TextAnalysis.sourceProfile),
+    tvf("graft_gopher_rules")(TextAnalysis.gopherRules))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -160,4 +160,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getString(5) === "group")
     assert(r.getString(6) === "private")
   }
+
+  test("round-11 table functions match the DSL") {
+    GraftTableFunctions.register(spark)
+    val t = Tables(spark, sfDir)
+    assert(spark.sql(s"SELECT count(*) FROM graft_dedup_spans('$sfDir')")
+      .first().getLong(0) === graft.operators.Dedup.dedupSpans(t).count())
+    assert(spark.sql(s"SELECT count(*) FROM graft_source_profile('$sfDir')")
+      .first().getLong(0) === graft.operators.TextAnalysis.sourceProfile(t).count())
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_gopher_rules('$sfDir') WHERE kept")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.gopherRules(t)
+        .filter(org.apache.spark.sql.functions.col("kept")).count())
+    assert(spark.sql(s"SELECT count(*) FROM graft_search_rerank('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.VectorSearch.searchRerank(t).count())
+  }
 }
