@@ -84,10 +84,21 @@ object AdvanceDay {
     val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
     val vecSplit = maxVec / 2
 
-    // --- today: the four-stage advance
-    Dedup.advanceDedupState(t.documents, statePath)
-    EmbeddingStore.appendToIvfIndex(spark, indexPath,
-      vectors.filter(col("doc_id") > vecSplit))
+    // --- today: the four-stage advance. The dedup-state advance and
+    // the vector append touch DISJOINT stores and share no inputs —
+    // submit them as concurrent Spark job groups (the scheduler
+    // interleaves their stages across the same executors), so the
+    // episode's wall is max(advance, append), not the sum; the
+    // drift-gated rebuild then needs the append's gen-1 rows and
+    // stays sequential.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val advanceF = Future(Dedup.advanceDedupState(t.documents, statePath))
+    val appendF = Future(EmbeddingStore.appendToIvfIndex(spark, indexPath,
+      vectors.filter(col("doc_id") > vecSplit)))
+    Await.result(advanceF, Duration.Inf)
+    Await.result(appendF, Duration.Inf)
     val rebuildRan =
       EmbeddingStore.rebuildIfDrifted(spark, indexPath, driftThreshold)
 
