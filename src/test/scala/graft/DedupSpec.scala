@@ -292,4 +292,54 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) === ((33L, 33L, md5Of("")))) // every gram repeats doc 0
     assert(got(4L) === ((27L, 13L, md5Of(s"$t13 x")))) // 2nd T cut, 1st kept
   }
+
+  test("dedupSpans matches an independent brute-force on a random low-entropy corpus") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // tiny vocabulary → 13-grams collide by chance, overlapping and
+    // nested repeats arise naturally rather than by construction
+    val rnd = new scala.util.Random(421)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val base = (0 until 30).map { id =>
+      val len = 13 + rnd.nextInt(28)
+      (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plus exact copies and a spliced half-copy for guaranteed mass
+    val docs = base ++ Seq(
+      (100L, base(3)._2),
+      (101L, base(7)._2 + " " + base(3)._2))
+
+    val n = graft.operators.Dedup.spanGramLen
+    def toks(t: String) = t.toLowerCase
+      .replaceAll("^ +| +$", "").split("\\s+", -1).toSeq
+    val occs = for {
+      (id, text) <- docs
+      ws = toks(text)
+      i <- 0 to ws.length - n
+    } yield (id, i, ws.slice(i, i + n).mkString(" "))
+    val firstOf = occs.groupBy(_._3)
+      .map { case (g, os) => g -> os.map(o => (o._1, o._2)).min }
+    val dupStarts = occs.filter(o => firstOf(o._3) != ((o._1, o._2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = toks(text)
+      val starts = dupStarts.getOrElse(id, Set.empty[Int])
+      val covered = ws.indices.map(p => starts.exists(s => s <= p && p < s + n))
+      val nRem = covered.count(identity)
+      if (nRem == 0) None
+      else Some(id -> ((ws.length.toLong, nRem.toLong,
+        md5Of(ws.indices.filterNot(covered).map(ws).mkString(" ")))))
+    }.toMap
+    assert(expected.nonEmpty, "random corpus produced no repeats — regenerate")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-rand").toFile
+    docs.map { case (id, tx) => (id, "s", tx) }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = Dedup.dedupSpans(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expected)
+  }
 }
