@@ -56,6 +56,9 @@ object SparkEntry {
     // lexical Jaccard against the query text, blended in integer
     // micro-units
     "q_search_rerank"     -> q(VectorSearch.searchRerank),
+    // D15: the corpus-wide approximate k-NN graph, cell-blocked so
+    // candidates are ~n·τ rows at any scale
+    "q_knn_graph"         -> q(VectorSearch.knnGraph),
     // D9: index-health stats over the same persisted index (cell
     // skew, appended fraction, mean intra-cell cosine)
     "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
@@ -1613,6 +1616,28 @@ object SparkEntry {
         |FROM s
         |WHERE ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) >= 0.35
         |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
+    // D15: E5's within-cell pair scaffold, but DIRECTED (both
+    // orientations) and top-3 per vector instead of thresholded
+    // canonical pairs.
+    "q_knn_graph" ->
+      s"""$ivfAssignCte,
+        |s AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
+        |  FROM ev a
+        |  JOIN asg ax ON a.vec_id = ax.vec_id
+        |  JOIN asg bx ON bx.cell = ax.cell AND bx.vec_id <> a.vec_id
+        |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
+        |  GROUP BY a.vec_id, b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id,
+        |    ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score
+        |FROM r WHERE rnk <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
     // D7: replays the E5 assignment scaffold verbatim (same seeded
     // two-level quantizer), then the BOUNDED query sample (the
     // recallQueryCount lowest ids matching the rule — same

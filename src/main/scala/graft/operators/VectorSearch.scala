@@ -146,6 +146,47 @@ object VectorSearch {
       .limit(10)
   }
 
+  /** D15 — `q_knn_graph`: the corpus-wide approximate k-NN GRAPH —
+    * every vector's top-3 same-cell neighbors, the building block
+    * for graph-based near-dup clustering, diversity sampling and
+    * corpus maps (D3 answers "neighbors of these 5 queries"; this
+    * materializes the whole directed neighbor relation). Blocking =
+    * the SHARED seeded IVF assignment (E5's rule, oracle-replayed),
+    * so candidate pairs form only within cells: per-vector candidate
+    * count is bounded by the cell size, which the corpus-scaled
+    * `numCellsFor` n/τ rule keeps near τ — total join output is
+    * Σ cell², i.e. ≈ n·τ rows at ANY corpus size, never n². The
+    * per-vector top-3 is one row_number window over those bounded
+    * candidates. Directed on purpose (both orientations emitted —
+    * k-NN graphs are asymmetric); a vector alone in its cell has no
+    * neighbors and is absent. */
+  def knnGraph(t: Tables): DataFrame = {
+    val k = 3
+    val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val cent = EmbeddingStore.seedCentroids(emb)
+    // eager checkpoint: the self-join reads the assignment twice
+    val assigned = EmbeddingStore.assignCells(emb, cent)
+      .select(col("doc_id").as("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    // shuffle_hash for the E5 reason: both sides read the
+    // checkpointed assignment (no ordering to exploit) and rows
+    // carry the dense vectors — an SMJ would sort the fattest rows
+    // twice
+    val scored = assigned.as("a").hint("shuffle_hash")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors
     * per query. Queries broadcast, so the corpus never shuffles to
     * score. Per-query top-k runs in two stages so parallelism is

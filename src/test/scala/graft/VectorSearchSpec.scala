@@ -127,6 +127,47 @@ class VectorSearchSpec extends SparkTestBase {
     assert(math.abs(rows.head.getDouble(2) - expected) < 1e-6)
   }
 
+  test("knnGraph: ranked same-cell neighbors, brute-force agreement per cell") {
+    val rows = VectorSearch.knnGraph(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-vector: ranks contiguous from 1, scores non-increasing
+    rows.groupBy(_._1).foreach { case (v, ns) =>
+      val sorted = ns.sortBy(_._3)
+      assert(sorted.map(_._3) === (1L to sorted.length).toSeq, s"ranks of $v")
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"scores of $v")
+      assert(!ns.exists(_._2 == v), s"$v is its own neighbor")
+    }
+    // brute-force agreement: recompute the full graph from the same
+    // assignment with independent JVM math
+    val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    val assigned = graft.operators.EmbeddingStore
+      .assignCells(emb, graft.operators.EmbeddingStore.seedCentroids(emb))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = assigned.toSeq.groupBy(_._3).values.toSeq.flatMap { cell =>
+      cell.flatMap { case (v, va, _) =>
+        cell.filter(_._1 != v)
+          .map { case (n, nb, _) => (v, n, cos(va, nb)) }
+          .sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+          .map { case ((_, n, s), i) => (v, n, (i + 1).toLong, s) }
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+  }
+
   test("plan: brute-force scoring stays in whole-stage codegen, queries broadcast") {
     val df = VectorSearch.searchBruteforce(t)
     df.collect() // materialize so AQE finalizes the plan (codegen spans visible)
