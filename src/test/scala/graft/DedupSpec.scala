@@ -342,4 +342,29 @@ class DedupSpec extends SparkTestBase {
       .toMap
     assert(got === expected)
   }
+
+  test("sourceOverlap: exact pairwise shingle Jaccard, upper triangle only, " +
+    "non-intersecting pairs absent, within-source dups collapse") {
+    import spark.implicits._
+    // s1: shingles {a b c, b c d}; s2 shares {b c d} plus its own
+    // {c d e}; s3 is disjoint; s1's duplicate doc adds NO new shingles
+    val docs = Seq(
+      (0L, "s1", "a b c d"),        // shingles: "a b c", "b c d"
+      (1L, "s1", "a b c d"),        // duplicate — distinct set unchanged
+      (2L, "s2", "b c d e"),        // shingles: "b c d", "c d e"
+      (3L, "s3", "x y z w")         // disjoint: "x y z", "y z w"
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcoverlap").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = Dedup.sourceOverlap(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // ONLY the intersecting (s1, s2) pair emits; |G1|=2, |G2|=2,
+    // common=1, union=3 → jaccard 1/3
+    assert(got.keySet === Set(("s1", "s2")))
+    val (n1, n2, common, j) = got(("s1", "s2"))
+    assert((n1, n2, common) === ((2L, 2L, 1L)))
+    assert(math.abs(j - 0.333333) < 1e-9)
+  }
 }

@@ -49,7 +49,13 @@ class PlanShapeSpec extends SparkTestBase {
     // the 384-dim search broadcasts the 1-row raw query vector
     "q_search_dim384",
     // D7's evaluator shape at 384 dims — same tiny broadcast sides
-    "q_ivf_recall_dim384")
+    "q_ivf_recall_dim384",
+    // the 1-row feature-total aggregate cross-broadcasts into the
+    // ≤256-row bucket model, same shape as q_tfidf's size attach
+    "q_dsir_weights",
+    // the 1-row corpus-size aggregate cross-broadcasts into the
+    // per-ngram doc-frequency rows
+    "q_ngram_topk")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

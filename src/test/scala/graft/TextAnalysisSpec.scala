@@ -403,4 +403,82 @@ class TextAnalysisSpec extends SparkTestBase {
     val exp = words0.map(_.length).sum.toDouble / words0.length
     assert(math.abs(got(0L).getDouble(2) - exp) < 1e-6)
   }
+
+  test("dsirWeights: reconciles against an independent plain-Scala model " +
+    "on a random corpus; target-vocab docs score above off-target docs") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // two overlapping vocabularies: target docs draw mostly from A,
+    // raw-only docs mostly from B (deterministic LCG, no RNG state)
+    val vocabA = (1 to 30).map(i => s"alpha$i")
+    val vocabB = (1 to 30).map(i => s"beta$i")
+    var seed = 12345L
+    def nxt(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % m).toInt + m) % m }
+    val docs = (0L until 40L).map { id =>
+      val en = id % 2 == 0
+      val main = if (en) vocabA else vocabB
+      val other = if (en) vocabB else vocabA
+      val ws = (1 to 25).map(_ => if (nxt(10) < 8) main(nxt(30)) else other(nxt(30)))
+      (id, if (en) "en" else "de", "s", ws.mkString(" "))
+    }
+    // independent model: same definitions, plain collections
+    val feats = docs.map { case (id, lang, _, text) =>
+      val ws = text.toLowerCase.trim.split("\\s+").toSeq
+      val fs = ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      (id, lang == "en", fs.map(f => md5Of("dsir:" + f).substring(0, 2)))
+    }
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    feats.foreach { case (_, it, bs) =>
+      bs.foreach { b => if (it) ct(b) += 1; cr(b) += 1 }
+    }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    val lam = cr.keys.map(b => b -> math.round(
+      (math.log((ct(b) + 1).toDouble / (nt + 256).toDouble) -
+        math.log((cr(b) + 1).toDouble / (nr + 256).toDouble)) * 1e6)).toMap
+    val expected = feats.map { case (id, _, bs) =>
+      val ms = bs.map(lam).sum
+      val w = BigDecimal(ms.toDouble / bs.length.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((bs.length.toLong, w, w >= 0.0))
+    }.toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toFile
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.dsirWeights(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got === expected)
+    // the model separates the slices: mean target weight > mean raw-only
+    val (tw, rw) = got.partition(_._1 % 2 == 0)
+    val mt = tw.values.map(_._2).sum / tw.size
+    val mr = rw.values.map(_._2).sum / rw.size
+    assert(mt > 0.0 && mr < 0.0, s"no separation: target mean $mt, raw-only mean $mr")
+  }
+
+  test("ngramTopk: doc frequency counts each doc once, tiebreak is (df desc, ngram asc)") {
+    import spark.implicits._
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (0L, "s", s"$boiler $boiler unique zero text"), // repeated shingle counts ONCE
+      (1L, "s", s"$boiler other words here"),
+      (2L, "s", s"$boiler and more body"),
+      (3L, "s", "zz yy xx ww"),
+      (4L, "s", "aa bb cc dd")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngramtopk").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.ngramTopk(Tables(spark, dir.getAbsolutePath)).collect()
+    assert(got.head.getString(0) === boiler && got.head.getLong(1) === 3L)
+    assert(math.abs(got.head.getDouble(2) - 0.6) < 1e-9)
+    // total order: df descending, ngram ascending within equal df
+    val rows = got.map(r => (r.getLong(1), r.getString(0)))
+    assert(rows.sameElements(rows.sortBy { case (df, ng) => (-df, ng) }))
+    // every df-1 shingle from the short docs is present (corpus has < 50 shingles)
+    assert(got.length === rows.toSet.size && got.forall(_.getLong(1) >= 1L))
+  }
 }
