@@ -31,6 +31,17 @@ import org.apache.spark.sql.SparkSession
   *     the box was busy.
   */
 object Bench {
+
+  /** The timing sink every bench tool shares: execute through the
+    * built-in `noop` datasource, NOT `count()` — count() lets
+    * Catalyst prune a pure-projection query body down to a parquet
+    * row count, so the per-row F/G-family rows would time the scan
+    * instead of the operator (discovered round 11; BENCH_BASELINE.md
+    * bars re-based). noop forces full evaluation of every output
+    * column with zero write cost. */
+  private[graft] def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -47,7 +58,7 @@ object Bench {
       classOf[com.sun.management.OperatingSystemMXBean])
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+      try consume(SparkEntry.queries(n)(spark, warmDir))
       catch { case _: Throwable => () }
     }
     // the bucketed layout is STORAGE — paid once at write/ETL time,
@@ -105,7 +116,7 @@ object Bench {
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          consume(SparkEntry.queries(name)(spark, sfDir))
           wall(name) = math.min(wall(name), (System.nanoTime() - t0) / 1e9)
           cpu(name) = math.min(cpu(name), (osBean.getProcessCpuTime - c0) / 1e9)
         } catch {

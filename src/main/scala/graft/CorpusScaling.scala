@@ -139,7 +139,7 @@ object CorpusScaling {
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
     // untimed warm-up at 1x absorbs codegen/classloading/Catalyst init
-    heavy.foreach(nm => SparkEntry.queries(nm)(spark, dirs(mults.min)).count())
+    heavy.foreach(nm => Bench.consume(SparkEntry.queries(nm)(spark, dirs(mults.min))))
 
     // wall minima per (mult, query), pass-major like graft.Bench so
     // one noisy window cannot poison all passes of a config; spill is
@@ -154,7 +154,7 @@ object CorpusScaling {
       for (m <- mults; nm <- heavy) {
         spill.reset()
         val t0 = System.nanoTime()
-        SparkEntry.queries(nm)(spark, dirs(m)).count()
+        Bench.consume(SparkEntry.queries(nm)(spark, dirs(m)))
         val sec = (System.nanoTime() - t0) / 1e9
         val (memB, diskB) = spill.settled()
         wall((m, nm)) = math.min(wall((m, nm)), sec)

@@ -164,7 +164,13 @@ object GraftTableFunctions {
     tvf("graft_dedup_spans")(Dedup.dedupSpans),
     tvf("graft_search_rerank")(VectorSearch.searchRerank),
     tvf("graft_source_profile")(TextAnalysis.sourceProfile),
-    tvf("graft_gopher_rules")(TextAnalysis.gopherRules))
+    tvf("graft_gopher_rules")(TextAnalysis.gopherRules),
+    // the hybrid retrieval stack and the selection/audit surfaces
+    tvf("graft_search_bm25")(VectorSearch.searchBm25),
+    tvf("graft_search_hybrid")(VectorSearch.searchHybrid),
+    tvf("graft_dsir_weights")(TextAnalysis.dsirWeights),
+    tvf("graft_ngram_topk")(TextAnalysis.ngramTopk),
+    tvf("graft_source_overlap")(Dedup.sourceOverlap))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

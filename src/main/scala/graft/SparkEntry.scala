@@ -59,6 +59,11 @@ object SparkEntry {
     // D15: the corpus-wide approximate k-NN graph, cell-blocked so
     // candidates are ~n·τ rows at any scale
     "q_knn_graph"         -> q(VectorSearch.knnGraph),
+    // D16: Okapi BM25 lexical retrieval — the term-index leg of a
+    // hybrid stack, micro-unit-exact contributions
+    "q_search_bm25"       -> q(VectorSearch.searchBm25),
+    // D17: reciprocal-rank-fusion of the cosine and BM25 top-50s
+    "q_search_hybrid"     -> q(VectorSearch.searchHybrid),
     // D9: index-health stats over the same persisted index (cell
     // skew, appended fraction, mean intra-cell cosine)
     "q_ivf_stats"         -> q(EmbeddingStore.indexStatsQuery),
@@ -1186,6 +1191,95 @@ object SparkEntry {
         |   AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2) AS kept
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+    // D16: the Okapi formula with every double chain in ONE fixed
+    // association on both engines (explicit parens around the norm
+    // factor — a*(b/c), never (a*b)/c); per-(doc,term) contribution
+    // quantized to micro before the per-doc sum (F15 technique).
+    "q_search_bm25" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |qt AS (SELECT DISTINCT unnest(ws) AS w FROM tk0 WHERE doc_id = 0),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM tk0 WHERE doc_id <> 0),
+        |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) AS toks FROM dlt),
+        |tfq AS (SELECT doc_id, w, COUNT(*) AS tf
+        |  FROM tok JOIN qt USING (w) GROUP BY 1, 2),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY 1),
+        |sc AS (
+        |  SELECT tfq.doc_id,
+        |    CAST(ROUND(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * ((CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / toks)))
+        |      * 1e6, 0) AS BIGINT) AS c_mu
+        |  FROM tfq
+        |  JOIN dfq USING (w)
+        |  JOIN dlt ON tfq.doc_id = dlt.doc_id, stats),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(c_mu) AS BIGINT) AS mu
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_terms, ROUND(CAST(mu AS DOUBLE) / 1e6, 6) AS score
+        |FROM d
+        |ORDER BY mu DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    // D17: both legs replayed with their own total orders, ranks
+    // via ROW_NUMBER subqueries (cast to BIGINT like the engine),
+    // rrf = the exact IEEE two-term sum, 6dp display round; fusion
+    // over the FULL OUTER of the two top-50s.
+    "q_search_hybrid" ->
+      s"""$embCte,
+         |semall AS (
+         |  SELECT vec_id AS doc_id,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS cs
+         |  FROM s),
+         |sem AS (SELECT doc_id, sem_rank FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+         |  FROM semall) WHERE sem_rank <= 50),
+         |tk0 AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |qt AS (SELECT DISTINCT unnest(ws) AS w FROM tk0 WHERE doc_id = 0),
+         |tokx AS (SELECT doc_id, unnest(ws) AS w FROM tk0 WHERE doc_id <> 0),
+         |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tokx GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(dl) AS DOUBLE) AS toks FROM dlt),
+         |tfq AS (SELECT doc_id, w, COUNT(*) AS tf
+         |  FROM tokx JOIN qt USING (w) GROUP BY 1, 2),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY 1),
+         |scx AS (
+         |  SELECT tfq.doc_id,
+         |    CAST(ROUND(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE)
+         |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / toks)))
+         |      * 1e6, 0) AS BIGINT) AS c_mu
+         |  FROM tfq
+         |  JOIN dfq USING (w)
+         |  JOIN dlt ON tfq.doc_id = dlt.doc_id, stats),
+         |lexall AS (
+         |  SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS mu
+         |  FROM scx GROUP BY 1),
+         |lex AS (SELECT doc_id, lex_rank FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY mu DESC, doc_id) AS lex_rank
+         |  FROM lexall) WHERE lex_rank <= 50),
+         |f AS (
+         |  SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+         |    sem_rank, lex_rank,
+         |    COALESCE(1.0 / (sem_rank + 60), 0.0)
+         |      + COALESCE(1.0 / (lex_rank + 60), 0.0) AS rrf
+         |  FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+         |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+         |  ROUND(rrf, 6) AS rrf
+         |FROM f
+         |ORDER BY f.rrf DESC, doc_id
+         |LIMIT 10""".stripMargin,
     // F18: unigram+bigram features hashed to 256 md5-prefix buckets
     // (the F5 bucket technique); per-bucket target/raw log-ratio
     // quantized to integer micro-units BEFORE the per-doc weighted

@@ -29,14 +29,14 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("WARN")
     val osBean = ManagementFactory.getPlatformMXBean(
       classOf[com.sun.management.OperatingSystemMXBean])
-    names.foreach(n => SparkEntry.queries(n)(spark, warmDir).count())
+    names.foreach(n => Bench.consume(SparkEntry.queries(n)(spark, warmDir)))
     val wall = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
     val cpu = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
     (0 until passes).foreach { _ =>
       names.foreach { name =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        Bench.consume(SparkEntry.queries(name)(spark, sfDir))
         wall(name) = math.min(wall(name), (System.nanoTime() - t0) / 1e9)
         cpu(name) = math.min(cpu(name), (osBean.getProcessCpuTime - c0) / 1e9)
       }

@@ -385,4 +385,122 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Okapi BM25 parameters (Robertson & Walker's classic values;
+    * idf is the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` variant, which
+    * keeps every term contribution positive). */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** Shared BM25 scorer: every non-query doc's Okapi BM25 score
+    * against the query doc's distinct terms, as integer micro-units
+    * (one row per scored doc, only docs matching ≥1 term).
+    *
+    * Per (doc, term): contrib = idf(term) · tf·(k1+1) / (tf +
+    * k1·(1−b+b·dl/avgdl)), quantized to micro BEFORE the per-doc sum
+    * (the F15 technique — the sum is exact integer math in any
+    * order, so DuckDB replays the score bit-for-bit; the doubles
+    * feeding the round are division/multiplication chains in ONE
+    * fixed association on both engines, ln-ulp drift absorbed by the
+    * micro round).
+    *
+    * Scale shape: ONE tokenize pass (checkpointed) feeds the
+    * doc-length agg and the query-term tf; the corpus-sized token
+    * stream is cut down FIRST by a broadcast join on the ≤|q|-term
+    * query list (never a vocabulary-wide df shuffle — df computes on
+    * the surviving query-term rows only, exactly). dl is the one
+    * unavoidable corpus agg (map-side combining by doc_id). At
+    * 100 TB a serving deployment would persist tf/df as an inverted
+    * index; this is the batch-analytics expression of the same
+    * plan. */
+  private def bm25Scored(t: Tables): DataFrame = {
+    val qTerms = t.documents.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(words(col("text")))).as("w"))
+    val tok = t.documents.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .localCheckpoint() // feeds the dl agg AND the query-term tf
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // feeds the corpus stats AND the scoring join
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("toks"))
+    val tfq = tok.join(broadcast(qTerms), Seq("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(bm25K1) *
+        (lit(1.0) - lit(bm25B) +
+          lit(bm25B) * col("dl") * col("n") / col("toks")))
+    tfq.join(broadcast(dfq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * norm * 1e6).cast(LongType).as("c_mu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_mu")).as("mu"))
+  }
+
+  /** D16 — `q_search_bm25`: Okapi BM25 full-text retrieval — the
+    * LEXICAL leg of a production search stack (the reference serves
+    * pure embedding search, engine.py:105; every deployed system
+    * pairs it with a term index for exact-word queries, which
+    * embeddings are notoriously weak at). Query = doc 0's distinct
+    * terms (the D14 convention), top-10 by score with id
+    * tie-breaks. */
+  def searchBm25(t: Tables): DataFrame =
+    bm25Scored(t)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("mu").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy(col("mu").desc, col("doc_id"))
+      .limit(10)
+
+  /** D17 — `q_search_hybrid`: reciprocal-rank-fusion hybrid
+    * retrieval (Cormack et al. 2009's RRF — the standard
+    * score-free way to merge a semantic and a lexical ranking,
+    * used by every hybrid search engine): fuse the cosine top-50
+    * (D1's scoring) with the BM25 top-50 (D16's scoring) by
+    * rrf = Σ 1/(60 + rank), rank ∈ each list the doc appears in.
+    *
+    * Determinism: both legs rank by the family's total order
+    * (score/mu desc, id asc); 1/(60+rank) is an exact IEEE division
+    * both engines reproduce bit-for-bit, and the two-term sum adds
+    * in one fixed order (semantic + lexical) before the 6dp display
+    * round.
+    *
+    * Scale shape: each leg is its own documented scale path ending
+    * in a 50-row TakeOrdered; ranking windows run over those 50-row
+    * frames (driver-sized, not corpus-sized), and the fusion is a
+    * 50×50 full outer join. The expensive part IS the legs; fusion
+    * is free. */
+  def searchHybrid(t: Tables): DataFrame = {
+    val sem = t.embeddings
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(queryVec(t)))
+      .select(col("vec_id").as("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(50)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sem_rank"))
+    val lex = bm25Scored(t)
+      .orderBy(col("mu").desc, col("doc_id"))
+      .limit(50)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("mu").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    sem.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("sem_rank"), col("lex_rank"),
+        (coalesce(lit(1.0) / (col("sem_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      // absent-from-a-list ranks surface as 0, not NULL — "not in
+      // that top-50" is a value, and the null-free columns compare
+      // exactly across engines
+      .select(col("doc_id"),
+        coalesce(col("sem_rank"), lit(0)).cast(LongType).as("sem_rank"),
+        coalesce(col("lex_rank"), lit(0)).cast(LongType).as("lex_rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 }

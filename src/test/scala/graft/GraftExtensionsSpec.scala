@@ -176,5 +176,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM graft_search_rerank('$sfDir')")
       .first().getLong(0) ===
       graft.operators.VectorSearch.searchRerank(t).count())
+    // hybrid stack + selection/audit surfaces (late round 11): a
+    // value-level probe each, not just counts
+    assert(spark.sql(
+      s"SELECT max(score) FROM graft_search_bm25('$sfDir')")
+      .first().getDouble(0) ===
+      graft.operators.VectorSearch.searchBm25(t)
+        .agg(org.apache.spark.sql.functions.max("score")).first().getDouble(0))
+    assert(spark.sql(s"SELECT count(*) FROM graft_search_hybrid('$sfDir')")
+      .first().getLong(0) === 10L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_dsir_weights('$sfDir') WHERE kept")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.dsirWeights(t)
+        .filter(org.apache.spark.sql.functions.col("kept")).count())
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_ngram_topk('$sfDir') WHERE df >= 2")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.ngramTopk(t)
+        .filter(org.apache.spark.sql.functions.col("df") >= 2).count())
+    assert(spark.sql(s"SELECT count(*) FROM graft_source_overlap('$sfDir')")
+      .first().getLong(0) === graft.operators.Dedup.sourceOverlap(t).count())
   }
 }

@@ -55,7 +55,13 @@ class PlanShapeSpec extends SparkTestBase {
     "q_dsir_weights",
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // per-ngram doc-frequency rows
-    "q_ngram_topk")
+    "q_ngram_topk",
+    // the 1-row (N, total-tokens) corpus stats cross-broadcast into
+    // the per-(doc, term) scoring rows, same shape as q_tfidf
+    "q_search_bm25",
+    // both legs' tiny sides: the 1-row query vector and the BM25
+    // corpus stats
+    "q_search_hybrid")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

@@ -182,4 +182,74 @@ class VectorSearchSpec extends SparkTestBase {
     // top-k must be TakeOrderedAndProject, not a global Sort+Exchange
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("searchBm25: reconciles against an independent plain-Scala Okapi " +
+    "model on a synthetic corpus") {
+    import spark.implicits._
+    val qterms = Seq("apple", "banana", "cherry", "date")
+    // 15 corpus docs with varying term overlap and lengths (so idf,
+    // tf saturation and length normalization all vary), deterministic
+    val docs = (0L, "s", qterms.mkString(" ")) +: (1L to 15L).map { id =>
+      val hits = qterms.take((id % 5).toInt) ++
+        Seq.fill((id % 3).toInt)("apple")
+      val filler = (1L to (id % 7) + 2).map(j => s"filler${id}_$j")
+      (id, "s", (hits ++ filler).mkString(" "))
+    }
+    // independent model, same definitions in plain Scala
+    val toks = docs.tail.map { case (id, _, tx) =>
+      id -> tx.toLowerCase.trim.split("\\s+").toSeq
+    }
+    val n = toks.size.toDouble
+    val allToks = toks.map(_._2.size.toLong).sum.toDouble
+    val dl = toks.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.filter(qterms.contains).groupBy(identity)
+        .map { case (w, g) => (id, w, g.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val perDoc = tf.groupBy(_._1).map { case (id, rows) =>
+      val mus = rows.map { case (_, w, f) =>
+        val idf = math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+        val norm = (f * 2.2) /
+          (f + 1.2 * (1.0 - 0.75 + 0.75 * dl(id) * n / allToks))
+        BigDecimal(idf * norm * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      id -> ((rows.size.toLong, mus.sum))
+    }
+    val expected = perDoc.toSeq
+      .sortBy { case (id, (_, mu)) => (-mu, id) }.take(10)
+      .map { case (id, (nt, mu)) =>
+        id -> ((nt, BigDecimal(mu.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toFile
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = VectorSearch.searchBm25(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("searchHybrid: rrf is the exact two-term formula of the emitted " +
+    "ranks, every hit comes from a leg, output sorted by fused score") {
+    val rows = VectorSearch.searchHybrid(t).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (sr, lr, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(sr > 0 || lr > 0, "a fused hit must appear in >=1 leg")
+      assert(sr >= 0 && sr <= 50 && lr >= 0 && lr <= 50)
+      val exp = (if (sr > 0) 1.0 / (sr + 60) else 0.0) +
+        (if (lr > 0) 1.0 / (lr + 60) else 0.0)
+      assert(math.abs(rrf - BigDecimal(exp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    val fused = rows.map(_.getDouble(3))
+    assert(fused.sameElements(fused.sortBy(-_)), "sorted by rrf desc")
+    // a doc leading BOTH legs must lead the fusion
+    val both = rows.filter(r => r.getLong(1) === 1L && r.getLong(2) === 1L)
+    if (both.nonEmpty) assert(both.head.getLong(0) === rows.head.getLong(0))
+  }
 }
