@@ -116,6 +116,9 @@ object SparkEntry {
     // F19: the corpus' most document-frequent 3-grams — the
     // boilerplate inspection table, deterministic tiebreaks
     "q_ngram_topk"     -> q(TextAnalysis.ngramTopk),
+    // F20: first BPE merge-pair statistics — pair counting over the
+    // vocabulary, never the token stream
+    "q_bpe_pairs"      -> q(TextAnalysis.bpePairs),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1342,6 +1345,27 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F20: word-frequency table first (GROUP BY w), then char pairs
+    // via 1-based substr over a stop-exclusive range — both engines
+    // substr by code point; totals weight by the word's corpus count.
+    "q_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |pairs AS (
+        |  SELECT w, c,
+        |    unnest(list_transform(range(1, length(w)),
+        |      i -> substr(w, i, 2))) AS pair
+        |  FROM wf WHERE length(w) >= 2),
+        |agg AS (
+        |  SELECT pair, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+        |    CAST(SUM(c) AS BIGINT) AS total
+        |  FROM pairs GROUP BY 1)
+        |SELECT pair, n_words, total
+        |FROM agg
+        |ORDER BY total DESC, pair
+        |LIMIT 20""".stripMargin,
     // E13: distinct (source, shingle) sets per the F4 rule; the pair
     // intersection self-joins on the shingle (upper triangle via
     // s1 < s2); Jaccard from exact integer counts, rounded at 6dp.

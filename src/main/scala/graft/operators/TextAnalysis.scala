@@ -839,4 +839,37 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("ngram"))
       .limit(50)
   }
+
+  /** F20 — `q_bpe_pairs`: the FIRST BPE merge-step statistics
+    * (Sennrich et al. 2016, *Neural Machine Translation of Rare
+    * Words with Subword Units*): the corpus' most frequent adjacent
+    * character pairs weighted by word frequency — the table a
+    * tokenizer-training run materializes before its first merge, and
+    * the health check (dominant pairs, coverage) a pipeline reads
+    * when deciding whether its tokenizer still fits a grown corpus.
+    *
+    * Scale shape — the exact reason BPE training is feasible at
+    * 100 TB: pair counting runs over the VOCABULARY (one row per
+    * distinct word with its corpus count, from a map-side-combining
+    * aggregate), never over the token stream; the pair explode and
+    * the top-20 TakeOrdered touch vocab-sized data only. Per-word
+    * multiplicities weight by the word's corpus count; a pair
+    * repeating INSIDE a word ("aaa" → "aa" twice) counts per
+    * occurrence, per the published algorithm. Deterministic total
+    * order (total DESC, pair ASC); code-point substr semantics match
+    * across engines (SURVEY §4). */
+  def bpePairs(t: Tables): DataFrame = {
+    val wordFreq = t.documents
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(length(col("w")) >= 2)
+    wordFreq
+      .select(col("w"), col("c"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("w")).as("n_words"), sum(col("c")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(20)
+  }
 }

@@ -481,4 +481,22 @@ class TextAnalysisSpec extends SparkTestBase {
     // every df-1 shingle from the short docs is present (corpus has < 50 shingles)
     assert(got.length === rows.toSet.size && got.forall(_.getLong(1) >= 1L))
   }
+
+  test("bpePairs: vocabulary-weighted pair counts, in-word repeats count " +
+    "per occurrence, single-char words drop, tiebreak is pair asc") {
+    import spark.implicits._
+    // freq: aaa=3, bb=2, cc=1, x=1 (filtered), aab=1, ab=1
+    val docs = Seq(
+      (0L, "s", "aaa bb"), (1L, "s", "aaa cc bb"),
+      (2L, "s", "x aaa"), (3L, "s", "aab ab")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.bpePairs(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "aaa" yields "aa" TWICE per occurrence (3 occurrences) + "aab"
+    // once; "ab"/"bb" tie on total=2 and order lexicographically
+    assert(got.toSeq === Seq(
+      ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
+  }
 }
