@@ -59,6 +59,9 @@ object SparkEntry {
     // D15: the corpus-wide approximate k-NN graph, cell-blocked so
     // candidates are ~n·τ rows at any scale
     "q_knn_graph"         -> q(VectorSearch.knnGraph),
+    // D18: connected components over the thresholded k-NN graph —
+    // the corpus-map / SemDeDup-style semantic clustering
+    "q_semantic_clusters" -> q(VectorSearch.semanticClusters),
     // D16: Okapi BM25 lexical retrieval — the term-index leg of a
     // hybrid stack, micro-unit-exact contributions
     "q_search_bm25"       -> q(VectorSearch.searchBm25),
@@ -1835,24 +1838,31 @@ object SparkEntry {
     // orientations) and top-3 per vector instead of thresholded
     // canonical pairs.
     "q_knn_graph" ->
-      s"""$ivfAssignCte,
-        |s AS (
-        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
-        |  FROM ev a
-        |  JOIN asg ax ON a.vec_id = ax.vec_id
-        |  JOIN asg bx ON bx.cell = ax.cell AND bx.vec_id <> a.vec_id
-        |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
-        |  GROUP BY a.vec_id, b.vec_id),
-        |r AS (
-        |  SELECT vec_id, neighbor_id,
-        |    ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) DESC, neighbor_id) AS rnk
-        |  FROM s)
+      s"""$knnGraphCtes
         |SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score
         |FROM r WHERE rnk <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // D18: the D15 graph CTEs verbatim (same cell blocking, scoring
+    // and ranking), edges thresholded and symmetrized, then the E6
+    // recursive-closure pattern; components labeled by min member id.
+    "q_semantic_clusters" ->
+      s"""${knnGraphCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges0 AS (
+        |  SELECT vec_id AS s, neighbor_id AS d FROM r
+        |  WHERE rnk <= 3
+        |    AND score >= ${operators.VectorSearch.semanticClusterThreshold}),
+        |edges AS (
+        |  SELECT s, d FROM edges0
+        |  UNION
+        |  SELECT d AS s, s AS d FROM edges0),
+        |reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT rc.s, e.d FROM reach rc JOIN edges e ON rc.d = e.s)
+        |SELECT s AS vec_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+        |FROM reach
+        |GROUP BY s
+        |ORDER BY vec_id""".stripMargin,
     // D7: replays the E5 assignment scaffold verbatim (same seeded
     // two-level quantizer), then the BOUNDED query sample (the
     // recallQueryCount lowest ids matching the rule — same
@@ -2405,6 +2415,26 @@ object SparkEntry {
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
     * take vec_id=0 as the query, join on position, aggregate dot and
     * norms per corpus vector. */
+  /** D15's graph CTEs (cell assignment scaffold + within-cell pair
+    * scoring + per-vector ranking), shared verbatim by the
+    * q_knn_graph oracle and D18's closure over the same edges. */
+  private val knnGraphCtes: String =
+    s"""$ivfAssignCte,
+       |s AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
+       |  FROM ev a
+       |  JOIN asg ax ON a.vec_id = ax.vec_id
+       |  JOIN asg bx ON bx.cell = ax.cell AND bx.vec_id <> a.vec_id
+       |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
+       |  GROUP BY a.vec_id, b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id,
+       |    ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) DESC, neighbor_id) AS rnk
+       |  FROM s)""".stripMargin
+
   private val embCte: String =
     """WITH ev AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,

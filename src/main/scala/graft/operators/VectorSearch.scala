@@ -187,6 +187,40 @@ object VectorSearch {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** D18's edge threshold: a k-NN edge joins two vectors into one
+    * semantic cluster only at cosine ≥ this. Set against the sf
+    * corpora's D15 score distribution so clusters are real
+    * neighborhoods, not the whole cell (at sf0.01: 99 of 500
+    * vectors form 43 components, mean size 2.3, max 6 — the top ~5%
+    * of k-NN edges). `private[graft]` so the oracle derives from the
+    * same constant. */
+  private[graft] val semanticClusterThreshold = 0.35
+
+  /** D18 — `q_semantic_clusters`: SEMANTIC clustering of the whole
+    * corpus — connected components over the thresholded approximate
+    * k-NN graph (D15's edges at cosine ≥ τ), the standard corpus-map
+    * / diversity-sampling structure (SemDeDup-style pipelines
+    * cluster embeddings exactly to act per-cluster; E5/E6 answer
+    * "which docs are DUPLICATES", this answers "which docs are ABOUT
+    * the same thing"). Output mirrors E6: one row per clustered
+    * vector with its component's min-id label; vectors with no
+    * qualifying edge stay unclustered (absent), like E6's
+    * non-duplicates.
+    *
+    * Scale shape: D15's cell-blocked candidate bound (~n·τ_cell
+    * rows) feeds the E6 pointer-jumping closure (O(log n) rounds,
+    * each an equi-join + map-side min) — both documented scale
+    * paths; nothing new shuffles. */
+  def semanticClusters(t: Tables): DataFrame =
+    Clusters.connectedComponents(
+      knnGraph(t)
+        .filter(col("score") >= semanticClusterThreshold)
+        .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")),
+      "doc_a", "doc_b")
+      .select(col("node").cast(LongType).as("vec_id"),
+        col("label").cast(LongType).as("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** D3 — batch k-NN join: N query vectors × corpus, top-3 neighbors
     * per query. Queries broadcast, so the corpus never shuffles to
     * score. Per-query top-k runs in two stages so parallelism is

@@ -66,6 +66,25 @@ class TextPropertySpec extends SparkTestBase {
     }
   }
 
+  test("shingles3 equals the brute-force sliding window on adversarial text " +
+    "(pins the slice+zip_with composition to the family definition)") {
+    val inputs = Gen.listOfN(300, anyText).sample.get
+    val got = inputs.toDF("s")
+      .select(TextFunctions.shingles3(TextFunctions.words(col("s"))))
+      .as[Seq[String]].collect().toSeq
+    val expected = inputs.map { s =>
+      // Spark semantics exactly: lower, SPACE-only trim (Spark's
+      // trim() strips 0x20, not \n\t), split keeping empty tokens
+      // (Spark split's default limit is -1)
+      val t = s.toLowerCase.dropWhile(_ == ' ')
+        .reverse.dropWhile(_ == ' ').reverse
+      val ws = t.split("\\s+", -1).toSeq
+      if (ws.length < 3) Seq.empty[String]
+      else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    assert(got === expected)
+  }
+
   test("conversationType is a 2-valued total function keyed only on the prefix") {
     val sids = Gen.listOfN(200, Gen.oneOf(
       Gen.alphaNumStr, Gen.alphaNumStr.map("group-" + _),

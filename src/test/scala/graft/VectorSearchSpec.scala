@@ -233,6 +233,33 @@ class VectorSearchSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("semanticClusters: equals an independent union-find over the " +
+    "thresholded knn-graph edges, labels are component minima") {
+    val edges = VectorSearch.knnGraph(t).collect()
+      .filter(_.getDouble(3) >= graft.operators.VectorSearch.semanticClusterThreshold)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "corpus produced no qualifying edges — lower tau")
+    // independent union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = VectorSearch.semanticClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // path-compressed roots ARE the component minima by construction
+    // of the union rule above; double-check one invariant directly
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"label $cid is not the min member")
+    }
+  }
+
   test("searchHybrid: rrf is the exact two-term formula of the emitted " +
     "ranks, every hit comes from a leg, output sorted by fused score") {
     val rows = VectorSearch.searchHybrid(t).collect()
