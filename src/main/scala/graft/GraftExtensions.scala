@@ -170,7 +170,11 @@ object GraftTableFunctions {
     tvf("graft_search_hybrid")(VectorSearch.searchHybrid),
     tvf("graft_dsir_weights")(TextAnalysis.dsirWeights),
     tvf("graft_ngram_topk")(TextAnalysis.ngramTopk),
-    tvf("graft_source_overlap")(Dedup.sourceOverlap))
+    tvf("graft_source_overlap")(Dedup.sourceOverlap),
+    tvf("graft_bpe_pairs")(TextAnalysis.bpePairs),
+    // iterative like graft_dedup_clusters: the closure converges at
+    // analysis time and inlines the result
+    tvf("graft_semantic_clusters")(VectorSearch.semanticClusters))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -1202,35 +1202,11 @@ object SparkEntry {
     // factor — a*(b/c), never (a*b)/c); per-(doc,term) contribution
     // quantized to micro before the per-doc sum (F15 technique).
     "q_search_bm25" ->
-      """WITH tk0 AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |qt AS (SELECT DISTINCT unnest(ws) AS w FROM tk0 WHERE doc_id = 0),
-        |tok AS (SELECT doc_id, unnest(ws) AS w FROM tk0 WHERE doc_id <> 0),
-        |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(dl) AS DOUBLE) AS toks FROM dlt),
-        |tfq AS (SELECT doc_id, w, COUNT(*) AS tf
-        |  FROM tok JOIN qt USING (w) GROUP BY 1, 2),
-        |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY 1),
-        |sc AS (
-        |  SELECT tfq.doc_id,
-        |    CAST(ROUND(LN((n - df + 0.5) / (df + 0.5) + 1.0)
-        |      * ((CAST(tf AS DOUBLE) * 2.2)
-        |        / (CAST(tf AS DOUBLE)
-        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / toks)))
-        |      * 1e6, 0) AS BIGINT) AS c_mu
-        |  FROM tfq
-        |  JOIN dfq USING (w)
-        |  JOIN dlt ON tfq.doc_id = dlt.doc_id, stats),
-        |d AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |    CAST(SUM(c_mu) AS BIGINT) AS mu
-        |  FROM sc GROUP BY 1)
-        |SELECT doc_id, n_terms, ROUND(CAST(mu AS DOUBLE) / 1e6, 6) AS score
-        |FROM d
-        |ORDER BY mu DESC, doc_id
-        |LIMIT 10""".stripMargin,
+      s"""WITH $bm25CtesBody
+         |SELECT doc_id, n_terms, ROUND(CAST(mu AS DOUBLE) / 1e6, 6) AS score
+         |FROM bmd
+         |ORDER BY mu DESC, doc_id
+         |LIMIT 10""".stripMargin,
     // D17: both legs replayed with their own total orders, ranks
     // via ROW_NUMBER subqueries (cast to BIGINT like the engine),
     // rrf = the exact IEEE two-term sum, 6dp display round; fusion
@@ -1245,34 +1221,11 @@ object SparkEntry {
          |  SELECT doc_id,
          |    ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
          |  FROM semall) WHERE sem_rank <= 50),
-         |tk0 AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents),
-         |qt AS (SELECT DISTINCT unnest(ws) AS w FROM tk0 WHERE doc_id = 0),
-         |tokx AS (SELECT doc_id, unnest(ws) AS w FROM tk0 WHERE doc_id <> 0),
-         |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tokx GROUP BY 1),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |  CAST(SUM(dl) AS DOUBLE) AS toks FROM dlt),
-         |tfq AS (SELECT doc_id, w, COUNT(*) AS tf
-         |  FROM tokx JOIN qt USING (w) GROUP BY 1, 2),
-         |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY 1),
-         |scx AS (
-         |  SELECT tfq.doc_id,
-         |    CAST(ROUND(LN((n - df + 0.5) / (df + 0.5) + 1.0)
-         |      * ((CAST(tf AS DOUBLE) * 2.2)
-         |        / (CAST(tf AS DOUBLE)
-         |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / toks)))
-         |      * 1e6, 0) AS BIGINT) AS c_mu
-         |  FROM tfq
-         |  JOIN dfq USING (w)
-         |  JOIN dlt ON tfq.doc_id = dlt.doc_id, stats),
-         |lexall AS (
-         |  SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS mu
-         |  FROM scx GROUP BY 1),
+         |$bm25CtesBody,
          |lex AS (SELECT doc_id, lex_rank FROM (
          |  SELECT doc_id,
          |    ROW_NUMBER() OVER (ORDER BY mu DESC, doc_id) AS lex_rank
-         |  FROM lexall) WHERE lex_rank <= 50),
+         |  FROM bmd) WHERE lex_rank <= 50),
          |f AS (
          |  SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
          |    sem_rank, lex_rank,
@@ -2412,9 +2365,6 @@ object SparkEntry {
       |  SELECT vec_id, cell FROM l2s2
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
 
-  /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
-    * take vec_id=0 as the query, join on position, aggregate dot and
-    * norms per corpus vector. */
   /** D15's graph CTEs (cell assignment scaffold + within-cell pair
     * scoring + per-vector ranking), shared verbatim by the
     * q_knn_graph oracle and D18's closure over the same edges. */
@@ -2435,6 +2385,43 @@ object SparkEntry {
        |      ORDER BY ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) DESC, neighbor_id) AS rnk
        |  FROM s)""".stripMargin
 
+  /** D16's BM25 CTE chain WITHOUT a leading `WITH`, so it composes
+    * into other oracles (q_search_hybrid prepends the cosine
+    * scaffold). Ends in `bmd` = (doc_id, n_terms, mu) — the
+    * micro-unit BM25 score per matching doc. The ONE definition both
+    * the standalone and the hybrid oracle replay, so they can never
+    * drift (the knnGraphCtes rationale). Names avoid embCte's
+    * ev/q/qn/s. */
+  private val bm25CtesBody: String =
+    """tk0 AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |qt AS (SELECT DISTINCT unnest(ws) AS w FROM tk0 WHERE doc_id = 0),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM tk0 WHERE doc_id <> 0),
+      |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(dl) AS DOUBLE) AS toks FROM dlt),
+      |tfq AS (SELECT doc_id, w, COUNT(*) AS tf
+      |  FROM tok JOIN qt USING (w) GROUP BY 1, 2),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY 1),
+      |sc AS (
+      |  SELECT tfq.doc_id,
+      |    CAST(ROUND(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+      |      * ((CAST(tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf AS DOUBLE)
+      |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / toks)))
+      |      * 1e6, 0) AS BIGINT) AS c_mu
+      |  FROM tfq
+      |  JOIN dfq USING (w)
+      |  JOIN dlt ON tfq.doc_id = dlt.doc_id, stats),
+      |bmd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(c_mu) AS BIGINT) AS mu
+      |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
+    * take vec_id=0 as the query, join on position, aggregate dot and
+    * norms per corpus vector. */
   private val embCte: String =
     """WITH ev AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -861,8 +861,10 @@ object TextAnalysis {
   def bpePairs(t: Tables): DataFrame = {
     val wordFreq = t.documents
       .select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // pre-agg filter: single-char tokens can never form a pair, so
+      // drop them before the one corpus-wide shuffle, not after
       .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     wordFreq
       .select(col("w"), col("c"),
         explode(transform(sequence(lit(1), length(col("w")) - 1),

@@ -424,6 +424,12 @@ object VectorSearch {
     * idf is the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` variant, which
     * keeps every term contribution positive). */
   private val bm25K1 = 1.2
+  /** k1 + 1 as a LITERAL, not `bm25K1 + 1`: the oracle SQL and the
+    * independent spec model both write 2.2, and a computed 1.2 + 1.0
+    * is not guaranteed bit-identical to the decimal literal's
+    * nearest double. Change k1 ⇒ update this, the oracle literals
+    * and the spec model together. */
+  private val bm25K1p1 = 2.2
   private val bm25B = 0.75
 
   /** Shared BM25 scorer: every non-query doc's Okapi BM25 score
@@ -461,7 +467,7 @@ object VectorSearch {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfq = tfq.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = (col("tf") * lit(2.2)) /
+    val norm = (col("tf") * lit(bm25K1p1)) /
       (col("tf") + lit(bm25K1) *
         (lit(1.0) - lit(bm25B) +
           lit(bm25B) * col("dl") * col("n") / col("toks")))

@@ -183,8 +183,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       .first().getDouble(0) ===
       graft.operators.VectorSearch.searchBm25(t)
         .agg(org.apache.spark.sql.functions.max("score")).first().getDouble(0))
-    assert(spark.sql(s"SELECT count(*) FROM graft_search_hybrid('$sfDir')")
-      .first().getLong(0) === 10L)
+    assert(spark.sql(
+      s"SELECT round(sum(rrf), 6) FROM graft_search_hybrid('$sfDir')")
+      .first().getDouble(0) ===
+      graft.operators.VectorSearch.searchHybrid(t)
+        .agg(org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("rrf"), 6))
+        .first().getDouble(0))
+    assert(spark.sql(s"SELECT count(*) FROM graft_bpe_pairs('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.bpePairs(t).count())
+    assert(spark.sql(
+      s"SELECT min(cluster_id) FROM graft_semantic_clusters('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.VectorSearch.semanticClusters(t)
+        .agg(org.apache.spark.sql.functions.min("cluster_id"))
+        .first().getLong(0))
     assert(spark.sql(
       s"SELECT count(*) FROM graft_dsir_weights('$sfDir') WHERE kept")
       .first().getLong(0) ===
