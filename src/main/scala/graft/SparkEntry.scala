@@ -122,6 +122,9 @@ object SparkEntry {
     // F20: first BPE merge-pair statistics — pair counting over the
     // vocabulary, never the token stream
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs),
+    // F21: language-ID confusion matrix vs the ground-truth label —
+    // the honest eval table for the F1 heuristic (exposes zh)
+    "q_lang_confusion" -> q(TextAnalysis.langConfusion),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1301,6 +1304,33 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F21: the F1 CASE chain verbatim with the ground-truth label
+    // carried through; rate = n over the per-true-language total.
+    "q_lang_confusion" ->
+      """WITH w AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','y','en'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr
+        |  FROM w),
+        |p AS (
+        |  SELECT lang AS lang_true,
+        |    CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+        |         WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+        |         WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM c),
+        |pc AS (
+        |  SELECT lang_true, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |tt AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS tot FROM pc GROUP BY 1)
+        |SELECT pc.lang_true, lang_pred, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rate
+        |FROM pc JOIN tt ON pc.lang_true = tt.lang_true
+        |ORDER BY 1, 2""".stripMargin,
     // F20: word-frequency table first (GROUP BY w), then char pairs
     // via 1-based substr over a stop-exclusive range — both engines
     // substr by code point; totals weight by the word's corpus count.

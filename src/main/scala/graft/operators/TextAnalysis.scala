@@ -840,6 +840,32 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** F21 — `q_lang_confusion`: the language-ID CONFUSION MATRIX —
+    * F1's prediction against the corpus' ground-truth `lang` label,
+    * one row per (true, predicted) pair with the within-true-language
+    * rate (the recall decomposition). The eval table a pipeline
+    * publishes for any heuristic classifier it gates on — and the
+    * table that EXPOSES F1's blind spot honestly: the stopword
+    * profiles know en/es/de/fr only, so the corpus' `zh` docs land
+    * wherever the tie rule sends profile-less text (en, first in
+    * declaration order), and this matrix is where that shows up.
+    *
+    * Scale shape: one per-row projection → a (≤L²)-row
+    * map-side-combining count → a ≤L-row broadcast totals join.
+    * Nothing corpus-sized moves. */
+  def langConfusion(t: Tables): DataFrame = {
+    val pairs = t.documents
+      .select(col("lang").as("lang_true"), langPredExpr.as("lang_pred"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("lang_true")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("lang_true"))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("rate"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
   /** F20 — `q_bpe_pairs`: the FIRST BPE merge-step statistics
     * (Sennrich et al. 2016, *Neural Machine Translation of Rare
     * Words with Subword Units*): the corpus' most frequent adjacent

@@ -482,6 +482,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.length === rows.toSet.size && got.forall(_.getLong(1) >= 1L))
   }
 
+  test("langConfusion: exact matrix on a labeled corpus, zh falls to the " +
+    "tie rule, rates sum to 1 per true language") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "s", "the a of and to"),       // clean en
+      (1L, "en", "s", "el la de y en words"),   // mislabeled-ish: es profile wins
+      (2L, "es", "s", "el la de y en"),         // clean es
+      (3L, "zh", "s", "汉字 文本 没有 停用词"),     // no profile hits -> tie -> en
+      (4L, "de", "s", "der die und das mit")    // clean de
+    ).toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-langconf").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.langConfusion(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      ("en", "en") -> ((1L, 0.5)), ("en", "es") -> ((1L, 0.5)),
+      ("es", "es") -> ((1L, 1.0)),
+      ("zh", "en") -> ((1L, 1.0)),
+      ("de", "de") -> ((1L, 1.0))))
+  }
+
   test("bpePairs: vocabulary-weighted pair counts, in-word repeats count " +
     "per occurrence, single-char words drop, tiebreak is pair asc") {
     import spark.implicits._
