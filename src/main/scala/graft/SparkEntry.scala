@@ -125,6 +125,9 @@ object SparkEntry {
     // F21: language-ID confusion matrix vs the ground-truth label —
     // the honest eval table for the F1 heuristic (exposes zh)
     "q_lang_confusion" -> q(TextAnalysis.langConfusion),
+    // F22: the quality-gate agreement matrix — joint keep/fail
+    // distribution of F17 x F11 x F18 with shares
+    "q_gate_matrix"    -> q(TextAnalysis.gateMatrix),
     // E-family: deduplication
     "q_dedup_exact"     -> q(Dedup.dedupExact),
     "q_dedup_minhash"   -> q(Dedup.dedupMinhash),
@@ -1167,39 +1170,7 @@ object SparkEntry {
     // UNROUNDED exact-integer ratios like the engine (display columns
     // round to 6dp); Spark's regex split and DuckDB's string_split
     // both keep trailing empty lines, so the line stats agree.
-    "q_gopher_rules" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ws,
-        |    string_split(text, chr(10)) AS lines,
-        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS charsw,
-        |    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS symbols
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    CAST(charsw AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS mean_wlen,
-        |    CAST(symbols AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•\-\*]'))) AS DOUBLE)
-        |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
-        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
-        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
-        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(ws) AS DOUBLE) AS alpha_ratio,
-        |    CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS BIGINT) AS n_stop_kinds
-        |  FROM b)
-        |SELECT doc_id, n_words,
-        |  ROUND(mean_wlen, 6) AS mean_wlen,
-        |  ROUND(symbol_ratio, 6) AS symbol_ratio,
-        |  ROUND(bullet_ratio, 6) AS bullet_ratio,
-        |  ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
-        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
-        |  n_stop_kinds,
-        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
-        |   AND symbol_ratio <= 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
-        |   AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2) AS kept
-        |FROM d
-        |ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" -> gopherOracle,
     // D16: the Okapi formula with every double chain in ONE fixed
     // association on both engines (explicit parens around the norm
     // factor — a*(b/c), never (a*b)/c); per-(doc,term) contribution
@@ -1248,41 +1219,7 @@ object SparkEntry {
     // mean (the F15 technique), so both engines replay the weight
     // bit-for-bit; bigrams via the positional self-join (Spark uses
     // one lead window — same consecutive pairs).
-    "q_dsir_weights" ->
-      s"""WITH tk0 AS (
-         |  SELECT doc_id, (lang = 'en') AS it,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id, it, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
-         |  FROM tk0),
-         |feats AS (
-         |  SELECT doc_id, it, substr(md5('dsir:' || f), 1, 2) AS b
-         |  FROM (
-         |    SELECT doc_id, it, w AS f FROM tok
-         |    UNION ALL
-         |    SELECT a.doc_id, a.it, a.w || ' ' || b.w AS f
-         |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)),
-         |pdb AS (SELECT doc_id, it, b, COUNT(*) AS k FROM feats GROUP BY 1, 2, 3),
-         |model AS (
-         |  SELECT b, SUM(CASE WHEN it THEN k ELSE 0 END) AS ct, SUM(k) AS cr
-         |  FROM pdb GROUP BY 1),
-         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
-         |lam AS (
-         |  SELECT b, CAST(ROUND((LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
-         |    - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))) * 1e6, 0)
-         |    AS BIGINT) AS lam_mu
-         |  FROM model, tot),
-         |d AS (
-         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_feats,
-         |    CAST(SUM(k * lam_mu) AS BIGINT) AS ms
-         |  FROM pdb JOIN lam USING (b) GROUP BY 1)
-         |SELECT doc_id, n_feats,
-         |  ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6) AS weight,
-         |  (ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6)
-         |    >= ${operators.TextAnalysis.dsirThreshold}) AS kept
-         |FROM d
-         |ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" -> dsirOracle,
     // F19: the F4 shingle rule (1-based stop-exclusive range == the
     // engine's 0-based transform), doc-frequency count, total order
     // on (df DESC, ngram ASC) — the LIMIT boundary is deterministic
@@ -1304,6 +1241,27 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F22: each gate's FULL oracle body nested as a subquery (the
+    // exact strings the standalone rows replay — no re-derivation),
+    // joined on doc_id, collapsed to the joint distribution.
+    "q_gate_matrix" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, kept AS gopher_kept FROM ($gopherOracle)),
+         |rr AS (
+         |  SELECT doc_id, NOT flagged AS rep_ok FROM ($repetitionOracle)),
+         |dd AS (
+         |  SELECT doc_id, kept AS dsir_kept FROM ($dsirOracle)),
+         |j AS (
+         |  SELECT gopher_kept, rep_ok, dsir_kept
+         |  FROM g JOIN rr USING (doc_id) JOIN dd USING (doc_id)),
+         |jc AS (
+         |  SELECT gopher_kept, rep_ok, dsir_kept, COUNT(*) AS n
+         |  FROM j GROUP BY 1, 2, 3),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM jc)
+         |SELECT gopher_kept, rep_ok, dsir_kept, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         |FROM jc, tt
+         |ORDER BY gopher_kept, rep_ok, dsir_kept""".stripMargin,
     // F21: the F1 CASE chain verbatim with the ground-truth label
     // carried through; rate = n over the per-true-language total.
     "q_lang_confusion" ->
@@ -1535,40 +1493,7 @@ object SparkEntry {
     // filter lengths — O(distinct·n) per row is fine at oracle
     // scale); the flag thresholds compare the ROUNDED fractions on
     // both engines.
-    "q_repetition" ->
-      """WITH wl AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |st AS (
-        |  SELECT doc_id,
-        |    len(ws) AS n_words,
-        |    len(list_distinct(ws)) AS n_distinct,
-        |    list_max(list_transform(list_distinct(ws),
-        |      x -> len(list_filter(ws, y -> y = x)))) AS top_word_c,
-        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
-        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
-        |  FROM wl),
-        |st2 AS (
-        |  SELECT doc_id, n_words, n_distinct, top_word_c,
-        |    len(bgs) AS n_bigrams,
-        |    CASE WHEN len(bgs) > 0 THEN
-        |      list_max(list_transform(list_distinct(bgs),
-        |        x -> len(list_filter(bgs, y -> y = x)))) END AS top_bigram_c
-        |  FROM st),
-        |fr AS (
-        |  SELECT doc_id,
-        |    CAST(n_words AS BIGINT) AS n_words,
-        |    CAST(n_distinct AS BIGINT) AS n_distinct,
-        |    ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
-        |    ROUND(CAST(top_word_c AS DOUBLE) / n_words, 6) AS top_word_frac,
-        |    ROUND(COALESCE(CAST(top_bigram_c AS DOUBLE) / n_bigrams, 0.0), 6)
-        |      AS top_bigram_frac
-        |  FROM st2)
-        |SELECT doc_id, n_words, n_distinct, dup_word_frac, top_word_frac,
-        |  top_bigram_frac,
-        |  (dup_word_frac > 0.85 OR top_bigram_frac > 0.18) AS flagged
-        |FROM fr
-        |ORDER BY doc_id""".stripMargin,
+    "q_repetition" -> repetitionOracle,
     // F9: every stage of the composed pipeline replayed in SQL —
     // F2's rounded quality gate, E1's normalization hash with
     // min-doc_id canonicalization, F5's salted-md5 split.
@@ -2448,6 +2373,114 @@ object SparkEntry {
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
       |    CAST(SUM(c_mu) AS BIGINT) AS mu
       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** F17/F11/F18 oracle bodies as vals so F22's gate matrix can
+    * replay the SAME definitions as nested subqueries — the
+    * bm25CtesBody/knnGraphCtes no-drift rationale. */
+  private def gopherOracle: String =
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS charsw,
+        |    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS symbols
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(charsw AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS mean_wlen,
+        |    CAST(symbols AS DOUBLE)/CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•\-\*]'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS BIGINT) AS n_stop_kinds
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  ROUND(mean_wlen, 6) AS mean_wlen,
+        |  ROUND(symbol_ratio, 6) AS symbol_ratio,
+        |  ROUND(bullet_ratio, 6) AS bullet_ratio,
+        |  ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+        |  n_stop_kinds,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+        |   AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2) AS kept
+        |FROM d
+        |ORDER BY doc_id""".stripMargin
+
+  private def repetitionOracle: String =
+      """WITH wl AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(ws),
+        |      x -> len(list_filter(ws, y -> y = x)))) AS top_word_c,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
+        |  FROM wl),
+        |st2 AS (
+        |  SELECT doc_id, n_words, n_distinct, top_word_c,
+        |    len(bgs) AS n_bigrams,
+        |    CASE WHEN len(bgs) > 0 THEN
+        |      list_max(list_transform(list_distinct(bgs),
+        |        x -> len(list_filter(bgs, y -> y = x)))) END AS top_bigram_c
+        |  FROM st),
+        |fr AS (
+        |  SELECT doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(n_distinct AS BIGINT) AS n_distinct,
+        |    ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |    ROUND(CAST(top_word_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |    ROUND(COALESCE(CAST(top_bigram_c AS DOUBLE) / n_bigrams, 0.0), 6)
+        |      AS top_bigram_frac
+        |  FROM st2)
+        |SELECT doc_id, n_words, n_distinct, dup_word_frac, top_word_frac,
+        |  top_bigram_frac,
+        |  (dup_word_frac > 0.85 OR top_bigram_frac > 0.18) AS flagged
+        |FROM fr
+        |ORDER BY doc_id""".stripMargin
+
+  private def dsirOracle: String =
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, (lang = 'en') AS it,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, it, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM tk0),
+         |feats AS (
+         |  SELECT doc_id, it, substr(md5('dsir:' || f), 1, 2) AS b
+         |  FROM (
+         |    SELECT doc_id, it, w AS f FROM tok
+         |    UNION ALL
+         |    SELECT a.doc_id, a.it, a.w || ' ' || b.w AS f
+         |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)),
+         |pdb AS (SELECT doc_id, it, b, COUNT(*) AS k FROM feats GROUP BY 1, 2, 3),
+         |model AS (
+         |  SELECT b, SUM(CASE WHEN it THEN k ELSE 0 END) AS ct, SUM(k) AS cr
+         |  FROM pdb GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
+         |lam AS (
+         |  SELECT b, CAST(ROUND((LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+         |    - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))) * 1e6, 0)
+         |    AS BIGINT) AS lam_mu
+         |  FROM model, tot),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_feats,
+         |    CAST(SUM(k * lam_mu) AS BIGINT) AS ms
+         |  FROM pdb JOIN lam USING (b) GROUP BY 1)
+         |SELECT doc_id, n_feats,
+         |  ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6) AS weight,
+         |  (ROUND(CAST(ms AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6, 6)
+         |    >= ${operators.TextAnalysis.dsirThreshold}) AS kept
+         |FROM d
+         |ORDER BY doc_id""".stripMargin
 
   /** Shared oracle scaffold: explode embeddings to (vec_id,label,i,v),
     * take vec_id=0 as the query, join on position, aggregate dot and

@@ -866,6 +866,36 @@ object TextAnalysis {
       .orderBy(col("lang_true"), col("lang_pred"))
   }
 
+  /** F22 — `q_gate_matrix`: the quality-gate AGREEMENT matrix — the
+    * joint keep/fail distribution of the three cheap per-document
+    * gates (F17 Gopher rules, F11 repetition NOT flagged, F18 DSIR
+    * target-likeness) over the corpus, with each pattern's share.
+    * The governance table a pipeline reads before composing gates:
+    * which gates agree, which slice fails everything, how much each
+    * marginal cut overlaps (Dolma/RefinedWeb-style ablation tables
+    * report exactly this joint structure).
+    *
+    * Each gate is the family's ONE definition (the operators are
+    * called, not re-derived — the oracle nests their oracle bodies
+    * the same way), joined on doc_id and collapsed to the ≤8-row
+    * joint distribution by a map-side-combining count; the 1-row
+    * total cross-broadcasts for the share. Nothing new is
+    * corpus-shaped beyond the three gates themselves. */
+  def gateMatrix(t: Tables): DataFrame = {
+    val g = gopherRules(t).select(col("doc_id"), col("kept").as("gopher_kept"))
+    val r = repetition(t).select(col("doc_id"), (!col("flagged")).as("rep_ok"))
+    val d = dsirWeights(t).select(col("doc_id"), col("kept").as("dsir_kept"))
+    val joint = g.join(r, Seq("doc_id")).join(d, Seq("doc_id"))
+      .groupBy(col("gopher_kept"), col("rep_ok"), col("dsir_kept"))
+      .agg(count(lit(1)).as("n"))
+    val total = joint.agg(sum(col("n")).as("tot"))
+    joint.join(broadcast(total))
+      .select(col("gopher_kept"), col("rep_ok"), col("dsir_kept"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("gopher_kept"), col("rep_ok"), col("dsir_kept"))
+  }
+
   /** F20 — `q_bpe_pairs`: the FIRST BPE merge-step statistics
     * (Sennrich et al. 2016, *Neural Machine Translation of Rare
     * Words with Subword Units*): the corpus' most frequent adjacent

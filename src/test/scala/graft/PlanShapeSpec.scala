@@ -61,7 +61,10 @@ class PlanShapeSpec extends SparkTestBase {
     "q_search_bm25",
     // both legs' tiny sides: the 1-row query vector and the BM25
     // corpus stats
-    "q_search_hybrid")
+    "q_search_hybrid",
+    // embeds F18's 1-row feature-total broadcast plus its own 1-row
+    // grand-total share attach
+    "q_gate_matrix")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {

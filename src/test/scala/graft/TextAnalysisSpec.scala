@@ -505,6 +505,26 @@ class TextAnalysisSpec extends SparkTestBase {
       ("de", "de") -> ((1L, 1.0))))
   }
 
+  test("gateMatrix: joint distribution equals the composed per-doc gates, " +
+    "shares sum to 1") {
+    val t = Tables(spark, sfDir)
+    val g = TextAnalysis.gopherRules(t).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    val rep = TextAnalysis.repetition(t).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(6)).toMap
+    val d = TextAnalysis.dsirWeights(t).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val expected = g.keys.toSeq
+      .map(id => (g(id), rep(id), d(id)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = TextAnalysis.gateMatrix(t).collect()
+    val got = rows
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    assert(got === expected)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
   test("bpePairs: vocabulary-weighted pair counts, in-word repeats count " +
     "per occurrence, single-char words drop, tiebreak is pair asc") {
     import spark.implicits._
