@@ -174,7 +174,13 @@ object GraftTableFunctions {
     tvf("graft_bpe_pairs")(TextAnalysis.bpePairs),
     // iterative like graft_dedup_clusters: the closure converges at
     // analysis time and inlines the result
-    tvf("graft_semantic_clusters")(VectorSearch.semanticClusters))
+    tvf("graft_semantic_clusters")(VectorSearch.semanticClusters),
+    tvf("graft_lang_confusion")(TextAnalysis.langConfusion),
+    tvf("graft_gate_matrix")(TextAnalysis.gateMatrix),
+    // side-effecting like graft_semantic_clusters is iterative: the
+    // export writes its temp store while the calling query analyzes
+    // and inlines the pinned manifest
+    tvf("graft_export_manifest")(graft.sources.Export.exportManifest))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

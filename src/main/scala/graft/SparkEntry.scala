@@ -98,6 +98,10 @@ object SparkEntry {
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
     "q_tfidf"         -> q(TextAnalysis.tfidf),
     "q_pipeline_e2e"  -> q(TextAnalysis.pipelineE2e),
+    // H1: the pipeline SINK — write F9's kept docs as split/source-
+    // partitioned parquet, manifest from READ-BACK (fails if the
+    // write half-runs)
+    "q_export_manifest" -> q(graft.sources.Export.exportManifest),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -1502,63 +1506,7 @@ object SparkEntry {
     // 13-gram cross-corpus contamination (as in q_ngram_overlap,
     // same DF cap) → exact dedup canonical → split → audit.
     "q_pipeline_e2e" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id, source, h,
-         |    ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
-         |        + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars AS DOUBLE), 0.0))
-         |        + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
-         |  FROM b),
-         |kept0 AS (SELECT doc_id, source, h FROM q WHERE quality >= 0.5),
-         |wl AS (
-         |  SELECT doc_id,
-         |    (CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$$', 1), ''), '1') AS BIGINT) % 5 = 0) AS is_eval,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents),
-         |st AS (
-         |  SELECT doc_id,
-         |    len(ws) AS n_words,
-         |    len(list_distinct(ws)) AS n_distinct,
-         |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
-         |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
-         |  FROM wl),
-         |fr AS (
-         |  SELECT doc_id,
-         |    ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
-         |    ROUND(COALESCE(CAST(CASE WHEN len(bgs) > 0 THEN
-         |      list_max(list_transform(list_distinct(bgs),
-         |        x -> len(list_filter(bgs, y -> y = x)))) END AS DOUBLE)
-         |      / len(bgs), 0.0), 6) AS top_bigram_frac
-         |  FROM st),
-         |flagged AS (
-         |  SELECT doc_id FROM fr
-         |  WHERE dup_word_frac > 0.85 OR top_bigram_frac > 0.18),
-         |sh0 AS (
-         |  SELECT doc_id, is_eval,
-         |    unnest(CASE WHEN len(ws) >= 13 THEN list_distinct(list_transform(
-         |      range(1, len(ws) - 11),
-         |      i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))
-         |    ELSE [] END) AS g
-         |  FROM wl),
-         |sh AS (
-         |  SELECT doc_id, is_eval, g FROM sh0
-         |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= ${operators.Dedup.maxBucketSize}),
-         |contaminated AS (
-         |  SELECT DISTINCT b2.doc_id
-         |  FROM sh a JOIN sh b2 ON a.g = b2.g AND a.is_eval AND NOT b2.is_eval),
-         |kept AS (
-         |  SELECT k.doc_id, k.source, k.h FROM kept0 k
-         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
-         |    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY h)
+      s"""WITH $pipelineKeptCtesBody
          |SELECT k.source,
          |  CASE WHEN substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cd'
          |       THEN 'train' ELSE 'test' END AS split,
@@ -1566,6 +1514,26 @@ object SparkEntry {
          |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
          |GROUP BY 1, 2
          |ORDER BY source, split""".stripMargin,
+    // H1: the pipeline's kept/canon CTEs verbatim, the F5 split rule,
+    // token counts recomputed from the documents the export wrote,
+    // order-insensitive bit_xor id checksum.
+    "q_export_manifest" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |exp AS (
+         |  SELECT k.doc_id, k.source,
+         |    CASE WHEN substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
+         |tk AS (
+         |  SELECT e.split, e.source, e.doc_id,
+         |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS toks
+         |  FROM exp e JOIN documents d ON e.doc_id = d.doc_id)
+         |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         |FROM tk
+         |GROUP BY 1, 2
+         |ORDER BY split, source""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).
@@ -2373,6 +2341,69 @@ object SparkEntry {
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
       |    CAST(SUM(c_mu) AS BIGINT) AS mu
       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** F9's kept/canonical CTE chain WITHOUT a leading `WITH` (every
+    * pipeline stage through `kept` and `canon`), shared verbatim by
+    * the q_pipeline_e2e audit and H1's export manifest — the
+    * bm25CtesBody no-drift rationale. */
+  private def pipelineKeptCtesBody: String =
+    s"""b AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, h,
+         |    ROUND(0.4*least(1.0, CAST(n_words AS DOUBLE)/50.0)
+         |        + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars AS DOUBLE), 0.0))
+         |        + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(n_words AS DOUBLE), 0.0)*5.0), 6) AS quality
+         |  FROM b),
+         |kept0 AS (SELECT doc_id, source, h FROM q WHERE quality >= 0.5),
+         |wl AS (
+         |  SELECT doc_id,
+         |    (CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$$', 1), ''), '1') AS BIGINT) % 5 = 0) AS is_eval,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    len(list_distinct(ws)) AS n_distinct,
+         |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
+         |  FROM wl),
+         |fr AS (
+         |  SELECT doc_id,
+         |    ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         |    ROUND(COALESCE(CAST(CASE WHEN len(bgs) > 0 THEN
+         |      list_max(list_transform(list_distinct(bgs),
+         |        x -> len(list_filter(bgs, y -> y = x)))) END AS DOUBLE)
+         |      / len(bgs), 0.0), 6) AS top_bigram_frac
+         |  FROM st),
+         |flagged AS (
+         |  SELECT doc_id FROM fr
+         |  WHERE dup_word_frac > 0.85 OR top_bigram_frac > 0.18),
+         |sh0 AS (
+         |  SELECT doc_id, is_eval,
+         |    unnest(CASE WHEN len(ws) >= 13 THEN list_distinct(list_transform(
+         |      range(1, len(ws) - 11),
+         |      i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))
+         |    ELSE [] END) AS g
+         |  FROM wl),
+         |sh AS (
+         |  SELECT doc_id, is_eval, g FROM sh0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= ${operators.Dedup.maxBucketSize}),
+         |contaminated AS (
+         |  SELECT DISTINCT b2.doc_id
+         |  FROM sh a JOIN sh b2 ON a.g = b2.g AND a.is_eval AND NOT b2.is_eval),
+         |kept AS (
+         |  SELECT k.doc_id, k.source, k.h FROM kept0 k
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY h)""".stripMargin
 
   /** F17/F11/F18 oracle bodies as vals so F22's gate matrix can
     * replay the SAME definitions as nested subqueries — the

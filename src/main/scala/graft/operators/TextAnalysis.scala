@@ -219,8 +219,13 @@ object TextAnalysis {
     * both — the E9 shared-stage contract applied to the pipeline.
     * This is the "switch to graft and run your pipeline" story
     * end-to-end, and the oracle replays every stage in SQL, so the
-    * composition — not just the pieces — is correctness-checked. */
-  def pipelineE2e(t: Tables): DataFrame = {
+    * composition — not just the pieces — is correctness-checked.
+    *
+    * [[pipelineKeptDocs]] is the pipeline's KEPT-DOCUMENT frame
+    * (doc_id, source, split) — the thing a pipeline actually ships;
+    * F9 aggregates it to the audit table and H1's export writes it
+    * to partitioned storage. */
+  private[graft] def pipelineKeptDocs(t: Tables): DataFrame = {
     val kept = qualityScore(t)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"))
@@ -249,12 +254,15 @@ object TextAnalysis {
     val bucket = substring(md5(concat(lit("split:"),
       col("doc_id").cast("string"))), 1, 2)
     hashed.join(canonical, "doc_id")
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         when(bucket < "cd", "train").otherwise("test").as("split"))
+  }
+
+  def pipelineE2e(t: Tables): DataFrame =
+    pipelineKeptDocs(t)
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
-  }
 
   /** F8 — `q_tfidf`: corpus-wide TF-IDF term scoring — the term-
     * importance statistic quality filters and keyword extraction run

@@ -200,6 +200,16 @@ class GraftExtensionsSpec extends SparkTestBase {
         .agg(org.apache.spark.sql.functions.min("cluster_id"))
         .first().getLong(0))
     assert(spark.sql(
+      s"SELECT sum(n) FROM graft_lang_confusion('$sfDir')")
+      .first().getLong(0) === t.documents.count())
+    assert(spark.sql(
+      s"SELECT sum(n) FROM graft_gate_matrix('$sfDir')")
+      .first().getLong(0) === t.documents.count())
+    assert(spark.sql(
+      s"SELECT sum(n_docs) FROM graft_export_manifest('$sfDir')")
+      .first().getLong(0) ===
+      graft.operators.TextAnalysis.pipelineKeptDocs(t).count())
+    assert(spark.sql(
       s"SELECT count(*) FROM graft_dsir_weights('$sfDir') WHERE kept")
       .first().getLong(0) ===
       graft.operators.TextAnalysis.dsirWeights(t)
