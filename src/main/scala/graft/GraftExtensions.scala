@@ -177,9 +177,12 @@ object GraftTableFunctions {
     tvf("graft_semantic_clusters")(VectorSearch.semanticClusters),
     tvf("graft_lang_confusion")(TextAnalysis.langConfusion),
     tvf("graft_gate_matrix")(TextAnalysis.gateMatrix),
-    // side-effecting like graft_semantic_clusters is iterative: the
-    // export writes its temp store while the calling query analyzes
-    // and inlines the pinned manifest
+    // side-effecting: the export writes (and deletes) its temp store
+    // while the calling query ANALYZES — so even an EXPLAIN of a
+    // query referencing this TVF performs the corpus write, and N
+    // references run N exports; the inlined result is the pinned
+    // manifest (unlike the other TVFs, whose analysis-time work is
+    // read-only compute)
     tvf("graft_export_manifest")(graft.sources.Export.exportManifest))
 
   /** Register on an already-running session. */

@@ -38,24 +38,37 @@ import graft.operators.TextAnalysis
   */
 object Export {
 
+  /** Precondition (standard for any Hive-style partitioned sink):
+    * the partition keys are non-null, non-empty strings — a null or
+    * '' source would write as `__HIVE_DEFAULT_PARTITION__` and read
+    * back as NULL, a rename no manifest can undo. The corpus schema
+    * guarantees it here; a production export validates first. */
   def exportManifest(t: Tables): DataFrame = {
     val spark = t.spark
     val dir = java.nio.file.Files.createTempDirectory("graft-export")
-    val out = s"$dir/corpus"
-    TextAnalysis.pipelineKeptDocs(t)
-      .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), col("text"), col("split"), col("source"))
-      .write.partitionBy("split", "source").parquet(out)
-    val manifest = spark.read.parquet(out)
-      .select(col("split"), col("source"), col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("toks"))
-      .groupBy(col("split"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).as("n_tokens"),
-        expr("bit_xor(doc_id)").as("id_xor"))
-      .orderBy(col("split"), col("source"))
-      .localCheckpoint(true)
-    LayoutStore.deleteRecursively(dir.toFile)
-    manifest
+    try {
+      val out = s"$dir/corpus"
+      TextAnalysis.pipelineKeptDocs(t)
+        .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("text"), col("split"), col("source"))
+        .write.partitionBy("split", "source").parquet(out)
+      // EXPLICIT read schema: pins the partition columns to STRING
+      // (default partition-type inference would corrupt a numeric-
+      // looking source like "007" → 7) and keeps the all-filtered
+      // edge case well-defined (a zero-file store reads as an empty
+      // frame instead of failing schema inference)
+      val manifest = spark.read
+        .schema("doc_id LONG, text STRING, split STRING, source STRING")
+        .parquet(out)
+        .select(col("split"), col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"), col("source"))
+        .localCheckpoint(true)
+      manifest
+    } finally LayoutStore.deleteRecursively(dir.toFile)
   }
 }
