@@ -28,4 +28,32 @@ class ExportSpec extends SparkTestBase {
       .toMap
     assert(got === expected)
   }
+
+  test("exportManifest: a corpus where every doc fails the gates yields an " +
+    "EMPTY manifest, not a schema-inference crash (explicit read schema)") {
+    import spark.implicits._
+    // two-word junk docs: quality = 0.4*min(1, 2/50) + 0.3*1 + 0 =
+    // 0.316 < 0.5 — the quality gate drops everything
+    val docs = (0L to 4L).map(i => (i, "s", s"zz$i yy$i"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-empty").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = Export.exportManifest(Tables(spark, dir.getAbsolutePath))
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ===
+      Seq("split", "source", "n_docs", "n_tokens", "id_xor"))
+  }
+
+  test("exportManifest: a numeric-looking source survives the partition " +
+    "round trip as a STRING (no partition-type inference corruption)") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps over a lazy dog and runs to " * 5).trim
+    val docs = Seq((0L, "007", prose), (1L, "2023", prose + " extra words here"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-numsrc").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = Export.exportManifest(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getString(1)).toSet
+    assert(got === Set("007", "2023"), s"partition values corrupted: $got")
+  }
 }
