@@ -68,8 +68,10 @@ object TextAnalysis {
     * the ONE definition [[qualityScore]] and [[selectBudget]] both
     * rank by (all ratios exact-integer divisions so both engines
     * produce bit-identical doubles; empty text yields NULL via the
-    * nullif guards, not a Spark-NaN-vs-DuckDB-inf parity break). */
-  private def qualityExpr: org.apache.spark.sql.Column = {
+    * nullif guards, not a Spark-NaN-vs-DuckDB-inf parity break).
+    * Visible graft-wide so the streaming data card folds the SAME
+    * micro-unit quality rule (StreamingDataCard). */
+  private[graft] def qualityExpr: org.apache.spark.sql.Column = {
     val ws = words(col("text"))
     val nWords = size(ws).cast(LongType)
     val nChars = length(col("text")).cast(LongType)

@@ -302,4 +302,42 @@ class StreamingRecoverySpec extends SparkTestBase {
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(perDoc === 0L, "a doc_id was appended more than once")
   }
+
+  test("StreamingDataCard: three micro-batches fold to the exact batch " +
+    "card; a checkpoint resume folds nothing") {
+    import graft.streaming.StreamingDataCard
+    val t = graft.sources.Tables(spark, sfDir)
+    val in = Files.createTempDirectory("graft-card-in").toFile
+    val card = Files.createTempDirectory("graft-card-state").toFile
+    val ckpt = Files.createTempDirectory("graft-card-ckpt").toFile
+    val ref = Files.createTempDirectory("graft-card-ref").toFile
+    Seq(in, card, ckpt, ref).foreach(_.deleteOnExit())
+    // the corpus lands as three separate files — three micro-batches
+    // under maxFilesPerTrigger = 1
+    (0 until 3).foreach { k =>
+      t.documents.filter(pmod(col("doc_id"), lit(3)) === k)
+        .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+    }
+    StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
+      ckpt.getAbsolutePath, availableNow = true, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    // expected card: the SAME fold rule over the whole corpus in one
+    // batch pass, read back through the SAME readCard path (so
+    // rounding/ordering can't diverge between the two sides)
+    StreamingDataCard.partials(t.documents)
+      .write.parquet(s"${ref.getAbsolutePath}/card")
+    def rows(dir: File) =
+      StreamingDataCard.readCard(spark, dir.getAbsolutePath).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows(card).nonEmpty)
+    assert(rows(card) === rows(ref))
+    // resume over the same checkpoint: the file source remembers the
+    // processed files; the card must not double-fold
+    StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
+      ckpt.getAbsolutePath, availableNow = true, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    assert(rows(card) === rows(ref), "resume double-folded the card")
+  }
 }
