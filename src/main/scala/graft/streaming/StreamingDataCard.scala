@@ -65,13 +65,20 @@ object StreamingDataCard {
         sum(col("q_mu")).as("q_sum"),
         count(col("q_mu")).as("q_n"))
 
-  /** Read the current card (empty frame with the right schema if
-    * nothing has been ingested yet): per source, docs, tokens, mean
+  /** Read the current card (an empty frame with the right schema if
+    * nothing has been ingested yet — a missing state dir must read
+    * as "no sources", not throw): per source, docs, tokens, mean
     * tokens and the F16-exact mean quality. */
   def readCard(spark: SparkSession, cardPath: String): DataFrame = {
-    val state = spark.read
-      .schema("source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG")
-      .parquet(s"$cardPath/card")
+    val stateSchema =
+      "source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG"
+    val cardDir = new java.io.File(cardPath, "card")
+    val state =
+      if (cardDir.exists())
+        spark.read.schema(stateSchema).parquet(cardDir.getPath)
+      else
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(stateSchema))
     state.select(col("source"), col("n_docs"), col("n_tokens"),
       round(col("n_tokens").cast("double") /
         col("n_docs").cast("double"), 6).as("mean_tokens"),

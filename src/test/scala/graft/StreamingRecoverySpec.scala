@@ -312,6 +312,9 @@ class StreamingRecoverySpec extends SparkTestBase {
     val ckpt = Files.createTempDirectory("graft-card-ckpt").toFile
     val ref = Files.createTempDirectory("graft-card-ref").toFile
     Seq(in, card, ckpt, ref).foreach(_.deleteOnExit())
+    // pre-ingest read: an empty card, not a missing-path error
+    assert(StreamingDataCard.readCard(spark, card.getAbsolutePath)
+      .collect().isEmpty)
     // the corpus lands as three separate files — three micro-batches
     // under maxFilesPerTrigger = 1
     (0 until 3).foreach { k =>
