@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors were breaking that parse
+// every round: the "[success] Total time: ..." trailer printed after
+// the program exits, and the logger's "[info] " prefix on forked
+// process output. Suppress the trailer and route forked output
+// straight to stdout so the headline JSON line survives verbatim.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,7 +67,10 @@ object AdvanceDay {
   def advanceDayQuery(t: Tables): DataFrame = {
     val spark = t.spark
     val pristine = ensureDayBase(t)
-    val base = java.nio.file.Files.createTempDirectory("graft-day")
+    // the day's private working copy must be executor-reachable (the
+    // advance and append run ON the copy), so it is cluster-shared
+    // scratch under the layouts root, not driver-local /tmp
+    val base = graft.sources.LayoutStore.scratch(t.dir, "day").toPath
     val statePath = s"$base/dedup"
     val indexPath = s"$base/ivf"
     graft.sources.LayoutStore.copyRecursively(

@@ -402,7 +402,10 @@ object EmbeddingStore {
     * driver. */
   def searchRefreshQuery(t: Tables): DataFrame = {
     val vecs = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-refresh")
+    // cluster-shared scratch: the refresh episode's store is written
+    // and probed by executors, so it lives under the layouts root
+    // (SPARK_GRAFT_STORAGE_DIR-governed), never driver-local /tmp
+    val dir = graft.sources.LayoutStore.scratch(t.dir, "refresh").toPath
     val path = s"$dir/store"
     val policy = RefreshPolicy(cooldownSec = 60, longCooldownSec = 300,
       startupWindowSec = 600, updateThreshold = 0, maxDocsPerUpdate = 150)

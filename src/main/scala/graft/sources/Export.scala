@@ -45,7 +45,11 @@ object Export {
     * guarantees it here; a production export validates first. */
   def exportManifest(t: Tables): DataFrame = {
     val spark = t.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-export")
+    // cluster-shared scratch (NOT java.io.tmpdir): executors write the
+    // partitioned store and the manifest reads it back, so the path
+    // must resolve on every node — LayoutStore.scratch routes it
+    // through the same root as the durable layouts
+    val dir = LayoutStore.scratch(t.dir, "export").toPath
     try {
       val out = s"$dir/corpus"
       TextAnalysis.pipelineKeptDocs(t)

@@ -54,14 +54,40 @@ object LayoutStore {
         .getPosixFilePermissions(dir.toPath).contains(OWNER_WRITE)
     } catch { case _: Exception => false } // non-POSIX FS: assume read-only
 
-  /** The layouts root for a data dir (see object scaladoc). */
+  /** The layouts root for a data dir (see object scaladoc). The
+    * `spark.graft.storage.dir` system property outranks the env var:
+    * it is the per-JVM override a spec (or a spark-submit `-D`) can
+    * set without touching the process environment. */
   def root(dataDir: String): File =
-    sys.env.get("SPARK_GRAFT_STORAGE_DIR").map(new File(_)).getOrElse {
-      val data = new File(dataDir)
-      if (markedWritable(data)) new File(data, "_graft_layouts")
-      else new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_layouts_${sys.props.getOrElse("user.name", "anon")}")
-    }
+    sys.props.get("spark.graft.storage.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_STORAGE_DIR"))
+      .map(new File(_)).getOrElse {
+        val data = new File(dataDir)
+        if (markedWritable(data)) new File(data, "_graft_layouts")
+        else new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft_layouts_${sys.props.getOrElse("user.name", "anon")}")
+      }
+
+  /** Per-invocation SCRATCH that executors can reach. The episode and
+    * sink rows (export manifest, search-refresh store, advance-day
+    * copy) stage short-lived parquet stores that both the driver and
+    * every executor write/read; `java.io.tmpdir` only works for that
+    * on local[*], where driver and executors share one filesystem. On
+    * a real cluster the scratch must live on CLUSTER-SHARED storage —
+    * exactly what the layouts root already resolves to (explicit
+    * `SPARK_GRAFT_STORAGE_DIR`, or beside the data the cluster is
+    * reading) — so scratch dirs are allocated under `<root>/_scratch`
+    * and deleted by their caller when the row's small result is
+    * pinned. The UUID suffix keeps concurrent invocations (bench
+    * passes, parallel suites) disjoint. */
+  def scratch(dataDir: String, prefix: String): File = {
+    val home = new File(root(dataDir), "_scratch")
+    home.mkdirs()
+    val d = new File(home,
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    d.mkdirs()
+    d
+  }
 
   /** Cheap content fingerprint of a data dir: (name, size, mtime) of
     * each top-level entry (one stat walk, no data read — the same
