@@ -29,13 +29,20 @@ import graft.operators.TextAnalysis
   * majority cannot fold without per-language counts, which the card
   * table would carry in production).
   *
-  * Exactly-once: the StreamingVectorIngest recipe — foreachBatch +
-  * last-committed-batchId marker beside the card; the new card
-  * writes to a staged sibling then swaps by rename, so a reader
-  * never sees a half-written table, and a crash-replayed micro-batch
-  * skips instead of double-folding. The usual plain-filesystem crash
-  * window between rename and marker applies (see
-  * `advanceDedupState`'s transactional-table note). */
+  * Exactly-once: foreachBatch + VERSIONED card tables behind ONE
+  * atomic pointer. Batch b folds the pointed-at card with its delta
+  * into `card_b/`, then commits by atomically replacing the `_CARD`
+  * pointer file (temp + ATOMIC_MOVE) whose content IS the committed
+  * batch id, then garbage-collects superseded card dirs. The commit
+  * is a single atomic filesystem op, so there is no window where the
+  * table a reader would resolve is missing or half-written, and no
+  * separate marker that could disagree with the table: a crash
+  * before the pointer move leaves the OLD card fully intact (the
+  * replayed micro-batch re-folds from it — `card_b` is rewritten in
+  * overwrite mode, idempotently); a crash after leaves the new card
+  * committed and the replayed batch skips on the batch-id guard. An
+  * unreadable pointer degrades to a scan for the newest
+  * `_SUCCESS`-complete card rather than failing the stream. */
 object StreamingDataCard {
 
   private val docSchema = StructType(Seq(
@@ -45,11 +52,44 @@ object StreamingDataCard {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  private def pointerPath(cardPath: String) =
+    java.nio.file.Paths.get(cardPath, "_CARD")
+
+  /** Newest COMPLETE versioned card on disk (its parquet `_SUCCESS`
+    * marker present — a crash mid-write leaves none), for pointer
+    * recovery. Dirs ahead of a lost pointer are only ever fully
+    * written + uncommitted, so resolving to the newest complete one
+    * is safe: its content is exactly pointed-card + that batch's
+    * delta, and the replayed batch skips on the id guard. */
+  private def newestCompleteCard(cardPath: String): Long =
+    Option(new java.io.File(cardPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.getName.startsWith("card_") &&
+        new java.io.File(d, "_SUCCESS").isFile)
+      .flatMap(d => d.getName.stripPrefix("card_").toLongOption)
+      .sorted.lastOption.getOrElse(-1L)
+
+  /** The committed batch id: the `_CARD` pointer's content, written
+    * only by ATOMIC_MOVE so it can never be torn. A missing or
+    * unparseable pointer (fresh state, manual damage, a legacy
+    * marker) degrades to the newest complete card on disk — a fresh
+    * state has none and reads -1 — instead of reading folded history
+    * as empty or throwing NumberFormatException on every subsequent
+    * micro-batch. */
   private def lastCommitted(cardPath: String): Long = {
-    val f = java.nio.file.Paths.get(cardPath, "_STREAM_BATCH")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLong
-    else -1L
+    val f = pointerPath(cardPath)
+    if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
+    else
+      java.nio.file.Files.readString(f).trim.toLongOption
+        .getOrElse(newestCompleteCard(cardPath))
+  }
+
+  /** The directory of the committed card, if any batch has committed
+    * and its table still exists. */
+  private def currentCardDir(cardPath: String): Option[java.io.File] = {
+    val b = lastCommitted(cardPath)
+    if (b < 0) None
+    else Some(new java.io.File(cardPath, s"card_$b")).filter(_.isDirectory)
   }
 
   /** The additive per-source partials of a document frame — the ONE
@@ -72,13 +112,13 @@ object StreamingDataCard {
   def readCard(spark: SparkSession, cardPath: String): DataFrame = {
     val stateSchema =
       "source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG"
-    val cardDir = new java.io.File(cardPath, "card")
-    val state =
-      if (cardDir.exists())
+    val state = currentCardDir(cardPath) match {
+      case Some(cardDir) =>
         spark.read.schema(stateSchema).parquet(cardDir.getPath)
-      else
+      case None =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType.fromDDL(stateSchema))
+    }
     state.select(col("source"), col("n_docs"), col("n_tokens"),
       round(col("n_tokens").cast("double") /
         col("n_docs").cast("double"), 6).as("mean_tokens"),
@@ -100,10 +140,10 @@ object StreamingDataCard {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastCommitted(cardPath) && !batch.isEmpty) {
-          val cardDir = new java.io.File(cardPath, "card")
+          val prevCommitted = lastCommitted(cardPath)
           val delta = partials(batch)
-          val merged =
-            if (cardDir.exists()) {
+          val merged = currentCardDir(cardPath) match {
+            case Some(cardDir) =>
               val prev = spark.read
                 .schema("source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG")
                 .parquet(cardDir.getPath)
@@ -113,16 +153,33 @@ object StreamingDataCard {
                   sum(col("n_tokens")).as("n_tokens"),
                   sum(col("q_sum")).as("q_sum"),
                   sum(col("q_n")).as("q_n"))
-            } else delta
-          // staged swap: never mutate the table a reader might hold
-          val next = new java.io.File(cardPath, s"card_next_$batchId")
+            case None => delta
+          }
+          // fold into the VERSIONED table for this batch (overwrite:
+          // a crash-replayed batch rewrites it idempotently) — the
+          // committed card is never touched
+          val next = new java.io.File(cardPath, s"card_$batchId")
           merged.write.mode("overwrite").parquet(next.getPath)
-          graft.sources.LayoutStore.deleteRecursively(cardDir)
-          require(next.renameTo(cardDir),
-            s"card swap failed: $next -> $cardDir")
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(cardPath, "_STREAM_BATCH"),
-            batchId.toString)
+          // COMMIT = one atomic pointer replace; before it the old
+          // card is fully intact, after it the new one is named
+          val tmp = java.nio.file.Files.createTempFile(
+            java.nio.file.Paths.get(cardPath), "_CARD", ".tmp")
+          java.nio.file.Files.writeString(tmp, batchId.toString)
+          java.nio.file.Files.move(tmp, pointerPath(cardPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // GC all versions except the new card AND its predecessor:
+          // keeping one superseded generation gives a reader that
+          // resolved the pointer just before this commit a grace
+          // window to finish its scan (two-generation retention, the
+          // usual snapshot-table compromise; a crash mid-GC just
+          // leaves extra dirs for the next commit's GC)
+          Option(new java.io.File(cardPath).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(d => d.getName.startsWith("card_") &&
+              d.getName != s"card_$batchId" &&
+              d.getName != s"card_$prevCommitted")
+            .foreach(graft.sources.LayoutStore.deleteRecursively)
           ()
         }
       }

@@ -329,7 +329,8 @@ class StreamingRecoverySpec extends SparkTestBase {
     // batch pass, read back through the SAME readCard path (so
     // rounding/ordering can't diverge between the two sides)
     StreamingDataCard.partials(t.documents)
-      .write.parquet(s"${ref.getAbsolutePath}/card")
+      .write.parquet(s"${ref.getAbsolutePath}/card_0")
+    Files.writeString(new File(ref, "_CARD").toPath, "0")
     def rows(dir: File) =
       StreamingDataCard.readCard(spark, dir.getAbsolutePath).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -342,5 +343,22 @@ class StreamingRecoverySpec extends SparkTestBase {
       ckpt.getAbsolutePath, availableNow = true, maxFilesPerTrigger = Some(1))
       .awaitTermination()
     assert(rows(card) === rows(ref), "resume double-folded the card")
+
+    // --- pointer-damage recovery: the commit pointer is the ONLY
+    // mutable metadata, so the failure drill is on it. A garbage or
+    // deleted pointer must degrade to the newest COMPLETE versioned
+    // card (scan recovery), never to an empty card (history loss) or
+    // a NumberFormatException (a permanently failing stream).
+    val full = rows(card)
+    Files.writeString(new File(card, "_CARD").toPath, "not-a-batch-id")
+    assert(rows(card) === full, "garbage pointer lost the folded card")
+    new File(card, "_CARD").delete()
+    assert(rows(card) === full, "missing pointer lost the folded card")
+    // an INCOMPLETE card ahead of the history (crash mid-write leaves
+    // no parquet _SUCCESS) must not win the scan
+    val torn = new File(card, "card_99")
+    torn.mkdirs()
+    Files.writeString(new File(torn, "part-00000.parquet").toPath, "torn")
+    assert(rows(card) === full, "a _SUCCESS-less card dir won recovery")
   }
 }
