@@ -129,6 +129,38 @@ object GraftTableFunctions {
         GraftColumnBridge.analyzedPlan(build(Tables(spark, dir)))
       })
 
+  /** Memo for side-effecting TVF builds, weak-keyed on the session
+    * (a stopped session's entries collect with it). The inner key
+    * folds the data dir AND its content fingerprint, so the memo
+    * serves the cached manifest only while the data is byte-stable —
+    * new/replaced files at the same path rebuild. The cached plan
+    * references a localCheckpointed ≤(splits×sources)-row manifest
+    * pinned in the session's block manager, so replaying it is a
+    * block-manager read, not a re-export. */
+  private val sideEffectMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]]()
+
+  /** [[tvf]] for a build with real side effects (a corpus write):
+    * at-most-once per (session, dir, fingerprint) instead of
+    * once-per-analysis. */
+  private def memoTvf(name: String)(build: Tables => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+      es => {
+        require(es.length == 1, s"$name expects 1 argument (data dir)")
+        val dir = litString(name, es.head)
+        val spark = SparkSession.active
+        val perSession = sideEffectMemo.synchronized {
+          sideEffectMemo.computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]())
+        }
+        val key = s"$name|$dir|${graft.sources.LayoutStore.fingerprint(dir)}"
+        perSession.computeIfAbsent(key,
+          _ => GraftColumnBridge.analyzedPlan(build(Tables(spark, dir))))
+      })
+
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     tvf("graft_dedup_exact")(Dedup.dedupExact),
@@ -162,11 +194,15 @@ object GraftTableFunctions {
     // round 11: span dedup, the two-stage rerank, the data card and
     // the Gopher gates — the full pipeline surface stays SQL-reachable
     tvf("graft_dedup_spans")(Dedup.dedupSpans),
+    tvf("graft_dedup_spans_incremental")(Dedup.dedupSpansIncremental),
     tvf("graft_search_rerank")(VectorSearch.searchRerank),
     tvf("graft_source_profile")(TextAnalysis.sourceProfile),
     tvf("graft_gopher_rules")(TextAnalysis.gopherRules),
     // the hybrid retrieval stack and the selection/audit surfaces
     tvf("graft_search_bm25")(VectorSearch.searchBm25),
+    // round 12: the batch-serving probe — N queries x the persisted
+    // index in one pass
+    tvf("graft_search_batch")(EmbeddingStore.searchBatchQuery),
     tvf("graft_search_hybrid")(VectorSearch.searchHybrid),
     tvf("graft_dsir_weights")(TextAnalysis.dsirWeights),
     tvf("graft_ngram_topk")(TextAnalysis.ngramTopk),
@@ -177,13 +213,13 @@ object GraftTableFunctions {
     tvf("graft_semantic_clusters")(VectorSearch.semanticClusters),
     tvf("graft_lang_confusion")(TextAnalysis.langConfusion),
     tvf("graft_gate_matrix")(TextAnalysis.gateMatrix),
-    // side-effecting: the export writes (and deletes) its temp store
-    // while the calling query ANALYZES — so even an EXPLAIN of a
-    // query referencing this TVF performs the corpus write, and N
-    // references run N exports; the inlined result is the pinned
-    // manifest (unlike the other TVFs, whose analysis-time work is
-    // read-only compute)
-    tvf("graft_export_manifest")(graft.sources.Export.exportManifest))
+    // side-effecting (the one TVF whose build performs a real corpus
+    // write): memoized so the export runs AT MOST ONCE per (session,
+    // data dir, data fingerprint) — an EXPLAIN followed by the real
+    // run, or N references in one query, share a single export's
+    // pinned manifest instead of re-exporting N times; replacing the
+    // data at the same path changes the fingerprint and re-exports
+    memoTvf("graft_export_manifest")(graft.sources.Export.exportManifest))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -38,6 +38,11 @@ import graft.operators.TextAnalysis
   */
 object Export {
 
+  /** Number of actual export runs in this JVM — observability hook so
+    * the TVF memoization contract (at-most-once per session/dir/data)
+    * is testable, not just asserted. */
+  private[graft] val runs = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Precondition (standard for any Hive-style partitioned sink):
     * the partition keys are non-null, non-empty strings — a null or
     * '' source would write as `__HIVE_DEFAULT_PARTITION__` and read
@@ -50,6 +55,7 @@ object Export {
     // must resolve on every node — LayoutStore.scratch routes it
     // through the same root as the durable layouts
     val dir = LayoutStore.scratch(t.dir, "export").toPath
+    runs.incrementAndGet()
     try {
       val out = s"$dir/corpus"
       TextAnalysis.pipelineKeptDocs(t)

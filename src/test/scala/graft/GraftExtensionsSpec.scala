@@ -222,4 +222,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM graft_source_overlap('$sfDir')")
       .first().getLong(0) === graft.operators.Dedup.sourceOverlap(t).count())
   }
+
+  test("the side-effecting export TVF runs its export at most once per session/dir") {
+    val before = graft.sources.Export.runs.get()
+    // an EXPLAIN, a real run, and a query referencing the TVF twice:
+    // five analyses of the TVF, at most ONE actual corpus export
+    // (the first may hit the memo from an earlier test in this JVM)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_export_manifest('$sfDir')").collect()
+    spark.sql(s"SELECT count(*) FROM graft_export_manifest('$sfDir')").collect()
+    spark.sql(
+      s"""SELECT a.split FROM graft_export_manifest('$sfDir') a
+         |JOIN graft_export_manifest('$sfDir') b
+         |  ON a.split = b.split AND a.source = b.source""".stripMargin).collect()
+    assert(graft.sources.Export.runs.get() - before <= 1,
+      "referencing the export TVF must not re-run the export")
+  }
 }
