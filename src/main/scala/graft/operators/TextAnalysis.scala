@@ -25,6 +25,19 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "mit"),
     "fr" -> Seq("le", "les", "une", "et", "dans"))
 
+  /** F1's CJK evidence: the count of CJK Unified Ideograph code
+    * points (U+4E00–U+9FFF) in the text. Stopword lists cannot see
+    * Chinese — it does not whitespace-segment, so no word-list leg
+    * ever fires — but SCRIPT-range counting is the standard cheap
+    * detector for it, and it competes on the same argmax: any
+    * genuinely CJK document carries hundreds of ideographs against a
+    * handful of incidental latin stopword hits. Zero for pure-latin
+    * text, so the latin-language behavior is untouched. */
+  private def cjkCount: org.apache.spark.sql.Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast(LongType)
+
   /** C1 — the reference's `clean_text_content` regex pipeline
     * (reference: src/core/database/processor.py:153), run over every
     * document exactly as the reference runs it over every message
@@ -33,8 +46,9 @@ object TextAnalysis {
     t.documents
       .select(col("doc_id"), cleanText(col("text")).as("cleaned"))
 
-  /** F1 — stopword-profile language ID: count profile hits per
-    * language, argmax with a fixed priority order on ties. */
+  /** F1 — stopword-profile language ID plus the CJK script leg:
+    * count profile hits (and ideographs) per language, argmax with a
+    * fixed priority order on ties. */
   def langId(t: Tables): DataFrame = {
     val ws = words(col("text"))
     val counts = stopwords.map { case (lang, stops) =>
@@ -46,18 +60,23 @@ object TextAnalysis {
       counts(1)._2.as("c_es"),
       counts(2)._2.as("c_de"),
       counts(3)._2.as("c_fr"),
+      cjkCount.as("c_zh"),
       langPredExpr.as("lang_pred"))
   }
 
   /** F1's predicted-language column over `text` — first language in
-    * declaration order attaining the max profile count (the oracle's
-    * CASE chain mirrors this exactly). Shared by [[langId]] and the
-    * per-source profile so the two can never drift. */
+    * declaration order attaining the max evidence count: the four
+    * stopword profiles, then zh's [[cjkCount]] LAST, so an
+    * all-zero-evidence doc still ties to 'en' and latin-script
+    * predictions are byte-identical to the pre-CJK rule (the
+    * oracle's CASE chain mirrors this exactly). Shared by [[langId]],
+    * the confusion matrix and the per-source profile so the three
+    * can never drift. */
   private def langPredExpr: org.apache.spark.sql.Column = {
     val ws = words(col("text"))
     val counts = stopwords.map { case (lang, stops) =>
       lang -> stopwordCount(ws, stops)
-    }
+    } :+ ("zh" -> cjkCount)
     val best = greatest(counts.map(_._2): _*)
     counts.init.foldRight(lit(counts.last._1): org.apache.spark.sql.Column) {
       case ((lang, cnt), els) => when(cnt === best, lang).otherwise(els)
@@ -784,11 +803,21 @@ object TextAnalysis {
     * broadcast join + per-doc agg, never a vocabulary-keyed shuffle
     * (the hashing is exactly what makes DSIR cheaper than F15's LM
     * at 100 TB). Nothing pairwise, nothing collected. */
-  def dsirWeights(t: Tables): DataFrame = {
-    val tok = t.documents
-      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-        posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .localCheckpoint() // feeds the unigram AND bigram legs
+  def dsirWeights(t: Tables): DataFrame =
+    dsirWeightsStats(
+      t.documents
+        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          posexplode(words(col("text"))).as(Seq("pos", "w")))
+        .localCheckpoint()) // feeds the unigram AND bigram legs
+      .orderBy(col("doc_id"))
+
+  /** F18 over an already-materialized positional token frame
+    * (doc_id, is_target, pos, w) — the shared-tokenize entry the
+    * composed rows (F22) use so DSIR scoring rides the same corpus
+    * read as the other token-level gates; unordered (the standalone
+    * row adds the sort). The caller materializes the frame (it has
+    * two consumers here: the unigram and bigram legs). */
+  private[operators] def dsirWeightsStats(tok: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val uni = tok.select(col("doc_id"), col("is_target"), col("w").as("f"))
     val bi = tok
@@ -821,7 +850,6 @@ object TextAnalysis {
         round(col("mu_sum").cast("double") / col("n_feats").cast("double") /
           lit(1e6), 6).as("weight"))
       .withColumn("kept", col("weight") >= dsirThreshold)
-      .orderBy(col("doc_id"))
   }
 
   /** F19 — `q_ngram_topk`: the corpus' most document-frequent word
@@ -885,16 +913,28 @@ object TextAnalysis {
     * marginal cut overlaps (Dolma/RefinedWeb-style ablation tables
     * report exactly this joint structure).
     *
-    * Each gate is the family's ONE definition (the operators are
-    * called, not re-derived — the oracle nests their oracle bodies
-    * the same way), joined on doc_id and collapsed to the ≤8-row
-    * joint distribution by a map-side-combining count; the 1-row
-    * total cross-broadcasts for the share. Nothing new is
-    * corpus-shaped beyond the three gates themselves. */
+    * Each gate is the family's ONE definition (the operators' shared
+    * stats bodies are called, not re-derived — the oracle nests
+    * their oracle bodies the same way), joined on doc_id and
+    * collapsed to the ≤8-row joint distribution by a
+    * map-side-combining count; the 1-row total cross-broadcasts for
+    * the share. The two TOKEN-level gates (repetition, DSIR) consume
+    * ONE shared, eagerly-materialized tokenize pass — the F9
+    * composition contract — so the corpus text is read and split
+    * once for both, not once per gate; the Gopher gate is a
+    * text-level projection with no token explode to share, so it
+    * keeps its own scan. Nothing new is corpus-shaped beyond the
+    * three gates themselves. */
   def gateMatrix(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .localCheckpoint() // ONE tokenize pass, two gate consumers
     val g = gopherRules(t).select(col("doc_id"), col("kept").as("gopher_kept"))
-    val r = repetition(t).select(col("doc_id"), (!col("flagged")).as("rep_ok"))
-    val d = dsirWeights(t).select(col("doc_id"), col("kept").as("dsir_kept"))
+    val r = repetitionStats(tok)
+      .select(col("doc_id"), (!col("flagged")).as("rep_ok"))
+    val d = dsirWeightsStats(tok)
+      .select(col("doc_id"), col("kept").as("dsir_kept"))
     val joint = g.join(r, Seq("doc_id")).join(d, Seq("doc_id"))
       .groupBy(col("gopher_kept"), col("rep_ok"), col("dsir_kept"))
       .agg(count(lit(1)).as("n"))

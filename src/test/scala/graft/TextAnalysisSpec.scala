@@ -29,12 +29,30 @@ class TextAnalysisSpec extends SparkTestBase {
     val rows = TextAnalysis.langId(t).collect()
     assert(rows.length === t.documents.count())
     rows.foreach { r =>
-      val counts = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      val pred = r.getString(5)
-      val predIdx = Seq("en", "es", "de", "fr").indexOf(pred)
+      val counts = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      val pred = r.getString(6)
+      val predIdx = Seq("en", "es", "de", "fr", "zh").indexOf(pred)
       assert(predIdx >= 0)
       assert(counts(predIdx) === counts.max)
     }
+  }
+
+  test("langId: a CJK document trips the script leg, not the en tie rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "zh", "s", "机器学习模型在大规模数据集上训练"), // pure CJK: c_zh = 16
+      (1L, "zh", "s", "the model 模型"),                  // mixed: 2 ideographs > 1 en stopword
+      (2L, "en", "s", "the a of and to")                  // latin text stays en
+    ).toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cjk").toFile
+    dir.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.langId(graft.sources.Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(5), r.getString(6)))).toMap
+    assert(got(0L) === ((16L, "zh")))
+    assert(got(1L) === ((2L, "zh")))
+    assert(got(2L) === ((0L, "en")))
   }
 
   test("qualityScore components are in range") {
@@ -482,14 +500,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.length === rows.toSet.size && got.forall(_.getLong(1) >= 1L))
   }
 
-  test("langConfusion: exact matrix on a labeled corpus, zh falls to the " +
-    "tie rule, rates sum to 1 per true language") {
+  test("langConfusion: exact matrix on a labeled corpus, CJK text lands on " +
+    "the zh script leg, rates sum to 1 per true language") {
     import spark.implicits._
     val docs = Seq(
       (0L, "en", "s", "the a of and to"),       // clean en
       (1L, "en", "s", "el la de y en words"),   // mislabeled-ish: es profile wins
       (2L, "es", "s", "el la de y en"),         // clean es
-      (3L, "zh", "s", "汉字 文本 没有 停用词"),     // no profile hits -> tie -> en
+      (3L, "zh", "s", "汉字 文本 没有 停用词"),     // ideographs -> the zh script leg
       (4L, "de", "s", "der die und das mit")    // clean de
     ).toDF("doc_id", "lang", "source", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-langconf").toFile
@@ -501,7 +519,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === Map(
       ("en", "en") -> ((1L, 0.5)), ("en", "es") -> ((1L, 0.5)),
       ("es", "es") -> ((1L, 1.0)),
-      ("zh", "en") -> ((1L, 1.0)),
+      ("zh", "zh") -> ((1L, 1.0)),
       ("de", "de") -> ((1L, 1.0))))
   }
 
