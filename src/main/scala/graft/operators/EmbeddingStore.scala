@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -727,7 +728,7 @@ object EmbeddingStore {
   /** Assignment-rule version tag baked into the on-disk index path: a
     * rule change must never silently probe an index built by an older
     * rule. */
-  private val indexRuleVersion = "r11-lloyd1-6dp-gen-pq16x8"
+  private val indexRuleVersion = "r12-lloyd1-6dp-gen-pq16x8l1"
 
   /** Build-once location of the persisted IVF index for a data dir.
     * Like the bucketed table layout, the index is STORAGE — paid once
@@ -813,6 +814,77 @@ object EmbeddingStore {
       .limit(k)
   }
 
+  /** D19 — `q_search_batch`: N ARBITRARY queries through the
+    * PERSISTED IVF index in ONE pass — the production batch-serving
+    * plan the reference's search entry implies at scale
+    * (engine.py:105 serves one query per call; a Spark deployment
+    * amortizes the index scan across the whole query batch instead
+    * of paying a probe round-trip per query, server.py:203's request
+    * loop turned into a single job).
+    *
+    * Plan: (1) ONE metadata job scores the centroid table against
+    * the broadcast query set and keeps the top `probes` cells per
+    * query (6dp-rounded cosine, cell tie-break — the
+    * [[probeCells]] rule per query); (2) the ≤ N·probes DISTINCT
+    * probed cell ids — index metadata, bounded-collected like every
+    * IVF-path collect — become partition-pruning literals, so the
+    * cells store is listed and scanned ONCE for the union of all
+    * queries' probes; (3) each scanned row scores only against the
+    * queries that probed its cell (broadcast equi-join on cell —
+    * never a queries × corpus cross product); (4) per-query exact
+    * top-k by window rank. The ranked row count is bounded by
+    * N · probes · τ ([[targetCellRows]] caps the expected cell size
+    * corpus-independently), so the final per-query window ranks a
+    * fixed-size candidate set no matter how big the store is.
+    *
+    * Determinism: probe choice and scores round to 6dp BEFORE
+    * ranking, ties break on cell/doc_id — the library's ranked-score
+    * contract, so DuckDB replays build + per-query probe + rank
+    * exactly. A query whose id exists in the store never matches
+    * itself (per-query self-exclusion, D8's rule). */
+  def searchIvfBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // per-query probe choice in ONE pass: every centroid × every
+    // query (metadata-scale: k cells × N queries), ranked per query
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    val probeMap = centroids.join(broadcast(queries))
+      .select(col("query_id"), col("cell"), col("qv"),
+        round(cosineSim(col("centroid"), col("qv")), 6).as("cs"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= probes)
+      .select(col("query_id"), col("cell"), col("qv"))
+      // eager: feeds the distinct-cell metadata collect AND the
+      // candidate join — without it the centroid scoring runs twice
+      .localCheckpoint(true)
+    val nQueries = queries.count()
+    val probedCells = collectBounded(
+      probeMap.select(col("cell")).distinct(),
+      nQueries * probes, "batched probed cell ids").map(_.getInt(0))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(probeMap), Seq("cell"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The D19 row: D3's 5-query sample (vec_ids 0–4, their vectors
+    * read straight from the embeddings table — ARBITRARY inputs as
+    * far as the index is concerned) × the persisted ensured index,
+    * top-10 each at 2 probes. */
+  def searchBatchQuery(t: Tables): DataFrame = {
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    searchIvfBatch(t.spark, ensureIndex(t), queries, k = 10, probes = 2)
+  }
+
   /** Rebuild-on-drift — the action D9's numbers call for.
     * [[indexStats]]'s `appended_frac` measures the fraction of the
     * store the centroids have never seen ([[appendToIvfIndex]] keeps
@@ -837,9 +909,24 @@ object EmbeddingStore {
     * Nothing corpus-shaped touches the driver: the decision reads
     * the 1-row stats, the re-fit is the distributed build path. */
   def rebuildIfDrifted(spark: SparkSession, path: String,
-      threshold: Double): Boolean = {
-    val frac = indexStats(spark, path).first().getAs[Double]("appended_frac")
-    if (frac <= threshold) false
+      threshold: Double): Boolean =
+    rebuildIfDrifted(spark, path, threshold, Double.MaxValue)
+
+  /** Two drift gates, either trips the re-fit: `threshold` on
+    * `appended_frac` (how much of the store the COARSE quantizer has
+    * never seen) and `pqDistortionThreshold` on `pq_distortion` (how
+    * badly the FIXED codebooks now fit the store — appends encode
+    * against build-time codebooks, so a corpus that drifts in
+    * distribution degrades compressed-probe ranking even while the
+    * appended fraction stays modest). Both numbers come from the ONE
+    * stats row; the re-fit rebuilds coarse centroids AND codebooks
+    * from the stored cells. */
+  def rebuildIfDrifted(spark: SparkSession, path: String,
+      threshold: Double, pqDistortionThreshold: Double): Boolean = {
+    val st = indexStats(spark, path).first()
+    val frac = st.getAs[Double]("appended_frac")
+    val dist = st.getAs[Double]("pq_distortion")
+    if (frac <= threshold && dist <= pqDistortionThreshold) false
     else {
       val staging = s"$path/_rebuild"
       buildIvfIndex(spark,
@@ -908,9 +995,14 @@ object EmbeddingStore {
         max(col("n")).as("max_cell"))
     val perVec = cells.join(broadcast(centroids), "cell")
       .select(col("gen"),
-        round(cosineSim(col("embedding"), col("centroid")), 6).as("cs"))
+        round(cosineSim(col("embedding"), col("centroid")), 6).as("cs"),
+        // PQ quantization error per vector, micro-units (codegen'd
+        // argmin against the broadcast codebook literal — rides the
+        // SAME scan, no extra pass)
+        ProductQuantizer.distortionMicro(spark, path).as("d_mu"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(round(col("cs") * 1000000).cast("long")).as("s_micro"),
+        sum(col("d_mu")).as("d_sum"),
         sum(col("gen").cast("long")).as("n_appended"))
     perVec.crossJoin(perCell).select(
       col("n_vectors"), col("n_cells"), col("max_cell"),
@@ -919,6 +1011,12 @@ object EmbeddingStore {
       round(col("n_appended").cast("double") /
         col("n_vectors").cast("double"), 6).as("appended_frac"),
       round(col("s_micro").cast("double") / col("n_vectors").cast("double") /
-        lit(1000000.0), 6).as("mean_intra_cosine"))
+        lit(1000000.0), 6).as("mean_intra_cosine"),
+      // mean per-vector PQ error in original float² units — the
+      // CODEBOOK-aging measure (appends encode against fixed
+      // codebooks, so this drifts up as the corpus outgrows them;
+      // the companion drift gate to appended_frac)
+      round(col("d_sum").cast("double") / col("n_vectors").cast("double") /
+        lit(1000000.0), 6).as("pq_distortion"))
   }
 }

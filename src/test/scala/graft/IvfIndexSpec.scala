@@ -90,11 +90,14 @@ class IvfIndexSpec extends SparkTestBase {
     // the BUILD also honors the bounded-driver contract: two
     // two-level assignments run (seed + refined), each collecting
     // only its ceil(sqrt(k)) coarse seeds, plus the PQ sidecar's
-    // numCentroids codebook seeds — a corpus-independent constant
+    // codebook metadata — seeds (numCentroids rows) and the Lloyd
+    // mean step (numCentroids·m·subDim = numCentroids·dim component
+    // rows) — all corpus-independent constants
     val kBuild = EmbeddingStore.numCellsFor(vectors.count())
+    val dim = vectors.select(size(col("embedding"))).first().getInt(0)
     val buildBound = math.max(
       math.ceil(math.sqrt(kBuild.toDouble)).toLong,
-      graft.operators.ProductQuantizer.numCentroids.toLong)
+      graft.operators.ProductQuantizer.numCentroids.toLong * dim)
     assert(EmbeddingStore.driverRowsHighWater.get() <= buildBound,
       s"index build held ${EmbeddingStore.driverRowsHighWater.get()} rows on the driver")
     val cells = spark.read.parquet(s"$path/cells")
@@ -264,5 +267,35 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!new java.io.File(path, "_rebuild").exists())
     // probes still work end-to-end on the swapped-in layout
     assert(EmbeddingStore.searchIvf(spark, path, queryDocId = 450L, k = 5).count() > 0)
+  }
+
+  test("searchIvfBatch: one pass reproduces every per-query probe, " +
+    "scan is partition-pruned, probe metadata stays bounded") {
+    val t = Tables(spark, sfDir)
+    val path = EmbeddingStore.ensureIndex(t)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    EmbeddingStore.driverRowsHighWater.set(0)
+    val batch =
+      EmbeddingStore.searchIvfBatch(spark, path, queries, k = 10, probes = 2)
+    val rows = batch.collect()
+    // the driver held only probe METADATA: <= nQueries * probes cell ids
+    assert(EmbeddingStore.driverRowsHighWater.get() <= 5L * 2,
+      s"batch probe held ${EmbeddingStore.driverRowsHighWater.get()} driver rows")
+    // ONE scan of the union of probed cells, pruned at the listing
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"),
+      s"batched cell scan not partition-pruned:\n$plan")
+    // the batch slice for each query is EXACTLY the single-query probe
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 5L).toSet)
+    (0L until 5L).foreach { qid =>
+      val single = EmbeddingStore.searchIvf(spark, path, qid, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val slice = byQuery(qid).sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(slice === single, s"query $qid diverged from the one-at-a-time probe")
+    }
   }
 }
