@@ -986,37 +986,161 @@ object Dedup {
     * md5 hashes (32 chars), not the ~90-char raw span. Emits only
     * docs that lost at least one word. */
   def dedupSpans(t: Tables): DataFrame = {
-    val n = spanGramLen
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tok = t.documents.select(col("doc_id"),
-      posexplode(words(col("text"))).as(Seq("pos", "w")))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(byPos))
-    // gram = the n-word span STARTING at pos (null in the last n-1
-    // positions of a doc — those rows ride through the survivor
-    // window under a unique per-row key, so the null tail of every
-    // document cannot pile into one skewed partition)
-    val grams = tok.select(col("doc_id"), col("pos"), col("w"),
-      when(leads.last.isNotNull,
-        md5(concat_ws(" ", (col("w") +: leads): _*))).as("gh"))
+    val grams = spanGramOccurrences(t.documents)
     val byGram = Window.partitionBy(
       coalesce(col("gh"), concat(lit(" "), col("doc_id"), lit(":"), col("pos"))))
       .orderBy(col("doc_id"), col("pos"))
-    val flagged = grams.withColumn("dup",
-      (col("gh").isNotNull && row_number().over(byGram) > 1).cast("int"))
-    val covered = flagged.withColumn("covered",
-      max(col("dup")).over(byPos.rangeBetween(-(n - 1), 0)))
-    covered.groupBy(col("doc_id"))
+    spanCollapse(grams.withColumn("dup",
+      (col("gh").isNotNull && row_number().over(byGram) > 1).cast("int")))
+  }
+
+  /** Shared gram-OCCURRENCE assembly for the span rows (full E12 and
+    * incremental E14): every token row with the md5 of the
+    * [[spanGramLen]]-word gram STARTING at it — null in the last
+    * n-1 positions of a doc (those rows ride through the survivor
+    * window under a unique per-row key, so the null tail of every
+    * document cannot pile into one skewed partition). */
+  private def spanGramOccurrences(documents: DataFrame): DataFrame = {
+    val n = spanGramLen
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = documents.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(byPos))
+    tok.select(col("doc_id"), col("pos"), col("w"),
+      when(leads.last.isNotNull,
+        md5(concat_ws(" ", (col("w") +: leads): _*))).as("gh"))
+  }
+
+  /** Shared coverage + per-doc collapse for the span rows: a word is
+    * covered iff some dup gram occurrence starts within the previous
+    * spanGramLen-1 positions (a rangeBetween sliding max — overlapping
+    * repeated grams merge into maximal spans with NO interval join);
+    * then per doc: token count, removed count, md5 of the kept text
+    * (kept words reassemble in pos order via a struct sort —
+    * collect_list drops the null covered entries). Emits only docs
+    * that lost at least one word. */
+  private def spanCollapse(flagged: DataFrame): DataFrame = {
+    val n = spanGramLen
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("covered", max(col("dup")).over(byPos.rangeBetween(-(n - 1), 0)))
+      .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("covered")).as("n_removed"),
-        // kept words reassemble in pos order via a struct sort —
-        // collect_list drops the null (covered) entries
         md5(concat_ws(" ", transform(
           array_sort(collect_list(
             when(col("covered") === 0, struct(col("pos"), col("w"))))),
           s => s.getField("w")))).as("kept_hash"))
       .filter(col("n_removed") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  // ---- E14: incremental span dedup over persisted gram state ---------
+
+  /** Bump when the span-state schema or gram rule changes. */
+  private val spanStateVersion = "r12-span-v1"
+
+  /** Build-once persisted SPAN state for the base corpus (doc_id <=
+    * watermark): `grams/` = the base's DISTINCT gram hashes. That
+    * single fact is all the corpus-wide first-occurrence rule needs
+    * about history under the append-only contract: delta doc_ids are
+    * strictly greater than every base id, so ANY base occurrence of a
+    * gram precedes every delta occurrence — membership alone decides
+    * "dup", no base positions required (and base docs' own results
+    * can never change, because a LATER occurrence never affects an
+    * earlier one). Distinct-gram rows are far fewer than occurrence
+    * rows, which is exactly what the daily pass saves. */
+  def buildSpanState(documents: DataFrame, watermark: Long, path: String): Unit = {
+    spanGramOccurrences(documents.filter(col("doc_id") <= watermark))
+      .filter(col("gh").isNotNull)
+      .select(col("gh")).distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+    writeWatermark(path, watermark)
+  }
+
+  /** Build-once span state for a data dir (the E11 ensure pattern:
+    * content-fingerprinted key, rule-versioned, built at the 0.9
+    * delta watermark). */
+  def ensureSpanState(t: Tables): String =
+    graft.sources.LayoutStore.ensure(t.dir, "spangrams", spanStateVersion) {
+      buildSpanState(t.documents, deltaWatermarkOf(t.documents), _)
+    }
+
+  /** E14 — `q_dedup_spans_incremental`: the daily mode of E12 — span
+    * dedup of the DELTA ONLY against the persisted gram state,
+    * first-occurrence rule preserved corpus-wide. Result contract:
+    * IDENTICAL to full E12 restricted to delta docs (the E11
+    * restriction pattern; base rows cannot change by construction —
+    * see [[buildSpanState]]) — the oracle IS full E12's CTEs filtered
+    * to doc_id > watermark, and DedupSpec pins the equivalence
+    * against the engine's own full pass.
+    *
+    * A delta occurrence is dup iff its gram is IN THE STATE (some
+    * base occurrence precedes it) OR an earlier DELTA occurrence
+    * exists (the same (doc_id, pos) window as E12, run over delta
+    * rows only). Coverage and reassembly are E12's shared stages.
+    *
+    * Scale shape — cost ∝ delta plus ONE column-pruned state scan:
+    * only delta docs tokenize/hash; the membership check is an
+    * equi-join between the state's single-column gram table and the
+    * delta's distinct grams — AQE broadcasts the delta side when a
+    * day's delta fits (the common case) and otherwise plans a
+    * shuffle join whose moved bytes are distinct-gram hashes, still
+    * strictly cheaper than full E12's three corpus-wide sorts of the
+    * occurrence stream. The state is never sorted and never rewrites. */
+  def dedupSpansIncremental(t: Tables): DataFrame =
+    dedupSpansIncrementalAgainst(t.documents, ensureSpanState(t))
+
+  /** The E14 delta pass against an EXPLICIT state dir (the daily
+    * loop: build once, then per day this → act →
+    * [[advanceSpanState]]). Delta = everything above the state's
+    * recorded watermark. */
+  def dedupSpansIncrementalAgainst(documents: DataFrame, path: String): DataFrame = {
+    val spark = documents.sparkSession
+    val w = stateWatermark(path)
+    val grams = spanGramOccurrences(documents.filter(col("doc_id") > w))
+      .localCheckpoint() // feeds the distinct-gram probe AND the flag join
+    val touched = spark.read.parquet(s"$path/grams")
+      .join(grams.filter(col("gh").isNotNull).select(col("gh")).distinct(),
+        Seq("gh"))
+      .withColumn("in_base", lit(1))
+    val byGram = Window.partitionBy(
+      coalesce(col("gh"), concat(lit(" "), col("doc_id"), lit(":"), col("pos"))))
+      .orderBy(col("doc_id"), col("pos"))
+    spanCollapse(grams
+      .join(touched, Seq("gh"), "left")
+      .withColumn("dup",
+        (col("gh").isNotNull && (col("in_base").isNotNull ||
+          row_number().over(byGram) > 1)).cast("int"))
+      .drop("in_base"))
+  }
+
+  /** Fold the delta's grams into the span state (day-two of the E14
+    * loop, the [[advanceDedupState]] discipline): append only the
+    * grams NOT already present — the same membership join the delta
+    * pass runs — bracket the mutation with an `_ADVANCING` marker
+    * (readers refuse a half-advanced state via [[stateWatermark]]),
+    * then advance the watermark. History is never rewritten; the
+    * state grows by exactly the new-gram count. */
+  def advanceSpanState(documents: DataFrame, path: String): Long = {
+    val spark = documents.sparkSession
+    val w0 = stateWatermark(path)
+    val mx = documents.agg(max(col("doc_id"))).first()
+    val w1 = if (mx.isNullAt(0)) w0 else mx.getLong(0)
+    if (w1 <= w0) return w0
+    val deltaGh = spanGramOccurrences(
+      documents.filter(col("doc_id") > w0 && col("doc_id") <= w1))
+      .filter(col("gh").isNotNull).select(col("gh")).distinct()
+    val newGrams = deltaGh.join(spark.read.parquet(s"$path/grams"),
+      Seq("gh"), "left_anti")
+      .localCheckpoint() // pin BEFORE the append mutates what it reads
+    val advancing = java.nio.file.Paths.get(path, "_ADVANCING")
+    java.nio.file.Files.writeString(advancing, w1.toString)
+    newGrams.write.mode("append").parquet(s"$path/grams")
+    writeWatermark(path, w1)
+    java.nio.file.Files.delete(advancing)
+    w1
   }
 
   /** E13 — `q_source_overlap`: the pairwise shingle-Jaccard matrix
