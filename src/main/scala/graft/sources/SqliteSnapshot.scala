@@ -79,9 +79,14 @@ object SqliteSnapshot {
       .find(f => f.lastModified() >= srcMtime && f.length() == srcSize)
     reusable.map(_.getAbsolutePath).getOrElse {
       // millisecond timestamp (the reference uses seconds,
-      // connection.py:118) — two snapshots of a source modified twice
-      // within one second must not silently overwrite each other
-      val snap = dir.resolve(s"snapshot_${System.currentTimeMillis()}_$base")
+      // connection.py:118), bumped past any existing name — two
+      // snapshots of a source modified twice within one tick must
+      // not silently overwrite each other
+      var ts = System.currentTimeMillis()
+      var snap = dir.resolve(s"snapshot_${ts}_$base")
+      while (Files.exists(snap)) {
+        ts += 1; snap = dir.resolve(s"snapshot_${ts}_$base")
+      }
       Files.copy(src, snap, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.COPY_ATTRIBUTES)
       snap.toAbsolutePath.toString
@@ -661,8 +666,9 @@ object SqliteSnapshot {
     * JSON that extractText consumes), value=NULL (the store has no
     * numeric measure), plus session_id=sid as an extra column (the
     * conversation key C-family queries group on). */
-  def loadEvents(spark: SparkSession, dbPath: String, outDir: String): Long = {
-    val msgs = readTable(spark, dbPath, "chat_message")
+  def loadEvents(spark: SparkSession, dbPath: String, outDir: String,
+      key: Option[String] = None): Long = {
+    val msgs = readTable(spark, dbPath, "chat_message", key = key)
     val events = msgs.select(
       col("_mid").as("event_id"),
       expr("timestampadd(MICROSECOND, CAST(round(_createAt * 1e6) AS BIGINT), " +

@@ -343,6 +343,77 @@ class DedupSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("dedupSpansIncremental equals full span dedup restricted to delta docs") {
+    import spark.implicits._
+    val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    // planted delta docs: one verbatim copy of a base doc (dup only
+    // via the persisted gram STATE) and two delta docs sharing a
+    // 20-word sentence absent from base (dup only via the
+    // within-delta first-occurrence window) — both detection paths
+    // must fire
+    val sentence = (1 to 20).map(i => s"spanword$i").mkString(" ")
+    val baseCopy = base.filter(col("doc_id") === 1)
+      .select((col("doc_id") + maxId).as("doc_id"), col("source"), col("text"))
+    val fresh = Seq(
+      (maxId + 10, "s", sentence),
+      (maxId + 11, "s", sentence)).toDF("doc_id", "source", "text")
+    val docs = base.unionByName(baseCopy).unionByName(fresh)
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-span").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val t2 = Tables(spark, dir.getAbsolutePath)
+    val w = Dedup.deltaWatermarkOf(t2.documents)
+    assert(w < maxId + 1, "planted docs must fall in the delta")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val full = rowsOf(Dedup.dedupSpans(t2)).filter(_._1 > w)
+    val inc = rowsOf(Dedup.dedupSpansIncremental(t2))
+    assert(full.nonEmpty)
+    assert(inc === full)
+    // the base copy empties out entirely (state-membership path) ...
+    val emptyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val copyRow = inc.find(_._1 === maxId + 1).get
+    assert(copyRow._2 === copyRow._3 && copyRow._4 === emptyHash)
+    // ... the SECOND sentence-sharer empties via the within-delta
+    // window, the FIRST keeps everything (absent from the output)
+    assert(!inc.exists(_._1 === maxId + 10))
+    assert(inc.find(_._1 === maxId + 11).get._3 === 20L)
+  }
+
+  test("advanceSpanState closes the daily span loop and appends only new grams") {
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    val w1 = maxId - 50
+    val dir = java.nio.file.Files.createTempDirectory("graft-daily-span")
+    val path = s"$dir/state"
+    Dedup.buildSpanState(base, w1, path)
+    assert(Dedup.stateWatermark(path) === w1)
+    val gramsBefore = spark.read.parquet(s"$path/grams").count()
+
+    // advance folds the day-1 delta; watermark moves; idempotent
+    assert(Dedup.advanceSpanState(base, path) === maxId)
+    assert(Dedup.advanceSpanState(base, path) === maxId, "idempotent no-op")
+    val grams1 = spark.read.parquet(s"$path/grams")
+    // the folded state is EXACTLY the full corpus' distinct grams —
+    // append added the new ones, duplicated none
+    assert(grams1.count() === grams1.distinct().count(), "no duplicate grams")
+    assert(grams1.count() >= gramsBefore)
+
+    // day 2 appends a verbatim copy of a day-1-DELTA doc (> w1):
+    // only the ADVANCED state can flag it
+    import spark.implicits._
+    val srcRow = base.filter(col("doc_id") === maxId).first()
+    val day2 = base.unionByName(
+      Seq((maxId + 1, srcRow.getString(1))).toDF("doc_id", "text"))
+    val got = Dedup.dedupSpansIncrementalAgainst(day2, path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.contains(maxId + 1),
+      "a copy of a day-1-delta doc must be flagged through the folded state")
+    assert(got(maxId + 1)._1 === got(maxId + 1)._2, "the copy empties out")
+  }
+
   test("sourceOverlap: exact pairwise shingle Jaccard, upper triangle only, " +
     "non-intersecting pairs absent, within-source dups collapse") {
     import spark.implicits._

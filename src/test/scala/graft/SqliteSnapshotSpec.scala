@@ -112,8 +112,8 @@ object MiniSqliteDb {
     b
   }
 
-  val createSql =
-    "CREATE TABLE msgs (sid INTEGER, _mid INTEGER PRIMARY KEY, c TEXT, " +
+  def createSql(table: String = "msgs") =
+    s"CREATE TABLE $table (sid INTEGER, _mid INTEGER PRIMARY KEY, c TEXT, " +
       "t INTEGER, _createAt REAL, u INTEGER)"
 
   /** (sid, rowid/_mid, c, t, _createAt, u) — NULLs, negative /
@@ -126,9 +126,9 @@ object MiniSqliteDb {
 
   /** The complete plaintext database file at a given per-page
     * reserve (the cipher generation's IV+HMAC footprint). */
-  def plainFile(rsv: Int = reserve): Array[Byte] = {
+  def plainFile(rsv: Int = reserve, table: String = "msgs"): Array[Byte] = {
     val schemaCell = cell(1L,
-      record(Seq("table", "msgs", "msgs", 2L, createSql)))
+      record(Seq("table", table, table, 2L, createSql(table))))
     val msgCells = rows.map { case (sid, mid, c, t, at, u) =>
       // the INTEGER PRIMARY KEY slot is NULL in the record; its value
       // is the rowid
@@ -142,11 +142,12 @@ object MiniSqliteDb {
     * a cipher generation's parameters — v4 by default. */
   def encryptedFile(pass: String,
       cfg: graft.sources.SqliteSnapshot.SqlCipher.Config =
-        graft.sources.SqliteSnapshot.SqlCipher.v4): Array[Byte] = {
+        graft.sources.SqliteSnapshot.SqlCipher.v4,
+      table: String = "msgs"): Array[Byte] = {
     import graft.sources.SqliteSnapshot.SqlCipher
     val salt = (0 until 16).map(_.toByte).toArray
     val (k, hk) = SqlCipher.deriveKeys(cfg, pass, salt)
-    val plain = plainFile(cfg.reserve)
+    val plain = plainFile(cfg.reserve, table)
     (0 until plain.length / pageSize).map { i =>
       val pg = java.util.Arrays.copyOfRange(plain, i * pageSize, (i + 1) * pageSize)
       val iv = java.security.MessageDigest.getInstance("SHA-256")
