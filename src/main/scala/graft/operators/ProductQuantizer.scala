@@ -80,23 +80,67 @@ object ProductQuantizer {
     java.math.BigDecimal.valueOf(v.toDouble * quantScale)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
-  /** Deterministic seeded codebooks for a (doc_id, embedding) corpus:
-    * the `numCentroids` lowest doc_ids become codes 0..ncent-1 in id
-    * order, one quantized subvector per subspace. Runs as a
-    * distributed TakeOrdered; the collect is bounded index metadata
-    * (ncent rows), through the same instrumented gate as the IVF
-    * coarse seeds. Returns (sub, cid, cvec) rows. */
+  /** Default Lloyd refinement steps for the codebooks — the same knob
+    * the IVF coarse quantizer got (`buildIvfIndex(lloydIterations)`),
+    * at the same default: one assign→mean pass. Each step is one
+    * extra corpus pass at build time (storage cost); `indexStats`'s
+    * `pq_distortion` is the number an operator watches to decide
+    * whether another step — or a drift rebuild — is worth it. */
+  val codebookLloydIterations = 1
+
+  /** Deterministic codebooks for a (doc_id, embedding) corpus: seeds
+    * = the `numCentroids` lowest doc_ids' quantized subvectors (codes
+    * 0..ncent-1 in id order), then `lloydIterations` refinement
+    * steps — assign every corpus subvector to its nearest entry
+    * (exact integer L2, ties to the lowest cid — the [[PqEncode]]
+    * rule, so assignment during refinement and assignment at encode
+    * time can never disagree), new entry = element-wise
+    * round(avg(component)) over the members (an exact-integer sum
+    * divided once, HALF_UP — the 6dp-Lloyd discipline of the coarse
+    * quantizer applied in micro-units), empty clusters keep their
+    * previous entry. Per step: one distributed corpus pass (explode
+    * to component rows, one map-side-combining mean keyed on
+    * (sub, cid, i)); the collect is bounded metadata
+    * (m·ncent·subDim rows) through the instrumented gate. DuckDB
+    * replays seed, assignment and mean exactly (the D12 oracle). */
   private[graft] def codebookRows(vectors: DataFrame,
-      dim: Int): Seq[(Int, Int, Seq[Long])] = {
+      dim: Int): Seq[(Int, Int, Seq[Long])] =
+    codebookRows(vectors, dim, codebookLloydIterations)
+
+  private[graft] def codebookRows(vectors: DataFrame, dim: Int,
+      lloydIterations: Int): Seq[(Int, Int, Seq[Long])] = {
     require(dim % subDim == 0, s"dim $dim not divisible by subDim $subDim")
+    val m = dim / subDim
     val seeds = EmbeddingStore.collectBounded(
       vectors.select(col("doc_id"), quantize(col("embedding")).as("qv"))
         .orderBy(col("doc_id")).limit(numCentroids),
       numCentroids, "PQ codebook seeds")
-    for {
+    var cb: Seq[(Int, Int, Seq[Long])] = for {
       (r, cid) <- seeds.zipWithIndex.toSeq
-      s <- 0 until dim / subDim
+      s <- 0 until m
     } yield (s, cid, r.getSeq[Long](1).slice(s * subDim, (s + 1) * subDim))
+    val quant = vectors.select(quantize(col("embedding")).as("qv"))
+    (1 to lloydIterations).foreach { _ =>
+      val means = EmbeddingStore.collectBounded(
+        quant
+          .select(col("qv"), codesExpr(cb, m).as("codes"))
+          .select(col("qv"), posexplode(col("codes")).as(Seq("s", "cid")))
+          .select(col("s"), col("cid"),
+            posexplode(slice(col("qv"), col("s") * subDim + 1, lit(subDim)))
+              .as(Seq("i", "v")))
+          .groupBy(col("s"), col("cid"), col("i"))
+          .agg(round(avg(col("v"))).cast("long").as("mv")),
+        numCentroids.toLong * m * subDim, "PQ Lloyd means")
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          k -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
+        }
+      cb = cb.map { case (s, cid, old) =>
+        (s, cid, means.getOrElse((s, cid), old))
+      }
+    }
+    cb
   }
 
   /** Code-assignment column over a quantized vector column `qv`:
@@ -106,11 +150,28 @@ object ProductQuantizer {
     * primitive (an unrolled function-tree overflows a generated
     * method; higher-order functions interpret with per-element
     * boxing — ~40× slower measured at 384 dims). */
-  private def codesExpr(cb: Seq[(Int, Int, Seq[Long])], m: Int): Column = {
-    val nested: Array[Array[Array[Long]]] = (0 until m).map(s =>
+  private def nestedOf(cb: Seq[(Int, Int, Seq[Long])],
+      m: Int): Array[Array[Array[Long]]] =
+    (0 until m).map(s =>
       cb.filter(_._1 == s).sortBy(_._2).map(_._3.toArray).toArray).toArray
+
+  private def codesExpr(cb: Seq[(Int, Int, Seq[Long])], m: Int): Column =
     GraftColumnBridge.column(
-      PqEncode(GraftColumnBridge.expression(col("qv")), nested))
+      PqEncode(GraftColumnBridge.expression(col("qv")), nestedOf(cb, m)))
+
+  /** Per-row PQ quantization error against the PERSISTED codebooks,
+    * over an `embedding` column, scaled to integer micro-units
+    * (round(Σ_s min-L2² / 1e6) — the per-vector value `indexStats`
+    * folds into `pq_distortion`). Exact-integer inside
+    * [[PqDistortion]]; the one scaling division is the same IEEE op
+    * on the same integers on both engines. */
+  private[operators] def distortionMicro(spark: SparkSession,
+      path: String): Column = {
+    val cb = readCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val raw = GraftColumnBridge.column(PqDistortion(
+      GraftColumnBridge.expression(quantize(col("embedding"))), nestedOf(cb, m)))
+    round(raw.cast("double") / quantScale).cast("long")
   }
 
   /** Build the PQ sidecars for an assigned corpus (doc_id, embedding,
@@ -303,5 +364,76 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Long]]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-vector PQ QUANTIZATION ERROR as a native expression: the sum
+  * over subspaces of the MINIMUM exact integer squared L2 between the
+  * quantized input's subvector and the codebook's entries — i.e. the
+  * distance to the entry [[PqEncode]] would assign (same strict-`<`
+  * argmin), without materializing the codes. Feeds `indexStats`'s
+  * `pq_distortion` health column; same codegen shape as PqEncode. */
+case class PqDistortion(child: Expression, codebook: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_distortion"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var total = 0L
+    var s = 0
+    while (s < codebook.length) {
+      val cands = codebook(s)
+      val sub = cands(0).length
+      var best = Long.MaxValue; var c = 0
+      while (c < cands.length) {
+        val cv = cands(c); var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = arr.getLong(s * sub + i) - cv(i); d += diff * diff; i += 1
+        }
+        if (d < best) best = d
+        c += 1
+      }
+      total += best; s += 1
+    }
+    total
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, qv => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[][][]")
+      val total = ctx.freshName("total"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff"); val sub = ctx.freshName("sub")
+      val cands = ctx.freshName("cands")
+      s"""
+         |long $total = 0L;
+         |for (int $s = 0; $s < $cb.length; $s++) {
+         |  long[][] $cands = $cb[$s];
+         |  int $sub = $cands[0].length;
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $cands.length; $c++) {
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      long $diff = $qv.getLong($s * $sub + $i) - $cands[$c][$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; }
+         |  }
+         |  $total += $best;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistortion =
     copy(child = newChild)
 }

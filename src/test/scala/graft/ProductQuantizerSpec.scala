@@ -17,25 +17,42 @@ class ProductQuantizerSpec extends SparkTestBase {
     (path, vecs)
   }
 
-  test("codebooks are the seeded rule and codes stay in range") {
+  test("codebooks are the Lloyd-1 refinement of the seeded rule " +
+    "(independent plain-Scala replication) and codes stay in range") {
     val (path, vecs) = freshIndex()
     val n = vecs.count()
     val cb = spark.read.parquet(s"$path/pq_codebooks")
-    val m = 64 / ProductQuantizer.subDim
+    val d = ProductQuantizer.subDim
+    val m = 64 / d
     val ncent = math.min(n, ProductQuantizer.numCentroids.toLong).toInt
     assert(cb.count() === (m * ncent).toLong)
-    // codebook entry (s, cid) is EXACTLY the cid-th lowest doc_id's
-    // quantized subvector — the rule the oracle replays
-    val seeds = vecs.orderBy(col("doc_id")).limit(ncent)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(ProductQuantizer.quantizeLong))
-    val got = cb.orderBy(col("sub"), col("cid")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    got.foreach { case (s, cid, cvec) =>
-      val d = ProductQuantizer.subDim
-      assert(cvec.toSeq === seeds(cid).slice(s * d, (s + 1) * d).toSeq,
-        s"codebook ($s,$cid) is not the seeded subvector")
+    // independent replication: seeds = the ncent lowest doc_ids'
+    // quantized subvectors; one assign (exact integer L2, ties
+    // lowest cid) → per-member component mean, HALF_UP — empty
+    // clusters keep the seed
+    val all = vecs.orderBy(col("doc_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(ProductQuantizer.quantizeLong).toArray)
+    def subv(v: Array[Long], s: Int) = v.slice(s * d, (s + 1) * d)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = all.take(ncent)
+    val members = Array.fill(m, ncent)(List.empty[Array[Long]])
+    for (v <- all; s <- 0 until m) {
+      val sv = subv(v, s)
+      val best = (0 until ncent).minBy(c => l2(sv, subv(seeds(c), s)))
+      members(s)(best) ::= sv
     }
+    val expect = (for (s <- 0 until m; c <- 0 until ncent) yield {
+      val mem = members(s)(c)
+      (s, c) -> (if (mem.isEmpty) subv(seeds(c), s).toSeq
+      else (0 until d).map { i =>
+        java.math.BigDecimal.valueOf(mem.map(_(i)).sum.toDouble / mem.size)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      })
+    }).toMap
+    val got = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq).toMap
+    assert(got === expect, "persisted codebook is not the Lloyd-1 refinement")
     // every stored code addresses a codebook entry
     val codes = spark.read.parquet(s"$path/pq_codes")
     assert(codes.count() === n)
@@ -43,6 +60,51 @@ class ProductQuantizerSpec extends SparkTestBase {
       .select(explode(col("codes")).as("c"))
       .filter(col("c") < 0 || col("c") >= ncent).count()
     assert(bad === 0L)
+  }
+
+  test("refinement does not degrade quantization error; the distortion gate " +
+    "feeds rebuildIfDrifted") {
+    val (path, vecs) = freshIndex()
+    val d = ProductQuantizer.subDim
+    val m = 64 / d
+    val n = vecs.count()
+    val ncent = math.min(n, ProductQuantizer.numCentroids.toLong).toInt
+    // plain-Scala mean distortion under seed-only vs the persisted
+    // (refined) codebook — Lloyd can only shrink the assigned-entry
+    // error it refines
+    val all = vecs.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(ProductQuantizer.quantizeLong).toArray)
+    def subv(v: Array[Long], s: Int) = v.slice(s * d, (s + 1) * d)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seedCb = all.take(ncent)
+    val refCb = spark.read.parquet(s"$path/pq_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    def meanDist(entry: (Int, Int) => Array[Long]): Double =
+      all.map { v =>
+        (0 until m).map(s =>
+          (0 until ncent).map(c => l2(subv(v, s), entry(s, c))).min).sum.toDouble
+      }.sum / all.length / 1e12
+    val seedD = meanDist((s, c) => subv(seedCb(c), s))
+    val refD = meanDist((s, c) => refCb((s, c)))
+    assert(refD <= seedD + 1e-12,
+      s"Lloyd refinement degraded distortion: $refD vs seed $seedD")
+    // the stats row reports the same measure (within its micro-unit
+    // rounding) ...
+    val stats = EmbeddingStore.indexStats(spark, path).first()
+    val reported = stats.getAs[Double]("pq_distortion")
+    assert(math.abs(reported - refD) < 1e-4,
+      s"pq_distortion $reported disagrees with independent math $refD")
+    // ... and feeds the drift gate: fraction gate quiet, distortion
+    // gate trips (threshold 0 < any real corpus error); the refit
+    // over the same cells lands on the same codebooks, so the
+    // measure is stable across the swap
+    assert(!EmbeddingStore.rebuildIfDrifted(spark, path, 1.0, Double.MaxValue))
+    assert(EmbeddingStore.rebuildIfDrifted(spark, path, 1.0, 0.0),
+      "positive distortion must trip the distortion gate")
+    val after = EmbeddingStore.indexStats(spark, path).first()
+      .getAs[Double]("pq_distortion")
+    assert(math.abs(after - reported) < 1e-4, "refit over identical cells moved the measure")
   }
 
   test("searchIvfPq returns the exact integer ADC ranking over the probed cells") {
