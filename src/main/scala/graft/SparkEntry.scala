@@ -51,6 +51,10 @@ object SparkEntry {
     // D8: the PERSISTED index end-to-end (build once into tmp
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
+    // D19: N arbitrary queries × the SAME persisted index in ONE
+    // pass — broadcast query set, union-of-probes partition pruning,
+    // per-query window top-k
+    "q_search_batch"      -> q(EmbeddingStore.searchBatchQuery),
     "q_search_ivfpq"      -> q(ProductQuantizer.searchIvfPqQuery),
     // D14: two-stage retrieval — IVF candidates (k1=50) reranked by
     // lexical Jaccard against the query text, blended in integer
@@ -78,6 +82,9 @@ object SparkEntry {
     // orchestration stats
     "q_search_refresh"    -> q(EmbeddingStore.searchRefreshQuery),
     "q_advance_day"       -> q(AdvanceDay.advanceDayQuery),
+    // D20: the COLD-START episode — day-0 backlog walk (bounded
+    // updates) → store → index build FROM the store → stats readback
+    "q_bootstrap"         -> q(Bootstrap.bootstrapQuery),
     // D11: brute-force search at the reference's 384-dim model width
     // over raw hash-vote vectors — the width-regression canary (all
     // other rows run the corpora's 64-dim vectors)
@@ -158,6 +165,10 @@ object SparkEntry {
     // Lee-et-al substring pass, gram-positional instead of
     // suffix-array so it distributes)
     "q_dedup_spans"     -> q(Dedup.dedupSpans),
+    // E14: the daily mode of E12 — delta docs' grams against the
+    // persisted distinct-gram state, first-occurrence rule preserved
+    // corpus-wide; result = full E12 restricted to delta docs
+    "q_dedup_spans_incremental" -> q(Dedup.dedupSpansIncremental),
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
@@ -515,6 +526,44 @@ object SparkEntry {
          |FROM s
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
+    // D19: D8's persisted-index replay generalized PER QUERY — the
+    // probe choice, candidate scan and top-k all carry query_id, so
+    // the oracle checks the per-query pruning/ranking (not just a
+    // union of scores); queries are the D3 sample (vec_id < 5).
+    "q_search_batch" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT vec_id AS query_id, i, v AS qv FROM ev WHERE vec_id < 5),
+         |qn AS (SELECT query_id, SQRT(SUM(qv*qv)) AS qnorm FROM q GROUP BY query_id),
+         |prs AS (
+         |  SELECT q.query_id, c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY q.query_id, c.cell),
+         |probe AS (
+         |  SELECT query_id, cell FROM prs
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id, a.cell,
+         |         SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e
+         |  JOIN asg2 a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.cell = p.cell
+         |  JOIN q ON e.i = q.i AND q.query_id = p.query_id
+         |  WHERE e.vec_id <> p.query_id
+         |  GROUP BY q.query_id, e.vec_id, a.cell),
+         |r AS (
+         |  SELECT s.query_id, s.vec_id AS doc_id, s.cell,
+         |    ROUND(COALESCE(s.dot/NULLIF(s.en*qn.qnorm,0),0),6) AS score
+         |  FROM s JOIN qn ON s.query_id = qn.query_id),
+         |rr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM r)
+         |SELECT query_id, doc_id, cell, score, rnk FROM rr
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     // D14: stage 1 replays D8's oracle (build CTEs + probe choice)
     // widened to 50 candidates; stage 2 is lexical Jaccard over
     // distinct word sets vs the query doc's text, blended with the
@@ -574,17 +623,7 @@ object SparkEntry {
          |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
          |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
          |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
-         |z AS (
-         |  SELECT vec_id, CAST(FLOOR((i-1)/8.0) AS INT) AS sub,
-         |         CAST((i-1)%8 AS INT) AS j,
-         |         CAST(ROUND(v*1000000) AS BIGINT) AS zv
-         |  FROM ev),
-         |seeds AS (
-         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cid
-         |  FROM embeddings
-         |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
-         |cbk AS (SELECT s.cid, d.sub, d.j, d.zv AS cv
-         |        FROM seeds s JOIN z d ON d.vec_id = s.vec_id),
+         |$pqCodebookCtes,
          |cand AS (
          |  SELECT a.vec_id, a.cell FROM asg2 a
          |  WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0),
@@ -622,22 +661,9 @@ object SparkEntry {
     "q_advance_day" ->
       s"""$ivfAssignCte,
          |$ivfRefinedCte,
-         |rcf AS (SELECT cell, i, CAST(CAST(v AS FLOAT) AS DOUBLE) AS v FROM rc),
-         |ics AS (
-         |  SELECT a.vec_id,
-         |    ROUND(COALESCE(SUM(e.v*c.v)
-         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
-         |  FROM ev e
-         |  JOIN asg2 a ON e.vec_id = a.vec_id
-         |  JOIN rcf c ON c.cell = a.cell AND c.i = e.i
-         |  GROUP BY a.vec_id),
-         |csz AS (SELECT cell, COUNT(*) AS n FROM asg2 GROUP BY cell),
-         |agg AS (
-         |  SELECT
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM asg2) AS n_vectors,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csz) AS n_cells,
-         |    (SELECT CAST(MAX(n) AS BIGINT) FROM csz) AS max_cell,
-         |    (SELECT SUM(CAST(ROUND(cs*1000000) AS BIGINT)) FROM ics) AS s_micro),
+         |$ivfStatsCtes,
+         |$pqCodebookCtes,
+         |$pqDistortionCtes,
          |dw AS (SELECT CAST(FLOOR(MAX(doc_id)/2.0) AS BIGINT) AS w0,
          |              MAX(doc_id) AS w1 FROM documents),
          |dws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
@@ -656,12 +682,7 @@ object SparkEntry {
          |     WHERE doc_id > (SELECT w0 FROM dw)) AS delta_docs,
          |  (SELECT CAST(COUNT(*) > 0.2 * (SELECT ne FROM es) AS BOOLEAN)
          |     FROM embeddings WHERE vec_id > (SELECT sp FROM es)) AS rebuild_ran,
-         |  n_vectors, n_cells, max_cell,
-         |  ROUND(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
-         |    / CAST(n_vectors AS DOUBLE), 6) AS cell_skew,
-         |  ROUND(CAST(0 AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS appended_frac,
-         |  ROUND(CAST(s_micro AS DOUBLE) / CAST(n_vectors AS DOUBLE)
-         |    / 1000000.0, 6) AS mean_intra_cosine
+         |  $ivfStatsCols
          |FROM agg""".stripMargin,
     // D9: replays build (shared ivfAssignCte + ivfRefinedCte), then
     // the stats row. rcf casts the refined centroids through FLOAT —
@@ -673,28 +694,30 @@ object SparkEntry {
     "q_ivf_stats" ->
       s"""$ivfAssignCte,
          |$ivfRefinedCte,
-         |rcf AS (SELECT cell, i, CAST(CAST(v AS FLOAT) AS DOUBLE) AS v FROM rc),
-         |ics AS (
-         |  SELECT a.vec_id,
-         |    ROUND(COALESCE(SUM(e.v*c.v)
-         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
-         |  FROM ev e
-         |  JOIN asg2 a ON e.vec_id = a.vec_id
-         |  JOIN rcf c ON c.cell = a.cell AND c.i = e.i
-         |  GROUP BY a.vec_id),
-         |csz AS (SELECT cell, COUNT(*) AS n FROM asg2 GROUP BY cell),
-         |agg AS (
-         |  SELECT
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM asg2) AS n_vectors,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csz) AS n_cells,
-         |    (SELECT CAST(MAX(n) AS BIGINT) FROM csz) AS max_cell,
-         |    (SELECT SUM(CAST(ROUND(cs*1000000) AS BIGINT)) FROM ics) AS s_micro)
-         |SELECT n_vectors, n_cells, max_cell,
-         |  ROUND(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
-         |    / CAST(n_vectors AS DOUBLE), 6) AS cell_skew,
-         |  ROUND(CAST(0 AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS appended_frac,
-         |  ROUND(CAST(s_micro AS DOUBLE) / CAST(n_vectors AS DOUBLE)
-         |    / 1000000.0, 6) AS mean_intra_cosine
+         |$ivfStatsCtes,
+         |$pqCodebookCtes,
+         |$pqDistortionCtes
+         |SELECT $ivfStatsCols
+         |FROM agg""".stripMargin,
+    // D20/q_bootstrap: the COLD-START episode — the backlog walk is
+    // pure arithmetic over the corpus size (ceil(n/batch) bounded
+    // updates, watermark = max id), the store count replays as n, and
+    // the freshly-built index is exactly what the D9 stats machinery
+    // already replays.
+    "q_bootstrap" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |$ivfStatsCtes,
+         |$pqCodebookCtes,
+         |$pqDistortionCtes,
+         |eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(MAX(vec_id) AS BIGINT) AS mx FROM embeddings)
+         |SELECT
+         |  (SELECT CAST(CEIL(CAST(n AS DOUBLE) / ${operators.Bootstrap.batchSize}.0) AS BIGINT) FROM eb) AS n_updates,
+         |  (SELECT n FROM eb) AS total_processed,
+         |  (SELECT mx FROM eb) AS final_watermark,
+         |  (SELECT n FROM eb) AS store_rows,
+         |  $ivfStatsCols
          |FROM agg""".stripMargin,
     // Store-coverage stat (reference get_database_stats, engine.py:228):
     // embeddings.vec_id keys events.event_id as in D6.
@@ -1136,21 +1159,26 @@ object SparkEntry {
         |    '[^\w\s.,!?;:\-''"]', '', 'g')) AS cleaned
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // F1: four stopword profiles + the CJK script-range count (code
+    // points U+4E00–U+9FFF; length/regexp_replace are code-point-
+    // based on both engines), argmax with zh LAST in the tie chain.
     "q_lang_id" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |c AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
         |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','y','en'))) AS BIGINT) AS c_es,
         |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
-        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr
+        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS c_zh
         |  FROM w)
-        |SELECT doc_id, c_en, c_es, c_de, c_fr,
-        |  CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
-        |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
-        |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
-        |       ELSE 'fr' END AS lang_pred
+        |SELECT doc_id, c_en, c_es, c_de, c_fr, c_zh,
+        |  CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'en'
+        |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'es'
+        |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'de'
+        |       WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
         |FROM c
         |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
@@ -1270,21 +1298,23 @@ object SparkEntry {
     // carried through; rate = n over the per-true-language total.
     "q_lang_confusion" ->
       """WITH w AS (
-        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  SELECT lang, text, string_split_regex(lower(trim(text)), '\s+') AS ws
         |  FROM documents),
         |c AS (
         |  SELECT lang,
         |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
         |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','y','en'))) AS BIGINT) AS c_es,
         |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
-        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr
+        |    CAST(len(list_filter(ws, x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS c_zh
         |  FROM w),
         |p AS (
         |  SELECT lang AS lang_true,
-        |    CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
-        |         WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
-        |         WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
-        |         ELSE 'fr' END AS lang_pred
+        |    CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'en'
+        |         WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'es'
+        |         WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'de'
+        |         WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
         |  FROM c),
         |pc AS (
         |  SELECT lang_true, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
@@ -1360,6 +1390,7 @@ object SparkEntry {
         |      x -> x IN ('der','die','und','das','mit'))) AS BIGINT) AS c_de,
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> x IN ('le','les','une','et','dans'))) AS BIGINT) AS c_fr,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS c_zh,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
         |  FROM documents),
         |d AS (
@@ -1368,10 +1399,11 @@ object SparkEntry {
         |      + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/NULLIF(CAST(n_chars AS DOUBLE), 0.0))
         |      + 0.3*least(1.0, CAST(n_stop AS DOUBLE)/NULLIF(CAST(toks AS DOUBLE), 0.0)*5.0), 6)
         |      * 1000000) AS BIGINT) AS q_mu,
-        |    CASE WHEN n_stop = greatest(n_stop,c_es,c_de,c_fr) THEN 'en'
-        |         WHEN c_es = greatest(n_stop,c_es,c_de,c_fr) THEN 'es'
-        |         WHEN c_de = greatest(n_stop,c_es,c_de,c_fr) THEN 'de'
-        |         ELSE 'fr' END AS lang
+        |    CASE WHEN n_stop = greatest(n_stop,c_es,c_de,c_fr,c_zh) THEN 'en'
+        |         WHEN c_es = greatest(n_stop,c_es,c_de,c_fr,c_zh) THEN 'es'
+        |         WHEN c_de = greatest(n_stop,c_es,c_de,c_fr,c_zh) THEN 'de'
+        |         WHEN c_fr = greatest(n_stop,c_es,c_de,c_fr,c_zh) THEN 'fr'
+        |         ELSE 'zh' END AS lang
         |  FROM b),
         |c AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS nh FROM d),
         |base AS (
@@ -1583,34 +1615,28 @@ object SparkEntry {
     // positions (RANGE, integer pos); kept text reassembles in pos
     // order (string_agg skips the NULLed covered words) and hashes.
     "q_dedup_spans" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
-         |  FROM w),
-         |occ0 AS (
-         |  SELECT doc_id, CAST(unnest(range(1, len(ws) - ${operators.Dedup.spanGramLen - 2})) AS INT) AS i, ws
-         |  FROM w WHERE len(ws) >= ${operators.Dedup.spanGramLen}),
-         |occ AS (
-         |  SELECT doc_id, i AS pos,
-         |    md5(list_aggregate(ws[i:i+${operators.Dedup.spanGramLen - 1}], 'string_agg', ' ')) AS gh
-         |  FROM occ0),
-         |flag AS (
-         |  SELECT doc_id, pos,
-         |    (row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) > 1) AS dup
-         |  FROM occ),
-         |cov AS (
-         |  SELECT t.doc_id, t.pos, t.w,
-         |    MAX(CASE WHEN COALESCE(f.dup, FALSE) THEN 1 ELSE 0 END) OVER
-         |      (PARTITION BY t.doc_id ORDER BY t.pos
-         |       RANGE BETWEEN ${operators.Dedup.spanGramLen - 1} PRECEDING AND CURRENT ROW) AS covered
-         |  FROM tok t LEFT JOIN flag f ON t.doc_id = f.doc_id AND t.pos = f.pos)
+      s"""$spanCovCtes
          |SELECT doc_id,
          |  COUNT(*) AS n_tokens,
          |  CAST(SUM(covered) AS BIGINT) AS n_removed,
          |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' ' ORDER BY pos), '')) AS kept_hash
          |FROM cov
+         |GROUP BY doc_id
+         |HAVING SUM(covered) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // E14: full E12's CTEs verbatim (the shared spanCovCtes val)
+    // restricted to delta docs — the E11 restriction pattern. The
+    // engine's per-delta-doc result must equal the full corpus-wide
+    // pass for those docs, which is exactly what this oracle states.
+    "q_dedup_spans_incremental" ->
+      s"""$spanCovCtes,
+         |wm AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.9) AS BIGINT) AS wmk FROM documents)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(covered) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN cov.w END, ' ' ORDER BY pos), '')) AS kept_hash
+         |FROM cov, wm
+         |WHERE doc_id > wm.wmk
          |GROUP BY doc_id
          |HAVING SUM(covered) > 0
          |ORDER BY doc_id""".stripMargin,
@@ -2181,6 +2207,130 @@ object SparkEntry {
     * Produces CTEs ev(vec_id,i,v), cent(cell,i,v) and asg(vec_id,
     * cell); shared verbatim by E5, D7 and D4 so all three rows
     * replay ONE rule. */
+  /** E12's gram-occurrence → survivor-flag → coverage CTE chain (1-based
+    * positional grams via unnest + inclusive slices; survivor rule =
+    * row_number over the gram hash by (doc_id, pos); coverage = sliding
+    * MAX over the previous spanGramLen-1 positions) — the ONE replay
+    * both span rows nest: E12 consumes `cov` whole, E14 restricts it to
+    * delta docs. Spark is 0-based positional — pos never leaves either
+    * query, so only its ordering matters and each side stays
+    * self-consistent. */
+  private val spanCovCtes: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+       |  FROM w),
+       |occ0 AS (
+       |  SELECT doc_id, CAST(unnest(range(1, len(ws) - ${operators.Dedup.spanGramLen - 2})) AS INT) AS i, ws
+       |  FROM w WHERE len(ws) >= ${operators.Dedup.spanGramLen}),
+       |occ AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(list_aggregate(ws[i:i+${operators.Dedup.spanGramLen - 1}], 'string_agg', ' ')) AS gh
+       |  FROM occ0),
+       |flag AS (
+       |  SELECT doc_id, pos,
+       |    (row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) > 1) AS dup
+       |  FROM occ),
+       |cov AS (
+       |  SELECT t.doc_id, t.pos, t.w,
+       |    MAX(CASE WHEN COALESCE(f.dup, FALSE) THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY t.doc_id ORDER BY t.pos
+       |       RANGE BETWEEN ${operators.Dedup.spanGramLen - 1} PRECEDING AND CURRENT ROW) AS covered
+       |  FROM tok t LEFT JOIN flag f ON t.doc_id = f.doc_id AND t.pos = f.pos)""".stripMargin
+
+  /** The fresh-build index-stats CTE chain shared by D9, D13 and D20's
+    * oracles (expects `ev`/`asg2`/`rc` from the assign/refine CTEs):
+    * rcf casts the refined centroids through FLOAT — the engine STORES
+    * centroids as array<float>, so the oracle must score against the
+    * float-quantized values or ~0.5% of per-vector cosines would round
+    * differently in the 6th decimal and perturb the micro-unit mean. */
+  private val ivfStatsCtes: String =
+    """rcf AS (SELECT cell, i, CAST(CAST(v AS FLOAT) AS DOUBLE) AS v FROM rc),
+      |ics AS (
+      |  SELECT a.vec_id,
+      |    ROUND(COALESCE(SUM(e.v*c.v)
+      |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.v*c.v)),0),0),6) AS cs
+      |  FROM ev e
+      |  JOIN asg2 a ON e.vec_id = a.vec_id
+      |  JOIN rcf c ON c.cell = a.cell AND c.i = e.i
+      |  GROUP BY a.vec_id),
+      |csz AS (SELECT cell, COUNT(*) AS n FROM asg2 GROUP BY cell),
+      |agg AS (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM asg2) AS n_vectors,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM csz) AS n_cells,
+      |    (SELECT CAST(MAX(n) AS BIGINT) FROM csz) AS max_cell,
+      |    (SELECT SUM(CAST(ROUND(cs*1000000) AS BIGINT)) FROM ics) AS s_micro)""".stripMargin
+
+  /** The stat columns a fresh-built index reports (appended_frac
+    * replays as 0 — a fresh build has no gen-1 rows; pq_distortion
+    * comes from [[pqDistortionCtes]]'s pdt), selected FROM agg. */
+  private val ivfStatsCols: String =
+    """n_vectors, n_cells, max_cell,
+      |  ROUND(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+      |    / CAST(n_vectors AS DOUBLE), 6) AS cell_skew,
+      |  ROUND(CAST(0 AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS appended_frac,
+      |  ROUND(CAST(s_micro AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+      |    / 1000000.0, 6) AS mean_intra_cosine,
+      |  ROUND(CAST((SELECT d_sum FROM pdt) AS DOUBLE)
+      |    / CAST(n_vectors AS DOUBLE) / 1000000.0, 6) AS pq_distortion""".stripMargin
+
+  /** PQ codebook replay shared by D12 and the stats oracles (expects
+    * `ev` from the assign CTEs): micro-unit corpus (z), the 16
+    * lowest-id seeds (cbk0), a FULL-corpus assignment against the
+    * seeds (codes0: exact integer argmin, ties lowest cid), and ONE
+    * Lloyd mean step — new entry component = ROUND(AVG(member
+    * component)), empty clusters keep the seed — matching
+    * `ProductQuantizer.codebookRows(lloydIterations = 1)` exactly.
+    * `cbk` is the refined codebook every consumer scores against. */
+  private val pqCodebookCtes: String =
+    """z AS (
+      |  SELECT vec_id, CAST(FLOOR((i-1)/8.0) AS INT) AS sub,
+      |         CAST((i-1)%8 AS INT) AS j,
+      |         CAST(ROUND(v*1000000) AS BIGINT) AS zv
+      |  FROM ev),
+      |seeds AS (
+      |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cid
+      |  FROM embeddings
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+      |cbk0 AS (SELECT s.cid, d.sub, d.j, d.zv AS cv
+      |        FROM seeds s JOIN z d ON d.vec_id = s.vec_id),
+      |ds0 AS (
+      |  SELECT d.vec_id, d.sub, c.cid,
+      |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS dist
+      |  FROM z d JOIN cbk0 c ON c.sub = d.sub AND c.j = d.j
+      |  GROUP BY d.vec_id, d.sub, c.cid),
+      |codes0 AS (
+      |  SELECT vec_id, sub, cid FROM ds0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+      |cmeans AS (
+      |  SELECT c0.sub, c0.cid, d.j,
+      |    CAST(ROUND(AVG(CAST(d.zv AS DOUBLE))) AS BIGINT) AS mv
+      |  FROM codes0 c0 JOIN z d ON d.vec_id = c0.vec_id AND d.sub = c0.sub
+      |  GROUP BY c0.sub, c0.cid, d.j),
+      |cbk AS (
+      |  SELECT b.cid, b.sub, b.j, COALESCE(m.mv, b.cv) AS cv
+      |  FROM cbk0 b LEFT JOIN cmeans m
+      |    ON m.sub = b.sub AND m.cid = b.cid AND m.j = b.j)""".stripMargin
+
+  /** Corpus-wide PQ quantization error against the REFINED codebook
+    * (expects z + cbk): per (vec, sub) min integer L2, summed per
+    * vector (exact), scaled once to micro-units — pdt.d_sum is what
+    * `pq_distortion` divides down. */
+  private val pqDistortionCtes: String =
+    """pd1 AS (
+      |  SELECT d.vec_id, d.sub, c.cid,
+      |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS dist
+      |  FROM z d JOIN cbk c ON c.sub = d.sub AND c.j = d.j
+      |  GROUP BY d.vec_id, d.sub, c.cid),
+      |pd2 AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM pd1 GROUP BY vec_id, sub),
+      |pd3 AS (SELECT vec_id,
+      |          CAST(ROUND(CAST(SUM(mdist) AS DOUBLE)/1000000.0) AS BIGINT) AS d_mu
+      |        FROM pd2 GROUP BY vec_id),
+      |pdt AS (SELECT CAST(SUM(d_mu) AS BIGINT) AS d_sum FROM pd3)""".stripMargin
+
   private val ivfAssignCte: String =
     """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

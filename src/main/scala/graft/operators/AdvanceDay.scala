@@ -117,7 +117,8 @@ object AdvanceDay {
         lit(nDeltaDocs).as("delta_docs"),
         lit(rebuildRan).as("rebuild_ran"),
         col("n_vectors"), col("n_cells"), col("max_cell"),
-        col("cell_skew"), col("appended_frac"), col("mean_intra_cosine"))
+        col("cell_skew"), col("appended_frac"), col("mean_intra_cosine"),
+        col("pq_distortion"))
       // 1-row result: pin it so the per-invocation stores delete now
       // (same discipline as searchRefreshQuery's temp store)
       .localCheckpoint(true)
