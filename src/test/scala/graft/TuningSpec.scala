@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hardware/data-adaptive conf derivation (the reference's
+  * hardware_optimizer analog): pure-function properties plus the
+  * live-session application path. */
+class TuningSpec extends AnyFunSuite {
+
+  private val GiB = 1L << 30
+  private val MiB = 1L << 20
+
+  test("shuffle partitions: one wave minimum, data-proportional, capped") {
+    // tiny data: floor at the core count (one task wave)
+    assert(Tuning.recommend(32, 4 * GiB, 10 * MiB).shufflePartitions === 32)
+    // big data: ~dataBytes / target, so a full shuffle's partitions
+    // stay ~64 MB at ANY corpus size (100 TB -> ~1.6M, capped)
+    val r1tb = Tuning.recommend(1000, 4 * GiB, 1L << 40)
+    assert(r1tb.shufflePartitions === math.ceil((1L << 40).toDouble /
+      Tuning.targetPartitionBytes).toInt)
+    val r100tb = Tuning.recommend(1000, 4 * GiB, 100L << 40)
+    assert(r100tb.shufflePartitions === Tuning.maxShufflePartitions)
+    // monotone in data
+    assert(r100tb.shufflePartitions >= r1tb.shufflePartitions)
+  }
+
+  test("scan split and update batch follow the per-core budget") {
+    // roomy core: the 128 MB default is optimal
+    assert(Tuning.recommend(32, 4 * GiB, GiB).maxPartitionBytes === 128L * MiB)
+    // tight core (256 MB): splits shrink to a quarter-budget
+    assert(Tuning.recommend(32, 256 * MiB, GiB).maxPartitionBytes === 64L * MiB)
+    // never below the parquet-overhead floor
+    assert(Tuning.recommend(32, 1 * MiB, GiB).maxPartitionBytes === 16L * MiB)
+    // update batch: scales with cores and budget, floored at the
+    // reference's conservative default
+    assert(Tuning.recommend(1, 8192 * 100, GiB).updateBatchRows === 1000)
+    val small = Tuning.recommend(8, 1 * GiB, GiB).updateBatchRows
+    val big = Tuning.recommend(32, 4 * GiB, GiB).updateBatchRows
+    assert(big > small && small >= 1000)
+  }
+
+  test("applyTo sets the runtime knobs on a live session") {
+    val spark = SparkTestBase.spark
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val r = Tuning.applyTo(spark, "/root/testdata/sf0.001")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") ===
+        r.shufflePartitions.toString)
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes") ===
+        r.maxPartitionBytes.toString)
+      // tiny fixture on a local session: one task wave
+      assert(r.shufflePartitions === spark.sparkContext.defaultParallelism)
+      assert(r.updateBatchRows >= 1000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
