@@ -203,6 +203,7 @@ object GraftTableFunctions {
     // round 12: the batch-serving probe — N queries x the persisted
     // index in one pass
     tvf("graft_search_batch")(EmbeddingStore.searchBatchQuery),
+    tvf("graft_search_text")(t => EmbeddingStore.searchText(t)),
     tvf("graft_search_hybrid")(VectorSearch.searchHybrid),
     tvf("graft_dsir_weights")(TextAnalysis.dsirWeights),
     tvf("graft_ngram_topk")(TextAnalysis.ngramTopk),

@@ -89,6 +89,10 @@ object SparkEntry {
     // over raw hash-vote vectors — the width-regression canary (all
     // other rows run the corpora's 64-dim vectors)
     "q_search_dim384"     -> q(EmbeddingStore.searchDim384),
+    // D21: a FREE QUERY STRING embedded at search time — the
+    // reference's actual serving shape (clean → tokenize → hash-vote
+    // → cosine against the embedded corpus)
+    "q_search_text"       -> q(t => EmbeddingStore.searchText(t)),
     // D7b: the recall/probes curve at the reference's 384-dim width —
     // no oracleSql ON PURPOSE (the evaluator's exactness is pinned by
     // D7's full 64-dim replay; VectorSearchSpec bounds these values;
@@ -442,6 +446,51 @@ object SparkEntry {
          |  WHERE s.doc_id <> 0
          |  GROUP BY s.doc_id),
          |nm AS (SELECT doc_id, SQRT(SUM(v*v)) AS nrm FROM s WHERE doc_id <> 0 GROUP BY doc_id)
+         |SELECT nm.doc_id,
+         |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*qn.qnorm,0),0),6) AS score
+         |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id, qn
+         |WHERE qn.qnorm IS NOT NULL
+         |ORDER BY score DESC, nm.doc_id
+         |LIMIT 10""".stripMargin
+    },
+    // D21: the dim384 embed replay at the store width (64) with the
+    // query leg built from the LITERAL query string — cleaned,
+    // tokenized and hash-voted through the identical rule chain, no
+    // self-exclusion (the query is external to the corpus).
+    "q_search_text" -> {
+      val hex = "strpos('0123456789abcdef', substr(md5(w),%d,1)) - 1"
+      val value = (1 to 6).map(i => s"(${hex.format(i)}) * ${1L << (4 * (6 - i))}")
+        .mkString(" + ")
+      val clean = "trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "%s, '\\s+', ' ', 'g'), 'https?://\\S+', '', 'g'), " +
+        "'[^\\w\\s.,!?;:\\-''\"]', '', 'g'))"
+      s"""WITH cl AS (
+         |  SELECT doc_id, ${clean.format("text")} AS cleaned
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(cleaned)), '\\s+')) AS w
+         |  FROM cl),
+         |v0 AS (
+         |  SELECT doc_id, CAST(($value) % 64 AS INT) AS bucket,
+         |    CASE WHEN substr(md5(w),7,1) <= '7' THEN 1.0 ELSE -1.0 END AS sign
+         |  FROM tk),
+         |s AS (SELECT doc_id, bucket, SUM(sign) AS v FROM v0 GROUP BY doc_id, bucket),
+         |qtk AS (
+         |  SELECT unnest(string_split_regex(lower(trim(
+         |    ${clean.format(s"'${operators.EmbeddingStore.textQueryString}'")}
+         |  )), '\\s+')) AS w),
+         |qv0 AS (
+         |  SELECT CAST(($value) % 64 AS INT) AS bucket,
+         |    CASE WHEN substr(md5(w),7,1) <= '7' THEN 1.0 ELSE -1.0 END AS sign
+         |  FROM qtk),
+         |q AS (SELECT bucket, SUM(sign) AS qv FROM qv0 GROUP BY bucket),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |d AS (
+         |  SELECT s.doc_id, SUM(s.v * q.qv) AS dot
+         |  FROM s JOIN q ON s.bucket = q.bucket
+         |  GROUP BY s.doc_id),
+         |nm AS (SELECT doc_id, SQRT(SUM(v*v)) AS nrm FROM s GROUP BY doc_id)
          |SELECT nm.doc_id,
          |  ROUND(COALESCE(COALESCE(d.dot, 0)/NULLIF(nm.nrm*qn.qnorm,0),0),6) AS score
          |FROM nm LEFT JOIN d ON nm.doc_id = d.doc_id, qn

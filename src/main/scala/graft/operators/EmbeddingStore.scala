@@ -147,6 +147,41 @@ object EmbeddingStore {
       .limit(10)
   }
 
+  /** The fixed query string for the D21 row — corpus-vocabulary
+    * words, so scores are non-degenerate; shared with the oracle via
+    * [[SparkEntry]]'s interpolation. */
+  private[graft] val textQueryString =
+    "spark vector search over the message batch"
+
+  /** D21 — `q_search_text`: a FREE QUERY STRING embedded at search
+    * time and scored against the embedded corpus — the reference's
+    * ACTUAL serving shape (engine.py:105 `search(query)` /
+    * processor.py:436 embed the user's text, then score): every
+    * other D row derives its query from a stored doc or vector; this
+    * one starts from user text, clean → tokenize → hash-vote →
+    * cosine, exactly the path a reference user's query takes.
+    *
+    * Scale shape: the query side is ONE literal row (clean/tokenize/
+    * vote over a sentence — driver-trivial, broadcast); the corpus
+    * side is the same single streaming tokenize→vote→score pass as
+    * D11, TakeOrdered for top-k. Raw integer votes keep the
+    * 6dp scores engine-exact, so DuckDB replays embed + search for a
+    * LITERAL string. */
+  def searchText(t: Tables, queryText: String = textQueryString,
+      k: Int = 10): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val qv = embedRaw(Seq((-1L, queryText)).toDF("doc_id", "text"), dim)
+      .select(col("raw").cast("array<float>").as("qv"))
+    embedRaw(t.documents, dim)
+      .select(col("doc_id"), col("raw").cast("array<float>").as("embedding"))
+      .join(broadcast(qv))
+      .select(col("doc_id"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Persist (or append) embeddings shard-partitioned — the vector
     * store (reference processor.py:326). */
   def store(vectors: DataFrame, path: String, append: Boolean = false): Unit =

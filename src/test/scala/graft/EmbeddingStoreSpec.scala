@@ -235,6 +235,24 @@ class EmbeddingStoreSpec extends SparkTestBase {
       "a zero-doc update must not advance the update clock")
   }
 
+  test("searchText: a query equal to a stored doc's text ranks that doc first at ~1") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val docText = t.documents.filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+      .select("text").first().getString(0)
+    val top = EmbeddingStore.searchText(t, docText, k = 3).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) === 7L,
+      s"the identical-text doc must rank first, got ${top.head}")
+    assert(top.head.getDouble(1) === 1.0,
+      "identical text embeds to the identical vector (cosine 1 at 6dp)")
+    // and the default fixed query returns a full top-10 with scores
+    // in range, deterministically ordered
+    val d = EmbeddingStore.searchText(t).collect()
+    assert(d.length === 10)
+    assert(d.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+    assert(d.map(_.getDouble(1)).toSeq === d.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
   test("searchDim384: raw-vote cosine equals normalized-store cosine at the model width") {
     val out = EmbeddingStore.searchDim384(t).collect()
     assert(out.length === 10)

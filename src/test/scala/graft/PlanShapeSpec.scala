@@ -23,6 +23,9 @@ class PlanShapeSpec extends SparkTestBase {
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
+    // the text-query row broadcasts the 1-row embedded query string
+    // into the corpus scoring pass (the dim384 shape)
+    "q_search_text",
     // the rerank stage cross-broadcasts the 1-row query word set
     // into the ≤50 candidate texts
     "q_search_rerank",
