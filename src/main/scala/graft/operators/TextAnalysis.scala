@@ -72,7 +72,7 @@ object TextAnalysis {
     * oracle's CASE chain mirrors this exactly). Shared by [[langId]],
     * the confusion matrix and the per-source profile so the three
     * can never drift. */
-  private def langPredExpr: org.apache.spark.sql.Column = {
+  private[graft] def langPredExpr: org.apache.spark.sql.Column = {
     val ws = words(col("text"))
     val counts = stopwords.map { case (lang, stops) =>
       lang -> stopwordCount(ws, stops)

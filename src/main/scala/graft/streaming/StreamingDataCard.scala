@@ -22,12 +22,13 @@ import graft.operators.TextAnalysis
   * rule, quality = F2's [[TextAnalysis.qualityExpr]] in integer
   * micro-units (empty-text NULLs drop from sum AND count), so the
   * folded card equals a batch recompute over everything ingested,
-  * exactly (StreamingSpec reconciles; column-for-column the F16
-  * subset that is additively foldable — the dup rate and language
-  * majority are NOT, by design: exact-dup needs cross-batch text
-  * hashes, which is StreamingDeduper's keyed-state job, and a
-  * majority cannot fold without per-language counts, which the card
-  * table would carry in production).
+  * exactly (StreamingRecoverySpec reconciles column-for-column
+  * against F16's own data card, language mix included: the state is
+  * keyed per (source, predicted language) — per-language counts ARE
+  * additive, and the majority collapses at read time with F16's
+  * exact tie rule. The one F16 column NOT here is the dup rate, by
+  * design: exact-dup needs cross-batch text hashes, which is
+  * StreamingDeduper's keyed-state job).
   *
   * Exactly-once: foreachBatch + VERSIONED card tables behind ONE
   * atomic pointer. Batch b folds the pointed-at card with its delta
@@ -92,26 +93,37 @@ object StreamingDataCard {
     else Some(new java.io.File(cardPath, s"card_$b")).filter(_.isDirectory)
   }
 
-  /** The additive per-source partials of a document frame — the ONE
-    * fold rule both the micro-batch side and the spec's batch
-    * reconciliation use. */
+  /** The additive per-(source, predicted-language) partials of a
+    * document frame — the ONE fold rule both the micro-batch side
+    * and the spec's batch reconciliation use. Keyed one level finer
+    * than the published card: per-language counts ARE additively
+    * foldable where a majority is not, which is exactly why the
+    * state carries them — the majority collapses at READ time
+    * ([[readCard]]), not fold time. Language = F1's shared
+    * [[TextAnalysis.langPredExpr]] rule, so the streaming card and
+    * the batch data card (F16) can never disagree on a prediction. */
   private[graft] def partials(docs: DataFrame): DataFrame =
     docs.select(col("source"),
+      TextAnalysis.langPredExpr.as("lang"),
       size(words(col("text"))).cast(LongType).as("toks"),
       round(TextAnalysis.qualityExpr * 1e6, 0).cast(LongType).as("q_mu"))
-      .groupBy(col("source"))
+      .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
         sum(col("q_mu")).as("q_sum"),
         count(col("q_mu")).as("q_n"))
 
+  private val stateSchema =
+    "source STRING, lang STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG"
+
   /** Read the current card (an empty frame with the right schema if
     * nothing has been ingested yet — a missing state dir must read
     * as "no sources", not throw): per source, docs, tokens, mean
-    * tokens and the F16-exact mean quality. */
+    * tokens, the F16-exact mean quality, and the language mix —
+    * n_langs + majority language with F16's exact tie rule (highest
+    * count, then lexicographically first), collapsed from the
+    * per-language state rows at read time. */
   def readCard(spark: SparkSession, cardPath: String): DataFrame = {
-    val stateSchema =
-      "source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG"
     val state = currentCardDir(cardPath) match {
       case Some(cardDir) =>
         spark.read.schema(stateSchema).parquet(cardDir.getPath)
@@ -119,11 +131,19 @@ object StreamingDataCard {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType.fromDDL(stateSchema))
     }
-    state.select(col("source"), col("n_docs"), col("n_tokens"),
-      round(col("n_tokens").cast("double") /
-        col("n_docs").cast("double"), 6).as("mean_tokens"),
-      round(col("q_sum").cast("double") / col("q_n").cast("double") /
-        lit(1e6), 6).as("mean_quality"))
+    state.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("q_sum")).as("q_sum"),
+        sum(col("q_n")).as("q_n"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("n_docs")).as("nc"), col("lang").as("lg"))).as("m"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_tokens"),
+        round(col("q_sum").cast("double") / col("q_n").cast("double") /
+          lit(1e6), 6).as("mean_quality"),
+        col("n_langs"), col("m.lg").as("top_lang"))
       .orderBy(col("source"))
   }
 
@@ -144,11 +164,9 @@ object StreamingDataCard {
           val delta = partials(batch)
           val merged = currentCardDir(cardPath) match {
             case Some(cardDir) =>
-              val prev = spark.read
-                .schema("source STRING, n_docs LONG, n_tokens LONG, q_sum LONG, q_n LONG")
-                .parquet(cardDir.getPath)
+              val prev = spark.read.schema(stateSchema).parquet(cardDir.getPath)
               prev.unionByName(delta)
-                .groupBy(col("source"))
+                .groupBy(col("source"), col("lang"))
                 .agg(sum(col("n_docs")).as("n_docs"),
                   sum(col("n_tokens")).as("n_tokens"),
                   sum(col("q_sum")).as("q_sum"),
