@@ -334,9 +334,18 @@ class StreamingRecoverySpec extends SparkTestBase {
     def rows(dir: File) =
       StreamingDataCard.readCard(spark, dir.getAbsolutePath).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3), r.getDouble(4))).toSeq
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getString(6))).toSeq
     assert(rows(card).nonEmpty)
     assert(rows(card) === rows(ref))
+    // INDEPENDENT reconciliation: the live card's shared columns —
+    // language mix included — equal F16's batch data card over the
+    // same corpus (dup_rate is the one column the card can't fold)
+    val profile = graft.operators.TextAnalysis.sourceProfile(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getAs[Long]("n_langs"), r.getAs[String]("top_lang")))
+      .toSeq
+    assert(rows(card) === profile,
+      "the streamed card must equal the batch data card column-for-column")
     // resume over the same checkpoint: the file source remembers the
     // processed files; the card must not double-fold
     StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
@@ -360,5 +369,64 @@ class StreamingRecoverySpec extends SparkTestBase {
     torn.mkdirs()
     Files.writeString(new File(torn, "part-00000.parquet").toPath, "torn")
     assert(rows(card) === full, "a _SUCCESS-less card dir won recovery")
+  }
+
+  test("StreamingSpanDedup: id-ordered micro-batches reproduce full batch " +
+    "span dedup; a checkpoint resume reprocesses nothing") {
+    import spark.implicits._
+    import graft.streaming.StreamingSpanDedup
+    import graft.operators.Dedup
+    val t = graft.sources.Tables(spark, sfDir)
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    // plant a HIGH-id verbatim copy of a LOW-id doc: only the folded
+    // gram state can flag it (the copy arrives two batches later)
+    val copy = base.filter(col("doc_id") === 1)
+      .select(lit(maxId + 9).as("doc_id"), col("text"))
+    val docs = base.unionByName(copy).localCheckpoint()
+    val top = maxId + 9
+
+    val in = Files.createTempDirectory("graft-span-stream-in").toFile
+    val state = Files.createTempDirectory("graft-span-stream-state")
+    val ckpt = Files.createTempDirectory("graft-span-stream-ckpt").toFile
+    // empty bootstrap state (watermark -1): the stream IS the corpus
+    Dedup.buildSpanState(docs.filter(lit(false)), -1L, state.toString)
+    // three id-RANGE files — the append-only daily-crawl order the
+    // contract requires (an id-interleaved split would change which
+    // occurrence is "first")
+    val cuts = Seq((0L, top / 3), (top / 3 + 1, 2 * top / 3), (2 * top / 3 + 1, top))
+    cuts.foreach { case (lo, hi) =>
+      docs.filter(col("doc_id").between(lo, hi))
+        .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+    }
+    StreamingSpanDedup.run(spark, in.getAbsolutePath, state.toString,
+      ckpt.getAbsolutePath, availableNow = true, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    def streamed = StreamingSpanDedup.readResults(spark, state.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val dir2 = Files.createTempDirectory("graft-span-stream-full").toFile
+    docs.write.mode("overwrite").parquet(s"${dir2.getAbsolutePath}/documents.parquet")
+    val full = Dedup.dedupSpans(graft.sources.Tables(spark, dir2.getAbsolutePath))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === full,
+      "the streamed union must equal one-shot batch span dedup")
+    assert(streamed.exists(_._1 === top),
+      "the cross-batch copy must be flagged through the folded state")
+    // the state folded every batch: watermark at the top id
+    assert(Dedup.stateWatermark(state.toString) === top)
+
+    // resume over the same checkpoint: nothing reprocessed, results
+    // and state unchanged
+    val before = streamed
+    StreamingSpanDedup.run(spark, in.getAbsolutePath, state.toString,
+      ckpt.getAbsolutePath, availableNow = true, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    assert(streamed === before, "a resume must not change the results")
+    assert(Dedup.stateWatermark(state.toString) === top)
   }
 }
