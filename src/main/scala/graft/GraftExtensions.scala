@@ -100,7 +100,7 @@ object GraftFunctions {
 object GraftTableFunctions {
 
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{Clusters, Dedup, EventOps, Multimodal, TextAnalysis, VectorSearch}
+  import graft.operators.{Clusters, Dedup, EventOps, Multimodal, ProductQuantizer, TextAnalysis, VectorSearch}
   import graft.sources.Tables
 
   /** Evaluate a foldable string argument (the data dir) at analysis
@@ -204,6 +204,7 @@ object GraftTableFunctions {
     // index in one pass
     tvf("graft_search_batch")(EmbeddingStore.searchBatchQuery),
     tvf("graft_search_text")(t => EmbeddingStore.searchText(t)),
+    tvf("graft_pq_recall")(ProductQuantizer.pqRecallQuery),
     tvf("graft_search_hybrid")(VectorSearch.searchHybrid),
     tvf("graft_dsir_weights")(TextAnalysis.dsirWeights),
     tvf("graft_ngram_topk")(TextAnalysis.ngramTopk),

@@ -55,6 +55,9 @@ object SparkEntry {
     // pass — broadcast query set, union-of-probes partition pruning,
     // per-query window top-k
     "q_search_batch"      -> q(EmbeddingStore.searchBatchQuery),
+    // D22: recall@10 of the compressed (ADC) probe vs the exact
+    // probe over identical per-query probe choices
+    "q_pq_recall"         -> q(ProductQuantizer.pqRecallQuery),
     "q_search_ivfpq"      -> q(ProductQuantizer.searchIvfPqQuery),
     // D14: two-stage retrieval — IVF candidates (k1=50) reranked by
     // lexical Jaccard against the query text, blended in integer
@@ -582,37 +585,64 @@ object SparkEntry {
     "q_search_batch" ->
       s"""$ivfAssignCte,
          |$ivfRefinedCte,
-         |q AS (SELECT vec_id AS query_id, i, v AS qv FROM ev WHERE vec_id < 5),
-         |qn AS (SELECT query_id, SQRT(SUM(qv*qv)) AS qnorm FROM q GROUP BY query_id),
-         |prs AS (
-         |  SELECT q.query_id, c.cell,
-         |    ROUND(COALESCE(SUM(c.v*q.qv)
-         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
-         |  FROM rc c JOIN q ON c.i = q.i GROUP BY q.query_id, c.cell),
-         |probe AS (
-         |  SELECT query_id, cell FROM prs
-         |  QUALIFY ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
-         |s AS (
-         |  SELECT q.query_id, e.vec_id, a.cell,
-         |         SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
-         |  FROM ev e
-         |  JOIN asg2 a ON e.vec_id = a.vec_id
-         |  JOIN probe p ON a.cell = p.cell
-         |  JOIN q ON e.i = q.i AND q.query_id = p.query_id
-         |  WHERE e.vec_id <> p.query_id
-         |  GROUP BY q.query_id, e.vec_id, a.cell),
-         |r AS (
-         |  SELECT s.query_id, s.vec_id AS doc_id, s.cell,
-         |    ROUND(COALESCE(s.dot/NULLIF(s.en*qn.qnorm,0),0),6) AS score
-         |  FROM s JOIN qn ON s.query_id = qn.query_id),
-         |rr AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM r)
+         |$batchExactCtes
          |SELECT query_id, doc_id, cell, score, rnk FROM rr
          |WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // D22: both legs over the IDENTICAL per-query probe choice — the
+    // exact leg is D19's replay (shared batchExactCtes), the
+    // compressed leg assigns candidates against the REFINED codebook
+    // and ranks by per-query ADC (D12's rule per query); recall =
+    // overlap of the two top-10s.
+    "q_pq_recall" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |$pqCodebookCtes,
+         |$batchExactCtes,
+         |ex AS (SELECT query_id, doc_id FROM rr WHERE rnk <= 10),
+         |cand2 AS (
+         |  SELECT p.query_id, a.vec_id, a.cell FROM asg2 a
+         |  JOIN probe p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |dsr AS (
+         |  SELECT d.vec_id, d.sub, c.cid,
+         |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS dist
+         |  FROM z d JOIN cbk c ON c.sub = d.sub AND c.j = d.j
+         |  WHERE d.vec_id IN (SELECT DISTINCT vec_id FROM cand2)
+         |  GROUP BY d.vec_id, d.sub, c.cid),
+         |codesr AS (
+         |  SELECT vec_id, sub, cid FROM dsr
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+         |qdr AS (
+         |  SELECT d.vec_id AS query_id, d.sub, c.cid,
+         |    CAST(SUM((d.zv - c.cv)*(d.zv - c.cv)) AS BIGINT) AS qdist
+         |  FROM z d JOIN cbk c ON c.sub = d.sub AND c.j = d.j
+         |  WHERE d.vec_id < 5
+         |  GROUP BY d.vec_id, d.sub, c.cid),
+         |ad AS (
+         |  SELECT ca.query_id, ca.vec_id AS doc_id,
+         |    CAST(SUM(qd.qdist) AS BIGINT) AS adist
+         |  FROM cand2 ca
+         |  JOIN codesr co ON co.vec_id = ca.vec_id
+         |  JOIN qdr qd ON qd.query_id = ca.query_id
+         |    AND qd.sub = co.sub AND qd.cid = co.cid
+         |  GROUP BY ca.query_id, ca.vec_id),
+         |pqr AS (
+         |  SELECT query_id, doc_id FROM ad
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adist, doc_id) <= 10),
+         |he AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY query_id),
+         |hh AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM ex JOIN pqr ON ex.query_id = pqr.query_id
+         |         AND ex.doc_id = pqr.doc_id
+         |       GROUP BY ex.query_id)
+         |SELECT he.query_id, he.n_exact,
+         |  CAST(COALESCE(hh.n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(COALESCE(hh.n_hit, 0) AS DOUBLE)
+         |    / CAST(he.n_exact AS DOUBLE), 6) AS recall
+         |FROM he LEFT JOIN hh ON he.query_id = hh.query_id
+         |ORDER BY he.query_id""".stripMargin,
     // D14: stage 1 replays D8's oracle (build CTEs + probe choice)
     // widened to 50 candidates; stage 2 is lexical Jaccard over
     // distinct word sets vs the query doc's text, blended with the
@@ -2379,6 +2409,41 @@ object SparkEntry {
       |          CAST(ROUND(CAST(SUM(mdist) AS DOUBLE)/1000000.0) AS BIGINT) AS d_mu
       |        FROM pd2 GROUP BY vec_id),
       |pdt AS (SELECT CAST(SUM(d_mu) AS BIGINT) AS d_sum FROM pd3)""".stripMargin
+
+  /** D19's per-query probe + exact-rank replay (expects ev/rc/asg2):
+    * q = the 5-query sample, per-query probe choice (6dp + cell
+    * tie-break), candidate scoring inside each query's probed cells,
+    * per-query exact rank in `rr`. Shared by the batch-search and
+    * PQ-recall oracles so both legs provably probe identically. */
+  private val batchExactCtes: String =
+    """q AS (SELECT vec_id AS query_id, i, v AS qv FROM ev WHERE vec_id < 5),
+      |qn AS (SELECT query_id, SQRT(SUM(qv*qv)) AS qnorm FROM q GROUP BY query_id),
+      |prs AS (
+      |  SELECT q.query_id, c.cell,
+      |    ROUND(COALESCE(SUM(c.v*q.qv)
+      |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+      |  FROM rc c JOIN q ON c.i = q.i GROUP BY q.query_id, c.cell),
+      |probe AS (
+      |  SELECT query_id, cell FROM prs
+      |  QUALIFY ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id, a.cell,
+      |         SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+      |  FROM ev e
+      |  JOIN asg2 a ON e.vec_id = a.vec_id
+      |  JOIN probe p ON a.cell = p.cell
+      |  JOIN q ON e.i = q.i AND q.query_id = p.query_id
+      |  WHERE e.vec_id <> p.query_id
+      |  GROUP BY q.query_id, e.vec_id, a.cell),
+      |r AS (
+      |  SELECT s.query_id, s.vec_id AS doc_id, s.cell,
+      |    ROUND(COALESCE(s.dot/NULLIF(s.en*qn.qnorm,0),0),6) AS score
+      |  FROM s JOIN qn ON s.query_id = qn.query_id),
+      |rr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM r)""".stripMargin
 
   private val ivfAssignCte: String =
     """WITH ev AS (

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorFunctions.cosineSim
 import graft.sources.Tables
 
 /** Product-quantization (PQ) layer over the persisted IVF index — the
@@ -291,6 +292,104 @@ object ProductQuantizer {
   def searchIvfPqQuery(t: Tables): DataFrame =
     searchIvfPq(t.spark, EmbeddingStore.ensureIndex(t), queryDocId = 0L,
       k = 10, probes = 2)
+
+  /** N queries through the COMPRESSED index in ONE pass —
+    * [[EmbeddingStore.searchIvfBatch]]'s plan with the ADC ranking in
+    * place of exact cosine: per-query probe choice (the shared D8
+    * rule), union-of-probes partition pruning over the CODE sidecar
+    * (m ints per row, never a float vector), and the per-query ADC
+    * tables — N·m·ncent integer distances, index metadata — folded
+    * into the scan as ONE literal indexed by a dense query index the
+    * broadcast probe map carries. Scan → broadcast equi-join on cell
+    * → codegen'd lookup sum → per-query window top-k; the ranked
+    * candidate set is bounded by N·probes·τ at any corpus size.
+    * `queries` = (query_id LONG, qv ARRAY<FLOAT>). */
+  def searchIvfPqBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    val probeMap = centroids.join(broadcast(queries))
+      .select(col("query_id"), col("cell"), col("qv"),
+        round(cosineSim(col("centroid"), col("qv")), 6).as("cs"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= probes)
+      .select(col("query_id"), col("cell"), col("qv"))
+      .localCheckpoint(true) // feeds two bounded collects AND the join
+    val qRows = EmbeddingStore.collectBounded(
+      probeMap.select(col("query_id"), col("qv")).distinct(),
+      10000, "pq batch query vectors")
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(quantizeLong))
+      .sortBy(_._1)
+    val probedCells = EmbeddingStore.collectBounded(
+      probeMap.select(col("cell")).distinct(),
+      qRows.length.toLong * probes, "pq batch probed cells")
+      .map(_.getInt(0))
+    val cb = readCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    // per-query ADC tables (the searchIvfPq rule, one per query):
+    // adcAll(qi)(s)(c) — bounded driver math over index metadata
+    val adcAll: Seq[Seq[Seq[Long]]] = qRows.map { case (_, qv) =>
+      (0 until m).map { s =>
+        cb.filter(_._1 == s).sortBy(_._2).map { case (_, _, cv) =>
+          (0 until subDim).map { i =>
+            val d = qv(s * subDim + i) - cv(i); d * d
+          }.sum
+        }
+      }
+    }
+    val adcLit = typedLit(adcAll)
+    val qidx = spark.createDataFrame(
+      qRows.zipWithIndex.map { case ((id, _), i) => (id, i) })
+      .toDF("query_id", "qi")
+    val pairs = probeMap.select(col("query_id"), col("cell"))
+      .join(qidx, "query_id")
+    val adist = (0 until m).map(s =>
+      element_at(element_at(element_at(adcLit, col("qi") + 1), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("doc_id"))
+    spark.read.parquet(s"$path/pq_codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(pairs), Seq("cell"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("cell"), adist.as("adist"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** D22 — `q_pq_recall`: recall@10 of the COMPRESSED probe against
+    * the exact probe, per query of the D3 sample through ONE
+    * persisted index — the number that closes D12's tuning loop
+    * (probes ↔ [[EmbeddingStore.indexStats]]'s pq_distortion ↔ this
+    * recall; E2b and D7 are the same evaluator shape for LSH and the
+    * coarse quantizer). Both legs run the batched one-pass plans over
+    * identical probe choices, so the recall isolates exactly what
+    * ADC compression costs — never a different candidate set. */
+  def pqRecallQuery(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = EmbeddingStore.ensureIndex(t)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = EmbeddingStore.searchIvfBatch(spark, path, queries, k = 10)
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true) // two consumers: the count and the hit join
+    val pq = searchIvfPqBatch(spark, path, queries, k = 10)
+      .select(col("query_id"), col("doc_id"))
+    val nExact = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.join(pq, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nExact.join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
 }
 
 /** PQ code assignment as a native Catalyst expression: for each of

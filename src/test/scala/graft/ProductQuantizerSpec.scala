@@ -62,6 +62,31 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("searchIvfPqBatch reproduces the per-query compressed probe; " +
+    "pq_recall rows are internally consistent") {
+    val t = Tables(spark, sfDir)
+    val path = EmbeddingStore.ensureIndex(t)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = ProductQuantizer
+      .searchIvfPqBatch(spark, path, queries, k = 10).collect()
+      .groupBy(_.getLong(0))
+    (0L until 5L).foreach { qid =>
+      val single = ProductQuantizer.searchIvfPq(spark, path, qid, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val slice = batch.getOrElse(qid, Array.empty).sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+      assert(slice === single, s"query $qid diverged from the one-at-a-time probe")
+    }
+    val rec = ProductQuantizer.pqRecallQuery(t).collect()
+    assert(rec.length === 5)
+    rec.foreach { r =>
+      val (ne, nh, rc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ne > 0 && nh >= 0 && nh <= ne)
+      assert(math.abs(rc - nh.toDouble / ne) < 1e-9)
+    }
+  }
+
   test("refinement does not degrade quantization error; the distortion gate " +
     "feeds rebuildIfDrifted") {
     val (path, vecs) = freshIndex()
