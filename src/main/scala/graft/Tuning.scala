@@ -78,16 +78,56 @@ object Tuning {
     Recommendation(shuffle, maxPart, batch)
   }
 
-  /** Detect this JVM/session's resources and derive the
-    * recommendation for a data directory (size = one stat walk). */
+  /** Parse a Spark memory string ("4g", "512m", "2048") to bytes. */
+  private[graft] def memoryBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 't' => (t.dropRight(1), 1L << 40)
+      case 'b' => (t.dropRight(1), 1L)
+      case _ => (t, 1L << 20) // bare numbers are MiB in Spark confs
+    }
+    (num.toDouble * mult).toLong
+  }
+
+  /** Detect this SESSION's resources and derive the recommendation
+    * for a data directory. The per-core budget is the EXECUTOR
+    * heap over the executor's task slots — read from
+    * `spark.executor.memory` / `spark.executor.cores` when the
+    * session declares them (any real cluster); only a local[*]
+    * session, where the driver JVM IS the executor, falls back to
+    * this JVM's heap over its slots. Data size is one stat walk,
+    * EXCLUDING derived layouts (`_graft_layouts` holds indexes and
+    * scaling replicas — derived storage must not inflate the
+    * shuffle sizing of the data it derives from). */
+  /** The executor per-core heap budget: declared executor resources
+    * when the session has them (any real cluster), else this JVM's
+    * heap over its slots (local mode, where the driver IS the one
+    * executor). Pure so the cluster branch is testable — executor
+    * confs are immutable on a live session. */
+  private[graft] def heapPerCoreFrom(execMemory: Option[String],
+      execCores: Option[Int], defaultParallelism: Int,
+      jvmHeap: => Long = Runtime.getRuntime.maxMemory()): Long =
+    (execMemory.map(memoryBytes), execCores) match {
+      case (Some(h), Some(c)) => math.max(1L, h / math.max(1, c))
+      case (Some(h), None) => math.max(1L, h / math.max(1, defaultParallelism))
+      case _ => math.max(1L, jvmHeap / math.max(1, defaultParallelism))
+    }
+
   def recommendFor(spark: SparkSession, dataDir: String): Recommendation = {
-    val cores = spark.sparkContext.defaultParallelism
-    val heap = Runtime.getRuntime.maxMemory()
+    val sc = spark.sparkContext.getConf
+    val heapPerCore = heapPerCoreFrom(
+      sc.getOption("spark.executor.memory"),
+      sc.getOption("spark.executor.cores").map(_.toInt),
+      spark.sparkContext.defaultParallelism)
     def sizeOf(f: java.io.File): Long =
       if (f.isFile) f.length()
+      else if (f.getName == "_graft_layouts") 0L
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .map(sizeOf).sum
-    recommend(cores, math.max(1L, heap / math.max(1, cores)),
+    recommend(spark.sparkContext.defaultParallelism, heapPerCore,
       sizeOf(new java.io.File(dataDir)))
   }
 

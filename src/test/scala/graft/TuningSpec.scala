@@ -41,7 +41,11 @@ class TuningSpec extends AnyFunSuite {
 
   test("applyTo sets the runtime knobs on a live session") {
     val spark = SparkTestBase.spark
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // restore EVERY touched conf — the session is shared JVM-wide,
+    // and a leaked maxPartitionBytes would change scan partition
+    // counts for every suite that runs after this one
+    val beforeShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
       val r = Tuning.applyTo(spark, "/root/testdata/sf0.001")
       assert(spark.conf.get("spark.sql.shuffle.partitions") ===
@@ -51,6 +55,29 @@ class TuningSpec extends AnyFunSuite {
       // tiny fixture on a local session: one task wave
       assert(r.shufflePartitions === spark.sparkContext.defaultParallelism)
       assert(r.updateBatchRows >= 1000)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", beforeShuffle)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", beforeSplit)
+    }
+  }
+
+  test("memoryBytes parses Spark memory strings; the per-core budget honors " +
+    "declared executor resources over the driver JVM") {
+    assert(Tuning.memoryBytes("4g") === 4L * GiB)
+    assert(Tuning.memoryBytes("512m") === 512L * MiB)
+    assert(Tuning.memoryBytes("2048") === 2048L * MiB)
+    assert(Tuning.memoryBytes("1t") === 1L << 40)
+    // cluster: 16g executors x 8 cores => 2 GiB/core from the
+    // DECLARED resources, regardless of this (driver) JVM's heap —
+    // dividing driver heap by cluster-wide cores was the bug this
+    // pins against (it collapsed every knob to its floor)
+    assert(Tuning.heapPerCoreFrom(Some("16g"), Some(8),
+      defaultParallelism = 400, jvmHeap = 4L * GiB) === 2L * GiB)
+    // executor memory declared without cores: divide by parallelism
+    assert(Tuning.heapPerCoreFrom(Some("8g"), None,
+      defaultParallelism = 8, jvmHeap = 1L * GiB) === 1L * GiB)
+    // local mode: the driver JVM is the one executor
+    assert(Tuning.heapPerCoreFrom(None, None,
+      defaultParallelism = 4, jvmHeap = 8L * GiB) === 2L * GiB)
   }
 }
