@@ -70,27 +70,47 @@ object StreamingDataCard {
       .flatMap(d => d.getName.stripPrefix("card_").toLongOption)
       .sorted.lastOption.getOrElse(-1L)
 
+  /** The PRE-pointer layout's committed batch id (`_STREAM_BATCH`
+    * marker beside a single mutable `card/` dir) — consulted only
+    * when no versioned card exists, so a state written by the
+    * previous release keeps its folded history across the upgrade
+    * instead of silently restarting from one batch's delta (the
+    * stream checkpoint would never re-deliver the old files). */
+  private def legacyCommitted(cardPath: String): Long = {
+    val f = java.nio.file.Paths.get(cardPath, "_STREAM_BATCH")
+    if (!java.nio.file.Files.exists(f) ||
+      !new java.io.File(cardPath, "card").isDirectory) -1L
+    else
+      java.nio.file.Files.readString(f).trim.toLongOption.getOrElse(-1L)
+  }
+
   /** The committed batch id: the `_CARD` pointer's content, written
     * only by ATOMIC_MOVE so it can never be torn. A missing or
-    * unparseable pointer (fresh state, manual damage, a legacy
-    * marker) degrades to the newest complete card on disk — a fresh
-    * state has none and reads -1 — instead of reading folded history
-    * as empty or throwing NumberFormatException on every subsequent
-    * micro-batch. */
+    * unparseable pointer (fresh state, manual damage) degrades to
+    * the newest complete versioned card on disk, then to the legacy
+    * single-dir layout — a fresh state has neither and reads -1 —
+    * instead of reading folded history as empty or throwing
+    * NumberFormatException on every subsequent micro-batch. */
   private def lastCommitted(cardPath: String): Long = {
     val f = pointerPath(cardPath)
-    if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
-    else
-      java.nio.file.Files.readString(f).trim.toLongOption
-        .getOrElse(newestCompleteCard(cardPath))
+    val scanned =
+      if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
+      else
+        java.nio.file.Files.readString(f).trim.toLongOption
+          .getOrElse(newestCompleteCard(cardPath))
+    if (scanned >= 0) scanned else legacyCommitted(cardPath)
   }
 
   /** The directory of the committed card, if any batch has committed
-    * and its table still exists. */
+    * and its table still exists: the versioned `card_<id>` dir, or
+    * the legacy `card/` dir when the state predates the pointer
+    * format (the first post-upgrade commit folds it into a
+    * versioned card and garbage-collects it). */
   private def currentCardDir(cardPath: String): Option[java.io.File] = {
     val b = lastCommitted(cardPath)
     if (b < 0) None
     else Some(new java.io.File(cardPath, s"card_$b")).filter(_.isDirectory)
+      .orElse(Some(new java.io.File(cardPath, "card")).filter(_.isDirectory))
   }
 
   /** The additive per-(source, predicted-language) partials of a
@@ -198,6 +218,16 @@ object StreamingDataCard {
               d.getName != s"card_$batchId" &&
               d.getName != s"card_$prevCommitted")
             .foreach(graft.sources.LayoutStore.deleteRecursively)
+          // a LEGACY single-dir card (pre-pointer layout) is this
+          // commit's predecessor at most once — once a VERSIONED
+          // predecessor exists it is two generations stale, so it
+          // and its marker retire with the same grace rule
+          if (new java.io.File(cardPath, s"card_$prevCommitted").isDirectory) {
+            graft.sources.LayoutStore.deleteRecursively(
+              new java.io.File(cardPath, "card"))
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(cardPath, "_STREAM_BATCH"))
+          }
           ()
         }
       }

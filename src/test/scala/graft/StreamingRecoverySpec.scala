@@ -371,6 +371,52 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(rows(card) === full, "a _SUCCESS-less card dir won recovery")
   }
 
+  test("StreamingDataCard: a legacy single-dir state upgrades in place " +
+    "without losing folded history") {
+    import graft.streaming.StreamingDataCard
+    val t = graft.sources.Tables(spark, sfDir)
+    val in = Files.createTempDirectory("graft-cardmig-in").toFile
+    val card = Files.createTempDirectory("graft-cardmig-state").toFile
+    val ckpt = Files.createTempDirectory("graft-cardmig-ckpt").toFile
+    // batch 0 through the current code, then rewrite its state into
+    // the PRE-POINTER layout (single card/ dir + _STREAM_BATCH
+    // marker) — the faithful upgrade scenario shares the stream
+    // checkpoint, so post-upgrade batch ids continue past the marker
+    t.documents.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+    new File(in, "_SUCCESS").delete()
+    StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
+      ckpt.getAbsolutePath, availableNow = true).awaitTermination()
+    val committed = Files.readString(new File(card, "_CARD").toPath).trim
+    assert(new File(card, s"card_$committed").renameTo(new File(card, "card")))
+    new File(card, "_CARD").delete()
+    Files.writeString(new File(card, "_STREAM_BATCH").toPath, committed)
+    // the legacy state READS as the committed card...
+    assert(StreamingDataCard.readCard(spark, card.getAbsolutePath)
+      .agg(sum(col("n_docs"))).first().getLong(0) ===
+      t.documents.filter(pmod(col("doc_id"), lit(3)) === 0).count())
+    // ...and the next two post-upgrade batches FOLD it forward (not
+    // restart from one delta), then retire the legacy dir + marker
+    Seq(1, 2).foreach { k =>
+      t.documents.filter(pmod(col("doc_id"), lit(3)) === k)
+        .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+      StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
+        ckpt.getAbsolutePath, availableNow = true).awaitTermination()
+    }
+    val ref = Files.createTempDirectory("graft-cardmig-ref").toFile
+    StreamingDataCard.partials(t.documents)
+      .write.parquet(s"${ref.getAbsolutePath}/card_0")
+    Files.writeString(new File(ref, "_CARD").toPath, "0")
+    def rows(dir: File) =
+      StreamingDataCard.readCard(spark, dir.getAbsolutePath).collect()
+        .map(_.toSeq).toSeq
+    assert(rows(card) === rows(ref),
+      "post-upgrade folds must include the legacy history")
+    assert(!new File(card, "card").exists, "legacy card dir must retire")
+    assert(!new File(card, "_STREAM_BATCH").exists, "legacy marker must retire")
+  }
+
   test("StreamingSpanDedup: id-ordered micro-batches reproduce full batch " +
     "span dedup; a checkpoint resume reprocesses nothing") {
     import spark.implicits._
