@@ -75,7 +75,9 @@ object StreamingSpanDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastCommitted(statePath) && !batch.isEmpty) {
           val snap = batch.localCheckpoint() // results + fold, one read
-          val maxId = snap.agg(max(col("doc_id"))).first().getLong(0)
+          val ids = snap.agg(min(col("doc_id")).as("mn"),
+            max(col("doc_id")).as("mx")).first()
+          val (minId, maxId) = (ids.getLong(0), ids.getLong(1))
           // replay discrimination: results are only valid when
           // computed BEFORE the fold (afterwards the batch's own
           // grams are in the state and everything would self-flag).
@@ -86,6 +88,17 @@ object StreamingSpanDedup {
           // _ADVANCING and stateWatermark fails loud (the E14
           // rebuild-me discipline), never wrong results.
           if (Dedup.stateWatermark(statePath) < maxId) {
+            // FAIL LOUD on a contract violation instead of silently
+            // truncating: a doc at or below the watermark would be
+            // filtered out of both the results and the fold — never
+            // deduplicated, never reported — while the marker still
+            // advanced. An out-of-order crawl needs a batch rebuild,
+            // not a quiet hole (the _ADVANCING discipline's sibling).
+            require(minId > Dedup.stateWatermark(statePath),
+              s"batch $batchId violates the nondecreasing-id contract: " +
+                s"min doc_id $minId <= state watermark " +
+                s"${Dedup.stateWatermark(statePath)} — these docs would be " +
+                "silently skipped; rebuild the state over the full corpus")
             // the batch IS the delta: its ids sit above the state
             // watermark, so the E14 pass applies verbatim (its
             // watermark filter is a no-op here)
