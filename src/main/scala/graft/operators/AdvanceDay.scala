@@ -65,12 +65,20 @@ object AdvanceDay {
     }
 
   def advanceDayQuery(t: Tables): DataFrame = {
-    val spark = t.spark
     val pristine = ensureDayBase(t)
     // the day's private working copy must be executor-reachable (the
     // advance and append run ON the copy), so it is cluster-shared
-    // scratch under the layouts root, not driver-local /tmp
-    val base = graft.sources.LayoutStore.scratch(t.dir, "day").toPath
+    // scratch under the layouts root, not driver-local /tmp; the
+    // try/finally keeps a mid-episode failure from leaking the copy
+    // into that durable root
+    val base = graft.sources.LayoutStore.scratch(t.dir, "day")
+    try advanceDayEpisode(t, pristine, base.toString)
+    finally graft.sources.LayoutStore.deleteRecursively(base)
+  }
+
+  private def advanceDayEpisode(t: Tables, pristine: String,
+      base: String): DataFrame = {
+    val spark = t.spark
     val statePath = s"$base/dedup"
     val indexPath = s"$base/ivf"
     graft.sources.LayoutStore.copyRecursively(
@@ -119,10 +127,9 @@ object AdvanceDay {
         col("n_vectors"), col("n_cells"), col("max_cell"),
         col("cell_skew"), col("appended_frac"), col("mean_intra_cosine"),
         col("pq_distortion"))
-      // 1-row result: pin it so the per-invocation stores delete now
-      // (same discipline as searchRefreshQuery's temp store)
+      // 1-row result: pin it so the caller's finally can delete the
+      // per-invocation stores now (searchRefreshQuery's discipline)
       .localCheckpoint(true)
-    graft.sources.LayoutStore.deleteRecursively(base.toFile)
     out
   }
 }

@@ -49,7 +49,16 @@ object Bootstrap {
 
   def bootstrapQuery(t: Tables): DataFrame = {
     val spark = t.spark
+    // try/finally: the scratch lives under the DURABLE layouts root
+    // (not OS-cleaned /tmp), so a mid-episode failure must not leak
+    // a parquet store beside production data
     val base = LayoutStore.scratch(t.dir, "bootstrap")
+    try bootstrapEpisode(t, spark, base.toString)
+    finally LayoutStore.deleteRecursively(base)
+  }
+
+  private def bootstrapEpisode(t: Tables,
+      spark: org.apache.spark.sql.SparkSession, base: String): DataFrame = {
     val storePath = s"$base/store"
     val indexPath = s"$base/ivf"
     val vectors = t.embeddings
@@ -83,9 +92,9 @@ object Bootstrap {
         col("n_vectors"), col("n_cells"), col("max_cell"),
         col("cell_skew"), col("appended_frac"), col("mean_intra_cosine"),
         col("pq_distortion"))
-      // 1-row result: pin it so the per-invocation scratch deletes now
+      // 1-row result: pin it so the caller's finally can delete the
+      // per-invocation scratch immediately
       .localCheckpoint(true)
-    LayoutStore.deleteRecursively(base)
     out
   }
 

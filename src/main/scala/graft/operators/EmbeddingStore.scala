@@ -441,8 +441,14 @@ object EmbeddingStore {
     // cluster-shared scratch: the refresh episode's store is written
     // and probed by executors, so it lives under the layouts root
     // (SPARK_GRAFT_STORAGE_DIR-governed), never driver-local /tmp
-    val dir = graft.sources.LayoutStore.scratch(t.dir, "refresh").toPath
-    val path = s"$dir/store"
+    // try/finally: the scratch is durable cluster-shared storage, so
+    // a mid-episode failure must not leak a store there
+    val dir = graft.sources.LayoutStore.scratch(t.dir, "refresh")
+    try searchRefreshEpisode(vecs, s"$dir/store")
+    finally graft.sources.LayoutStore.deleteRecursively(dir)
+  }
+
+  private def searchRefreshEpisode(vecs: DataFrame, path: String): DataFrame = {
     val policy = RefreshPolicy(cooldownSec = 60, longCooldownSec = 300,
       startupWindowSec = 600, updateThreshold = 0, maxDocsPerUpdate = 150)
     var state = SearchState(watermark = -1L, serverStartEpochSec = 1000L)
@@ -465,11 +471,10 @@ object EmbeddingStore {
       lit(state.watermark).as("final_watermark"))
       .orderBy(col("score").desc, col("doc_id"))
       // eager localCheckpoint pins the ≤10-row result in the block
-      // manager so the per-invocation temp store can be deleted NOW —
-      // a multi-pass bench would otherwise leak one parquet store
-      // into /tmp per call
+      // manager so the caller's finally can delete the per-invocation
+      // store NOW — a multi-pass bench would otherwise leak one
+      // parquet store per call
       .localCheckpoint(true)
-    graft.sources.LayoutStore.deleteRecursively(dir.toFile)
     out
   }
 
