@@ -130,19 +130,21 @@ object GraftTableFunctions {
       })
 
   /** Memo for side-effecting TVF builds, weak-keyed on the session
-    * (a stopped session's entries collect with it). The inner key
-    * folds the data dir AND its content fingerprint, so the memo
-    * serves the cached manifest only while the data is byte-stable —
-    * new/replaced files at the same path rebuild. The cached plan
-    * references a localCheckpointed ≤(splits×sources)-row manifest
-    * pinned in the session's block manager, so replaying it is a
-    * block-manager read, not a re-export. */
+    * (a stopped session's entries collect with it). ONE live entry
+    * per (name, dir), stamped with the dir's content fingerprint:
+    * the cached manifest serves only while the data is byte-stable,
+    * and new/replaced files at the same path REPLACE the entry
+    * instead of accumulating beside it — dropping the superseded
+    * plan releases the only reference to its localCheckpointed
+    * blocks, so the ContextCleaner can reclaim them (an append-only
+    * fingerprint-keyed map would pin one manifest per refresh for
+    * the session's lifetime). */
   private val sideEffectMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]]()
+      java.util.concurrent.ConcurrentHashMap[String, (String, LogicalPlan)]]()
 
   /** [[tvf]] for a build with real side effects (a corpus write):
-    * at-most-once per (session, dir, fingerprint) instead of
+    * at-most-once per (session, dir, CURRENT fingerprint) instead of
     * once-per-analysis. */
   private def memoTvf(name: String)(build: Tables => org.apache.spark.sql.DataFrame)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
@@ -154,11 +156,14 @@ object GraftTableFunctions {
         val spark = SparkSession.active
         val perSession = sideEffectMemo.synchronized {
           sideEffectMemo.computeIfAbsent(spark,
-            _ => new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]())
+            _ => new java.util.concurrent.ConcurrentHashMap[String,
+              (String, LogicalPlan)]())
         }
-        val key = s"$name|$dir|${graft.sources.LayoutStore.fingerprint(dir)}"
-        perSession.computeIfAbsent(key,
-          _ => GraftColumnBridge.analyzedPlan(build(Tables(spark, dir))))
+        val fp = graft.sources.LayoutStore.fingerprint(dir)
+        perSession.compute(s"$name|$dir", (_, cur) =>
+          if (cur != null && cur._1 == fp) cur
+          else (fp, GraftColumnBridge.analyzedPlan(build(Tables(spark, dir)))))
+          ._2
       })
 
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
