@@ -882,26 +882,40 @@ object EmbeddingStore {
     * contract, so DuckDB replays build + per-query probe + rank
     * exactly. A query whose id exists in the store never matches
     * itself (per-query self-exclusion, D8's rule). */
-  def searchIvfBatch(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, probes: Int = 2): DataFrame = {
+  /** The per-query probe choice for a BATCH of queries, in ONE pass:
+    * every centroid × every broadcast query (metadata-scale: k cells
+    * × N queries), top `probes` cells per query by 6dp-rounded
+    * cosine with the cell tie-break — the [[probeCells]] rule per
+    * query. Returns the eagerly-pinned (query_id, cell, qv) probe
+    * map (it feeds a metadata collect AND a candidate join in every
+    * consumer) — shared by the exact ([[searchIvfBatch]]) and
+    * compressed ([[ProductQuantizer.searchIvfPqBatch]]) batch probes
+    * so the two can never choose different cells. */
+  private[operators] def batchProbeMap(spark: SparkSession, path: String,
+      queries: DataFrame, probes: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    // per-query probe choice in ONE pass: every centroid × every
-    // query (metadata-scale: k cells × N queries), ranked per query
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cell"))
-    val probeMap = centroids.join(broadcast(queries))
+    centroids.join(broadcast(queries))
       .select(col("query_id"), col("cell"), col("qv"),
         round(cosineSim(col("centroid"), col("qv")), 6).as("cs"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= probes)
       .select(col("query_id"), col("cell"), col("qv"))
-      // eager: feeds the distinct-cell metadata collect AND the
-      // candidate join — without it the centroid scoring runs twice
       .localCheckpoint(true)
-    val nQueries = queries.count()
-    val probedCells = collectBounded(
-      probeMap.select(col("cell")).distinct(),
-      nQueries * probes, "batched probed cell ids").map(_.getInt(0))
+  }
+
+  /** The union of a probe map's cells — ≤ N·probes ints of index
+    * metadata, bounded-collected into partition-pruning literals. */
+  private[operators] def probedCellsOf(probeMap: DataFrame,
+      bound: Long): Array[Int] =
+    collectBounded(probeMap.select(col("cell")).distinct(),
+      bound, "batched probed cell ids").map(_.getInt(0))
+
+  def searchIvfBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2): DataFrame = {
+    val probeMap = batchProbeMap(spark, path, queries, probes)
+    val probedCells = probedCellsOf(probeMap, queries.count() * probes)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     spark.read.parquet(s"$path/cells")

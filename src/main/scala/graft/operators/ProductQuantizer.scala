@@ -307,25 +307,16 @@ object ProductQuantizer {
   def searchIvfPqBatch(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, probes: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("cell"))
-    val probeMap = centroids.join(broadcast(queries))
-      .select(col("query_id"), col("cell"), col("qv"),
-        round(cosineSim(col("centroid"), col("qv")), 6).as("cs"))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= probes)
-      .select(col("query_id"), col("cell"), col("qv"))
-      .localCheckpoint(true) // feeds two bounded collects AND the join
+    // the SAME probe choice as the exact batch probe (shared stage —
+    // recall comparisons isolate compression, never cell choice)
+    val probeMap = EmbeddingStore.batchProbeMap(spark, path, queries, probes)
     val qRows = EmbeddingStore.collectBounded(
       probeMap.select(col("query_id"), col("qv")).distinct(),
       10000, "pq batch query vectors")
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(quantizeLong))
       .sortBy(_._1)
-    val probedCells = EmbeddingStore.collectBounded(
-      probeMap.select(col("cell")).distinct(),
-      qRows.length.toLong * probes, "pq batch probed cells")
-      .map(_.getInt(0))
+    val probedCells =
+      EmbeddingStore.probedCellsOf(probeMap, qRows.length.toLong * probes)
     val cb = readCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
     // per-query ADC tables (the searchIvfPq rule, one per query):
