@@ -417,6 +417,68 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(!new File(card, "_STREAM_BATCH").exists, "legacy marker must retire")
   }
 
+  test("StreamingSpanDedup: killed mid-stream and restarted, the streamed " +
+    "union still equals batch span dedup with no duplicates") {
+    import spark.implicits._
+    import graft.streaming.StreamingSpanDedup
+    import graft.operators.Dedup
+    val t = graft.sources.Tables(spark, sfDir)
+    val base = t.documents.select(col("doc_id"), col("text")).localCheckpoint()
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    val in = Files.createTempDirectory("graft-span-kill-in").toFile
+    val state = Files.createTempDirectory("graft-span-kill-state")
+    val ckpt = Files.createTempDirectory("graft-span-kill-ckpt").toFile
+    Dedup.buildSpanState(base.filter(lit(false)), -1L, state.toString)
+    // six id-range files with increasing mtimes (the packer drill's
+    // ordering discipline) => six micro-batches
+    val step = maxId / 6 + 1
+    (0 until 6).foreach { i =>
+      base.filter(col("doc_id").between(i * step, (i + 1) * step - 1))
+        .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
+      new File(in, "_SUCCESS").delete()
+      in.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
+          f.setLastModified(1000000L * (i + 1)))
+    }
+    def start() = StreamingSpanDedup.run(spark, in.getAbsolutePath,
+      state.toString, ckpt.getAbsolutePath, availableNow = true,
+      maxFilesPerTrigger = Some(1))
+    // run 1: crash after >= 2 committed batches. Two CORRECT
+    // outcomes exist for run 2 — silent corruption is the only
+    // failure: the kill usually lands between batches and the
+    // resume drains cleanly; a kill INSIDE advanceSpanState leaves
+    // the _ADVANCING bracket, and the resume must then FAIL LOUD
+    // (the documented plain-filesystem crash window — a
+    // transactional table format closes it), never serve a
+    // half-advanced state.
+    killAfter(start(), minBatches = 2)
+    val resumed =
+      try { start().awaitTermination(); true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          def chain(t: Throwable): Seq[String] =
+            if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+          assert(chain(e).exists(_.contains("interrupted advance")),
+            s"resume failed for a reason other than the documented " +
+              s"_ADVANCING window: ${chain(e).mkString(" | ")}")
+          false
+      }
+    if (resumed) {
+      val streamed = StreamingSpanDedup.readResults(spark, state.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      // exactly-once: one result row per doc across ALL batch dirs —
+      // a replayed batch must have overwritten its own output, never
+      // appended beside it
+      assert(streamed.map(_._1).distinct.length === streamed.length,
+        "a replayed batch duplicated results")
+      assert(streamed.toSet === Dedup.dedupSpans(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet, "kill+resume diverged from one-shot batch span dedup")
+      assert(Dedup.stateWatermark(state.toString) === maxId)
+    }
+  }
+
   test("StreamingSpanDedup: id-ordered micro-batches reproduce full batch " +
     "span dedup; a checkpoint resume reprocesses nothing") {
     import spark.implicits._
