@@ -176,6 +176,10 @@ object SparkEntry {
     // persisted distinct-gram state, first-occurrence rule preserved
     // corpus-wide; result = full E12 restricted to delta docs
     "q_dedup_spans_incremental" -> q(Dedup.dedupSpansIncremental),
+    // E15: SemDeDup semantic pruning — within-cell ε-similar groups
+    // (the E5 pair scaffold at a tighter threshold), E6 closure, keep
+    // the member farthest from its cluster centroid
+    "q_semdedup"        -> q(Dedup.semDedup),
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
@@ -1802,19 +1806,48 @@ object SparkEntry {
     // cosine with lowest-key tie-break; zero-norm divisions guarded
     // to 0 like CosineSimilarity. Pairs then form within cells.
     "q_dedup_embedding" ->
-      s"""$ivfAssignCte,
-        |s AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ax.cell AS cell,
-        |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
-        |  FROM ev a
-        |  JOIN asg ax ON a.vec_id = ax.vec_id
-        |  JOIN asg bx ON bx.cell = ax.cell AND a.vec_id < bx.vec_id
-        |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
-        |  GROUP BY a.vec_id, b.vec_id, ax.cell)
-        |SELECT vec_a, vec_b, cell, ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
-        |FROM s
-        |WHERE ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) >= 0.35
+      s"""$cellPairCtes
+        |SELECT vec_a, vec_b, cell, score FROM cp
+        |WHERE score >= 0.35
         |ORDER BY score DESC, vec_a, vec_b""".stripMargin,
+    // E15: the E5 pair CTEs verbatim at the tighter SemDeDup
+    // threshold, the E6 recursive-closure pattern over them, one
+    // per-cell mean pass (the Lloyd-step replay: ROUND(AVG,6) per
+    // component), each member's 6dp cosine to its own cell's
+    // centroid, and the keeper window (min centroid_sim, lowest id).
+    "q_semdedup" ->
+      s"""${cellPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |e0 AS (SELECT vec_a AS s, vec_b AS d FROM cp
+        |       WHERE score >= ${operators.Dedup.semDedupThreshold}),
+        |edges AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT rch.s, e.d FROM reach rch JOIN edges e ON rch.d = e.s),
+        |comp AS (
+        |  SELECT s AS vec_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |ctr AS (
+        |  SELECT a.cell, e.i, ROUND(AVG(e.v),6) AS cv
+        |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
+        |  GROUP BY a.cell, e.i),
+        |cs AS (
+        |  SELECT e.vec_id, a.cell,
+        |    ROUND(COALESCE(SUM(e.v*c.cv)
+        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.cv*c.cv)),0),0),6) AS centroid_sim
+        |  FROM ev e
+        |  JOIN asg a ON e.vec_id = a.vec_id
+        |  JOIN ctr c ON c.cell = a.cell AND c.i = e.i
+        |  GROUP BY e.vec_id, a.cell),
+        |kt AS (
+        |  SELECT comp.vec_id AS vec_id, comp.cluster_id AS cluster_id,
+        |         cs.cell AS cell, cs.centroid_sim AS centroid_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+        |      ORDER BY cs.centroid_sim ASC, comp.vec_id) AS rn
+        |  FROM comp JOIN cs ON cs.vec_id = comp.vec_id)
+        |SELECT vec_id, cluster_id, cell, centroid_sim,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM kt ORDER BY vec_id""".stripMargin,
     // D15: E5's within-cell pair scaffold, but DIRECTED (both
     // orientations) and top-3 per vector instead of thresholded
     // canonical pairs.
@@ -2551,6 +2584,27 @@ object SparkEntry {
       |asg2 AS (
       |  SELECT vec_id, cell FROM l2s2
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
+
+  /** E5's within-cell pair CTEs (the assignment scaffold + the
+    * unordered same-cell pair scoring, every pair once, 6dp-rounded
+    * cosine, NO threshold), shared verbatim by the q_dedup_embedding
+    * oracle (≥ 0.35) and q_semdedup's closure over the same pairs at
+    * the tighter SemDeDup threshold — the one definition mirroring
+    * Dedup.cellPairs. Ends in cp(vec_a, vec_b, cell, score). */
+  private val cellPairCtes: String =
+    s"""$ivfAssignCte,
+       |ep AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ax.cell AS cell,
+       |         SUM(a.v*b.v) AS dot, SQRT(SUM(a.v*a.v)) AS na, SQRT(SUM(b.v*b.v)) AS nb
+       |  FROM ev a
+       |  JOIN asg ax ON a.vec_id = ax.vec_id
+       |  JOIN asg bx ON bx.cell = ax.cell AND a.vec_id < bx.vec_id
+       |  JOIN ev b ON b.vec_id = bx.vec_id AND a.i = b.i
+       |  GROUP BY a.vec_id, b.vec_id, ax.cell),
+       |cp AS (
+       |  SELECT vec_a, vec_b, cell,
+       |         ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
+       |  FROM ep)""".stripMargin
 
   /** D15's graph CTEs (cell assignment scaffold + within-cell pair
     * scoring + per-vector ranking), shared verbatim by the

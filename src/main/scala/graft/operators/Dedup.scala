@@ -898,28 +898,43 @@ object Dedup {
     * the skew-vs-duplication trade. Reference anchor: this blocking
     * replaces the reference's full-scan cosine search
     * (processor.py:436) at scale. */
-  def dedupEmbedding(t: Tables): DataFrame = {
-    val g = 4
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    // seed centroids = the numCellsFor(n) lowest vec_ids (the shared
-    // deterministic rule — max(2, ⌈√n⌉, ⌈n/τ⌉), τ = targetCellRows —
-    // that the persisted index, the recall evaluator and the E5
-    // oracle all replay in lockstep). The seed table stays
-    // DISTRIBUTED (k grows linearly under the n/τ rule); only the
-    // ⌈√k⌉ coarse seeds inside assignCells ever reach the driver.
-    val cent = EmbeddingStore.seedCentroids(
-      emb.select(col("vec_id").as("doc_id"), col("embedding")))
-    // two-level nearest-centroid assignment, shared verbatim with the
-    // persisted IVF index (coarse pick over √k group centroids, then
-    // argmax over only that group's fine centroids — all 6dp-rounded,
-    // ties to the lowest key); EAGERLY checkpointed so both
-    // triangular sides read the blocks (lazy would let the two
-    // independent side-stages race and recompute the assignment
-    // twice — see dedupMinhash)
-    val assigned = EmbeddingStore
-      .assignCells(emb.select(col("vec_id").as("doc_id"), col("embedding")), cent)
+  def dedupEmbedding(t: Tables): DataFrame =
+    cellPairs(assignedCells(t))
+      .filter(col("score") >= 0.35)
+      .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
+
+  /** The shared E5 cell assignment: seed centroids = the
+    * numCellsFor(n) lowest vec_ids (the deterministic rule — max(2,
+    * ⌈√n⌉, ⌈n/τ⌉), τ = targetCellRows — that the persisted index,
+    * the recall evaluator and the E5 oracle all replay in lockstep),
+    * then the two-level nearest-centroid assignment shared verbatim
+    * with the persisted IVF index (coarse pick over √k group
+    * centroids, then argmax over only that group's fine centroids —
+    * all 6dp-rounded, ties to the lowest key). The seed table stays
+    * DISTRIBUTED (k grows linearly under the n/τ rule); only the
+    * ⌈√k⌉ coarse seeds inside assignCells ever reach the driver.
+    * EAGERLY checkpointed so multiple consumers (the triangular
+    * pair sides, E15's centroid pass) read the blocks — lazy would
+    * let independent stages race and recompute the assignment (see
+    * dedupMinhash). */
+  private[graft] def assignedCells(t: Tables): DataFrame = {
+    val emb = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val cent = EmbeddingStore.seedCentroids(emb)
+    EmbeddingStore.assignCells(emb, cent)
       .select(col("doc_id").as("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
+  }
+
+  /** Within-cell pair scoring shared by E5 (≥ 0.35 near-dup pairs)
+    * and E15's SemDeDup groups (≥ [[semDedupThreshold]]): the
+    * triangular-blocked equi-join over an [[assignedCells]] frame,
+    * every unordered same-cell pair scored once (6dp-rounded
+    * cosine), NO threshold — callers filter. One definition, so the
+    * two rows (and their oracles, which nest one shared CTE) can
+    * never drift. */
+  private[graft] def cellPairs(assigned: DataFrame): DataFrame = {
+    val g = 4
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))
     // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)
@@ -944,8 +959,69 @@ object Dedup {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("a.cell").as("cell"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
-      .filter(col("score") >= 0.35)
-      .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** E15's group threshold: two same-cell vectors are SEMANTIC
+    * duplicates at cosine ≥ this. Above E5's 0.35 near-dup bar on
+    * purpose — the keeper rule only fires inside genuinely tight
+    * groups (sf0.01: 8 qualifying pairs vs E5's 56; the hashed
+    * embeddings compress the cosine range, so the paper's 0.95+ maps
+    * down). `private[graft]` so the oracle derives from the same
+    * constant. */
+  private[graft] val semDedupThreshold = 0.40
+
+  /** E15 — `q_semdedup`: SemDeDup semantic pruning (Abbas et al.
+    * 2023, *SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication*): cluster the corpus embeddings, call
+    * within-cluster pairs above ε semantic duplicates, and from each
+    * connected group KEEP exactly one — the member FARTHEST from its
+    * cluster centroid (the paper's low-similarity-to-centroid choice:
+    * it preserves the cluster's outliers, which carry the most
+    * marginal information). E5 answers "which pairs are near-dups",
+    * D18 answers "which docs are about the same thing"; this row is
+    * the ACTION — the keep/drop verdict a pruning pipeline executes.
+    *
+    * Composition (nothing new shuffles): clusters = the shared
+    * seeded IVF cell assignment (the k-means analog the paper
+    * clusters with); pairs = [[cellPairs]] at ε; groups = the E6
+    * pointer-jumping closure; centroids = one [[EmbeddingStore
+    * .lloydStep]] per-cell mean pass (6dp-rounded — the engine-
+    * replayable contract). Keeper = min centroid-cosine, ties to the
+    * lowest vec_id. Emits only group members (kept = 0 rows are the
+    * drop set; ungrouped vectors are implicitly kept, absent like
+    * E6's non-duplicates). Scale shape: pair mass is cell-bounded
+    * (~n·τ, never n²), the closure is O(log n) equi-join rounds, the
+    * centroid pass is one map-side-combining aggregate, and the
+    * keeper window partitions by group — groups are ≤ cell size, so
+    * no window partition outgrows τ. */
+  def semDedup(t: Tables): DataFrame = {
+    val assigned = assignedCells(t)
+    val pairs = cellPairs(assigned)
+      .filter(col("score") >= semDedupThreshold)
+    val comps = Clusters
+      .connectedComponents(pairs, "vec_a", "vec_b")
+      .select(col("node").cast("long").as("vec_id"),
+        col("label").cast("long").as("cluster_id"))
+    val vecDim = t.embeddings
+      .select(size(col("embedding")).as("d")).limit(1).first().getInt(0)
+    // per-cell MEMBER means (one Lloyd step over the same assignment
+    // — k rows, broadcast), then each member's cosine to its own
+    // cell's centroid, 6dp like every scored value
+    val centroids = EmbeddingStore.lloydStep(
+      assigned.select(col("vec_id").as("doc_id"), col("embedding"), col("cell")),
+      vecDim)
+    val sims = assigned
+      .join(broadcast(centroids), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("centroid")), 6)
+          .as("centroid_sim"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_sim").asc, col("vec_id"))
+    comps.join(sims, "vec_id")
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("cluster_id"), col("cell"),
+        col("centroid_sim"), col("kept"))
+      .orderBy(col("vec_id"))
   }
 
   // ---- E12: span-level exact-substring dedup --------------------------

@@ -621,7 +621,7 @@ object EmbeddingStore {
     * ENGINE-REPLAYABLE (sum order across engines/partitions perturbs
     * the last ulp of an avg; the 6dp round absorbs it — same parity
     * contract as every scored value). */
-  private def lloydStep(assigned: DataFrame, vecDim: Int): DataFrame =
+  private[graft] def lloydStep(assigned: DataFrame, vecDim: Int): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("cell"), col("i")).agg(round(avg(col("v")), 6).as("cv"))

@@ -438,4 +438,65 @@ class DedupSpec extends SparkTestBase {
     assert((n1, n2, common) === ((2L, 2L, 1L)))
     assert(math.abs(j - 0.333333) < 1e-9)
   }
+
+  test("semDedup: equals an independent plain-Scala replication " +
+    "(same-cell pair scoring, union-find groups, per-cell mean " +
+    "centroid, farthest-from-centroid keeper)") {
+    val assigned = Dedup.assignedCells(t).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    // independent pair scoring: ALL same-cell pairs, 6dp cosine —
+    // not cellPairs' triangular join, so a blocking bug can't hide
+    val byCell = assigned.groupBy(_._3)
+    val edges = byCell.values.flatMap { ms =>
+      for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+        if r6(cos(ms(i)._2.map(_.toDouble), ms(j)._2.map(_.toDouble))) >=
+          Dedup.semDedupThreshold
+      } yield (math.min(ms(i)._1, ms(j)._1), math.max(ms(i)._1, ms(j)._1))
+    }.toSeq
+    assert(edges.nonEmpty, "corpus produced no qualifying pairs — lower epsilon")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.map(x => x -> find(x)).toMap
+    // per-cell MEMBER mean centroid: 6dp-rounded components stored
+    // as float, exactly lloydStep's contract
+    val centroids = byCell.map { case (cell, ms) =>
+      val dim = ms.head._2.length
+      cell -> Array.tabulate(dim)(d =>
+        r6(ms.map(_._2(d).toDouble).sum / ms.length).toFloat)
+    }
+    val cellOf = assigned.map(a => a._1 -> a._3).toMap
+    val simOf = assigned.map { a =>
+      a._1 -> r6(cos(a._2.map(_.toDouble), centroids(a._3).map(_.toDouble)))
+    }.toMap
+    val expected = comp.groupBy(_._2).flatMap { case (cid, members) =>
+      val keep = members.keys.minBy(v => (simOf(v), v))
+      members.keys.map(v =>
+        v -> ((cid, cellOf(v), simOf(v), if (v == keep) 1 else 0)))
+    }
+    val got = Dedup.semDedup(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got === expected)
+    // exactly one keeper per group
+    got.groupBy(_._2._1).foreach { case (cid, ms) =>
+      assert(ms.values.count(_._4 == 1) === 1, s"group $cid keeper count")
+      assert(ms.keys.min === cid, s"label $cid is not the min member")
+    }
+  }
 }
