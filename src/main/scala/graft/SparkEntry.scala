@@ -59,6 +59,10 @@ object SparkEntry {
     // probe over identical per-query probe choices
     "q_pq_recall"         -> q(ProductQuantizer.pqRecallQuery),
     "q_search_ivfpq"      -> q(ProductQuantizer.searchIvfPqQuery),
+    // D23: two-stage int8 scalar-quantized search — compressed scan
+    // picks k·4 candidates, exact floats rerank only those; emits
+    // both scores so the row doubles as the SQ8 fidelity evaluator
+    "q_search_sq8"        -> q(ScalarQuantizer.searchSq8),
     // D14: two-stage retrieval — IVF candidates (k1=50) reranked by
     // lexical Jaccard against the query text, blended in integer
     // micro-units
@@ -696,6 +700,42 @@ object SparkEntry {
     // id), ADC = the sum of the query's integer subspace distances at
     // each candidate's codes. All-integer end to end, so the hash
     // matches bit-for-bit with no rounding contract needed.
+    // D23: replays the int8 quantization in exact integer form
+    // (micro-units → per-vector max-abs scale → half-up codes via
+    // the same floor identity), the compressed integer-sum scoring
+    // with its one 6dp division, the top-40 candidate cut, and the
+    // exact rerank reusing the D1 cosine CTEs (embCte's s + qn).
+    "q_search_sq8" ->
+      s"""$embCte,
+         |zq AS (SELECT i, CAST(ROUND(qv*1000000) AS BIGINT) AS zq FROM q),
+         |zc AS (SELECT vec_id, i, CAST(ROUND(v*1000000) AS BIGINT) AS z
+         |       FROM ev WHERE vec_id <> 0),
+         |scl AS (SELECT vec_id, MAX(ABS(z)) AS sv FROM zc GROUP BY vec_id),
+         |cdz AS (
+         |  SELECT c.vec_id, c.i,
+         |    CASE WHEN l.sv = 0 THEN 0
+         |         ELSE (CASE WHEN c.z < 0 THEN -1 ELSE 1 END) *
+         |              CAST(FLOOR((2*127*ABS(c.z) + l.sv) / (2.0*l.sv)) AS BIGINT)
+         |    END AS c
+         |  FROM zc c JOIN scl l ON l.vec_id = c.vec_id),
+         |sq1 AS (
+         |  SELECT cdz.vec_id, SUM(cdz.c*zq.zq) AS dotc,
+         |         SUM(zq.zq*zq.zq) AS nq2, SUM(cdz.c*cdz.c) AS nc2
+         |  FROM cdz JOIN zq ON zq.i = cdz.i
+         |  GROUP BY cdz.vec_id),
+         |cand AS (
+         |  SELECT vec_id,
+         |    ROUND(COALESCE(dotc/NULLIF(SQRT(nq2)*SQRT(nc2),0),0),6) AS sq8_score
+         |  FROM sq1
+         |  ORDER BY sq8_score DESC, vec_id
+         |  LIMIT ${10 * operators.ScalarQuantizer.candidateFactor}),
+         |exr AS (
+         |  SELECT ca.vec_id, ca.sq8_score,
+         |    ROUND(COALESCE(s.dot/NULLIF(s.en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |  FROM cand ca JOIN s ON s.vec_id = ca.vec_id)
+         |SELECT vec_id, sq8_score, score FROM exr
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
     "q_search_ivfpq" ->
       s"""$ivfAssignCte,
          |$ivfRefinedCte,

@@ -26,6 +26,9 @@ class PlanShapeSpec extends SparkTestBase {
     // the text-query row broadcasts the 1-row embedded query string
     // into the corpus scoring pass (the dim384 shape)
     "q_search_text",
+    // the int8 row broadcasts the 1-row (query floats + micro-units)
+    // pair into the compressed corpus scan
+    "q_search_sq8",
     // the rerank stage cross-broadcasts the 1-row query word set
     // into the ≤50 candidate texts
     "q_search_rerank",
