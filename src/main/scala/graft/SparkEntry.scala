@@ -1853,8 +1853,13 @@ object SparkEntry {
     // E15: the E5 pair CTEs verbatim at the tighter SemDeDup
     // threshold, the E6 recursive-closure pattern over them, one
     // per-cell mean pass (the Lloyd-step replay: ROUND(AVG,6) per
-    // component), each member's 6dp cosine to its own cell's
-    // centroid, and the keeper window (min centroid_sim, lowest id).
+    // component CAST THROUGH FLOAT — lloydStep stores centroids as
+    // array<float>, and unlike the index oracles where rounded
+    // scores only feed a ranking, centroid_sim is an exact-compared
+    // OUTPUT column, so the ~1e-8 float truncation must be replayed
+    // or a near-boundary cosine rounds differently at 6dp), each
+    // member's 6dp cosine to its own cell's centroid, and the
+    // keeper window (min centroid_sim, lowest id).
     "q_semdedup" ->
       s"""${cellPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |e0 AS (SELECT vec_a AS s, vec_b AS d FROM cp
@@ -1868,7 +1873,8 @@ object SparkEntry {
         |  SELECT s AS vec_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
         |  FROM reach GROUP BY s),
         |ctr AS (
-        |  SELECT a.cell, e.i, ROUND(AVG(e.v),6) AS cv
+        |  SELECT a.cell, e.i,
+        |    CAST(CAST(ROUND(AVG(e.v),6) AS FLOAT) AS DOUBLE) AS cv
         |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
         |  GROUP BY a.cell, e.i),
         |cs AS (

@@ -78,18 +78,23 @@ object Tuning {
     Recommendation(shuffle, maxPart, batch)
   }
 
-  /** Parse a Spark memory string ("4g", "512m", "2048") to bytes. */
+  /** Parse a Spark memory string to bytes. Spark's own suffix table
+    * (JavaUtils.byteSuffixes) accepts BOTH the one- and two-letter
+    * forms — "4g" and "4gb", up to "p"/"pb" — so this must too
+    * (matching on the last char alone read "4gb" as 4 bytes of "4g"
+    * and threw). Longest suffix wins; bare numbers are MiB, the
+    * Spark memory-conf convention. */
   private[graft] def memoryBytes(s: String): Long = {
     val t = s.trim.toLowerCase
-    val (num, mult) = t.last match {
-      case 'k' => (t.dropRight(1), 1L << 10)
-      case 'm' => (t.dropRight(1), 1L << 20)
-      case 'g' => (t.dropRight(1), 1L << 30)
-      case 't' => (t.dropRight(1), 1L << 40)
-      case 'b' => (t.dropRight(1), 1L)
-      case _ => (t, 1L << 20) // bare numbers are MiB in Spark confs
-    }
-    (num.toDouble * mult).toLong
+    val suffixes = Seq(
+      "kb" -> (1L << 10), "mb" -> (1L << 20), "gb" -> (1L << 30),
+      "tb" -> (1L << 40), "pb" -> (1L << 50),
+      "k" -> (1L << 10), "m" -> (1L << 20), "g" -> (1L << 30),
+      "t" -> (1L << 40), "p" -> (1L << 50), "b" -> 1L)
+    suffixes.collectFirst {
+      case (suf, mult) if t.endsWith(suf) && t.length > suf.length =>
+        (t.dropRight(suf.length).toDouble * mult).toLong
+    }.getOrElse((t.toDouble * (1L << 20)).toLong)
   }
 
   /** Detect this SESSION's resources and derive the recommendation
@@ -113,6 +118,12 @@ object Tuning {
     (execMemory.map(memoryBytes), execCores) match {
       case (Some(h), Some(c)) => math.max(1L, h / math.max(1, c))
       case (Some(h), None) => math.max(1L, h / math.max(1, defaultParallelism))
+      // cores declared but memory not: a real cluster whose executors
+      // run Spark's documented 1g default — dividing the DRIVER's
+      // heap by cluster-wide parallelism here would collapse the
+      // per-core budget to its floors (the mis-sizing this derivation
+      // exists to prevent)
+      case (None, Some(c)) => math.max(1L, (1L << 30) / math.max(1, c))
       case _ => math.max(1L, jvmHeap / math.max(1, defaultParallelism))
     }
 

@@ -103,14 +103,29 @@ object StreamingDataCard {
 
   /** The directory of the committed card, if any batch has committed
     * and its table still exists: the versioned `card_<id>` dir, or
-    * the legacy `card/` dir when the state predates the pointer
-    * format (the first post-upgrade commit folds it into a
-    * versioned card and garbage-collects it). */
+    * the legacy `card/` dir ONLY when the state predates the pointer
+    * format entirely (the first post-upgrade commit folds it into a
+    * versioned card and garbage-collects it). Provenance matters: an
+    * id resolved from the VERSIONED lineage whose dir has gone
+    * missing (manual damage) degrades to the newest complete
+    * versioned card, never to a stale pre-upgrade `card/` left by a
+    * crashed migration — that dir's history predates every versioned
+    * commit, and serving it as the fold base would silently drop
+    * everything folded since the upgrade. */
   private def currentCardDir(cardPath: String): Option[java.io.File] = {
-    val b = lastCommitted(cardPath)
-    if (b < 0) None
-    else Some(new java.io.File(cardPath, s"card_$b")).filter(_.isDirectory)
-      .orElse(Some(new java.io.File(cardPath, "card")).filter(_.isDirectory))
+    val f = pointerPath(cardPath)
+    val versioned =
+      if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
+      else
+        java.nio.file.Files.readString(f).trim.toLongOption
+          .getOrElse(newestCompleteCard(cardPath))
+    if (versioned >= 0)
+      Some(new java.io.File(cardPath, s"card_$versioned"))
+        .filter(_.isDirectory)
+        .orElse(Some(newestCompleteCard(cardPath)).filter(_ >= 0)
+          .map(b => new java.io.File(cardPath, s"card_$b"))
+          .filter(_.isDirectory))
+    else Some(new java.io.File(cardPath, "card")).filter(_.isDirectory)
   }
 
   /** The additive per-(source, predicted-language) partials of a

@@ -87,18 +87,22 @@ object StreamingSpanDedup {
           // straight to the marker. A crash MID-advance leaves
           // _ADVANCING and stateWatermark fails loud (the E14
           // rebuild-me discipline), never wrong results.
-          if (Dedup.stateWatermark(statePath) < maxId) {
+          // ONE watermark read per batch: guard and contract check
+          // see the same value by construction (and the state-file
+          // stat doesn't run three times per micro-batch)
+          val wm = Dedup.stateWatermark(statePath)
+          if (wm < maxId) {
             // FAIL LOUD on a contract violation instead of silently
             // truncating: a doc at or below the watermark would be
             // filtered out of both the results and the fold — never
             // deduplicated, never reported — while the marker still
             // advanced. An out-of-order crawl needs a batch rebuild,
             // not a quiet hole (the _ADVANCING discipline's sibling).
-            require(minId > Dedup.stateWatermark(statePath),
+            require(minId > wm,
               s"batch $batchId violates the nondecreasing-id contract: " +
-                s"min doc_id $minId <= state watermark " +
-                s"${Dedup.stateWatermark(statePath)} — these docs would be " +
-                "silently skipped; rebuild the state over the full corpus")
+                s"min doc_id $minId <= state watermark $wm — these docs " +
+                "would be silently skipped; rebuild the state over the " +
+                "full corpus")
             // the batch IS the delta: its ids sit above the state
             // watermark, so the E14 pass applies verbatim (its
             // watermark filter is a no-op here)

@@ -23,6 +23,22 @@ class StreamingRecoverySpec extends SparkTestBase {
   /** Run `q` until at least `minBatches` data batches committed, then
     * kill it (stop() interrupts whatever batch is in flight — the
     * crash). Fails the test if no progress within 120 s. */
+  /** Stamp the parquet files ADDED this iteration with a
+    * deterministic, strictly increasing mtime (2 s apart), so the
+    * file source's oldest-first order IS the iteration order even on
+    * a coarse-mtime filesystem (a 1 s-granularity tie falls back to
+    * path order, which for random part names can deliver a later id
+    * range first). Already-stamped files sit BELOW `stampT0`; fresh
+    * writes carry real wall-clock mtimes above it — that gap is what
+    * identifies this iteration's files without extra bookkeeping.
+    * (The previous idiom only bumped mtimes below a 1970-era floor
+    * real files always exceed — a dead no-op.) */
+  private val stampT0 = System.currentTimeMillis() - 2000000L
+  private def stampBatchFiles(in: File, i: Int): Unit =
+    in.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+        f.lastModified() > stampT0)
+      .foreach(_.setLastModified(stampT0 - 1000000L + 2000L * i))
+
   private def killAfter(q: StreamingQuery, minBatches: Int): Unit = {
     val deadline = System.currentTimeMillis() + 120000
     while (q.isActive &&
@@ -59,9 +75,7 @@ class StreamingRecoverySpec extends SparkTestBase {
         .repartition(1).sortWithinPartitions("doc_id")
         .write.mode("append").parquet(in.getAbsolutePath)
       new File(in, "_SUCCESS").delete()
-      in.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
-          f.setLastModified(1000000L * (i + 1)))
+      stampBatchFiles(in, i)
     }
 
     def start(): StreamingQuery =
@@ -133,9 +147,7 @@ class StreamingRecoverySpec extends SparkTestBase {
         .repartition(1).sortWithinPartitions("event_id")
         .write.mode("append").parquet(in.getAbsolutePath)
       new File(in, "_SUCCESS").delete()
-      in.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
-          f.setLastModified(1000000L * (i + 1)))
+      stampBatchFiles(in, i)
     }
 
     def start(): StreamingQuery =
@@ -203,9 +215,7 @@ class StreamingRecoverySpec extends SparkTestBase {
         .repartition(1).sortWithinPartitions("doc_id")
         .write.mode("append").parquet(in.getAbsolutePath)
       new File(in, "_SUCCESS").delete()
-      in.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
-          f.setLastModified(1000000L * (i + 1)))
+      stampBatchFiles(in, i)
     }
 
     // crashed run: kill after >= 2 committed batches, resume, drain
@@ -417,6 +427,30 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(!new File(card, "_STREAM_BATCH").exists, "legacy marker must retire")
   }
 
+  test("StreamingDataCard: a damaged versioned state degrades to the " +
+    "newest complete versioned card, never a stale pre-upgrade legacy dir") {
+    import graft.streaming.StreamingDataCard
+    val t = graft.sources.Tables(spark, sfDir)
+    val card = Files.createTempDirectory("graft-cardfall-state").toFile
+    // stale legacy leftovers from a crashed migration: only a third
+    // of the corpus, plus its marker
+    StreamingDataCard.partials(
+      t.documents.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .write.parquet(new File(card, "card").getAbsolutePath)
+    Files.writeString(new File(card, "_STREAM_BATCH").toPath, "0")
+    // versioned lineage: batch 4 complete with the FULL corpus; the
+    // pointer names batch 5 whose dir was manually damaged away
+    StreamingDataCard.partials(t.documents)
+      .write.parquet(new File(card, "card_4").getAbsolutePath)
+    Files.writeString(new File(card, "_CARD").toPath, "5")
+    val total = StreamingDataCard.readCard(spark, card.getAbsolutePath)
+      .agg(sum(col("n_docs"))).first().getLong(0)
+    // serving the legacy dir here would silently drop every batch
+    // folded since the upgrade (it would read a third of the corpus)
+    assert(total === t.documents.count(),
+      "a versioned-lineage id must degrade WITHIN the versioned cards")
+  }
+
   test("StreamingSpanDedup: killed mid-stream and restarted, the streamed " +
     "union still equals batch span dedup with no duplicates") {
     import spark.implicits._
@@ -436,9 +470,7 @@ class StreamingRecoverySpec extends SparkTestBase {
       base.filter(col("doc_id").between(i * step, (i + 1) * step - 1))
         .repartition(1).write.mode("append").parquet(in.getAbsolutePath)
       new File(in, "_SUCCESS").delete()
-      in.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => if (f.lastModified() < 1000000L * (i + 1))
-          f.setLastModified(1000000L * (i + 1)))
+      stampBatchFiles(in, i)
     }
     def start() = StreamingSpanDedup.run(spark, in.getAbsolutePath,
       state.toString, ckpt.getAbsolutePath, availableNow = true,

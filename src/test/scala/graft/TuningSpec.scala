@@ -67,6 +67,17 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.memoryBytes("512m") === 512L * MiB)
     assert(Tuning.memoryBytes("2048") === 2048L * MiB)
     assert(Tuning.memoryBytes("1t") === 1L << 40)
+    // Spark's JavaUtils accepts the TWO-letter forms too ("4gb") and
+    // the PiB suffixes — matching on the last char alone read "4gb"
+    // as 4 bytes of "4g" and threw NumberFormatException on a legal
+    // spark.executor.memory value
+    assert(Tuning.memoryBytes("4gb") === 4L * GiB)
+    assert(Tuning.memoryBytes("512mb") === 512L * MiB)
+    assert(Tuning.memoryBytes("2kb") === 2048L)
+    assert(Tuning.memoryBytes("1tb") === 1L << 40)
+    assert(Tuning.memoryBytes("1p") === 1L << 50)
+    assert(Tuning.memoryBytes("1pb") === 1L << 50)
+    assert(Tuning.memoryBytes("1048576b") === 1L * MiB)
     // cluster: 16g executors x 8 cores => 2 GiB/core from the
     // DECLARED resources, regardless of this (driver) JVM's heap —
     // dividing driver heap by cluster-wide cores was the bug this
@@ -76,6 +87,12 @@ class TuningSpec extends AnyFunSuite {
     // executor memory declared without cores: divide by parallelism
     assert(Tuning.heapPerCoreFrom(Some("8g"), None,
       defaultParallelism = 8, jvmHeap = 1L * GiB) === 1L * GiB)
+    // cores declared but memory not: a real cluster on Spark's 1g
+    // executor-memory default — the driver heap over cluster-wide
+    // parallelism (the old fallthrough) would collapse the budget to
+    // ~2.6 MB/core on a 400-slot cluster
+    assert(Tuning.heapPerCoreFrom(None, Some(8),
+      defaultParallelism = 400, jvmHeap = 1L * GiB) === (1L * GiB) / 8)
     // local mode: the driver JVM is the one executor
     assert(Tuning.heapPerCoreFrom(None, None,
       defaultParallelism = 4, jvmHeap = 8L * GiB) === 2L * GiB)
