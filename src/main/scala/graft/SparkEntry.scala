@@ -63,6 +63,9 @@ object SparkEntry {
     // picks k·4 candidates, exact floats rerank only those; emits
     // both scores so the row doubles as the SQ8 fidelity evaluator
     "q_search_sq8"        -> q(ScalarQuantizer.searchSq8),
+    // D24: the persisted-index compressed probe in the SQ8 domain —
+    // IVF cell pruning + int8 code ranking off the sq8_codes sidecar
+    "q_search_ivfsq8"     -> q(ScalarQuantizer.searchIvfSq8Query),
     // D14: two-stage retrieval — IVF candidates (k1=50) reranked by
     // lexical Jaccard against the query text, blended in integer
     // micro-units
@@ -710,19 +713,7 @@ object SparkEntry {
          |zq AS (SELECT i, CAST(ROUND(qv*1000000) AS BIGINT) AS zq FROM q),
          |zc AS (SELECT vec_id, i, CAST(ROUND(v*1000000) AS BIGINT) AS z
          |       FROM ev WHERE vec_id <> 0),
-         |scl AS (SELECT vec_id, MAX(ABS(z)) AS sv FROM zc GROUP BY vec_id),
-         |cdz AS (
-         |  SELECT c.vec_id, c.i,
-         |    CASE WHEN l.sv = 0 THEN 0
-         |         ELSE (CASE WHEN c.z < 0 THEN -1 ELSE 1 END) *
-         |              CAST(FLOOR((2*127*ABS(c.z) + l.sv) / (2.0*l.sv)) AS BIGINT)
-         |    END AS c
-         |  FROM zc c JOIN scl l ON l.vec_id = c.vec_id),
-         |sq1 AS (
-         |  SELECT cdz.vec_id, SUM(cdz.c*zq.zq) AS dotc,
-         |         SUM(zq.zq*zq.zq) AS nq2, SUM(cdz.c*cdz.c) AS nc2
-         |  FROM cdz JOIN zq ON zq.i = cdz.i
-         |  GROUP BY cdz.vec_id),
+         |$sq8CtesBody,
          |cand AS (
          |  SELECT vec_id,
          |    ROUND(COALESCE(dotc/NULLIF(SQRT(nq2)*SQRT(nc2),0),0),6) AS sq8_score
@@ -735,6 +726,32 @@ object SparkEntry {
          |  FROM cand ca JOIN s ON s.vec_id = ca.vec_id)
          |SELECT vec_id, sq8_score, score FROM exr
          |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    // D24: D12's probe replay (refined centroids, top-2 cells,
+    // asg2 membership) with the shared sq8 code/scoring CTEs ranking
+    // ONLY the probed cells' vectors.
+    "q_search_ivfsq8" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |zq AS (SELECT i, CAST(ROUND(qv*1000000) AS BIGINT) AS zq FROM q),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM asg2 a
+         |  WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0),
+         |zc AS (
+         |  SELECT e.vec_id, e.i, CAST(ROUND(e.v*1000000) AS BIGINT) AS z
+         |  FROM ev e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+         |$sq8CtesBody
+         |SELECT s1.vec_id AS doc_id, cd.cell,
+         |  ROUND(COALESCE(dotc/NULLIF(SQRT(nq2)*SQRT(nc2),0),0),6) AS sq8_score
+         |FROM sq1 s1 JOIN cand cd ON cd.vec_id = s1.vec_id
+         |ORDER BY sq8_score DESC, s1.vec_id
          |LIMIT 10""".stripMargin,
     "q_search_ivfpq" ->
       s"""$ivfAssignCte,
@@ -2630,6 +2647,27 @@ object SparkEntry {
       |asg2 AS (
       |  SELECT vec_id, cell FROM l2s2
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) = 1)""".stripMargin
+
+  /** D23/D24's shared int8 replay (expects zc(vec_id, i, z) micro-
+    * unit candidate components and zq(i, zq) the micro-unit query):
+    * per-vector max-abs scale, the exact half-up codes via the floor
+    * identity, and the integer-sum scoring aggregates. ONE
+    * definition for the flat scan (D23) and the probed sidecar
+    * (D24), so the code rule can never drift between them. */
+  private val sq8CtesBody: String =
+    """scl AS (SELECT vec_id, MAX(ABS(z)) AS sv FROM zc GROUP BY vec_id),
+      |cdz AS (
+      |  SELECT c.vec_id, c.i,
+      |    CASE WHEN l.sv = 0 THEN 0
+      |         ELSE (CASE WHEN c.z < 0 THEN -1 ELSE 1 END) *
+      |              CAST(FLOOR((2*127*ABS(c.z) + l.sv) / (2.0*l.sv)) AS BIGINT)
+      |    END AS c
+      |  FROM zc c JOIN scl l ON l.vec_id = c.vec_id),
+      |sq1 AS (
+      |  SELECT cdz.vec_id, SUM(cdz.c*zq.zq) AS dotc,
+      |         SUM(zq.zq*zq.zq) AS nq2, SUM(cdz.c*cdz.c) AS nc2
+      |  FROM cdz JOIN zq ON zq.i = cdz.i
+      |  GROUP BY cdz.vec_id)""".stripMargin
 
   /** E5's within-cell pair CTEs (the assignment scaffold + the
     * unordered same-cell pair scoring, every pair once, 6dp-rounded

@@ -613,7 +613,12 @@ object EmbeddingStore {
     // JUST-WRITTEN cells, not the lazy assignment frame — re-using
     // the materialized layout costs one read where re-evaluating
     // finalAssign would re-run the whole two-level assignment DAG
-    ProductQuantizer.buildPq(spark, spark.read.parquet(s"$path/cells"), path)
+    val builtCells = spark.read.parquet(s"$path/cells")
+    ProductQuantizer.buildPq(spark, builtCells, path)
+    // the int8 sidecar beside it — the two compressed representations
+    // (SQ8: 4x bytes cut, near-exact; PQ: 24-32x, lossier) share the
+    // cell partitioning so every probe prunes them identically
+    ScalarQuantizer.buildSq8(spark, builtCells, path)
   }
 
   /** One Lloyd step: per-cell mean of the assigned vectors.
@@ -758,6 +763,7 @@ object EmbeddingStore {
     // keep the PQ code sidecar append-consistent with the cells: the
     // appended vectors encode against the PERSISTED codebooks
     ProductQuantizer.appendPq(spark, assigned, path)
+    ScalarQuantizer.appendSq8(assigned, path)
     val head = snap
       .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     UpdateStats(head.getLong(0),
@@ -768,7 +774,7 @@ object EmbeddingStore {
   /** Assignment-rule version tag baked into the on-disk index path: a
     * rule change must never silently probe an index built by an older
     * rule. */
-  private val indexRuleVersion = "r12-lloyd1-6dp-gen-pq16x8l1"
+  private val indexRuleVersion = "r12-lloyd1-6dp-gen-pq16x8l1-sq8"
 
   /** Build-once location of the persisted IVF index for a data dir.
     * Like the bucketed table layout, the index is STORAGE — paid once
@@ -989,9 +995,11 @@ object EmbeddingStore {
       val root = new java.io.File(path)
       val marker = new java.io.File(root, "_BUILT")
       marker.delete()
-      // the PQ sidecars are part of the index and swap with it — a
-      // re-fit leaves new cells probing old codes otherwise
-      Seq("cells", "centroids", "pq_codebooks", "pq_codes").foreach { d =>
+      // the code sidecars (PQ and SQ8) are part of the index and
+      // swap with it — a re-fit leaves new cells probing old codes
+      // otherwise
+      Seq("cells", "centroids", "pq_codebooks", "pq_codes",
+        "sq8_codes").foreach { d =>
         java.nio.file.Files.move(
           java.nio.file.Paths.get(path, d),
           java.nio.file.Paths.get(path, s"${d}_replaced"))
@@ -1000,7 +1008,7 @@ object EmbeddingStore {
           java.nio.file.Paths.get(path, d))
       }
       Seq("cells_replaced", "centroids_replaced", "pq_codebooks_replaced",
-        "pq_codes_replaced", "_rebuild").foreach(d =>
+        "pq_codes_replaced", "sq8_codes_replaced", "_rebuild").foreach(d =>
         graft.sources.LayoutStore.deleteRecursively(new java.io.File(root, d)))
       marker.createNewFile()
       true

@@ -68,6 +68,83 @@ object ScalarQuantizer {
   private def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Micro-units → scale → codes as one projection: (doc_id, cell,
+    * s, codes). `s` rides along in the layout (cosine ranking never
+    * needs it — the scale-invariance identity — but L2/dot consumers
+    * and reconstruction do; one BIGINT per vector is free). */
+  private def encodeSq8(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("doc_id"), col("cell"),
+        ProductQuantizer.quantize(col("embedding")).as("qv"))
+      .withColumn("s", array_max(transform(col("qv"), v => abs(v))))
+      .select(col("doc_id"), col("cell"), col("s"),
+        sq8Codes(col("qv"), col("s")).as("codes"))
+
+  /** Write the int8 code sidecar for a freshly built index's cells —
+    * called by [[EmbeddingStore.buildIvfIndex]] beside the PQ
+    * sidecar, from the just-written cell layout (one read, not a
+    * re-run of the assignment DAG). Cell-partitioned like `cells`
+    * and `pq_codes`, so the probe prunes it at the file listing. */
+  def buildSq8(spark: org.apache.spark.sql.SparkSession,
+      cells: DataFrame, path: String): Unit =
+    encodeSq8(cells)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/sq8_codes")
+
+  /** Keep the sq8 sidecar append-consistent with the cells (the
+    * [[ProductQuantizer.appendPq]] discipline) — unlike PQ there are
+    * no codebooks to stay consistent with: the code rule is
+    * per-vector, so appended rows encode identically to build-time
+    * rows by construction. */
+  def appendSq8(assigned: DataFrame, path: String): Unit =
+    encodeSq8(assigned)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/sq8_codes")
+
+  /** D24 — `q_search_ivfsq8`: the compressed probe OVER the persisted
+    * index — IVF cell pruning (exactly D8's probe rule) + int8 code
+    * ranking, the FAISS `IVF,SQ8` shape that production deployments
+    * usually pick before PQ (4× bytes, near-exact ranking — D23
+    * measures the drift, D22 measures PQ's). The probe scans ONLY
+    * (doc_id, codes) from the probed cell partitions of the sidecar
+    * — never a float vector — and the plan is the D12 shape: scan →
+    * codegen'd integer projection → TakeOrdered, no join, no shuffle
+    * beyond top-k (the query's micro-units fold in as a literal).
+    * Scoring: the scale-invariance identity again — integer code
+    * dot over integer norms, one 6dp division; the query-side norm
+    * is a driver-computed constant from the same exact integers. */
+  def searchIvfSq8(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryDocId: Long, k: Int, probes: Int = 2): DataFrame = {
+    val (probed, qFloat) =
+      EmbeddingStore.probeCellsWithQuery(spark, path, queryDocId, probes)
+    val codesTable = spark.read.parquet(s"$path/sq8_codes")
+    if (qFloat.isEmpty) {
+      // absent query doc: the empty-frame contract of the search rows
+      return codesTable.select(col("doc_id"), col("cell"),
+        lit(0.0).as("sq8_score")).limit(0)
+    }
+    val qq = qFloat.get.map(ProductQuantizer.quantizeLong)
+    val qqLit = typedLit(qq.toSeq)
+    val nq = math.sqrt(qq.map(x => x.toDouble * x).sum)
+    val dotc = aggregate(zip_with(qqLit, col("codes"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val den = lit(nq) *
+      sqrt(aggregate(zip_with(col("codes"), col("codes"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).cast("double"))
+    codesTable
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .filter(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), col("cell"),
+        round(when(den === 0.0, 0.0).otherwise(dotc / den), 6)
+          .as("sq8_score"))
+      .orderBy(col("sq8_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Driver-contract wrapper: IVF-SQ8 top-10 for query doc 0 over
+    * the build-once persisted index. */
+  def searchIvfSq8Query(t: Tables): DataFrame =
+    searchIvfSq8(t.spark, EmbeddingStore.ensureIndex(t), queryDocId = 0L,
+      k = 10, probes = 2)
+
   /** D23 — `q_search_sq8`: two-stage compressed search. Stage 1
     * scores the whole corpus in the compressed domain — integer dot
     * of the micro-unit query against each vector's int8 codes over

@@ -210,9 +210,14 @@ class ProductQuantizerSpec extends SparkTestBase {
     // have left no stale/replaced dirs behind)
     val n = all.count()
     assert(spark.read.parquet(s"$path/pq_codes").count() === n)
+    // the SQ8 sidecar swaps with the same rebuild — stale sq8 codes
+    // against new cells would rank against the wrong partitioning
+    assert(spark.read.parquet(s"$path/sq8_codes").count() === n)
     val leftovers = new java.io.File(path).list().filter(_.endsWith("_replaced"))
     assert(leftovers.isEmpty, s"stale dirs after rebuild: ${leftovers.mkString(",")}")
     val res = ProductQuantizer.searchIvfPq(spark, path, queryDocId = 0L, k = 10)
     assert(res.count() === 10L)
+    assert(graft.operators.ScalarQuantizer
+      .searchIvfSq8(spark, path, queryDocId = 0L, k = 10).count() === 10L)
   }
 }

@@ -85,4 +85,38 @@ class ScalarQuantizerSpec extends SparkTestBase {
     assert(c.max <= 127L && c.min >= -127L)
     assert(c(1) === -127L, "the max-|component| must map to ±127")
   }
+
+  test("searchIvfSq8: the probed persisted-index ranking equals an " +
+    "independent plain-Scala replication from the layout's own cells " +
+    "and centroids, and the sidecar covers every cell row in range") {
+    import graft.operators.{EmbeddingStore, ScalarQuantizer => SQ}
+    val path = EmbeddingStore.ensureIndex(t)
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("doc_id"), col("embedding"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val q = cells.find(_._1 == 0L).get._2
+    // the D8 probe rule: top-2 cells by 6dp centroid cosine, ties low
+    val probed = cents
+      .map { case (cell, cv) =>
+        (cell, r6(cos(q.map(_.toDouble), cv.map(_.toDouble)))) }
+      .sortBy { case (cell, cs) => (-cs, cell) }.take(2).map(_._1).toSet
+    val qq = microUnits(q).map(_.toDouble)
+    val expected = cells
+      .filter(c => probed(c._3) && c._1 != 0L)
+      .map { case (id, v, cell) =>
+        (id, cell, r6(cos(qq, codes(microUnits(v)).map(_.toDouble)))) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
+    val got = SQ.searchIvfSq8Query(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // sidecar audit: one row per cell row, every code within int8
+    val side = spark.read.parquet(s"$path/sq8_codes")
+    assert(side.count() === cells.length.toLong)
+    val mx = side
+      .select(array_max(transform(col("codes"), x => abs(x))).as("m"))
+      .agg(max(col("m"))).first().getLong(0)
+    assert(mx <= 127L, s"a code escaped the int8 range: $mx")
+  }
 }
