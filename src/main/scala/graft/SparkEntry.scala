@@ -123,6 +123,9 @@ object SparkEntry {
     // partitioned parquet, manifest from READ-BACK (fails if the
     // write half-runs)
     "q_export_manifest" -> q(graft.sources.Export.exportManifest),
+    // H2: the loader-facing sink — id-sharded training files per
+    // split + the per-(split, shard) balance/checksum manifest
+    "q_export_shards"   -> q(graft.sources.Export.exportShards),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -1691,21 +1694,25 @@ object SparkEntry {
     // order-insensitive bit_xor id checksum.
     "q_export_manifest" ->
       s"""WITH $pipelineKeptCtesBody,
-         |exp AS (
-         |  SELECT k.doc_id, k.source,
-         |    CASE WHEN substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cd'
-         |         THEN 'train' ELSE 'test' END AS split
-         |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
-         |tk AS (
-         |  SELECT e.split, e.source, e.doc_id,
-         |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS toks
-         |  FROM exp e JOIN documents d ON e.doc_id = d.doc_id)
+         |$exportTkCtesBody
          |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
          |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
          |FROM tk
          |GROUP BY 1, 2
          |ORDER BY split, source""".stripMargin,
+    // H2: the same kept/split/token chain, collapsed per (split,
+    // doc_id mod shard-count) instead of (split, source).
+    "q_export_shards" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |$exportTkCtesBody
+         |SELECT split, doc_id % ${graft.sources.Export.exportShardCount} AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         |FROM tk
+         |GROUP BY 1, 2
+         |ORDER BY split, shard""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).
@@ -2748,6 +2755,23 @@ object SparkEntry {
     * pipeline stage through `kept` and `canon`), shared verbatim by
     * the q_pipeline_e2e audit and H1's export manifest — the
     * bm25CtesBody no-drift rationale. */
+  /** H1/H2's shared export chain (expects pipelineKeptCtesBody's
+    * kept + canon): the F5 split rule over the kept docs, then the
+    * whitespace token count per doc — tk(split, source, doc_id,
+    * toks). ONE definition so the catalog manifest (per source) and
+    * the shard manifest (per doc_id mod N) can never disagree on
+    * what was exported. */
+  private def exportTkCtesBody: String =
+    s"""exp AS (
+       |  SELECT k.doc_id, k.source,
+       |    CASE WHEN substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |         THEN 'train' ELSE 'test' END AS split
+       |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
+       |tk AS (
+       |  SELECT e.split, e.source, e.doc_id,
+       |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS toks
+       |  FROM exp e JOIN documents d ON e.doc_id = d.doc_id)""".stripMargin
+
   private def pipelineKeptCtesBody: String =
     s"""b AS (
          |  SELECT doc_id, source,

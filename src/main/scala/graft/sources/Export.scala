@@ -81,4 +81,51 @@ object Export {
       manifest
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
+
+  /** H2's shard fan-out. Fixed and small on purpose: a training
+    * loader reads shards round-robin, so the count is a LOADER
+    * contract (ranks × workers), not a data-derived number — 8 here
+    * stands in for the loader's world size. */
+  val exportShardCount = 8
+
+  /** H2 — `q_export_shards`: the LOADER-facing sink beside H1's
+    * catalog-facing one — materialize the curated corpus as a fixed
+    * number of id-sharded files per split (shard = doc_id mod
+    * [[exportShardCount]], the standard shuffle-sharding rule: docs
+    * land in shards independent of crawl order, so every shard is an
+    * unbiased sample and a loader can stream any subset), then
+    * report the per-(split, shard) manifest — doc count, token
+    * volume, id checksum — the numbers a distributed training job
+    * checks before an epoch (shard balance IS the load balance of
+    * the training ranks).
+    *
+    * Same read-back discipline as H1: the manifest aggregates the
+    * re-read files, so a half-run write, dropped rows or mangled
+    * partition columns fail the row; same scale shape (shuffle-free
+    * partitioned write, map-side-combining manifest, `bit_xor`
+    * checksum — no collect_list, no single-reducer sort); same
+    * cluster-shared scratch root. */
+  def exportShards(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "export_shards").toPath
+    try {
+      val out = s"$dir/shards"
+      TextAnalysis.pipelineKeptDocs(t)
+        .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("text"), col("source"), col("split"),
+          pmod(col("doc_id"), lit(exportShardCount.toLong)).as("shard"))
+        .write.partitionBy("split", "shard").parquet(out)
+      spark.read
+        .schema("doc_id LONG, text STRING, source STRING, split STRING, shard LONG")
+        .parquet(out)
+        .select(col("split"), col("shard"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"), col("shard"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
 }

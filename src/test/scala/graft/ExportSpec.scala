@@ -44,6 +44,34 @@ class ExportSpec extends SparkTestBase {
       Seq("split", "source", "n_docs", "n_tokens", "id_xor"))
   }
 
+  test("exportShards: read-back shard manifest equals the pre-write " +
+    "frame's facts under the doc_id mod N rule, and every (split, shard) " +
+    "row is the shard a loader would actually read") {
+    val t = Tables(spark, sfDir)
+    val pre = TextAnalysis.pipelineKeptDocs(t)
+      .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("split"), col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+      .collect()
+    assert(pre.nonEmpty, "pipeline kept nothing — fixture drifted")
+    val expected = pre
+      .groupBy(r => (r.getString(0), r.getLong(1) % Export.exportShardCount))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum,
+          rs.map(_.getLong(1)).reduce(_ ^ _)))
+      }
+    val got = Export.exportShards(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected)
+    // shuffle-sharding coverage: with dense ids the corpus reaches
+    // every shard slot (a tiny split may legitimately miss one — the
+    // per-(split, shard) facts above are the exact contract)
+    assert(got.keys.map(_._2).toSet === (0L until Export.exportShardCount).toSet,
+      "dense ids must reach every shard slot")
+  }
+
   test("exportManifest: a numeric-looking source survives the partition " +
     "round trip as a STRING (no partition-type inference corruption)") {
     import spark.implicits._

@@ -22,8 +22,8 @@ class ScratchRoutingSpec extends SparkTestBase {
     try {
       assert(LayoutStore.root(sfDir).getAbsolutePath === root.getAbsolutePath,
         "the system-property override must outrank every other root rule")
-      Seq("q_export_manifest", "q_search_refresh", "q_advance_day",
-          "q_bootstrap").foreach { n =>
+      Seq("q_export_manifest", "q_export_shards", "q_search_refresh",
+          "q_advance_day", "q_bootstrap").foreach { n =>
         val df = SparkEntry.queries(n)(spark, sfDir)
         assert(df.count() > 0, s"$n under a forced storage root")
       }
