@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.cosineSim
@@ -85,8 +85,7 @@ object ScalarQuantizer {
     * sidecar, from the just-written cell layout (one read, not a
     * re-run of the assignment DAG). Cell-partitioned like `cells`
     * and `pq_codes`, so the probe prunes it at the file listing. */
-  def buildSq8(spark: org.apache.spark.sql.SparkSession,
-      cells: DataFrame, path: String): Unit =
+  def buildSq8(spark: SparkSession, cells: DataFrame, path: String): Unit =
     encodeSq8(cells)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/sq8_codes")
 
@@ -111,7 +110,7 @@ object ScalarQuantizer {
     * Scoring: the scale-invariance identity again — integer code
     * dot over integer norms, one 6dp division; the query-side norm
     * is a driver-computed constant from the same exact integers. */
-  def searchIvfSq8(spark: org.apache.spark.sql.SparkSession, path: String,
+  def searchIvfSq8(spark: SparkSession, path: String,
       queryDocId: Long, k: Int, probes: Int = 2): DataFrame = {
     val (probed, qFloat) =
       EmbeddingStore.probeCellsWithQuery(spark, path, queryDocId, probes)
@@ -124,11 +123,9 @@ object ScalarQuantizer {
     val qq = qFloat.get.map(ProductQuantizer.quantizeLong)
     val qqLit = typedLit(qq.toSeq)
     val nq = math.sqrt(qq.map(x => x.toDouble * x).sum)
-    val dotc = aggregate(zip_with(qqLit, col("codes"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x).cast("double")
+    val dotc = intDot(qqLit, col("codes")).cast("double")
     val den = lit(nq) *
-      sqrt(aggregate(zip_with(col("codes"), col("codes"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x).cast("double"))
+      sqrt(intDot(col("codes"), col("codes")).cast("double"))
     codesTable
       .filter(col("cell").isin(probed.toSeq: _*))
       .filter(col("doc_id") =!= queryDocId)

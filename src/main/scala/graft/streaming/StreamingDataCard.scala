@@ -92,13 +92,23 @@ object StreamingDataCard {
     * instead of reading folded history as empty or throwing
     * NumberFormatException on every subsequent micro-batch. */
   private def lastCommitted(cardPath: String): Long = {
-    val f = pointerPath(cardPath)
-    val scanned =
-      if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
-      else
-        java.nio.file.Files.readString(f).trim.toLongOption
-          .getOrElse(newestCompleteCard(cardPath))
+    val scanned = versionedCommitted(cardPath)
     if (scanned >= 0) scanned else legacyCommitted(cardPath)
+  }
+
+  /** The committed id within the VERSIONED lineage only: the pointer
+    * content, degrading to the newest complete card dir when the
+    * pointer is missing or unparseable; -1 when no versioned card has
+    * ever committed. The ONE place the pointer file is parsed —
+    * [[lastCommitted]] (the batch-id guard) and [[currentCardDir]]
+    * (the fold base) both resolve through it, so they can never
+    * disagree on the lineage. */
+  private def versionedCommitted(cardPath: String): Long = {
+    val f = pointerPath(cardPath)
+    if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
+    else
+      java.nio.file.Files.readString(f).trim.toLongOption
+        .getOrElse(newestCompleteCard(cardPath))
   }
 
   /** The directory of the committed card, if any batch has committed
@@ -113,12 +123,7 @@ object StreamingDataCard {
     * commit, and serving it as the fold base would silently drop
     * everything folded since the upgrade. */
   private def currentCardDir(cardPath: String): Option[java.io.File] = {
-    val f = pointerPath(cardPath)
-    val versioned =
-      if (!java.nio.file.Files.exists(f)) newestCompleteCard(cardPath)
-      else
-        java.nio.file.Files.readString(f).trim.toLongOption
-          .getOrElse(newestCompleteCard(cardPath))
+    val versioned = versionedCommitted(cardPath)
     if (versioned >= 0)
       Some(new java.io.File(cardPath, s"card_$versioned"))
         .filter(_.isDirectory)

@@ -20,9 +20,6 @@ import graft.streaming.{IncrementalPipeline, StreamingPacker}
 class StreamingRecoverySpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Run `q` until at least `minBatches` data batches committed, then
-    * kill it (stop() interrupts whatever batch is in flight — the
-    * crash). Fails the test if no progress within 120 s. */
   /** Stamp the parquet files ADDED this iteration with a
     * deterministic, strictly increasing mtime (2 s apart), so the
     * file source's oldest-first order IS the iteration order even on
@@ -39,6 +36,9 @@ class StreamingRecoverySpec extends SparkTestBase {
         f.lastModified() > stampT0)
       .foreach(_.setLastModified(stampT0 - 1000000L + 2000L * i))
 
+  /** Run `q` until at least `minBatches` data batches committed, then
+    * kill it (stop() interrupts whatever batch is in flight — the
+    * crash). Fails the test if no progress within 120 s. */
   private def killAfter(q: StreamingQuery, minBatches: Int): Unit = {
     val deadline = System.currentTimeMillis() + 120000
     while (q.isActive &&
