@@ -55,6 +55,10 @@ object SparkEntry {
     // pass — broadcast query set, union-of-probes partition pruning,
     // per-query window top-k
     "q_search_batch"      -> q(EmbeddingStore.searchBatchQuery),
+    // D25: θ-radius search over the same persisted index — probe 4
+    // cells, pruned scan, codegen'd score filter instead of a top-k
+    // sort (the near-duplicate audit retrieval shape)
+    "q_search_radius"     -> q(EmbeddingStore.searchRadiusQuery),
     // D22: recall@10 of the compressed (ADC) probe vs the exact
     // probe over identical per-query probe choices
     "q_pq_recall"         -> q(ProductQuantizer.pqRecallQuery),
@@ -592,6 +596,34 @@ object SparkEntry {
          |FROM s
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin,
+    // D25: D8's persisted-index replay with the probe widened to 4
+    // cells and the top-k LIMIT replaced by the θ predicate on the
+    // SAME 6dp-rounded score — the boundary is engine-exact because
+    // both engines compare the identical rounded double to the
+    // identical literal.
+    "q_search_radius" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 4),
+         |s AS (
+         |  SELECT e.vec_id, a.cell, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg2 a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id, a.cell),
+         |sc AS (
+         |  SELECT vec_id AS doc_id, cell,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |  FROM s)
+         |SELECT doc_id, cell, score FROM sc
+         |WHERE score >= 0.12
+         |ORDER BY score DESC, doc_id""".stripMargin,
     // D19: D8's persisted-index replay generalized PER QUERY — the
     // probe choice, candidate scan and top-k all carry query_id, so
     // the oracle checks the per-query pruning/ranking (not just a

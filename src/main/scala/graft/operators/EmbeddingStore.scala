@@ -860,6 +860,52 @@ object EmbeddingStore {
       .limit(k)
   }
 
+  /** D25 — `q_search_radius`: RADIUS (range) search through the
+    * PERSISTED IVF index — every stored vector with cosine ≥ θ of the
+    * query, not a fixed top-k. This is the retrieval shape
+    * NEAR-DUPLICATE AUDITS actually run (E5/E15 keep candidates by a
+    * similarity THRESHOLD, and "show me everything this close to X"
+    * is the manual-inspection query behind any dedup decision); the
+    * reference's top-k search (processor.py:436) can't express it
+    * without guessing k. Same plan skeleton as D8 — probe the
+    * nearest `probes` refined centroids, scan ONLY those cells via
+    * partition pruning — but the result is θ-selected, so the final
+    * operator is a codegen'd filter instead of a TakeOrdered: no
+    * global sort bound to k, and at 100 TB the cost is still
+    * probes·τ scanned rows ([[targetCellRows]]) regardless of how
+    * many neighbors qualify. Radius recall has the same probe
+    * contract as top-k recall (a qualifying vector in an unprobed
+    * cell is missed — D7 measures exactly that trade), so `probes`
+    * is deliberately wider here (4) than D8's 2: a threshold query
+    * is usually an audit, where missing a qualifying neighbor costs
+    * more than two extra τ-row cells. Scores round to 6dp BEFORE the
+    * θ comparison (the library's ranked-score contract), making the
+    * boundary engine-exact; ORDER BY (score DESC, doc_id) keeps the
+    * output canonical for the oracle hash. */
+  def searchRadiusQuery(t: Tables): DataFrame =
+    searchIvfRadius(t.spark, ensureIndex(t), queryDocId = 0L,
+      minScore = 0.12, probes = 4)
+
+  /** Range search over the persisted index: D8's probe + pruned scan
+    * with the top-k TakeOrdered replaced by a θ filter on the
+    * 6dp-rounded score. Emits everything the probed cells hold at or
+    * above `minScore`, best-first. */
+  def searchIvfRadius(spark: SparkSession, path: String, queryDocId: Long,
+      minScore: Double, probes: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val qv = cells.filter(col("doc_id") === queryDocId)
+      .select(col("embedding").as("qv"))
+    val probedCells = probeCells(spark, path, queryDocId, probes)
+    cells
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qv))
+      .select(col("doc_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** D19 — `q_search_batch`: N ARBITRARY queries through the
     * PERSISTED IVF index in ONE pass — the production batch-serving
     * plan the reference's search entry implies at scale

@@ -298,4 +298,47 @@ class IvfIndexSpec extends SparkTestBase {
       assert(slice === single, s"query $qid diverged from the one-at-a-time probe")
     }
   }
+
+  test("searchIvfRadius: θ-complete within its probed cells, pruned scan, " +
+    "consistent with top-k over the same probes") {
+    val t = Tables(spark, sfDir)
+    val path = EmbeddingStore.ensureIndex(t)
+    val theta = 0.12
+    val hits = EmbeddingStore.searchIvfRadius(spark, path, queryDocId = 0L,
+      minScore = theta, probes = 4)
+    val rows = hits.collect()
+    assert(rows.nonEmpty, "radius search returned nothing at the row's θ")
+    // contract: every row clears θ, best-first with doc_id tie-break
+    assert(rows.forall(_.getDouble(2) >= theta))
+    val order = rows.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
+    assert(order === order.sorted, "radius output not (score DESC, doc_id)")
+    // the θ filter must not cost a corpus scan: partition-pruned like
+    // D8 (the 1-row query-vector lookup beside it legitimately lists
+    // all partitions — it prunes by PushedFilters instead)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"radius cell scan not partition-pruned:\n$plan")
+
+    // θ-COMPLETE within the probed cells: independent brute-force
+    // scoring of exactly those cells finds the same qualifying set
+    val cells = spark.read.parquet(s"$path/cells")
+    val probed = rows.map(_.getInt(1)).distinct.toSeq
+    val qv = cells.filter(col("doc_id") === 0L).select(col("embedding").as("qv"))
+    val exact = cells
+      .filter(col("cell").isin(probed: _*) && col("doc_id") =!= 0L)
+      .join(broadcast(qv))
+      .select(col("doc_id"), round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .filter(col("score") >= theta)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq === exact)
+
+    // agreement with top-k at the same probe width: the radius result's
+    // best rows ARE the top-k rows wherever the kth score clears θ
+    val topk = EmbeddingStore.searchIvf(spark, path, 0L, k = 10, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val kAboveTheta = topk.takeWhile(_._2 >= theta)
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).take(kAboveTheta.length)
+      .toSeq === kAboveTheta)
+  }
 }

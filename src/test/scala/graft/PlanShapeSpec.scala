@@ -23,6 +23,8 @@ class PlanShapeSpec extends SparkTestBase {
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
+    // D8's broadcast shape with a θ filter instead of top-k
+    "q_search_radius",
     // the text-query row broadcasts the 1-row embedded query string
     // into the corpus scoring pass (the dim384 shape)
     "q_search_text",
