@@ -154,6 +154,12 @@ object SparkEntry {
     // F20: first BPE merge-pair statistics — pair counting over the
     // vocabulary, never the token stream
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs),
+    // F23: word2vec phrase-score collocations — integer-exact lift
+    // over adjacent pairs, delta floor before the vocab-keyed joins
+    "q_collocations"   -> q(TextAnalysis.collocations),
+    // F24: power-of-two token-length histogram with cumulative
+    // corpus share — integer bin-string log2, bounded bucket table
+    "q_token_histogram" -> q(TextAnalysis.tokenHistogram),
     // F21: language-ID confusion matrix vs the ground-truth label —
     // the honest eval table for the F1 heuristic (exposes zh)
     "q_lang_confusion" -> q(TextAnalysis.langConfusion),
@@ -1448,6 +1454,75 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F24: bucket via length(bin(n))-1 — integer string logic on
+    // both engines (DuckDB bin() is unpadded, probed), POWER(2,k)
+    // exact for every feasible k; the cumulative window sums exact
+    // longs in its own CTE (DuckDB LATERAL-window quirk).
+    "q_token_histogram" ->
+      """WITH nt AS (
+        |  SELECT len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN nt = 0 THEN -1
+        |    ELSE CAST(length(bin(nt)) - 1 AS INT) END AS bucket, nt
+        |  FROM nt),
+        |a AS (
+        |  SELECT bucket, COUNT(*) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS tokens_total
+        |  FROM b GROUP BY bucket),
+        |t AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(SUM(tokens_total) AS BIGINT) AS tot_tokens
+        |  FROM a),
+        |c AS (
+        |  SELECT bucket, n_docs, tokens_total,
+        |    CAST(SUM(tokens_total) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM a)
+        |SELECT c.bucket,
+        |  CASE WHEN c.bucket < 0 THEN 0
+        |    ELSE CAST(POWER(2, c.bucket) AS BIGINT) END AS lo,
+        |  CASE WHEN c.bucket < 0 THEN 0
+        |    ELSE CAST(POWER(2, c.bucket + 1) - 1 AS BIGINT) END AS hi,
+        |  c.n_docs, c.tokens_total,
+        |  ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.tot_docs AS DOUBLE), 6)
+        |    AS doc_share,
+        |  ROUND(CAST(c.tokens_total AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6)
+        |    AS token_share,
+        |  ROUND(CAST(c.cum_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6)
+        |    AS cum_token_share
+        |FROM c, t
+        |ORDER BY c.bucket""".stripMargin,
+    // F23: the word2vec phrase score replayed with the same fixed
+    // association — (double)(c_ab-5)·(double)N / ((double)c_a·(double)c_b),
+    // all inputs exact integers, so the 6dp round is engine-exact;
+    // tokens are whitespace-split, so ' ' is a safe pair separator.
+    "q_collocations" ->
+      """WITH wl AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS w FROM wl),
+        |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        |bg0 AS (
+        |  SELECT CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bgs
+        |  FROM wl),
+        |bgp AS (SELECT unnest(bgs) AS pr FROM bg0),
+        |bg AS (
+        |  SELECT string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2
+        |  FROM bgp),
+        |pc AS (
+        |  SELECT w1, w2, COUNT(*) AS pair_c FROM bg GROUP BY w1, w2
+        |  HAVING COUNT(*) > 5)
+        |SELECT pc.w1, pc.w2, pc.pair_c, u1.c AS w1_c, u2.c AS w2_c,
+        |  ROUND((CAST(pc.pair_c - 5 AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)) /
+        |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS score
+        |FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w, tot t
+        |ORDER BY score DESC, pc.w1, pc.w2
+        |LIMIT 30""".stripMargin,
     // F22: each gate's FULL oracle body nested as a subquery (the
     // exact strings the standalone rows replay — no re-derivation),
     // joined on doc_id, collapsed to the joint distribution.

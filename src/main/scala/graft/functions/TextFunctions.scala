@@ -53,6 +53,19 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** All adjacent word pairs as (w1, w2) structs, one per OCCURRENCE
+    * (collocation counting needs multiplicity, unlike shingles3's
+    * distinct set). Same argument-level slice+zip_with composition as
+    * shingles3 — a HOF lambda must never capture the token-split
+    * expression, or it re-evaluates per element. */
+  def bigramPairs(ws: Column): Column = {
+    val n = size(ws)
+    when(n >= 2,
+      zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
   /** How many tokens fall in a fixed stopword profile. */
   def stopwordCount(ws: Column, stops: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(stops))).cast(LongType)

@@ -878,6 +878,106 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** F24 — `q_token_histogram`: the corpus' token-LENGTH distribution
+    * in power-of-two buckets with cumulative token share — the
+    * "how much of the corpus lives in short docs" table every
+    * context-length / packing decision (F10's chunk window, F12's
+    * 2048-token sequences, truncation-vs-drop policies) reads first,
+    * and the drift table a daily crawl compares across snapshots.
+    * Token rule = F3's `re_tokens` (the family's ONE budget
+    * estimate); bucket = ⌊log2(tokens)⌋, computed as
+    * length(bin(n)) − 1 — INTEGER string logic, not a libm log2
+    * call, so the bucket boundary is engine-exact; empty docs land
+    * in a dedicated bucket −1.
+    *
+    * Scale shape: one per-row projection → a ≤64-row map-side-
+    * combining aggregate (the bucket table is bounded by the long
+    * width, corpus-independent) → shares and the cumulative sum on
+    * those ≤64 rows (the single-partition window is deliberate and
+    * bounded — never corpus-sized); 1-row totals cross-broadcast.
+    * Shares divide exact longs once, 6dp display round. */
+  def tokenHistogram(t: Tables): DataFrame = {
+    val nt = size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val buckets = t.documents
+      .select(when(nt === 0L, lit(-1))
+        .otherwise(length(bin(nt)) - 1).cast("int").as("bucket"),
+        nt.as("nt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_total"))
+    val totals = buckets.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("tokens_total")).as("tot_tokens"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lo = when(col("bucket") < 0, lit(0L))
+      .otherwise(pow(lit(2.0), col("bucket")).cast(LongType))
+    val hi = when(col("bucket") < 0, lit(0L))
+      .otherwise((pow(lit(2.0), col("bucket") + 1) - 1).cast(LongType))
+    buckets.join(broadcast(totals))
+      .withColumn("cum_tokens", sum(col("tokens_total")).over(wCum))
+      .select(col("bucket"), lo.as("lo"), hi.as("hi"),
+        col("n_docs"), col("tokens_total"),
+        round(col("n_docs").cast("double") /
+          col("tot_docs").cast("double"), 6).as("doc_share"),
+        round(col("tokens_total").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("token_share"),
+        round(col("cum_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("cum_token_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** F23 — `q_collocations`: corpus-wide COLLOCATION mining — the
+    * published word2vec phrase-detection score (Mikolov et al. 2013
+    * §4, *Distributed Representations of Words and Phrases*):
+    * score(a,b) = (c_ab − δ)·N ⁄ (c_a·c_b) over adjacent word pairs,
+    * discount δ = 5 suppressing rare-pair noise. Pairs scoring high
+    * occur together far more than their unigram frequencies predict —
+    * the "new york"/"machine learning" table a tokenizer-training or
+    * phrase-merging pass reads before its first merge (the
+    * collocation companion to F20's character-level BPE stats), and
+    * the multi-word-boilerplate lens beside F19's raw-frequency view.
+    *
+    * Engine-exactness: the score is a ratio of EXACT integer counts —
+    * deliberately the lift form, not log-PMI (rank-equivalent: log is
+    * monotone), because a libm `ln` is not bit-identical across
+    * engines while (double)(c_ab−δ)·(double)N ⁄ ((double)c_a·(double)c_b)
+    * is three correctly-rounded IEEE ops on exactly-represented
+    * integers. 6dp-rounded BEFORE the ranking, (w1, w2) tie-break —
+    * the library's ranked-score contract.
+    *
+    * Scale shape: ONE tokenize pass feeds both counts — unigrams via
+    * explode → map-side-combining count, pairs via the argument-level
+    * slice+zip_with bigram composition (shingles3's HOF discipline) →
+    * map-side-combining count with the δ floor applied BEFORE the
+    * vocabulary-keyed joins (the floor cuts the pair table ~10× ahead
+    * of the shuffle); two uni⋈pair equi-joins on the word keys (F8's
+    * tf⋈df shape — vocab too big to force-broadcast at 100 TB), the
+    * 1-row token total cross-broadcasts, and the global top-30 is a
+    * TakeOrderedAndProject — 30 rows per partition in flight, never a
+    * full sort. */
+  def collocations(t: Tables): DataFrame = {
+    val delta = 5
+    val wl = t.documents.select(words(col("text")).as("ws"))
+    val uni = wl.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_tokens"))
+    val pairC = wl.select(explode(bigramPairs(col("ws"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_c"))
+      .filter(col("pair_c") > delta)
+    pairC
+      .join(uni.select(col("w").as("w1"), col("c").as("w1_c")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("w2_c")), Seq("w2"))
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"), col("pair_c"), col("w1_c"), col("w2_c"),
+        round(((col("pair_c") - delta).cast("double") *
+            col("n_tokens").cast("double")) /
+          (col("w1_c").cast("double") * col("w2_c").cast("double")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   /** F21 — `q_lang_confusion`: the language-ID CONFUSION MATRIX —
     * F1's prediction against the corpus' ground-truth `lang` label,
     * one row per (true, predicted) pair with the within-true-language

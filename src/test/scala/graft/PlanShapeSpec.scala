@@ -64,6 +64,12 @@ class PlanShapeSpec extends SparkTestBase {
     // the 1-row corpus-size aggregate cross-broadcasts into the
     // per-ngram doc-frequency rows
     "q_ngram_topk",
+    // the 1-row token-total aggregate cross-broadcasts into the
+    // floored pair rows, same shape as q_tfidf's size attach
+    "q_collocations",
+    // the 1-row (docs, tokens) totals cross-broadcast into the
+    // <=64-row bucket table
+    "q_token_histogram",
     // the 1-row (N, total-tokens) corpus stats cross-broadcast into
     // the per-(doc, term) scoring rows, same shape as q_tfidf
     "q_search_bm25",

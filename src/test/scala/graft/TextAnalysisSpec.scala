@@ -560,4 +560,82 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq === Seq(
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
+
+  test("tokenHistogram: exact power-of-two buckets with boundary docs, " +
+    "empty doc lands in bucket -1, cumulative share closes at 1") {
+    import spark.implicits._
+    // token counts under F3's regex rule: "a b c" = 3 (bucket 1),
+    // 8 and 15 pin bucket 3's lo/hi boundaries, 16 opens bucket 4,
+    // "" = 0 tokens -> the dedicated -1 bucket
+    val docs = Seq(
+      (0L, "s", ""),
+      (1L, "s", "a b c"),
+      (2L, "s", (1 to 8).map(i => s"w$i").mkString(" ")),   // w1 = 2 tokens? no: wN is letters+digits
+      (3L, "s", Seq.fill(8)("tok").mkString(" ")),
+      (4L, "s", Seq.fill(15)("tok").mkString(" ")),
+      (5L, "s", Seq.fill(16)("tok").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokhist").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.tokenHistogram(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(7)))
+    // doc 2's "wN" words are letter-run + digit-run = 2 regex tokens
+    // each -> 16 tokens -> bucket 4 beside doc 5
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSeq === Seq(
+      (-1, 0L, 0L, 1L, 0L),    // the empty doc, zero volume
+      (1, 2L, 3L, 1L, 3L),     // 3 tokens
+      (3, 8L, 15L, 2L, 23L),   // the lo and hi boundary docs
+      (4, 16L, 31L, 2L, 32L))) // 16 exact + doc 2's 16
+    // cumulative token share closes at exactly 1
+    assert(got.last._6 === 1.0)
+    // monotone cumulative
+    assert(got.map(_._6).toSeq === got.map(_._6).toSeq.sorted)
+  }
+
+  test("collocations: reconciles against an independent plain-Scala " +
+    "phrase-score model, delta floor drops rare pairs") {
+    import spark.implicits._
+    // "new york" co-occurs 8x (clears the delta=5 floor); both words
+    // also appear alone so the lift is non-trivial; "of the" is
+    // frequent but its unigrams are everywhere (low score); rare
+    // pairs (< 6 occurrences) must not surface at all
+    val texts = Seq.tabulate(8)(i => s"new york city tour $i") ++
+      Seq.fill(6)("of the corpus of the day") ++
+      Seq("a new day", "york minster", "rare pair here", "new start",
+        "the new york times reads of the news")
+    val docs = texts.zipWithIndex
+      .map { case (txt, i) => (i.toLong, "s", txt) }
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-colloc").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.collocations(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+
+    // independent model: same tokenize, sliding pairs, Mikolov score
+    val toks = texts.map(_.toLowerCase.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.map(_.size).sum.toLong
+    val pairs = toks.flatMap(ws => ws.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairs.toSeq
+      .filter(_._2 > 5)
+      .map { case ((a, b), cab) =>
+        val score = BigDecimal((cab - 5).toDouble * n.toDouble /
+          (uni(a).toDouble * uni(b).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, cab, uni(a), uni(b), score)
+      }
+      .sortBy { case (a, b, _, _, _, s) => (-s, a, b) }
+      .take(30)
+    assert(got.toSeq === expected,
+      s"collocations diverged from the independent model")
+    // the planted collocation surfaces and rare pairs never do
+    assert(got.exists(r => r._1 == "new" && r._2 == "york" && r._3 == 9L))
+    assert(got.forall(_._3 > 5))
+  }
 }
