@@ -59,6 +59,10 @@ object SparkEntry {
     // cells, pruned scan, codegen'd score filter instead of a top-k
     // sort (the near-duplicate audit retrieval shape)
     "q_search_radius"     -> q(EmbeddingStore.searchRadiusQuery),
+    // D26: base-vs-delta occupancy shift over the shared cell
+    // assignment + corpus TVD — the distribution-drift monitor
+    // beside D9's volume stats
+    "q_corpus_drift"      -> q(EmbeddingStore.corpusDrift),
     // D22: recall@10 of the compressed (ADC) probe vs the exact
     // probe over identical per-query probe choices
     "q_pq_recall"         -> q(ProductQuantizer.pqRecallQuery),
@@ -630,6 +634,38 @@ object SparkEntry {
          |SELECT doc_id, cell, score FROM sc
          |WHERE score >= 0.12
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // D26: the shared seeded assignment (asg) split at the id
+    // midpoint; shares are single exact-long divisions, the per-cell
+    // |Δ| quantizes to micro-units BEFORE the TVD sum (order-exact).
+    "q_corpus_drift" ->
+      s"""$ivfAssignCte,
+         |mid AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS m FROM embeddings),
+         |cc AS (
+         |  SELECT a.cell,
+         |    CAST(SUM(CASE WHEN a.vec_id < t.m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_base,
+         |    CAST(SUM(CASE WHEN a.vec_id >= t.m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_delta
+         |  FROM asg a, mid t GROUP BY a.cell),
+         |tt AS (
+         |  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         |    CAST(SUM(n_delta) AS BIGINT) AS td
+         |  FROM cc),
+         |shr AS (
+         |  SELECT cell, n_base, n_delta,
+         |    CAST(n_base AS DOUBLE) / t.tb AS sb,
+         |    CAST(n_delta AS DOUBLE) / t.td AS sd
+         |  FROM cc, tt t),
+         |mu AS (
+         |  SELECT cell, n_base, n_delta, sb, sd,
+         |    CAST(ROUND(ABS(sb - sd) * 1000000.0, 0) AS BIGINT) AS shift_mu
+         |  FROM shr),
+         |tv AS (SELECT CAST(SUM(shift_mu) AS BIGINT) AS s FROM mu)
+         |SELECT cell, n_base, n_delta,
+         |  ROUND(sb, 6) AS share_base, ROUND(sd, 6) AS share_delta, shift_mu,
+         |  ROUND(CAST(tv.s AS DOUBLE) / 2000000.0, 6) AS tvd
+         |FROM mu, tv
+         |ORDER BY shift_mu DESC, cell""".stripMargin,
     // D19: D8's persisted-index replay generalized PER QUERY — the
     // probe choice, candidate scan and top-k all carry query_id, so
     // the oracle checks the per-query pruning/ranking (not just a

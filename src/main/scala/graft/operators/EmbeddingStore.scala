@@ -991,6 +991,54 @@ object EmbeddingStore {
     searchIvfBatch(t.spark, ensureIndex(t), queries, k = 10, probes = 2)
   }
 
+  /** D26 — `q_corpus_drift`: the DISTRIBUTION-shift monitor beside
+    * D9's volume stats — does the newer half of the corpus land in
+    * the quantizer's cells like the older half did? D9's
+    * `appended_frac` says how MUCH is new and `pq_distortion` how
+    * badly the codebooks fit; this row says whether the new data is
+    * DIFFERENT: per cell, the base-vs-delta occupancy shares and
+    * their absolute shift, plus the corpus-level total-variation
+    * distance ½·Σ|p_i − q_i| — the standard covariate-shift number a
+    * daily pipeline alerts on before recall degrades (the quantizer
+    * partition doubles as the comparison histogram, so the drift
+    * measure is exactly aligned with what the index cares about).
+    * Episode convention: base/delta = the id halves (D13/E11's rule),
+    * assignment = the E5/D8 shared seeded rule.
+    *
+    * Scale shape: the assignment is the shared documented path; then
+    * ONE map-side-combining (cell × side) count — the ≤k-row cell
+    * table is the only thing that shuffles — and all share/TVD
+    * arithmetic runs on those ≤k rows with three 1-row broadcasts
+    * (mid, totals, TVD sum). Parity: shares are single
+    * correctly-rounded divisions of exact longs; the per-cell |Δ|
+    * quantizes to integer micro-units BEFORE the TVD sum (F13's
+    * technique) so the corpus number is summation-order-exact. */
+  def corpusDrift(t: Tables): DataFrame = {
+    val assigned = Dedup.assignedCells(t).select(col("vec_id"), col("cell"))
+    val mid = t.embeddings
+      .agg(floor(count(lit(1)) / 2).cast("long").as("m"))
+    val counts = assigned.join(broadcast(mid))
+      .groupBy(col("cell"))
+      .agg(
+        coalesce(sum(when(col("vec_id") < col("m"), 1L)), lit(0L)).as("n_base"),
+        coalesce(sum(when(col("vec_id") >= col("m"), 1L)), lit(0L)).as("n_delta"))
+    val totals = counts.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_delta")).as("td"))
+    val sh = counts.join(broadcast(totals))
+      .withColumn("sb", col("n_base").cast("double") / col("tb").cast("double"))
+      .withColumn("sd", col("n_delta").cast("double") / col("td").cast("double"))
+      .withColumn("shift_mu",
+        round(abs(col("sb") - col("sd")) * lit(1000000.0), 0).cast("long"))
+    val tv = sh.agg(sum(col("shift_mu")).as("s"))
+    sh.join(broadcast(tv))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        round(col("sb"), 6).as("share_base"),
+        round(col("sd"), 6).as("share_delta"),
+        col("shift_mu"),
+        round(col("s").cast("double") / lit(2000000.0), 6).as("tvd"))
+      .orderBy(col("shift_mu").desc, col("cell"))
+  }
+
   /** Rebuild-on-drift — the action D9's numbers call for.
     * [[indexStats]]'s `appended_frac` measures the fraction of the
     * store the centroids have never seen ([[appendToIvfIndex]] keeps

@@ -306,4 +306,69 @@ class EmbeddingStoreSpec extends SparkTestBase {
     assert(r.count() === 0, "a cold store yields empty results, not an error")
     assert(s.searchCount === 1)
   }
+
+  test("corpusDrift: identical halves read zero everywhere") {
+    // delta = an exact vector-copy of base under shifted ids: every
+    // vector assigns by embedding alone, so occupancy shares match
+    // cell-for-cell and the monitor must read NO drift
+    val dir = Files.createTempDirectory("graft-drift0").toFile
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array((1 + i % 9).toFloat, (i % 5).toFloat, (i % 3).toFloat, 0f), 0))
+    val delta = base.map { case (id, v, l) => (id + 40L, v, l) }
+    (base ++ delta).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val got = EmbeddingStore.corpusDrift(Tables(spark, dir.getAbsolutePath))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"cell ${r.getInt(0)} occupancy diverged on identical halves")
+      assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0)
+    }
+  }
+
+  test("corpusDrift: an orthogonal delta trips the monitor, and the " +
+    "TVD arithmetic reconciles against a plain-Scala recompute") {
+    // base vectors live in the first three axes; the delta is a
+    // single direction orthogonal to every base vector, so the whole
+    // delta collapses into one cell the base barely uses
+    val dir = Files.createTempDirectory("graft-drift1").toFile
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array((1 + i % 9).toFloat, (i % 5).toFloat, (i % 3).toFloat, 0f), 0))
+    val delta = (0 until 40).map(i =>
+      ((i + 40).toLong, Array(0f, 0f, 0f, 1f), 0))
+    (base ++ delta).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val got = EmbeddingStore.corpusDrift(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+
+    // conservation: every vector lands exactly once on each side
+    assert(got.map(_._2).sum === 40L && got.map(_._3).sum === 40L)
+    // the delta concentrates: ONE cell holds all 40 delta vectors
+    assert(got.count(_._3 == 40L) === 1 && got.count(_._3 > 0L) === 1)
+
+    // independent recompute of shares / shift / TVD from the counts
+    val tb = got.map(_._2).sum.toDouble
+    val td = got.map(_._3).sum.toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMu = got.map { case (_, nb, nd, _, _, _, _) =>
+      BigDecimal(math.abs(nb / tb - nd / td) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expTvd = r6(expMu.sum.toDouble / 2000000.0)
+    got.zip(expMu).foreach { case ((cell, nb, nd, sb, sd, mu, tvd), em) =>
+      assert(sb === r6(nb / tb) && sd === r6(nd / td), s"cell $cell shares")
+      assert(mu === em, s"cell $cell shift_mu")
+      assert(tvd === expTvd, s"cell $cell tvd")
+    }
+    // the planted shift is large: most base mass is NOT in the
+    // delta's cell, so TVD must clear 0.5
+    assert(expTvd > 0.5, s"planted drift read only $expTvd")
+    // ordering contract: (shift_mu DESC, cell)
+    val key = got.map(g => (-g._6, g._1)).toSeq
+    assert(key === key.sorted)
+  }
 }

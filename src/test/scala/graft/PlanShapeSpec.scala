@@ -25,6 +25,10 @@ class PlanShapeSpec extends SparkTestBase {
     "q_search_ivf",
     // D8's broadcast shape with a θ filter instead of top-k
     "q_search_radius",
+    // three 1-row broadcasts (id midpoint, side totals, TVD sum)
+    // into the ≤k-row cell table; the assignment itself reuses
+    // q_dedup_embedding's centroid broadcast
+    "q_corpus_drift",
     // the text-query row broadcasts the 1-row embedded query string
     // into the corpus scoring pass (the dim384 shape)
     "q_search_text",
