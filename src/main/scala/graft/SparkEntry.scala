@@ -164,6 +164,9 @@ object SparkEntry {
     // F24: power-of-two token-length histogram with cumulative
     // corpus share — integer bin-string log2, bounded bucket table
     "q_token_histogram" -> q(TextAnalysis.tokenHistogram),
+    // F25: the pipeline ATTRITION funnel — per-stage in/out/dropped
+    // for F9's composed gates, sequential first-drop semantics
+    "q_pipeline_funnel" -> q(TextAnalysis.pipelineFunnel),
     // F21: language-ID confusion matrix vs the ground-truth label —
     // the honest eval table for the F1 heuristic (exposes zh)
     "q_lang_confusion" -> q(TextAnalysis.langConfusion),
@@ -1490,6 +1493,32 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F25: the funnel counts read off pipelineKeptCtesBody's OWN
+    // intermediate CTEs (kept0 / flagged / kept / canon — the exact
+    // strings F9/H1/H2 replay, no re-derivation), unioned into the
+    // 4 stage rows.
+    "q_pipeline_funnel" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |counts AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept0) AS n1,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept0
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM flagged)) AS n2,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n3,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS n4),
+         |stages AS (
+         |  SELECT 1 AS stage, 'quality_gate' AS stage_name,
+         |    n0 AS n_in, n1 AS n_out FROM counts
+         |  UNION ALL SELECT 2, 'repetition_gate', n1, n2 FROM counts
+         |  UNION ALL SELECT 3, 'decontaminate', n2, n3 FROM counts
+         |  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM counts)
+         |SELECT stage, stage_name, n_in, n_out,
+         |  n_in - n_out AS dropped,
+         |  ROUND(COALESCE(CAST(n_in - n_out AS DOUBLE)
+         |    / NULLIF(CAST(n_in AS DOUBLE), 0.0), 0.0), 6) AS drop_share
+         |FROM stages
+         |ORDER BY stage""".stripMargin,
     // F24: bucket via length(bin(n))-1 — integer string logic on
     // both engines (DuckDB bin() is unpadded, probed), POWER(2,k)
     // exact for every feasible k; the cumulative window sums exact

@@ -285,6 +285,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
 
+  /** F25 — `q_pipeline_funnel`: the ATTRITION table for the composed
+    * pipeline — per stage (quality gate → repetition gate → 13-gram
+    * decontamination → exact dedup), how many docs went in, came
+    * out, were dropped, and the drop share. The funnel is the first
+    * table anyone reads about a cleaning run (Dolma/RefinedWeb
+    * publish exactly this), and the monitoring row that catches a
+    * mis-tuned gate (a stage suddenly dropping 60% fires an alert
+    * long before downstream evals move). Stage semantics are
+    * SEQUENTIAL — a doc counts against the FIRST stage that drops it
+    * — so n_out(k) ≡ the composed pipeline's intermediate
+    * cardinality, and stage 4's survivors are exactly F9's kept docs
+    * (the spec pins that identity).
+    *
+    * Shape: the F9 composition discipline verbatim — each gate is
+    * the family's ONE operator CALLED (qualityScore,
+    * repetitionStats, ngramOverlapStats), the two token gates share
+    * ONE checkpointed tokenize pass, and the per-doc flag frame is
+    * checkpointed once to feed the canonical groupBy (keyed h) and
+    * the funnel aggregate (no shared exchange across different
+    * keys). The funnel itself is ONE map-side-combining aggregate to
+    * a single row, exploded into 4 stage rows (the
+    * explode-unpivot-computes-once rule, BENCH_BASELINE #4) —
+    * nothing after the flag frame grows with the corpus. */
+  def pipelineFunnel(t: Tables): DataFrame = {
+    val quality = qualityScore(t)
+      .select(col("doc_id"), coalesce(col("quality") >= 0.5, lit(false)).as("q_ok"))
+    val tok = posTokens(t.documents).localCheckpoint()
+    val rep = repetitionStats(tok).select(col("doc_id"), col("flagged"))
+    val contaminated = Dedup.ngramOverlapStats(tok)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val s2 = col("q_ok") && !coalesce(col("flagged"), lit(false))
+    val flags = t.documents.select(col("doc_id"), md5(norm).as("h"))
+      .join(quality, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h"), col("q_ok"), s2.as("s2"),
+        (s2 && !coalesce(col("contam"), lit(false))).as("s3"))
+      .localCheckpoint()
+    val canonical = flags.filter(col("s3")).groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("canon", lit(true)).select(col("doc_id"), col("canon"))
+    val one = flags.join(canonical, Seq("doc_id"), "left").agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(when(col("q_ok"), 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("s2"), 1L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col("s3"), 1L)), lit(0L)).as("n3"),
+      coalesce(sum(when(coalesce(col("canon"), lit(false)), 1L)), lit(0L))
+        .as("n4"))
+    val stages = one.select(explode(array(
+      struct(lit(1).as("stage"), lit("quality_gate").as("stage_name"),
+        col("n0").as("n_in"), col("n1").as("n_out")),
+      struct(lit(2).as("stage"), lit("repetition_gate").as("stage_name"),
+        col("n1").as("n_in"), col("n2").as("n_out")),
+      struct(lit(3).as("stage"), lit("decontaminate").as("stage_name"),
+        col("n2").as("n_in"), col("n3").as("n_out")),
+      struct(lit(4).as("stage"), lit("exact_dedup").as("stage_name"),
+        col("n3").as("n_in"), col("n4").as("n_out")))).as("s"))
+    stages.select(col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_in").as("n_in"), col("s.n_out").as("n_out"),
+        (col("s.n_in") - col("s.n_out")).as("dropped"),
+        round(coalesce((col("s.n_in") - col("s.n_out")).cast("double") /
+          nullif(col("s.n_in").cast("double"), lit(0.0)), lit(0.0)), 6)
+          .as("drop_share"))
+      .orderBy(col("stage"))
+  }
+
   /** F8 — `q_tfidf`: corpus-wide TF-IDF term scoring — the term-
     * importance statistic quality filters and keyword extraction run
     * over a training corpus. Three aggregations, each map-side

@@ -561,6 +561,42 @@ class TextAnalysisSpec extends SparkTestBase {
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("pipelineFunnel: every stage drops its planted doc exactly once, " +
+    "and the final survivors are F9's kept docs") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over a lazy dog of and to near river bank today"
+    val textB = "a big cat and the mat of milk to shop sat on it today fine"
+    val docs = Seq(
+      (0L, "s1", textA),                          // contaminated by the eval copy
+      (1L, "s1", "!!!"),                          // quality fail
+      (2L, "s1", Seq.fill(50)("spam").mkString(" ")), // repetition flag
+      (3L, "s5", textA),                          // EVAL doc (source % 5 == 0)
+      (4L, "s1", textB),                          // clean survivor
+      (5L, "s1", textB)                           // exact duplicate of 4
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val ft = Tables(spark, dir.getAbsolutePath)
+    val got = TextAnalysis.pipelineFunnel(ft).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1, "quality_gate", 6L, 5L, 1L, 0.166667),
+      (2, "repetition_gate", 5L, 4L, 1L, 0.2),
+      (3, "decontaminate", 4L, 3L, 1L, 0.25),
+      (4, "exact_dedup", 3L, 2L, 1L, 0.333333)))
+    // stage 4's survivors ARE the composed pipeline's kept docs
+    assert(got.last._4 === TextAnalysis.pipelineKeptDocs(ft).count())
+    // and the identity holds on the corpus fixture too
+    val full = TextAnalysis.pipelineFunnel(t).collect()
+    assert(full.last.getLong(3) === TextAnalysis.pipelineKeptDocs(t).count())
+    // funnel invariant: n_out never exceeds n_in, chain is contiguous
+    full.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) === b.getLong(2), "funnel chain must be contiguous")
+    }
+    assert(full.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
   test("tokenHistogram: exact power-of-two buckets with boundary docs, " +
     "empty doc lands in bucket -1, cumulative share closes at 1") {
     import spark.implicits._
