@@ -167,6 +167,10 @@ object SparkEntry {
     // F25: the pipeline ATTRITION funnel — per-stage in/out/dropped
     // for F9's composed gates, sequential first-drop semantics
     "q_pipeline_funnel" -> q(TextAnalysis.pipelineFunnel),
+    // F26: CCNet-style per-source quality terciles — two-level
+    // distributed rank (bin windows + broadcast offsets), oracle
+    // replays the plain per-source PERCENT_RANK
+    "q_quality_buckets" -> q(TextAnalysis.qualityBuckets),
     // F21: language-ID confusion matrix vs the ground-truth label —
     // the honest eval table for the F1 heuristic (exposes zh)
     "q_lang_confusion" -> q(TextAnalysis.langConfusion),
@@ -1493,6 +1497,27 @@ object SparkEntry {
         |FROM dfq, n
         |ORDER BY df DESC, ngram
         |LIMIT 50""".stripMargin,
+    // F26: nests pipelineKeptCtesBody for its `q` quality CTE (the
+    // ONE quality definition — unreferenced CTEs are free) and
+    // replays the SIMPLE per-source PERCENT_RANK window; the engine's
+    // two-level bin rank is provably the same function, which is what
+    // the row checks. doc_id in the ORDER BY makes RANK ≡ ROW_NUMBER
+    // (no ties), so PERCENT_RANK matches the engine's (rnk−1)/(n−1).
+    "q_quality_buckets" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |qq AS (
+         |  SELECT doc_id, source, quality FROM q WHERE quality IS NOT NULL),
+         |prr AS (
+         |  SELECT doc_id, source, quality,
+         |    PERCENT_RANK() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS p
+         |  FROM qq)
+         |SELECT doc_id, source, quality, ROUND(p, 6) AS pct_rank,
+         |  CASE WHEN p <= 1.0/3 THEN 'head'
+         |       WHEN p <= 2.0/3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM prr
+         |ORDER BY source, doc_id""".stripMargin,
     // F25: the funnel counts read off pipelineKeptCtesBody's OWN
     // intermediate CTEs (kept0 / flagged / kept / canon — the exact
     // strings F9/H1/H2 replay, no re-derivation), unioned into the

@@ -947,6 +947,60 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** F26 — `q_quality_buckets`: per-SOURCE quality calibration — each
+    * doc's percent rank within its source on the F2 quality score,
+    * cut into head/middle/tail terciles (CCNet's published recipe,
+    * Wenzek et al. 2020 §4.2: quality is only comparable WITHIN a
+    * slice, so bucket per slice and let the pipeline keep "head+
+    * middle" uniformly — a single corpus-wide threshold would keep
+    * one source whole and gut another). The calibration table F14's
+    * budget selection or a mixing policy consumes per source.
+    *
+    * percent rank = (rank−1)/(n_source−1) on (quality DESC, doc_id)
+    * — rank 0 is the source's best doc; ties total-ordered by id.
+    * NULL-quality docs (empty text) are excluded before ranking on
+    * both engines (F14's rule).
+    *
+    * Scale shape: a naive per-source window is the §6 few-hot-
+    * partitions skew (one task per source sorts its whole slice), so
+    * the rank is TWO-LEVEL, the F12/F14 prefix-sum technique keyed
+    * by quality bins: quantize quality into ≤101 per-source bins
+    * (floor(q·100) — monotone in quality, so per-bin ranks + bin
+    * offsets compose to the exact per-source rank; FP quirks in the
+    * binning cannot reorder, only shift a boundary identically for
+    * equal scores), rank inside the bounded (source, bin) windows,
+    * and add the per-(source, bin) suffix-sum offsets back via a
+    * ≤|sources|·101-row broadcast. The oracle replays the SIMPLE
+    * per-source PERCENT_RANK window — the two plans are provably the
+    * same function, which is exactly what the row checks. */
+  def qualityBuckets(t: Tables): DataFrame = {
+    val docs = t.documents
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .filter(col("quality").isNotNull)
+    val binned = docs.withColumn("bin", floor(col("quality") * 100).cast("int"))
+    val offsets = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bin"), col("off"))
+    val nSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val wIn = Window.partitionBy(col("source"), col("bin"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val pr = coalesce((col("rnk") - 1).cast("double") /
+      nullif((col("n_src") - 1).cast("double"), lit(0.0)), lit(0.0))
+    binned
+      .join(broadcast(offsets), Seq("source", "bin"))
+      .withColumn("rnk", col("off") + row_number().over(wIn))
+      .join(broadcast(nSrc), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(pr, 6).as("pct_rank"),
+        when(pr <= lit(1.0 / 3), "head")
+          .when(pr <= lit(2.0 / 3), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** F24 — `q_token_histogram`: the corpus' token-LENGTH distribution
     * in power-of-two buckets with cumulative token share — the
     * "how much of the corpus lives in short docs" table every

@@ -561,6 +561,53 @@ class TextAnalysisSpec extends SparkTestBase {
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("qualityBuckets: two-level rank equals a plain-Scala per-source " +
+    "percent rank with ties id-ordered; singleton source is head; " +
+    "empty text is excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", "the a of and to " * 10),          // strong quality
+      (1L, "a", "word " * 30),                      // no stopwords
+      (2L, "a", "the quick brown fox and a dog"),
+      (3L, "a", "the quick brown fox and a dog"),  // exact tie with 2
+      (4L, "a", "!!! ??? ..."),                     // punct-heavy
+      (5L, "a", ""),                                // NULL quality: excluded
+      (6L, "b", "only doc in this source the a of")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qbuck").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val ft = Tables(spark, dir.getAbsolutePath)
+    val got = TextAnalysis.qualityBuckets(ft).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4)))
+
+    // independent rank from F2's (separately spec'd) quality values
+    val quality = TextAnalysis.qualityScore(ft).collect()
+      .flatMap(r => if (r.isNullAt(5)) None
+        else Some(r.getLong(0) -> r.getDouble(5))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq("a", "b").flatMap { src =>
+      val members = (0L to 6L).filter(id =>
+        quality.contains(id) && (if (src == "a") id <= 5 else id == 6))
+      val ordered = members.sortBy(id => (-quality(id), id))
+      val n = ordered.size
+      ordered.zipWithIndex.map { case (id, i) =>
+        val p = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        val bucket = if (p <= 1.0 / 3) "head"
+          else if (p <= 2.0 / 3) "middle" else "tail"
+        (id, src, quality(id), r6(p), bucket)
+      }
+    }.sortBy(e => (e._2, e._1))
+    assert(got.toSeq === expected)
+    // the planted facts: doc 5 excluded, the singleton source is its
+    // own head, and the tie pair ordered by id
+    assert(!got.exists(_._1 == 5L))
+    assert(got.find(_._1 == 6L).get._5 === "head")
+    val tie = got.filter(g => g._1 == 2L || g._1 == 3L)
+    assert(tie.map(_._3).distinct.length === 1 && tie(0)._4 < tie(1)._4)
+  }
+
   test("pipelineFunnel: every stage drops its planted doc exactly once, " +
     "and the final survivors are F9's kept docs") {
     import spark.implicits._
