@@ -238,6 +238,9 @@ object SparkEntry {
     "q_percentiles_approx" -> q(EventOps.percentilesApprox),
     "q_histogram"   -> q(EventOps.histogram),
     "q_resample"    -> q(EventOps.resample),
+    // B13: cohort retention matrix — first-day cohorts × day offsets,
+    // two user-keyed aggs sharing one shuffle + a days-row broadcast
+    "q_retention"   -> q(EventOps.retention),
     "q_session_window" -> q(EventOps.sessionWindowAgg),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
@@ -1065,6 +1068,26 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, CAST(FLOOR(value / 5.0) AS BIGINT)
         |ORDER BY event_type, bin""".stripMargin,
+    // B13: CAST(ts AS DATE) per the resample convention; date_diff
+    // day offsets as BIGINT to match the engine's long cast.
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM d),
+        |j AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset
+        |  FROM a JOIN f ON a.user_id = f.user_id),
+        |c AS (
+        |  SELECT cohort_day, day_offset, COUNT(*) AS n_active
+        |  FROM j GROUP BY cohort_day, day_offset),
+        |s AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM f GROUP BY cohort_day)
+        |SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_n,
+        |  ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 6)
+        |    AS retention
+        |FROM c JOIN s ON c.cohort_day = s.cohort_day
+        |ORDER BY c.cohort_day, c.day_offset""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,

@@ -356,6 +356,42 @@ object EventOps {
         last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** B13 — `q_retention`: the cohort RETENTION matrix — users
+    * cohorted by their first-activity day, per (cohort_day,
+    * day_offset) how many came back and the retention rate. The
+    * standard product-analytics triangle every event warehouse
+    * publishes, and (for a training-data system) the "does the crawl
+    * keep re-seeing the same producers" table behind source-freshness
+    * decisions. to_date (zone-free calendar truncation) per the
+    * library convention — see resample's note.
+    *
+    * Scale shape: three map-side-combining aggregates — per-user
+    * first day (keyed user), distinct (user, day) activity (the same
+    * key, so the two aggs share one shuffle partitioning), and the
+    * (cohort, offset) counts whose key space is bounded by days² —
+    * plus one user-keyed equi-join; the ≤days-row cohort-size table
+    * broadcasts back for the rate. Nothing after the user-keyed
+    * stages grows with the event count. Rate = one exact-long
+    * division, 6dp. */
+  def retention(t: Tables): DataFrame = {
+    val days = t.events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val active = days.distinct()
+    val counts = active.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_n"))
+    counts.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_n"),
+        round(col("n_active").cast("double") /
+          col("cohort_n").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** B9 — `q_percentiles`: exact per-group value percentiles (the
     * latency/size distribution summary every event pipeline reports).
     * Spark's `percentile` is the EXACT distributed implementation —

@@ -257,4 +257,31 @@ class EventOpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
+
+  test("retention: planted cohorts count each user once per day, " +
+    "offsets anchor to the first-activity day, rates exact") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // user 1: days 1,2,5 (cohort 01-01); user 2: three events on ONE
+    // day (must count once); user 3: days 2,3 (cohort 01-02)
+    val events = Seq(
+      (1L, ts(1, 8), 1L), (2L, ts(2, 9), 1L), (3L, ts(5, 10), 1L),
+      (4L, ts(1, 1), 2L), (5L, ts(1, 2), 2L), (6L, ts(1, 23), 2L),
+      (7L, ts(2, 7), 3L), (8L, ts(3, 7), 3L)
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toFile
+    events.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val got = EventOps.retention(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),  // both day-1 users active day 0
+      ("2024-01-01", 1L, 1L, 2L, 0.5),  // only user 1 returns next day
+      ("2024-01-01", 4L, 1L, 2L, 0.5),  // user 1's day-5 visit
+      ("2024-01-02", 0L, 1L, 1L, 1.0),
+      ("2024-01-02", 1L, 1L, 1L, 1.0)))
+  }
 }
