@@ -211,6 +211,15 @@ object SparkEntry {
     // (the E5 pair scaffold at a tighter threshold), E6 closure, keep
     // the member farthest from its cluster centroid
     "q_semdedup"        -> q(Dedup.semDedup),
+    // E16: prototypicality pruning (Sorscher et al. 2022) — global
+    // easiest-first rank on centroid cosine, drop the most
+    // prototypical quarter; the corpus-wide sibling of E15's
+    // per-group keeper rule
+    "q_prototypes"      -> q(Dedup.prototypes),
+    // E17: the composed pruning verdict — E15's group-keeper rule
+    // AND E16's global keep cut off ONE shared assignment + centroid
+    // pass, with both marginal flags for attribution
+    "q_prune_compose"   -> q(Dedup.pruneCompose),
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
@@ -2106,38 +2115,49 @@ object SparkEntry {
     // keeper window (min centroid_sim, lowest id).
     "q_semdedup" ->
       s"""${cellPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |e0 AS (SELECT vec_a AS s, vec_b AS d FROM cp
-        |       WHERE score >= ${operators.Dedup.semDedupThreshold}),
-        |edges AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
-        |reach AS (
-        |  SELECT s, d FROM edges
-        |  UNION
-        |  SELECT rch.s, e.d FROM reach rch JOIN edges e ON rch.d = e.s),
-        |comp AS (
-        |  SELECT s AS vec_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
-        |  FROM reach GROUP BY s),
-        |ctr AS (
-        |  SELECT a.cell, e.i,
-        |    CAST(CAST(ROUND(AVG(e.v),6) AS FLOAT) AS DOUBLE) AS cv
-        |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
-        |  GROUP BY a.cell, e.i),
-        |cs AS (
-        |  SELECT e.vec_id, a.cell,
-        |    ROUND(COALESCE(SUM(e.v*c.cv)
-        |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.cv*c.cv)),0),0),6) AS centroid_sim
-        |  FROM ev e
-        |  JOIN asg a ON e.vec_id = a.vec_id
-        |  JOIN ctr c ON c.cell = a.cell AND c.i = e.i
-        |  GROUP BY e.vec_id, a.cell),
-        |kt AS (
-        |  SELECT comp.vec_id AS vec_id, comp.cluster_id AS cluster_id,
-        |         cs.cell AS cell, cs.centroid_sim AS centroid_sim,
-        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
-        |      ORDER BY cs.centroid_sim ASC, comp.vec_id) AS rn
-        |  FROM comp JOIN cs ON cs.vec_id = comp.vec_id)
+        |$semClosureCtesBody,
+        |$centroidSimCtesBody,
+        |$semKeeperKtCte
         |SELECT vec_id, cluster_id, cell, centroid_sim,
         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
         |FROM kt ORDER BY vec_id""".stripMargin,
+    // E16: the E15 assignment + centroid-similarity CTEs verbatim
+    // (shared bodies — one definition), then the ONE FLAT global
+    // ROW_NUMBER the engine's two-level (bin-window + broadcast
+    // suffix-sum offsets) rank must equal; the rank lives in its own
+    // CTE (the DuckDB window-in-final-select quirk). Keep verdict
+    // replays floor(n·frac) from the shared constant.
+    "q_prototypes" ->
+      s"""$ivfAssignCte,
+        |$centroidSimCtesBody,
+        |$protoRankCtesBody
+        |SELECT rk.vec_id, rk.cell, rk.centroid_sim, rk.proto_rank,
+        |  CAST(CASE WHEN rk.proto_rank >
+        |      FLOOR(nt.n * ${operators.Dedup.protoPruneFrac})
+        |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM rk, nt
+        |ORDER BY rk.vec_id""".stripMargin,
+    // E17: BOTH rows' shared CTE stacks nested verbatim (the pair
+    // scaffold + closure + keeper for E15, the flat global rank for
+    // E16 — one definition each), LEFT-joined per vector; non-group
+    // members default sem_kept = 1, the final verdict is the AND.
+    "q_prune_compose" ->
+      s"""${cellPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$semClosureCtesBody,
+        |$centroidSimCtesBody,
+        |$semKeeperKtCte,
+        |$protoRankCtesBody
+        |SELECT rk.vec_id, rk.cell, rk.centroid_sim, rk.proto_rank,
+        |  CAST(CASE WHEN COALESCE(kt.rn, 1) = 1 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS sem_kept,
+        |  CAST(CASE WHEN rk.proto_rank >
+        |      FLOOR(nt.n * ${operators.Dedup.protoPruneFrac})
+        |    THEN 1 ELSE 0 END AS INTEGER) AS proto_kept,
+        |  CAST(CASE WHEN COALESCE(kt.rn, 1) = 1 AND rk.proto_rank >
+        |      FLOOR(nt.n * ${operators.Dedup.protoPruneFrac})
+        |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM rk LEFT JOIN kt ON kt.vec_id = rk.vec_id, nt
+        |ORDER BY rk.vec_id""".stripMargin,
     // D15: E5's within-cell pair scaffold, but DIRECTED (both
     // orientations) and top-3 per vector instead of thresholded
     // canonical pairs.
@@ -2916,6 +2936,69 @@ object SparkEntry {
        |  SELECT vec_a, vec_b, cell,
        |         ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
        |  FROM ep)""".stripMargin
+
+  /** E15/E16's centroid-similarity CTEs (per-cell member-mean
+    * centroids — 6dp components stored through FLOAT, exactly
+    * lloydStep's contract — then every member's 6dp cosine to its
+    * own cell's centroid), shared verbatim by q_semdedup's keeper
+    * rule and q_prototypes' global ranking. BODY only (no WITH):
+    * callers prepend the assignment scaffold. Needs ev + asg in
+    * scope; ends in cs(vec_id, cell, centroid_sim). */
+  private val centroidSimCtesBody: String =
+    """ctr AS (
+       |  SELECT a.cell, e.i,
+       |    CAST(CAST(ROUND(AVG(e.v),6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM ev e JOIN asg a ON e.vec_id = a.vec_id
+       |  GROUP BY a.cell, e.i),
+       |cs AS (
+       |  SELECT e.vec_id, a.cell,
+       |    ROUND(COALESCE(SUM(e.v*c.cv)
+       |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.cv*c.cv)),0),0),6) AS centroid_sim
+       |  FROM ev e
+       |  JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN ctr c ON c.cell = a.cell AND c.i = e.i
+       |  GROUP BY e.vec_id, a.cell)""".stripMargin
+
+  /** E15/E17's ε-group closure (pairs above the SemDeDup threshold,
+    * symmetrized, the E6 recursive-closure pattern, components
+    * labeled by min member id). BODY only; needs cp in scope and a
+    * WITH RECURSIVE header; ends in comp(vec_id, cluster_id). */
+  private val semClosureCtesBody: String =
+    s"""e0 AS (SELECT vec_a AS s, vec_b AS d FROM cp
+       |       WHERE score >= ${operators.Dedup.semDedupThreshold}),
+       |edges AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+       |reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT rch.s, e.d FROM reach rch JOIN edges e ON rch.d = e.s),
+       |comp AS (
+       |  SELECT s AS vec_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY s)""".stripMargin
+
+  /** E15/E17's keeper window over the group members (min 6dp
+    * centroid-cosine, ties to the lowest vec_id). Needs comp + cs in
+    * scope; ends in kt(vec_id, cluster_id, cell, centroid_sim, rn) —
+    * rn = 1 is the keeper. */
+  private val semKeeperKtCte: String =
+    """kt AS (
+      |  SELECT comp.vec_id AS vec_id, comp.cluster_id AS cluster_id,
+      |         cs.cell AS cell, cs.centroid_sim AS centroid_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+      |      ORDER BY cs.centroid_sim ASC, comp.vec_id) AS rn
+      |  FROM comp JOIN cs ON cs.vec_id = comp.vec_id)""".stripMargin
+
+  /** E16/E17's ONE FLAT global easiest-first rank (the window the
+    * engine's two-level bin-rank must equal) in its own CTE (the
+    * DuckDB window-in-final-select quirk) + the 1-row corpus count.
+    * Needs cs in scope; ends in nt(n), rk(vec_id, cell,
+    * centroid_sim, proto_rank). */
+  private val protoRankCtesBody: String =
+    """nt AS (SELECT COUNT(*) AS n FROM embeddings),
+      |rk AS (
+      |  SELECT vec_id, cell, centroid_sim,
+      |    ROW_NUMBER() OVER (ORDER BY centroid_sim DESC, vec_id)
+      |      AS proto_rank
+      |  FROM cs)""".stripMargin
 
   /** D15's graph CTEs (cell assignment scaffold + within-cell pair
     * scoring + per-vector ranking), shared verbatim by the

@@ -996,31 +996,146 @@ object Dedup {
     * no window partition outgrows τ. */
   def semDedup(t: Tables): DataFrame = {
     val assigned = assignedCells(t)
+    semVerdict(assigned, centroidSims(assigned, t))
+      .select(col("vec_id"), col("cluster_id"), col("cell"),
+        col("centroid_sim"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The E15/E16/E17-shared scoring stage: one [[EmbeddingStore
+    * .lloydStep]] per-cell MEMBER-mean pass (6dp float components —
+    * k rows, broadcast) over an [[assignedCells]] frame, then each
+    * member's cosine to its own cell's centroid, 6dp like every
+    * scored value. (vec_id, cell, centroid_sim). */
+  private def centroidSims(assigned: DataFrame, t: Tables): DataFrame = {
+    val vecDim = t.embeddings
+      .select(size(col("embedding")).as("d")).limit(1).first().getInt(0)
+    val centroids = EmbeddingStore.lloydStep(
+      assigned.select(col("vec_id").as("doc_id"), col("embedding"), col("cell")),
+      vecDim)
+    assigned
+      .join(broadcast(centroids), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(cosineSim(col("embedding"), col("centroid")), 6)
+          .as("centroid_sim"))
+  }
+
+  /** E15's group membership + keeper rule over a shared sims frame:
+    * ε-pairs → pointer-jumping closure → per-group min-centroid-sim
+    * keeper window. Emits GROUP MEMBERS only — (vec_id, cluster_id,
+    * cell, centroid_sim, kept); ungrouped vectors are implicitly
+    * kept, absent. Groups are ≤ the τ-capped cell size, so no window
+    * partition outgrows τ. */
+  private def semVerdict(assigned: DataFrame, sims: DataFrame): DataFrame = {
     val pairs = cellPairs(assigned)
       .filter(col("score") >= semDedupThreshold)
     val comps = Clusters
       .connectedComponents(pairs, "vec_a", "vec_b")
       .select(col("node").cast("long").as("vec_id"),
         col("label").cast("long").as("cluster_id"))
-    val vecDim = t.embeddings
-      .select(size(col("embedding")).as("d")).limit(1).first().getInt(0)
-    // per-cell MEMBER means (one Lloyd step over the same assignment
-    // — k rows, broadcast), then each member's cosine to its own
-    // cell's centroid, 6dp like every scored value
-    val centroids = EmbeddingStore.lloydStep(
-      assigned.select(col("vec_id").as("doc_id"), col("embedding"), col("cell")),
-      vecDim)
-    val sims = assigned
-      .join(broadcast(centroids), "cell")
-      .select(col("vec_id"), col("cell"),
-        round(cosineSim(col("embedding"), col("centroid")), 6)
-          .as("centroid_sim"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("centroid_sim").asc, col("vec_id"))
     comps.join(sims, "vec_id")
       .withColumn("kept", (row_number().over(w) === 1).cast("int"))
-      .select(col("vec_id"), col("cluster_id"), col("cell"),
-        col("centroid_sim"), col("kept"))
+  }
+
+  /** E16's prune fraction: the most-prototypical quarter of the
+    * corpus is dropped. `private[graft]` so the oracle derives from
+    * the same constant. */
+  private[graft] val protoPruneFrac = 0.25
+
+  /** E16 — `q_prototypes`: prototypicality-based data PRUNING
+    * (Sorscher et al. 2022, *Beyond neural scaling laws: beating
+    * power law scaling via data pruning*): score every example by
+    * its cosine to its cluster's centroid, rank the corpus
+    * easiest-first, and — in the paper's abundant-data regime — drop
+    * the most PROTOTYPICAL fraction (easy examples teach a large
+    * model least; the hard tail carries the marginal information).
+    * E15 (SemDeDup) acts on tight duplicate GROUPS; this row acts on
+    * the whole corpus by GLOBAL rank — the other published
+    * embedding-space pruning knob, and the two compose (SemDeDup
+    * keeps its clusters' outliers, which this ranking also favors).
+    *
+    * Composition (nothing new shuffles): clusters = the shared
+    * seeded IVF cell assignment; centroids = the E15 per-cell
+    * [[EmbeddingStore.lloydStep]] mean pass (6dp float contract);
+    * score = the family's 6dp cosine. The corpus-wide rank is the
+    * §6 single-partition-window trap, so it runs TWO-LEVEL (F26's
+    * technique globalized): 6dp scores quantize to exact micro-unit
+    * longs, ≤101 monotone bins bound every window partition, and
+    * the global offset of each bin is a broadcast suffix-sum over
+    * the ≤101-row bin table — binning cannot reorder equal scores,
+    * only shift a boundary identically, so the two-level rank equals
+    * the oracle's one flat ROW_NUMBER. Keep verdict compares the
+    * rank against floor(n·[[protoPruneFrac]]) from a 1-row
+    * broadcast. */
+  def prototypes(t: Tables): DataFrame = {
+    val assigned = assignedCells(t)
+    protoVerdict(centroidSims(assigned, t), t)
+      .orderBy(col("vec_id"))
+  }
+
+  /** E16's global easiest-first rank + keep cut over a shared sims
+    * frame: (vec_id, cell, centroid_sim, proto_rank, kept). */
+  private def protoVerdict(sims: DataFrame, t: Tables): DataFrame = {
+    // two-level global rank: mu is exact (the score is already 6dp),
+    // the bin is a monotone function of mu, so (bin, mu desc, vec_id)
+    // orders exactly like the flat (score desc, vec_id) window.
+    // Checkpointed — both the offset aggregate and the rank join
+    // consume it, and lazy would recompute the centroid pass twice.
+    val binned = sims
+      .withColumn("mu", round(col("centroid_sim") * 1e6, 0).cast(LongType))
+      .withColumn("bin", floor(col("mu").cast("double") / 20000.0).cast("int"))
+      .localCheckpoint()
+    // the suffix-sum window runs on the ≤101-row bin table —
+    // deliberately unpartitioned and bounded, never corpus-sized
+    val offsets = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("off"))
+    val n = t.embeddings.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy(col("bin"))
+      .orderBy(col("mu").desc, col("vec_id"))
+    binned.join(broadcast(offsets), "bin")
+      .withColumn("proto_rank", col("off") + row_number().over(wIn))
+      .join(broadcast(n))
+      .select(col("vec_id"), col("cell"), col("centroid_sim"),
+        col("proto_rank"),
+        (col("proto_rank") > floor(col("n") * lit(protoPruneFrac)))
+          .cast("int").as("kept"))
+  }
+
+  /** E17 — `q_prune_compose`: the composed embedding-space pruning
+    * VERDICT — SemDeDup's duplicate-group keeper rule (E15) AND'ed
+    * with the prototypicality keep cut (E16), per vector, with both
+    * marginal flags kept for attribution. The two published pruning
+    * knobs act on different failure modes (E15: redundancy inside
+    * tight ε-groups; E16: low-information prototypical mass) and the
+    * papers compose them exactly this way — SemDeDup keeps each
+    * group's outlier, which the global easiest-first ranking also
+    * favors; a pipeline executes the intersection.
+    *
+    * Composition discipline (F9's): ONE [[assignedCells]] pass and
+    * ONE [[centroidSims]] scoring pass feed BOTH rules — the sims
+    * frame is checkpointed because the keeper window and the global
+    * rank both consume it; calling the two standalone rows instead
+    * would run the assignment and the centroid pass twice. Non-group
+    * members default sem_kept = 1 (E15's implicit-keep contract,
+    * made explicit here so the final verdict covers every vector). */
+  def pruneCompose(t: Tables): DataFrame = {
+    val assigned = assignedCells(t)
+    val sims = centroidSims(assigned, t).localCheckpoint()
+    val sem = semVerdict(assigned, sims)
+      .select(col("vec_id"), col("kept").as("sem_kept"))
+    protoVerdict(sims, t)
+      .withColumnRenamed("kept", "proto_kept")
+      .join(sem, Seq("vec_id"), "left")
+      .withColumn("sem_kept", coalesce(col("sem_kept"), lit(1)))
+      .withColumn("kept",
+        ((col("sem_kept") === 1) && (col("proto_kept") === 1)).cast("int"))
+      .select(col("vec_id"), col("cell"), col("centroid_sim"),
+        col("proto_rank"), col("sem_kept"), col("proto_kept"), col("kept"))
       .orderBy(col("vec_id"))
   }
 

@@ -499,4 +499,72 @@ class DedupSpec extends SparkTestBase {
       assert(ms.keys.min === cid, s"label $cid is not the min member")
     }
   }
+
+  test("prototypes: equals an independent plain-Scala replication " +
+    "(per-cell mean centroid, one FLAT global easiest-first rank, " +
+    "prototypical-quarter drop)") {
+    val assigned = Dedup.assignedCells(t).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val byCell = assigned.groupBy(_._3)
+    val centroids = byCell.map { case (cell, ms) =>
+      val dim = ms.head._2.length
+      cell -> Array.tabulate(dim)(d =>
+        r6(ms.map(_._2(d).toDouble).sum / ms.length).toFloat)
+    }
+    val sims = assigned.map { a =>
+      (a._1, a._3, r6(cos(a._2.map(_.toDouble), centroids(a._3).map(_.toDouble))))
+    }
+    // the ONE flat rank the engine's two-level (bin window +
+    // broadcast suffix-sum offsets) plan must reproduce exactly
+    val ranked = sims.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+    val n = sims.length
+    val cut = math.floor(n * Dedup.protoPruneFrac).toLong
+    val expected = ranked.map { case ((id, cell, s), i) =>
+      id -> ((cell, s, i + 1L, if (i + 1L > cut) 1 else 0))
+    }.toMap
+    val got = Dedup.prototypes(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got === expected)
+    // the rank is a permutation of 1..n and the drop set is exactly
+    // the floor(n/4) most prototypical examples
+    assert(got.values.map(_._3).toSeq.sorted === (1L to n.toLong).toSeq)
+    assert(got.values.count(_._4 == 0) === cut)
+    val dropMin = got.values.filter(_._4 == 0).map(_._2).min
+    val keepMax = got.values.filter(_._4 == 1).map(_._2).max
+    assert(dropMin >= keepMax,
+      "a kept example outscores a dropped one — the cut is not by rank")
+  }
+
+  test("pruneCompose: equals composing semDedup and prototypes per vector " +
+    "(non-members implicitly sem-kept, final verdict is the AND)") {
+    val sem = Dedup.semDedup(t).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val proto = Dedup.prototypes(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    assert(sem.nonEmpty, "corpus produced no semantic-duplicate groups")
+    val expected = proto.map { case (id, cell, sim, rank, pk) =>
+      val sk = sem.getOrElse(id, 1)
+      id -> ((cell, sim, rank, sk, pk, if (sk == 1 && pk == 1) 1 else 0))
+    }.toMap
+    val got = Dedup.pruneCompose(t).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(got === expected)
+    assert(got.size === proto.length, "the verdict must cover every vector")
+    // both rules actually bite somewhere, or the AND is vacuous here
+    assert(got.values.exists(v => v._4 == 0),
+      "no vector is sem-dropped — tighten the fixture")
+    assert(got.values.exists(v => v._5 == 0),
+      "no vector is proto-dropped — tighten the fixture")
+  }
 }

@@ -82,7 +82,12 @@ class PlanShapeSpec extends SparkTestBase {
     "q_search_hybrid",
     // embeds F18's 1-row feature-total broadcast plus its own 1-row
     // grand-total share attach
-    "q_gate_matrix")
+    "q_gate_matrix",
+    // the 1-row corpus-size aggregate cross-broadcasts into the
+    // ranked rows for the keep cut, same shape as q_ngram_topk
+    "q_prototypes",
+    // embeds E16's 1-row corpus-size cross-broadcast
+    "q_prune_compose")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, joins keyed or tiny-broadcast") {
