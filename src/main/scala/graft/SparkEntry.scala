@@ -121,6 +121,9 @@ object SparkEntry {
     "q_lang_id"       -> q(TextAnalysis.langId),
     "q_quality_score" -> q(TextAnalysis.qualityScore),
     "q_token_count"   -> q(TextAnalysis.tokenCount),
+    // F28: the per-(source, lang) tokenizer-fit audit — byte/char/
+    // token volumes + bytes-per-token and fertility ratios
+    "q_token_fertility" -> q(TextAnalysis.tokenFertility),
     "q_fingerprint"   -> q(TextAnalysis.fingerprint),
     "q_sample_split"  -> q(TextAnalysis.sampleSplit),
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
@@ -1836,6 +1839,29 @@ object SparkEntry {
         |    / NULLIF(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE), 0.0), 6) AS chars_per_token
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // F28: exact integer totals per (source, lang) — strlen is
+    // DuckDB's UTF-8 byte length (Spark octet_length), length is
+    // code points on both engines; each ratio is ONE division of two
+    // exact longs, 6dp, so the rounding is engine-exact.
+    "q_token_fertility" ->
+      """WITH m AS (
+        |  SELECT source, lang,
+        |    strlen(text) AS nb, length(text) AS nc,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS nw,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(nb) AS BIGINT) AS bytes, CAST(SUM(nc) AS BIGINT) AS chars,
+        |    CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(nt) AS BIGINT) AS re_tokens
+        |  FROM m GROUP BY source, lang)
+        |SELECT source, lang, n_docs, bytes, chars, ws_tokens, re_tokens,
+        |  ROUND(CAST(bytes AS DOUBLE)/NULLIF(CAST(re_tokens AS DOUBLE),0.0),6) AS bytes_per_token,
+        |  ROUND(CAST(chars AS DOUBLE)/NULLIF(CAST(re_tokens AS DOUBLE),0.0),6) AS chars_per_token,
+        |  ROUND(CAST(re_tokens AS DOUBLE)/NULLIF(CAST(ws_tokens AS DOUBLE),0.0),6) AS fertility
+        |FROM a
+        |ORDER BY source, lang""".stripMargin,
     // E-family. Shingle/minhash/simhash pipelines are md5-derived on
     // both sides (string-lexicographic MIN over hex digests), so the
     // oracle reproduces candidate generation exactly, not just the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -16,6 +16,14 @@ import graft.sources.Tables
   * codegen.
   */
 object TextAnalysis {
+
+  /** The family's ONE BPE-ish token-count rule (F3's `re_tokens`:
+    * letter runs / digit runs / single non-space symbol) — every
+    * token-budget consumer (F3/F12/F14/F16/F24/F28…) derives from
+    * this single definition so the rules can never drift. */
+  private[graft] def reTokenCount: Column =
+    size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
 
   /** Stopword profiles for F1 language ID (the classic n-gram/stopword
     * heuristic; fixed tiny profiles keep the oracle replayable). */
@@ -128,13 +136,57 @@ object TextAnalysis {
     * standard cheap token estimate for budget accounting. */
   def tokenCount(t: Tables): DataFrame = {
     val wsTokens = size(words(col("text"))).cast(LongType)
-    val reTokens =
-      size(regexp_extract_all(col("text"),
-        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val reTokens = reTokenCount
     t.documents.select(
       col("doc_id"), wsTokens.as("ws_tokens"), reTokens.as("re_tokens"),
       round(length(col("text")).cast("double")
         / nullif(reTokens.cast("double"), lit(0.0)), 6).as("chars_per_token"))
+  }
+
+  /** F28 — `q_token_fertility`: the tokenizer-FIT audit per (source,
+    * lang) slice: doc count, exact code-point / UTF-8-byte / token
+    * volume totals and the derived efficiency ratios — bytes/token,
+    * chars/token, and FERTILITY (subword tokens per whitespace word,
+    * the published cross-language tokenizer-efficiency metric: the
+    * XLM-R/BLOOM tokenizer analyses report exactly this to show a
+    * tokenizer trained on one language mix fragments another's words
+    * into more pieces). The table a pipeline reads before trusting
+    * F3's budget estimates across a multilingual corpus — a slice
+    * whose fertility is 2× the corpus mean pays 2× the context
+    * length for the same text, which reprices every token-budget
+    * decision (F12 packing, F13 mixing, F14 selection) on that
+    * slice.
+    *
+    * Spark shape: one per-row projection (all four measures from the
+    * family's ONE rules — [[reTokenCount]], F3's whitespace split,
+    * code-point `length`, `octet_length`) into a map-side-combining
+    * agg on (source, lang) — ≤ |sources|·|langs| rows. Every ratio
+    * is ONE IEEE division of two exact integer totals, 6dp — order-
+    * independent, engine-exact. Zero shuffle risk at any corpus
+    * size. */
+  def tokenFertility(t: Tables): DataFrame = {
+    t.documents
+      .select(col("source"), col("lang"),
+        length(col("text")).cast(LongType).as("nc"),
+        octet_length(col("text")).cast(LongType).as("nb"),
+        size(words(col("text"))).cast(LongType).as("nw"),
+        reTokenCount.as("nt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("bytes"), sum(col("nc")).as("chars"),
+        sum(col("nw")).as("ws_tokens"), sum(col("nt")).as("re_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("bytes"), col("chars"), col("ws_tokens"), col("re_tokens"),
+        round(col("bytes").cast("double")
+          / nullif(col("re_tokens").cast("double"), lit(0.0)), 6)
+          .as("bytes_per_token"),
+        round(col("chars").cast("double")
+          / nullif(col("re_tokens").cast("double"), lit(0.0)), 6)
+          .as("chars_per_token"),
+        round(col("re_tokens").cast("double")
+          / nullif(col("ws_tokens").cast("double"), lit(0.0)), 6)
+          .as("fertility"))
+      .orderBy(col("source"), col("lang"))
   }
 
   /** F4 — winnowing-style document fingerprint: the minimum md5 over
@@ -492,8 +544,7 @@ object TextAnalysis {
     * derives from exact integers through identical IEEE ops. */
   def mixTemperature(t: Tables): DataFrame = {
     val alpha = 0.3
-    val nt = size(regexp_extract_all(col("text"),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nt = reTokenCount
     val per = t.documents.select(col("source"), nt.as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
@@ -548,8 +599,7 @@ object TextAnalysis {
   def packSequences(t: Tables): DataFrame = {
     val seqLen = 2048.0
     val shardSz = 65536L
-    val nt = size(regexp_extract_all(col("text"),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nt = reTokenCount
     val tok0 = t.documents.select(
       col("source"), col("doc_id"), nt.as("nt"))
       .localCheckpoint()
@@ -626,8 +676,7 @@ object TextAnalysis {
     * order differently. */
   def selectBudget(t: Tables): DataFrame = {
     val shardSz = 65536L
-    val nt = size(regexp_extract_all(col("text"),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nt = reTokenCount
     // one corpus scan computes both ranking inputs; eager checkpoint:
     // the shard count probe and the range partitioning are two
     // consumers (see packSequences)
@@ -1020,8 +1069,7 @@ object TextAnalysis {
     * bounded — never corpus-sized); 1-row totals cross-broadcast.
     * Shares divide exact longs once, 6dp display round. */
   def tokenHistogram(t: Tables): DataFrame = {
-    val nt = size(regexp_extract_all(col("text"),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nt = reTokenCount
     val buckets = t.documents
       .select(when(nt === 0L, lit(-1))
         .otherwise(length(bin(nt)) - 1).cast("int").as("bucket"),

@@ -721,4 +721,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.exists(r => r._1 == "new" && r._2 == "york" && r._3 == 9L))
     assert(got.forall(_._3 > 5))
   }
+
+  test("tokenFertility: exact byte/char/token accounting on a planted " +
+    "multilingual slice (multi-byte chars, sub-word splits, NULL text)") {
+    val docs = Seq(
+      (0L, "alpha", "en", "hello world"),  // ascii: bytes = chars, 1 token/word
+      (1L, "alpha", "en", "don't stop"),   // don|'|t|stop: 4 tokens over 2 words
+      (2L, "beta", "zh", "你好 世界"), // 4 CJK chars à 3 UTF-8 bytes
+      (3L, "beta", "zh", null)             // counts in n_docs, all sums skip
+    ).toDF("doc_id", "source", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fertility").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = TextAnalysis.tokenFertility(Tables(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getDouble(8), r.getDouble(9)))).toMap
+    // alpha/en: bytes=chars=21, ws=4, re=2+4=6
+    assert(got(("alpha", "en")) ===
+      ((2L, 21L, 21L, 4L, 6L, 3.5, 3.5, 1.5)))
+    // beta/zh: the non-null doc is 4 ideographs + 1 space — 13 bytes
+    // for 5 code points (bytes > chars is the multi-byte signal),
+    // each ideograph lexes as a single-symbol token (4 re over 2 ws)
+    assert(got(("beta", "zh")) ===
+      ((2L, 13L, 5L, 2L, 4L, 3.25, 1.25, 2.0)))
+    assert(got.size === 2)
+    // reconciliation: the audit's token volume is exactly F3's rule
+    // summed — one definition, two consumers
+    val fromF3 = TextAnalysis.tokenCount(t).agg(sum("re_tokens")).first().getLong(0)
+    val fromF28 = TextAnalysis.tokenFertility(t).agg(sum("re_tokens")).first().getLong(0)
+    assert(fromF3 === fromF28)
+  }
 }
