@@ -269,6 +269,9 @@ object SparkEntry {
     "q_media_embedding" -> q(Multimodal.mediaEmbedding),
     // G5: stride block-subsample resize, fully per-row (zero shuffle)
     "q_media_resize"    -> q(Multimodal.mediaResize),
+    // G6: average-hash (aHash) near-dup pairs over payloads — 64
+    // strided samples, integer-exact mean bits, E3's banded Hamming
+    "q_media_phash"     -> q(Multimodal.mediaPhash),
     // F12: concat-and-chunk packing audit via a two-level distributed
     // prefix sum (no single-partition-per-source window)
     "q_pack_sequences"  -> q(TextAnalysis.packSequences),
@@ -2071,6 +2074,7 @@ object SparkEntry {
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY eval_id, train_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
+    "q_media_phash" -> mediaPhashOracle,
     // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
     // (drop shingles in > maxBucketSize docs before pairing; sizes
     // count the same capped shingle space) with the same QUALIFY
@@ -2610,6 +2614,53 @@ object SparkEntry {
     * the HUGEINT sum fits BIGINT and the cast reproduces the
     * two's-complement pattern), 4×16-bit band blocking with the same
     * occupancy cap as the Spark side, Hamming ≤ 3. */
+  /** G6's replay: the same 64 strided code-point samples (the
+    * VARCHAR stand-in for byte offsets — the G-family's documented
+    * ASCII-oracle constraint), the exact integer mean test, E3's
+    * band/QUALIFY/bit_count shape with the same occupancy cap. */
+  private def mediaPhashOracle: String = {
+    val nS = operators.Multimodal.phashSamples
+    val vCols = (0 until nS).map(b =>
+      s"    ascii(substr(text, CAST((CAST(length(text) AS BIGINT) * $b) // $nS AS INT) + 1, 1)) AS v$b")
+      .mkString(",\n")
+    val tot = (0 until nS).map(b => s"v$b").mkString(" + ")
+    val fpSum = (0 until nS)
+      .map(b => s"(CASE WHEN $nS * v$b > tot THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & 65535 AS bv FROM fp")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |$vCols
+       |  FROM documents WHERE length(text) >= $nS),
+       |st AS (SELECT *, ($tot) AS tot FROM s),
+       |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM st),
+       |bands0 AS (
+       |$bands),
+       |bands AS (
+       |  SELECT doc_id, fp, band, bv FROM bands0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= ${operators.Dedup.maxBucketSize}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, hamming FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, hamming FROM cand),
+       |audit AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+       |  FROM sym GROUP BY doc_id)
+       |SELECT fp.doc_id, fp.fp,
+       |  COALESCE(audit.n_candidates, 0) AS n_candidates,
+       |  COALESCE(audit.n_dupes, 0) AS n_dupes
+       |FROM fp LEFT JOIN audit ON audit.doc_id = fp.doc_id
+       |ORDER BY fp.doc_id""".stripMargin
+  }
+
   private def simhashOracle: String = {
     val sums = (0 until 64).map { k =>
       val src = if (k < 32) "md5('a:' || w)" else "md5('b:' || w)"

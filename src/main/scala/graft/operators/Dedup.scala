@@ -773,6 +773,20 @@ object Dedup {
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
     val fps = sums.select(col("doc_id"), fpCol.as("fp"))
+    hammingCandidates(fps)
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The E3/G6-shared banded Hamming candidate generation: 4×16-bit
+    * band blocking over an explode unpivot of a 64-bit (doc_id, fp)
+    * frame (pigeonhole-exact for Hamming ≤ 3 — at most 3 flipped
+    * bits cannot dirty all 4 bands), occupancy-capped buckets so no
+    * fingerprint pile-up can quadraticize the in-bucket self-join,
+    * exact bit_count on every candidate — callers apply their own
+    * Hamming cut. (doc_a < doc_b, hamming). One definition; both
+    * rows' oracles replay the same band/QUALIFY shape. */
+  private[graft] def hammingCandidates(fps: DataFrame): DataFrame = {
     val bands = capBuckets(
       fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(b =>
@@ -787,8 +801,6 @@ object Dedup {
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(fa ^ fb) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Shingle rows with the DOCUMENT-FREQUENCY cap applied: shingles

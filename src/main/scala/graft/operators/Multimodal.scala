@@ -232,4 +232,84 @@ object Multimodal {
         length(col("rp")).cast(LongType).as("resized_bytes"),
         md5(col("rp")).as("resized_md5"))
   }
+
+  /** G6's thumbnail width: 64 strided sample points → a 64-bit
+    * average hash, E3's band geometry. `private[graft]` so the
+    * oracle derives the sample positions, the mean test and the
+    * eligibility floor from the same constant. */
+  private[graft] val phashSamples = 64
+
+  /** G6 — `q_media_phash`: the average-hash (aHash) perceptual
+    * fingerprint INDEX over binary payloads, with its per-payload
+    * dedup audit — the stage an image/video pipeline persists where
+    * E1's md5 only catches byte-identical files (same picture,
+    * different encode). The published aHash recipe (the pHash
+    * family's baseline): downscale to a tiny thumbnail, then bit b =
+    * sample b brighter than the thumbnail mean. Here the downscale
+    * is G5's stride contract at the payload level — 64 equally-
+    * strided sample bytes (an 8×8-thumbnail analog over the byte
+    * stream; swap in a real decoder + pixel grid at the same
+    * 64-sample signature and nothing downstream changes) — and the
+    * mean test is the exact integer cross-multiply 64·s_b > Σs (no
+    * floats anywhere, so the 64-bit fingerprint is engine-exact by
+    * construction).
+    *
+    * Output per eligible payload: the fingerprint, n_candidates =
+    * its fan-out through the E3-shared [[Dedup.hammingCandidates]]
+    * band blocking (the quantity the occupancy cap bounds at scale —
+    * the number every banded-dedup deployment monitors), and
+    * n_dupes = band mates verified at Hamming ≤ 3 (pigeonhole-exact
+    * through 4×16 bands). On this corpus n_dupes is honestly 0 —
+    * shuffled-word payloads have no re-encode analog — so the
+    * pairing semantics are additionally proven in spec on planted
+    * near-identical payloads through the same shared scaffold.
+    *
+    * Scale shape: the fingerprint is ONE per-row projection (64
+    * bound sample columns, one reduce — no explode, no HOF lambda,
+    * scan-speed); everything pairwise lives behind the capped band
+    * join; the audit counts are one symmetrized map-side-combining
+    * agg over the candidate pairs LEFT-joined back (absent → 0).
+    * Payloads under 64 bytes are excluded (no meaningful thumbnail;
+    * the oracle replays the same floor). */
+  def mediaPhash(t: Tables): DataFrame = mediaPhashDocs(t.documents)
+
+  /** G6 over an arbitrary (doc_id, text) frame — the spec drives the
+    * planted near-dup pairing proof through this. */
+  private[graft] def mediaPhashDocs(documents: DataFrame): DataFrame = {
+    val nS = phashSamples
+    val n = length(col("text")).cast(LongType)
+    // sample positions floor(b·n/64)+1 — exact in double (the
+    // product stays far under 2^53 and /64 is a power-of-two divide)
+    val sampleCols = (0 until nS).map { b =>
+      ascii(col("text").substr(
+        (floor(n.cast("double") * b / nS) + 1).cast("int"), lit(1)))
+        .as(s"v$b")
+    }
+    val eligible = documents
+      .filter(length(col("text")) >= nS)
+      .select(col("doc_id") +: sampleCols: _*)
+    val tot = (0 until nS).map(b => col(s"v$b")).reduce(_ + _)
+    val fpCol = (0 until nS).map { b =>
+      // bit 63's weight wraps to Long.MinValue — E3's two's-
+      // complement contract, partials never overflow
+      when(col(s"v$b") * nS > col("tot"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // eager checkpoint: the band self-join and the output left join
+    // both consume the fingerprint table
+    val fps = eligible
+      .withColumn("tot", tot)
+      .select(col("doc_id"), fpCol.as("fp"))
+      .localCheckpoint()
+    val cands = Dedup.hammingCandidates(fps)
+    val sym = cands.select(col("doc_a").as("doc_id"), col("hamming"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"), col("hamming")))
+    val audit = sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_dupes"))
+    fps.join(audit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dupes"), lit(0L)).as("n_dupes"))
+      .orderBy(col("doc_id"))
+  }
 }

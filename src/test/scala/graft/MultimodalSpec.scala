@@ -285,4 +285,78 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId.size === docs.size)
     assertResizeParity(byId, docs)
   }
+
+  /** Plain-Scala aHash replication: 64 strided code-point samples,
+    * integer cross-multiply mean bits (bit 63 wraps like the
+    * engine's Long weights). */
+  private def aHash(text: String): Long = {
+    val nS = 64
+    val n = text.length.toLong
+    val v = (0 until nS).map(b => text.charAt((n * b / nS).toInt).toLong)
+    val tot = v.sum
+    (0 until nS).map(b => if (v(b) * nS > tot) 1L << b else 0L).sum
+  }
+
+  test("mediaPhash: fingerprint and band-audit match an independent " +
+    "plain-Scala replication on the sf corpus") {
+    val docs = t.documents.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).map(r.getLong(0) -> _))
+      .filter(_._2.length >= 64)
+    val fp = docs.map { case (id, tx) => id -> aHash(tx) }.toMap
+    // band candidates: any shared 16-bit band (bucket occupancy far
+    // under the cap at this size)
+    def bandsOf(f: Long): Seq[Long] =
+      (0 until 4).map(b => (b.toLong << 32) | ((f >>> (16 * b)) & 0xffffL))
+    val byBand = fp.toSeq.flatMap { case (id, f) => bandsOf(f).map(_ -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val candPairs = byBand.flatMap(ids =>
+      for { i <- ids.indices; j <- (i + 1) until ids.length }
+        yield (ids(i), ids(j))).toSet
+    val expected = fp.map { case (id, f) =>
+      val mates = candPairs.collect {
+        case (a, b) if a == id => b
+        case (a, b) if b == id => a
+      }
+      val nd = mates.count(m =>
+        java.lang.Long.bitCount(f ^ fp(m)) <= 3).toLong
+      id -> ((f, mates.size.toLong, nd))
+    }
+    val got = Multimodal.mediaPhash(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.exists(_._2 > 0),
+      "no band candidates anywhere — the audit is vacuous")
+  }
+
+  test("mediaPhash: a planted near-identical payload pairs at Hamming <= 3, " +
+    "a heavy edit stays a band candidate but never a dupe") {
+    import spark.implicits._
+    // n = 256 ⇒ sample b reads position 4b, so the 64 sample values
+    // are controlled directly; background bytes are never sampled.
+    // The mean test only sees the samples: 'z' (122) vs 'a' (97)
+    // around mean 109.5 keeps every bit far from the boundary.
+    val n = 256
+    def payloadOf(high: Int => Boolean): String =
+      (0 until n).map(i =>
+        if (i % 4 == 0 && high(i / 4)) 'z' else 'a').mkString
+    val base = payloadOf(b => b % 2 == 0)          // bits: evens set
+    val near = payloadOf(b => b % 2 == 0 && b != 0) // exactly bit 0 flips
+    // invert samples 16..55: 40 bits flip (bands 1-3 all dirty),
+    // band 0 (bits 0-15) intact — a candidate that fails the verify
+    val heavy = payloadOf(b =>
+      if (b >= 16 && b < 56) b % 2 != 0 else b % 2 == 0)
+    val docs = Seq((0L, base), (1L, near), (2L, heavy)).toDF("doc_id", "text")
+    val got = Multimodal.mediaPhashDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val h01 = java.lang.Long.bitCount(got(0L)._1 ^ got(1L)._1)
+    val h02 = java.lang.Long.bitCount(got(0L)._1 ^ got(2L)._1)
+    assert(h01 === 1, s"planted near-dup drifted to hamming $h01")
+    assert(h02 === 40, s"planted heavy edit drifted to hamming $h02")
+    // base sees both mates; only the near one verifies as a dupe
+    assert(got(0L) === ((got(0L)._1, 2L, 1L)))
+    assert(got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(2L)._2 === 1L && got(2L)._3 === 0L)
+  }
 }
