@@ -78,6 +78,9 @@ object SparkEntry {
     // lexical Jaccard against the query text, blended in integer
     // micro-units
     "q_search_rerank"     -> q(VectorSearch.searchRerank),
+    // D27: MMR-diversified top-k — greedy λ·rel − (1−λ)·max-sim
+    // selection over the D1 candidate pool, integer micro-units
+    "q_search_mmr"        -> q(VectorSearch.searchMmr),
     // D15: the corpus-wide approximate k-NN graph, cell-blocked so
     // candidates are ~n·τ rows at any scale
     "q_knn_graph"         -> q(VectorSearch.knnGraph),
@@ -2075,6 +2078,7 @@ object SparkEntry {
          |ORDER BY eval_id, train_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_media_phash" -> mediaPhashOracle,
+    "q_search_mmr" -> mmrOracle,
     // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
     // (drop shingles in > maxBucketSize docs before pairing; sizes
     // count the same capped shingle space) with the same QUALIFY
@@ -2614,6 +2618,58 @@ object SparkEntry {
     * the HUGEINT sum fits BIGINT and the cast reproduces the
     * two's-complement pattern), 4×16-bit band blocking with the same
     * occupancy cap as the Spark side, Hamming ≤ 3. */
+  /** D27's replay: D1's scoring CTE → top-N candidate pool with
+    * micro-unit relevance, the N² pairwise micro-unit cosines, then
+    * the SAME k greedy MMR steps the engine folds — one CTE per
+    * step, each restricted to the not-yet-selected pool, penalized
+    * by a correlated MAX over the union of prior picks, tie to the
+    * lowest vec_id. Integer micro-units end to end; the display
+    * score is one exact-long division, 6dp. */
+  private def mmrOracle: String = {
+    val k = operators.VectorSearch.mmrK
+    val n = operators.VectorSearch.mmrCandidates
+    val lam = operators.VectorSearch.mmrLambdaNum
+    val steps = (2 to k).map { i =>
+      val selU = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS (
+         |  SELECT vec_id, rel, $i AS rank, mmr_u FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      $lam*c.rel_u - ${10 - lam}*(SELECT MAX(p.sim_u) FROM p
+         |        WHERE p.a = c.vec_id AND p.b IN ($selU)) AS mmr_u
+         |    FROM cands c WHERE c.vec_id NOT IN ($selU))
+         |  ORDER BY mmr_u DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""$embCte,
+       |cands AS (
+       |  SELECT vec_id, score AS rel,
+       |    CAST(ROUND(score*1000000, 0) AS BIGINT) AS rel_u
+       |  FROM (
+       |    SELECT vec_id,
+       |      ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+       |    FROM s)
+       |  ORDER BY score DESC, vec_id LIMIT $n),
+       |ce AS (
+       |  SELECT ev.vec_id, ev.i, ev.v
+       |  FROM ev JOIN cands ON ev.vec_id = cands.vec_id),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(ROUND(ROUND(COALESCE(SUM(a.v*b.v)
+       |      / NULLIF(SQRT(SUM(a.v*a.v))*SQRT(SUM(b.v*b.v)),0),0),6)*1000000, 0)
+       |      AS BIGINT) AS sim_u
+       |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, 1 AS rank, $lam*rel_u AS mmr_u FROM cands
+       |  ORDER BY rel_u DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel,
+       |  ROUND(CAST(mmr_u AS DOUBLE)/10000000, 6) AS mmr_score
+       |FROM ($all)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** G6's replay: the same 64 strided code-point samples (the
     * VARCHAR stand-in for byte offsets — the G-family's documented
     * ASCII-oracle constraint), the exact integer mean test, E3's

@@ -146,6 +146,76 @@ object VectorSearch {
       .limit(10)
   }
 
+  /** D27's shape: k final picks from an N-candidate pool at
+    * λ = [[mmrLambdaNum]]/10. `private[graft]` so the oracle replays
+    * the same constants. */
+  private[graft] val mmrK = 5
+  private[graft] val mmrCandidates = 20
+  private[graft] val mmrLambdaNum = 7L
+
+  /** D27 — `q_search_mmr`: Maximal Marginal Relevance diversified
+    * top-k (Carbonell & Goldstein 1998) — the standard re-rank that
+    * keeps a result page from being five paraphrases of the same
+    * hit: greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    * over the candidate pool. The D-family's missing semantic — D1
+    * ranks by pure relevance, D14 re-scores lexically, E15 prunes
+    * duplicates corpus-wide; this diversifies ONE result set at
+    * query time (retrieval-augmented pipelines run exactly this
+    * between the ANN probe and the context window).
+    *
+    * Scale/exactness shape: stage 1 is D1's TakeOrdered top-N
+    * (N = [[mmrCandidates]] — the only corpus-sized pass); the pool
+    * checkpoints once and EVERYTHING greedy happens on ≤ N rows —
+    * the N² pairwise cosines are a broadcast self-join of 20 rows,
+    * and each of the k−1 selection steps is a keyed anti/semi join +
+    * one TakeOrdered(1) over ≤ N rows, all inside ONE declarative
+    * plan (no driver loop, no per-step action). All MMR arithmetic
+    * runs in INTEGER MICRO-UNITS off the 6dp scores
+    * (mmr_u = 7·rel_u − 3·max_sim_u — exact on both engines, the
+    * F13/F15 quantization technique), so selection order is
+    * bit-for-bit replayable; the oracle chains the same k greedy
+    * steps as CTEs. Ties break to the lowest vec_id everywhere. */
+  def searchMmr(t: Tables): DataFrame = {
+    val cand = t.embeddings
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(queryVec(t)))
+      .select(col("vec_id"), col("embedding"),
+        score(col("embedding"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(mmrCandidates)
+      .withColumn("rel_u", round(col("rel") * 1e6, 0).cast(LongType))
+      .localCheckpoint()
+    val pairs = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(broadcast(cand.select(col("vec_id").as("b"), col("embedding").as("eb"))),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(score(col("ea"), col("eb")) * 1e6, 0).cast(LongType).as("sim_u"))
+      .localCheckpoint()
+    val base = cand.select(col("vec_id"), col("rel"), col("rel_u"))
+    var sel = base
+      .orderBy(col("rel_u").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("rank"),
+        (col("rel_u") * mmrLambdaNum).as("mmr_u"))
+    (2 to mmrK).foreach { i =>
+      val selIds = sel.select(col("vec_id"))
+      val pen = pairs
+        .join(selIds.withColumnRenamed("vec_id", "b"), "b")
+        .groupBy(col("a")).agg(max(col("sim_u")).as("pen_u"))
+        .withColumnRenamed("a", "vec_id")
+      val next = base
+        .join(selIds, Seq("vec_id"), "left_anti")
+        .join(pen, Seq("vec_id"))
+        .withColumn("mmr_u",
+          col("rel_u") * mmrLambdaNum - col("pen_u") * (10L - mmrLambdaNum))
+        .orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(i).as("rank"), col("mmr_u"))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("rank"), col("vec_id"), col("rel"),
+      round(col("mmr_u").cast("double") / 1e7, 6).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
   /** D15 — `q_knn_graph`: the corpus-wide approximate k-NN GRAPH —
     * every vector's top-3 same-cell neighbors, the building block
     * for graph-based near-dup clustering, diversity sampling and

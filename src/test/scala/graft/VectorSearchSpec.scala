@@ -260,6 +260,52 @@ class VectorSearchSpec extends SparkTestBase {
     }
   }
 
+  test("searchMmr: equals an independent plain-Scala greedy MMR " +
+    "(6dp micro-unit scores, lowest-id ties) and actually diversifies") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = vecs(0L)
+    val relU = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> math.round(r6(cos(v, qv)) * 1e6) }
+    val pool = relU.sortBy { case (id, ru) => (-ru, id) }
+      .take(VectorSearch.mmrCandidates)
+    val poolIds = pool.map(_._1)
+    val simU = (for {
+      a <- poolIds; b <- poolIds if a != b
+    } yield (a, b) -> math.round(r6(cos(vecs(a), vecs(b))) * 1e6)).toMap
+    val lam = VectorSearch.mmrLambdaNum
+    var sel = Vector(pool.head._1 -> lam * pool.head._2)
+    while (sel.size < VectorSearch.mmrK) {
+      val chosen = sel.map(_._1).toSet
+      val next = pool.filterNot(p => chosen(p._1))
+        .map { case (id, ru) =>
+          val pen = sel.map(s => simU((id, s._1))).max
+          id -> (lam * ru - (10L - lam) * pen)
+        }
+        .minBy { case (id, mu) => (-mu, id) }
+      sel = sel :+ next
+    }
+    val expected = sel.zipWithIndex.map { case ((id, mu), i) =>
+      (i + 1) -> ((id, r6(mu.toDouble / 1e7)))
+    }.toMap
+    val got = VectorSearch.searchMmr(t).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got === expected)
+    // diversification bites: the MMR picks are NOT just the top-k by
+    // pure relevance on this corpus
+    val topK = pool.take(VectorSearch.mmrK).map(_._1).toSet
+    assert(got.values.map(_._1).toSet !== topK,
+      "MMR degenerated to the pure-relevance top-k — nothing was penalized")
+  }
+
   test("searchHybrid: rrf is the exact two-term formula of the emitted " +
     "ranks, every hit comes from a leg, output sorted by fused score") {
     val rows = VectorSearch.searchHybrid(t).collect()
