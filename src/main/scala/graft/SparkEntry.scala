@@ -140,6 +140,10 @@ object SparkEntry {
     // H2: the loader-facing sink — id-sharded training files per
     // split + the per-(split, shard) balance/checksum manifest
     "q_export_shards"   -> q(graft.sources.Export.exportShards),
+    // H3: the curriculum sink — kept train docs phase-partitioned by
+    // F26's quality terciles (anneal toward quality), id-sharded,
+    // read-back manifest with micro-unit mean quality
+    "q_export_curriculum" -> q(graft.sources.Export.exportCurriculum),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -226,6 +230,9 @@ object SparkEntry {
     // AND E16's global keep cut off ONE shared assignment + centroid
     // pass, with both marginal flags for attribution
     "q_prune_compose"   -> q(Dedup.pruneCompose),
+    // E18: the per-source gram duplication-rate audit (Lee et al.
+    // 2022's motivating table) on E12's exact gram unit
+    "q_gram_novelty"    -> q(Dedup.gramNovelty),
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
@@ -1974,6 +1981,42 @@ object SparkEntry {
          |FROM tk
          |GROUP BY 1, 2
          |ORDER BY split, shard""".stripMargin,
+    // H3: the same kept/split/token chain restricted to train, the
+    // F26 PERCENT_RANK bucket replay mapped to phases (head = 3,
+    // annealed last), micro-unit quality sums (q comes from
+    // pipelineKeptCtesBody — the ONE quality definition) divided
+    // once per manifest row.
+    "q_export_curriculum" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |$exportTkCtesBody,
+         |qq AS (
+         |  SELECT doc_id, source, quality FROM q WHERE quality IS NOT NULL),
+         |prr AS (
+         |  SELECT doc_id, quality,
+         |    PERCENT_RANK() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS p
+         |  FROM qq),
+         |ph AS (
+         |  SELECT doc_id, quality,
+         |    CASE WHEN p <= 1.0/3 THEN 3
+         |         WHEN p <= 2.0/3 THEN 2 ELSE 1 END AS phase
+         |  FROM prr),
+         |ct AS (
+         |  SELECT ph.phase,
+         |    t.doc_id % ${graft.sources.Export.exportShardCount} AS shard,
+         |    t.doc_id, t.toks,
+         |    CAST(ROUND(ph.quality*1000000, 0) AS BIGINT) AS q_u
+         |  FROM tk t JOIN ph ON ph.doc_id = t.doc_id
+         |  WHERE t.split = 'train')
+         |SELECT CAST(phase AS INTEGER) AS phase, shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+         |  ROUND(CAST(SUM(q_u) AS DOUBLE)
+         |    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_quality
+         |FROM ct
+         |GROUP BY phase, shard
+         |ORDER BY phase, shard""".stripMargin,
     // F6: both engines append the same synthetic contact suffixes and
     // then apply identical redaction regexes (RE2 and Java agree on
     // these patterns; DuckDB needs the explicit 'g' flag).
@@ -2015,6 +2058,33 @@ object SparkEntry {
          |WHERE doc_a > w OR doc_b > w
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_lsh_recall" -> lshRecallOracle,
+    // E18: nests E12's exact gram-occurrence CTEs (occ — one gram
+    // definition for the audit and the cut; the unused flag/cov tail
+    // prunes away), collapses to the (gh, source) mid level, derives
+    // corpus gram stats OVER mid, and reads every per-source rate
+    // off exact longs (single 6dp divisions).
+    "q_gram_novelty" ->
+      s"""$spanCovCtes,
+         |mid AS (
+         |  SELECT d.source, o.gh, COUNT(*) AS c
+         |  FROM occ o JOIN documents d ON o.doc_id = d.doc_id
+         |  GROUP BY d.source, o.gh),
+         |gs AS (SELECT gh, CAST(SUM(c) AS BIGINT) AS cnt, COUNT(*) AS nsrc
+         |       FROM mid GROUP BY gh)
+         |SELECT m.source,
+         |  CAST(SUM(m.c) AS BIGINT) AS n_occurrences,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(CASE WHEN g.cnt >= 2 THEN m.c ELSE 0 END) AS BIGINT)
+         |    AS dup_occurrences,
+         |  ROUND(CAST(SUM(CASE WHEN g.cnt >= 2 THEN m.c ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(m.c) AS DOUBLE), 6) AS dup_share,
+         |  CAST(SUM(CASE WHEN g.nsrc >= 2 THEN m.c ELSE 0 END) AS BIGINT)
+         |    AS cross_occurrences,
+         |  ROUND(CAST(SUM(CASE WHEN g.nsrc >= 2 THEN m.c ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(m.c) AS DOUBLE), 6) AS cross_share
+         |FROM mid m JOIN gs g ON m.gh = g.gh
+         |GROUP BY m.source
+         |ORDER BY m.source""".stripMargin,
     // E12: gram OCCURRENCES are positional (unnest + 1-based range;
     // the Spark side is 0-based — pos never leaves either query, so
     // only its ordering matters and each side stays self-consistent).

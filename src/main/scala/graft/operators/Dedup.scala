@@ -1197,6 +1197,59 @@ object Dedup {
       (col("gh").isNotNull && row_number().over(byGram) > 1).cast("int")))
   }
 
+  /** E18 — `q_gram_novelty`: the per-source gram DUPLICATION-RATE
+    * audit — the number Lee et al. 2022 (*Deduplicating Training
+    * Data Makes Language Models Better*) report to motivate span
+    * dedup: what share of a source's [[spanGramLen]]-word gram
+    * occurrences are verbatim repeats (corpus-wide count ≥ 2), and
+    * what share collide with ANOTHER source (the cross-contamination
+    * slice E13 pairs up, read here as a per-source rate). The
+    * diagnostic sibling of E12: E12 CUTS the repeated spans, this
+    * row is the table that says how much each source would lose —
+    * the memorization-risk / boilerplate audit a pipeline reads
+    * before enabling the cut. Gram unit = E12's
+    * [[spanGramOccurrences]] (ONE definition, so "a repeated span"
+    * means the same thing in the audit and the cut).
+    *
+    * Scale shape: everything aggregates through the (gh, source)
+    * mid-level frame — occurrences collapse there map-side-combined
+    * (one gh-keyed shuffle), corpus gram stats are a second
+    * map-side agg OVER mid (never the token stream), and the
+    * back-join is mid ⋈ stats on gh (F8's tf⋈df shape — vocab-keyed,
+    * never broadcast at 100 TB); per-source rates are one final
+    * ≤|sources|-row agg of exact longs, each share a single 6dp
+    * IEEE division. Nothing pairwise anywhere; a gram in a million
+    * docs is one mid row per source, never a join blow-up. */
+  def gramNovelty(t: Tables): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val occ = spanGramOccurrences(t.documents)
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("gh"))
+    val mid = occ.join(src, "doc_id")
+      .groupBy(col("gh"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gs = mid.groupBy(col("gh"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("nsrc"))
+    mid.join(gs, "gh")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") >= 2, col("c")).otherwise(0L))
+          .as("dup_occurrences"),
+        sum(when(col("nsrc") >= 2, col("c")).otherwise(0L))
+          .as("cross_occurrences"))
+      .select(col("source"), col("n_occurrences"), col("n_distinct"),
+        col("dup_occurrences"),
+        round(col("dup_occurrences").cast("double")
+          / col("n_occurrences").cast("double"), 6).as("dup_share"),
+        col("cross_occurrences"),
+        round(col("cross_occurrences").cast("double")
+          / col("n_occurrences").cast("double"), 6).as("cross_share"))
+      .orderBy(col("source"))
+  }
+
   /** Shared gram-OCCURRENCE assembly for the span rows (full E12 and
     * incremental E14): every token row with the md5 of the
     * [[spanGramLen]]-word gram STARTING at it — null in the last

@@ -128,4 +128,64 @@ object Export {
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
+
+  /** H3 — `q_export_curriculum`: the CURRICULUM-ordered training
+    * sink — materialize the kept TRAIN split phase-partitioned by
+    * per-source quality tercile (F26's calibrated buckets: phase 1 =
+    * tail, 2 = middle, 3 = head, so a loader streaming phases in
+    * order ANNEALS toward the highest-quality slice last — the
+    * published end-of-training quality-upsample schedule), id-
+    * sharded inside each phase under H2's loader contract, and
+    * report the per-(phase, shard) manifest: doc count, token
+    * volume, id checksum, and the phase's mean quality — the
+    * schedule table a training job reads to plan its data ordering,
+    * and the monotone-quality check that proves the phases are what
+    * the curriculum claims.
+    *
+    * Composition discipline: phases come from the F26 operator
+    * CALLED (per-source calibration means every phase mixes sources
+    * near-uniformly by construction — a corpus-wide cut would front-
+    * load whole low-scoring sources); kept/split are the family's
+    * ONE pipeline rule; same read-back manifest discipline as H1/H2
+    * (a half-run write fails the row; avg_quality recomputes the
+    * QUALITY EXPRESSION from the read-back text, a stronger
+    * round-trip proof than token counts alone). Mean quality sums
+    * integer micro-units (F16's technique) and divides ONCE, 6dp —
+    * engine-exact. Same cluster-shared scratch root. */
+  def exportCurriculum(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "export_curriculum").toPath
+    try {
+      val out = s"$dir/phases"
+      val phase = when(col("bucket") === "head", 3)
+        .when(col("bucket") === "middle", 2).otherwise(1)
+      val buckets = TextAnalysis.qualityBuckets(t)
+        .select(col("doc_id"), col("bucket"))
+      TextAnalysis.pipelineKeptDocs(t)
+        .filter(col("split") === "train")
+        .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+        .join(buckets, "doc_id")
+        .select(col("doc_id"), col("text"), phase.as("phase"),
+          pmod(col("doc_id"), lit(exportShardCount.toLong)).as("shard"))
+        .write.partitionBy("phase", "shard").parquet(out)
+      spark.read
+        .schema("doc_id LONG, text STRING, phase INT, shard LONG")
+        .parquet(out)
+        .select(col("phase"), col("shard"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"),
+          round(TextAnalysis.qualityExpr * 1e6, 0).cast(LongType).as("q_u"))
+        .groupBy(col("phase"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"),
+          sum(col("q_u")).as("q_sum"))
+        .select(col("phase"), col("shard"), col("n_docs"), col("n_tokens"),
+          col("id_xor"),
+          round(col("q_sum").cast("double")
+            / (col("n_docs") * lit(1000000L)).cast("double"), 6)
+            .as("avg_quality"))
+        .orderBy(col("phase"), col("shard"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
 }

@@ -544,6 +544,43 @@ class DedupSpec extends SparkTestBase {
       "a kept example outscores a dropped one — the cut is not by rank")
   }
 
+  test("gramNovelty: equals an independent plain-Scala gram census " +
+    "(13-word grams, corpus-wide dup and cross-source rates)") {
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .flatMap(r => Option(r.getString(2)).map(tx =>
+        (r.getLong(0), r.getString(1), tx)))
+    val n = Dedup.spanGramLen
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (gram, source) -> occurrence count, the mid level the engine
+    // aggregates through
+    val mid = docs.flatMap { case (_, src, tx) =>
+      val ws = tx.trim.toLowerCase.split("\\s+").toSeq
+      if (ws.length < n) Seq.empty
+      else ws.sliding(n).map(g => (g.mkString(" "), src)).toSeq
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byGram = mid.groupBy(_._1._1).map { case (g, m) =>
+      g -> ((m.values.sum, m.keys.map(_._2).toSet.size))
+    }
+    val expected = mid.groupBy(_._1._2).map { case (src, m) =>
+      val nOcc = m.values.sum
+      val dup = m.collect { case ((g, _), c) if byGram(g)._1 >= 2 => c }.sum
+      val cross = m.collect { case ((g, _), c) if byGram(g)._2 >= 2 => c }.sum
+      src -> ((nOcc, m.size.toLong, dup, r6(dup.toDouble / nOcc),
+        cross, r6(cross.toDouble / nOcc)))
+    }
+    val got = Dedup.gramNovelty(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got === expected)
+    // the corpus carries real repeats: some source has a nonzero
+    // dup share, and cross ≤ dup everywhere (a cross-source gram is
+    // by definition duplicated)
+    assert(got.values.exists(_._3 > 0), "no dup grams anywhere — vacuous")
+    assert(got.values.forall(v => v._5 <= v._3))
+  }
+
   test("pruneCompose: equals composing semDedup and prototypes per vector " +
     "(non-members implicitly sem-kept, final verdict is the AND)") {
     val sem = Dedup.semDedup(t).collect()

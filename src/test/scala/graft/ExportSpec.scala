@@ -72,6 +72,47 @@ class ExportSpec extends SparkTestBase {
       "dense ids must reach every shard slot")
   }
 
+  test("exportCurriculum: read-back manifest equals the pre-write frame " +
+    "under F26's buckets, and mean quality is monotone across phases") {
+    val t = Tables(spark, sfDir)
+    val buckets = TextAnalysis.qualityBuckets(t)
+      .select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val phaseOf = Map("tail" -> 1, "middle" -> 2, "head" -> 3)
+    val pre = TextAnalysis.pipelineKeptDocs(t)
+      .filter(col("split") === "train")
+      .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("toks"),
+        round(TextAnalysis.qualityExpr * 1e6, 0).cast("long").as("q_u"))
+      .collect()
+    assert(pre.nonEmpty, "pipeline kept no train docs — fixture drifted")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pre
+      .groupBy(r => (phaseOf(buckets(r.getLong(0))),
+        r.getLong(0) % Export.exportShardCount))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_.getLong(1)).sum,
+          rs.map(_.getLong(0)).reduce(_ ^ _),
+          r6(rs.map(_.getLong(2)).sum.toDouble / (rs.length * 1000000L))))
+      }
+    val got = Export.exportCurriculum(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got === expected)
+    // the curriculum claim itself: per-phase mean quality rises
+    val byPhase = got.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (p, rs) =>
+        val n = rs.map(_._2._1).sum
+        p -> rs.map(r => r._2._4 * r._2._1).sum / n
+      }
+    assert(byPhase.map(_._1) === Seq(1, 2, 3))
+    assert(byPhase.sliding(2).forall(p => p(0)._2 < p(1)._2),
+      s"phase mean quality not monotone: $byPhase")
+  }
+
   test("exportManifest: a numeric-looking source survives the partition " +
     "round trip as a STRING (no partition-type inference corruption)") {
     import spark.implicits._
