@@ -2740,10 +2740,32 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
+  /** The E3/G6-shared band/QUALIFY/candidate SQL tail — the oracle
+    * twin of `Dedup.hammingCandidates` (ONE definition, so a band-
+    * geometry or occupancy-cap change in the shared engine helper
+    * has exactly one oracle mirror): 4×16-bit band unpivot of a CTE
+    * fp(doc_id, fp), the occupancy QUALIFY, distinct in-bucket pairs
+    * with exact bit_count. Ends in cand(doc_a, doc_b, hamming). */
+  private def hammingCandCtes: String = {
+    val bands = (0 until 4)
+      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & 65535 AS bv FROM fp")
+      .mkString("\n  UNION ALL\n")
+    s"""bands0 AS (
+       |$bands),
+       |bands AS (
+       |  SELECT doc_id, fp, band, bv FROM bands0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= ${operators.Dedup.maxBucketSize}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** G6's replay: the same 64 strided code-point samples (the
     * VARCHAR stand-in for byte offsets — the G-family's documented
-    * ASCII-oracle constraint), the exact integer mean test, E3's
-    * band/QUALIFY/bit_count shape with the same occupancy cap. */
+    * ASCII-oracle constraint), the exact integer mean test, the
+    * shared [[hammingCandCtes]] pairing. */
   private def mediaPhashOracle: String = {
     val nS = operators.Multimodal.phashSamples
     val vCols = (0 until nS).map(b =>
@@ -2753,25 +2775,13 @@ object SparkEntry {
     val fpSum = (0 until nS)
       .map(b => s"(CASE WHEN $nS * v$b > tot THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    val bands = (0 until 4)
-      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & 65535 AS bv FROM fp")
-      .mkString("\n  UNION ALL\n")
     s"""WITH s AS (
        |  SELECT doc_id,
        |$vCols
        |  FROM documents WHERE length(text) >= $nS),
        |st AS (SELECT *, ($tot) AS tot FROM s),
        |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM st),
-       |bands0 AS (
-       |$bands),
-       |bands AS (
-       |  SELECT doc_id, fp, band, bv FROM bands0
-       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= ${operators.Dedup.maxBucketSize}),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |$hammingCandCtes,
        |sym AS (
        |  SELECT doc_a AS doc_id, hamming FROM cand
        |  UNION ALL
@@ -2795,9 +2805,6 @@ object SparkEntry {
     val fpSum = (0 until 64)
       .map(k => s"(CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END)")
       .mkString(" + ")
-    val bands = (0 until 4)
-      .map(b => s"  SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & 65535 AS bv FROM fp")
-      .mkString("\n  UNION ALL\n")
     s"""WITH tk AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |  FROM documents),
@@ -2806,18 +2813,10 @@ object SparkEntry {
        |$sums
        |  FROM tk GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM bs),
-       |bands0 AS (
-       |$bands),
-       |bands AS (
-       |  SELECT doc_id, fp, band, bv FROM bands0
-       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= ${operators.Dedup.maxBucketSize}),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |$hammingCandCtes
+       |SELECT doc_a, doc_b, hamming
        |FROM cand
-       |WHERE bit_count(xor(fa, fb)) <= 3
+       |WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

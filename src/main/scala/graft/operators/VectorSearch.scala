@@ -176,6 +176,44 @@ object VectorSearch {
     * bit-for-bit replayable; the oracle chains the same k greedy
     * steps as CTEs. Ties break to the lowest vec_id everywhere. */
   def searchMmr(t: Tables): DataFrame = {
+    val (cand, pairs) = mmrPool(t)
+    val base = cand.select(col("vec_id"), col("rel"), col("rel_u"))
+    var sel = base
+      .orderBy(col("rel_u").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("rank"),
+        (col("rel_u") * mmrLambdaNum).as("mmr_u"))
+      // each step's frame is EAGERLY checkpointed: step i consumes
+      // sel three ways (anti-join, penalty keys, the union), and an
+      // unmaterialized union would re-embed every prior limit(1)
+      // subplan — plan size grows ~3^k instead of k tiny frames
+      .localCheckpoint()
+    (2 to mmrK).foreach { i =>
+      val selIds = sel.select(col("vec_id"))
+      val pen = pairs
+        .join(selIds.withColumnRenamed("vec_id", "b"), "b")
+        .groupBy(col("a")).agg(max(col("sim_u")).as("pen_u"))
+        .withColumnRenamed("a", "vec_id")
+      val next = base
+        .join(selIds, Seq("vec_id"), "left_anti")
+        .join(pen, Seq("vec_id"))
+        .withColumn("mmr_u",
+          col("rel_u") * mmrLambdaNum - col("pen_u") * (10L - mmrLambdaNum))
+        .orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(i).as("rank"), col("mmr_u"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("rank"), col("vec_id"), col("rel"),
+      round(col("mmr_u").cast("double") / 1e7, 6).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** D27's bounded candidate stage, separated so the spec can assert
+    * the contract the blanket PlanShapeSpec cannot see (both frames
+    * materialize inside localCheckpoint, so their joins never appear
+    * in the returned plan): the pool is TakeOrdered-bounded at
+    * [[mmrCandidates]] BEFORE anything pairwise, and the pairwise
+    * frame is exactly the pool² minus the diagonal. */
+  private[graft] def mmrPool(t: Tables): (DataFrame, DataFrame) = {
     val cand = t.embeddings
       .filter(col("vec_id") =!= 0)
       .join(broadcast(queryVec(t)))
@@ -191,29 +229,7 @@ object VectorSearch {
       .select(col("a"), col("b"),
         round(score(col("ea"), col("eb")) * 1e6, 0).cast(LongType).as("sim_u"))
       .localCheckpoint()
-    val base = cand.select(col("vec_id"), col("rel"), col("rel_u"))
-    var sel = base
-      .orderBy(col("rel_u").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), lit(1).as("rank"),
-        (col("rel_u") * mmrLambdaNum).as("mmr_u"))
-    (2 to mmrK).foreach { i =>
-      val selIds = sel.select(col("vec_id"))
-      val pen = pairs
-        .join(selIds.withColumnRenamed("vec_id", "b"), "b")
-        .groupBy(col("a")).agg(max(col("sim_u")).as("pen_u"))
-        .withColumnRenamed("a", "vec_id")
-      val next = base
-        .join(selIds, Seq("vec_id"), "left_anti")
-        .join(pen, Seq("vec_id"))
-        .withColumn("mmr_u",
-          col("rel_u") * mmrLambdaNum - col("pen_u") * (10L - mmrLambdaNum))
-        .orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(i).as("rank"), col("mmr_u"))
-      sel = sel.unionByName(next)
-    }
-    sel.select(col("rank"), col("vec_id"), col("rel"),
-      round(col("mmr_u").cast("double") / 1e7, 6).as("mmr_score"))
-      .orderBy(col("rank"))
+    (cand, pairs)
   }
 
   /** D15 — `q_knn_graph`: the corpus-wide approximate k-NN GRAPH —

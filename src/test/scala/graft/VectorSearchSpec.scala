@@ -306,6 +306,17 @@ class VectorSearchSpec extends SparkTestBase {
       "MMR degenerated to the pure-relevance top-k — nothing was penalized")
   }
 
+  test("searchMmr pool contract: the pool is bounded at mmrCandidates " +
+    "BEFORE anything pairwise (the stage PlanShapeSpec cannot see — " +
+    "it materializes inside localCheckpoint)") {
+    val (cand, pairs) = VectorSearch.mmrPool(t)
+    val n = cand.count()
+    assert(n === VectorSearch.mmrCandidates.toLong,
+      s"pool is $n rows — the TakeOrdered bound was dropped")
+    assert(pairs.count() === n * (n - 1),
+      "pairwise stage is not exactly pool-squared-minus-diagonal")
+  }
+
   test("searchHybrid: rrf is the exact two-term formula of the emitted " +
     "ranks, every hit comes from a leg, output sorted by fused score") {
     val rows = VectorSearch.searchHybrid(t).collect()
