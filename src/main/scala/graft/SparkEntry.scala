@@ -233,6 +233,9 @@ object SparkEntry {
     // E18: the per-source gram duplication-rate audit (Lee et al.
     // 2022's motivating table) on E12's exact gram unit
     "q_gram_novelty"    -> q(Dedup.gramNovelty),
+    // E19: E18's audit for the DELTA against the persisted E14 gram
+    // state — history-vs-within-day repetition, equivalence-proved
+    "q_novelty_incremental" -> q(Dedup.noveltyIncremental),
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
@@ -2083,6 +2086,37 @@ object SparkEntry {
          |  ROUND(CAST(SUM(CASE WHEN g.nsrc >= 2 THEN m.c ELSE 0 END) AS DOUBLE)
          |    / CAST(SUM(m.c) AS DOUBLE), 6) AS cross_share
          |FROM mid m JOIN gs g ON m.gh = g.gh
+         |GROUP BY m.source
+         |ORDER BY m.source""".stripMargin,
+    // E19: the CORPUS-WIDE side of the equivalence the engine's
+    // state-membership rule must equal — full occ CTEs, cnt ≥ 2
+    // decides dup, base membership = any occurrence at or below the
+    // 0.9 watermark (E14's replayed rule); restricted to delta
+    // occurrences, collapsed through the same (gh, source) mid level.
+    "q_novelty_incremental" ->
+      s"""$spanCovCtes,
+         |wm AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.9) AS BIGINT) AS wmk FROM documents),
+         |gall AS (SELECT gh, COUNT(*) AS cnt FROM occ GROUP BY gh),
+         |gbase AS (
+         |  SELECT DISTINCT gh FROM occ, wm WHERE doc_id <= wm.wmk),
+         |mid AS (
+         |  SELECT d.source, o.gh, COUNT(*) AS c
+         |  FROM occ o JOIN documents d ON o.doc_id = d.doc_id, wm
+         |  WHERE o.doc_id > wm.wmk
+         |  GROUP BY d.source, o.gh)
+         |SELECT m.source,
+         |  CAST(SUM(m.c) AS BIGINT) AS n_occurrences,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(CASE WHEN m.gh IN (SELECT gh FROM gbase)
+         |    THEN m.c ELSE 0 END) AS BIGINT) AS seen_base_occurrences,
+         |  ROUND(CAST(SUM(CASE WHEN m.gh IN (SELECT gh FROM gbase)
+         |      THEN m.c ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(m.c) AS DOUBLE), 6) AS seen_base_share,
+         |  CAST(SUM(CASE WHEN g.cnt >= 2 THEN m.c ELSE 0 END) AS BIGINT)
+         |    AS dup_occurrences,
+         |  ROUND(CAST(SUM(CASE WHEN g.cnt >= 2 THEN m.c ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(m.c) AS DOUBLE), 6) AS dup_share
+         |FROM mid m JOIN gall g ON m.gh = g.gh
          |GROUP BY m.source
          |ORDER BY m.source""".stripMargin,
     // E12: gram OCCURRENCES are positional (unnest + 1-based range;

@@ -1399,6 +1399,73 @@ object Dedup {
     w1
   }
 
+  /** E19 — `q_novelty_incremental`: the DAILY novelty read — E18's
+    * duplication-rate audit for the DELTA ONLY, scored against the
+    * SAME persisted distinct-gram state E14 dedups with (one state,
+    * two consumers — the audit and the cut read identical history).
+    * This is the table a daily crawl actually publishes: how much of
+    * today's intake is verbatim repetition, split the way only the
+    * incremental view can split it — repeats of HISTORY (seen_base:
+    * boilerplate the corpus already carries) vs repeats WITHIN the
+    * day (within-delta duplication, e.g. a crawler hitting mirror
+    * pages).
+    *
+    * Result contract (the E14 equivalence discipline): dup counts
+    * are IDENTICAL to full E18's corpus-wide rule restricted to
+    * delta occurrences — under the append-only contract,
+    * corpus_count(g) ≥ 2 for a delta occurrence ⇔ g is in the base
+    * state ∨ delta_count(g) ≥ 2 — and the ORACLE computes the
+    * corpus-wide side directly (full occ CTEs, cnt ≥ 2) while the
+    * ENGINE runs the state-membership side, so the row PROVES the
+    * equivalence every run.
+    *
+    * Scale shape — cost ∝ delta plus one column-pruned state probe:
+    * only delta docs tokenize; everything aggregates through the
+    * delta's (gh, source) mid level (E18's shape); the membership
+    * check joins the single-column state against the delta's
+    * DISTINCT grams (AQE broadcasts the delta side when a day fits);
+    * the state is never sorted, never rewritten. */
+  def noveltyIncremental(t: Tables): DataFrame =
+    noveltyIncrementalAgainst(t.documents, ensureSpanState(t))
+
+  /** The E19 delta audit against an EXPLICIT state dir (the daily
+    * loop: [[dedupSpansIncrementalAgainst]]'s sibling read). */
+  private[graft] def noveltyIncrementalAgainst(
+      documents: DataFrame, path: String): DataFrame = {
+    val spark = documents.sparkSession
+    val w = stateWatermark(path)
+    val src = documents.select(col("doc_id"), col("source"))
+    val occ = spanGramOccurrences(documents.filter(col("doc_id") > w))
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("gh"))
+    val mid = occ.join(src, "doc_id")
+      .groupBy(col("gh"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val deltaCnt = mid.groupBy(col("gh")).agg(sum(col("c")).as("dcnt"))
+    val inBase = spark.read.parquet(s"$path/grams")
+      .join(mid.select(col("gh")).distinct(), Seq("gh"))
+      .withColumn("in_base", lit(1))
+    mid.join(deltaCnt, "gh")
+      .join(inBase, Seq("gh"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("in_base").isNotNull, col("c")).otherwise(0L))
+          .as("seen_base_occurrences"),
+        sum(when(col("in_base").isNotNull || col("dcnt") >= 2, col("c"))
+          .otherwise(0L)).as("dup_occurrences"))
+      .select(col("source"), col("n_occurrences"), col("n_distinct"),
+        col("seen_base_occurrences"),
+        round(col("seen_base_occurrences").cast("double")
+          / col("n_occurrences").cast("double"), 6).as("seen_base_share"),
+        col("dup_occurrences"),
+        round(col("dup_occurrences").cast("double")
+          / col("n_occurrences").cast("double"), 6).as("dup_share"))
+      .orderBy(col("source"))
+  }
+
   /** E13 — `q_source_overlap`: the pairwise shingle-Jaccard matrix
     * BETWEEN corpus slices — the cross-source contamination audit
     * (which crawls overlap, whether a "new" source is a re-crawl of

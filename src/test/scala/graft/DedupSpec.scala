@@ -581,6 +581,64 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.forall(v => v._5 <= v._3))
   }
 
+  test("noveltyIncremental: planted history and within-day repeats land in " +
+    "the right columns, and the state rule equals the corpus-wide rule") {
+    import spark.implicits._
+    def txt(p: String) = (1 to 13).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (0L, "alpha", txt("b")),   // base: gram G enters the state
+      (10L, "alpha", txt("b")),  // delta repeat of HISTORY -> seen_base + dup
+      (11L, "beta", txt("c")),   // delta pair sharing new gram H ->
+      (12L, "beta", txt("c")),   //   within-day dup, NOT seen_base
+      (13L, "alpha", txt("d"))   // all-novel
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-novelty-state").toString
+    val d2 = spark.read.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    Dedup.buildSpanState(d2, watermark = 9L, state)
+    val got = Dedup.noveltyIncrementalAgainst(d2, state).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    // alpha: G (history repeat) + the novel d-gram
+    assert(got("alpha") === ((2L, 2L, 1L, 0.5, 1L, 0.5)))
+    // beta: H twice within the day — dup but NOT seen_base
+    assert(got("beta") === ((2L, 1L, 0L, 0.0, 2L, 1.0)))
+    // the equivalence contract on the sf corpus: engine's
+    // state-membership ∨ delta-count rule == the corpus-wide
+    // count >= 2 rule restricted to delta occurrences
+    val all = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .flatMap(r => Option(r.getString(2)).map(tx =>
+        (r.getLong(0), r.getString(1), tx)))
+    val wm = math.floor(all.map(_._1).max * 0.9).toLong
+    val n = Dedup.spanGramLen
+    val occ = all.flatMap { case (id, src, tx) =>
+      val ws = tx.trim.toLowerCase.split("\\s+").toSeq
+      if (ws.length < n) Seq.empty
+      else ws.sliding(n).map(g => (id, src, g.mkString(" "))).toSeq
+    }
+    val cnt = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val base = occ.filter(_._1 <= wm).map(_._3).toSet
+    val delta = occ.filter(_._1 > wm)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = delta.groupBy(_._2).map { case (src, os) =>
+      val nOcc = os.size.toLong
+      val seen = os.count(o => base(o._3)).toLong
+      val dup = os.count(o => cnt(o._3) >= 2).toLong
+      src -> ((nOcc, os.map(_._3).distinct.size.toLong, seen,
+        r6(seen.toDouble / nOcc), dup, r6(dup.toDouble / nOcc)))
+    }
+    val gotSf = Dedup.noveltyIncremental(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(gotSf === expected)
+    // an occurrence seen in the base is by definition duplicated
+    assert(gotSf.values.forall(v => v._3 <= v._5))
+  }
+
   test("pruneCompose: equals composing semDedup and prototypes per vector " +
     "(non-members implicitly sem-kept, final verdict is the AND)") {
     val sem = Dedup.semDedup(t).collect()
