@@ -168,6 +168,9 @@ object SparkEntry {
     // F20: first BPE merge-pair statistics — pair counting over the
     // vocabulary, never the token stream
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs),
+    // F29: the actual 8-step BPE training loop — per-step argmax
+    // merge over the vocabulary + the corpus compression curve
+    "q_bpe_train"      -> q(TextAnalysis.bpeTrain),
     // F23: word2vec phrase-score collocations — integer-exact lift
     // over adjacent pairs, delta floor before the vocab-keyed joins
     "q_collocations"   -> q(TextAnalysis.collocations),
@@ -1735,6 +1738,14 @@ object SparkEntry {
         |FROM agg
         |ORDER BY total DESC, pair
         |LIMIT 20""".stripMargin,
+    // F29: the 8-step BPE loop unrolled — per step: pair stats over
+    // the current segmentation (v{k-1}), the 1-row argmax (b{k}), the
+    // left-to-right non-overlapping merge as a list_reduce fold over
+    // a space-delimited accumulator (symbols never contain spaces —
+    // words are whitespace-split — so ' '||l suffix-matching the
+    // accumulator tests the FULL last symbol; a merged symbol is
+    // strictly longer than its left part, so it never re-triggers).
+    "q_bpe_train" -> bpeTrainOracle,
     // E13: distinct (source, shingle) sets per the F4 rule; the pair
     // intersection self-joins on the shingle (upper triangle via
     // s1 < s2); Jaccard from exact integer counts, rounded at 6dp.
@@ -2873,6 +2884,48 @@ object SparkEntry {
     * delta docs. Spark is 0-based positional — pos never leaves either
     * query, so only its ordering matters and each side stays
     * self-consistent. */
+  /** F29's oracle, built by the same loop the engine runs: 8 unrolled
+    * (pair-stats → 1-row argmax → fold-merge) CTE blocks. Kept as a
+    * generator so the step count can never drift from
+    * `TextAnalysis.bpeTrainMerges` — the engine and the oracle unroll
+    * the SAME constant. */
+  private val bpeTrainOracle: String = {
+    val n = graft.operators.TextAnalysis.bpeTrainMerges
+    val steps = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(c) AS BIGINT) AS total FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(seg)),
+         |      i -> seg[i] || ' ' || seg[i + 1])) AS pair
+         |    FROM v${k - 1}) GROUP BY 1),
+         |b$k AS (
+         |  SELECT total, string_split(pair, ' ')[1] AS l,
+         |    string_split(pair, ' ')[2] AS r
+         |  FROM p$k ORDER BY total DESC, pair LIMIT 1),
+         |v$k AS (
+         |  SELECT c, string_split(list_reduce(seg, (acc, x) ->
+         |    CASE WHEN right(' ' || acc, length(l) + 1) = ' ' || l AND x = r
+         |         THEN substr(acc, 1, length(acc) - length(l)) || l || r
+         |         ELSE acc || ' ' || x END), ' ') AS seg
+         |  FROM v${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to n).map { k =>
+      s"""SELECT $k AS step, l AS lhs, r AS rhs, total AS pair_total,
+         |  (SELECT CAST(SUM(c * len(seg)) AS BIGINT) FROM v$k)
+         |    AS tokens_after
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |v0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+       |    regexp_split_to_array(w, '') AS seg
+       |  FROM tok WHERE length(w) >= 1 GROUP BY w),
+       |$steps
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
+
   private val spanCovCtes: String =
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws

@@ -1251,4 +1251,92 @@ object TextAnalysis {
       .orderBy(col("total").desc, col("pair"))
       .limit(20)
   }
+
+  /** Number of merge steps `q_bpe_train` runs — small by design (the
+    * row demonstrates the loop; a production vocab runs ~30k steps of
+    * the SAME per-step plan). */
+  private[graft] val bpeTrainMerges = 8
+
+  /** F29 — `q_bpe_train`: the first [[bpeTrainMerges]] steps of the
+    * ACTUAL BPE training loop (Sennrich et al. 2016 §3.2, the
+    * published algorithm verbatim): per step, count adjacent symbol
+    * pairs over the current segmentation weighted by word frequency,
+    * merge the most frequent pair left-to-right non-overlapping in
+    * every word, repeat. F20 is the step-0 statistics table; this row
+    * RUNS the loop — each output row is one merge (step, pair, its
+    * count at selection time) plus the corpus subword token volume
+    * after the merge: the compression curve a tokenizer-training run
+    * watches.
+    *
+    * Scale shape — the property that makes BPE training feasible at
+    * 100 TB (F20's argument, applied per step): after ONE
+    * token-stream shuffle builds the word-frequency vocabulary,
+    * every step touches vocab-sized data only — a bounded pair
+    * explode (≤ word length per vocab row) into a map-side-combining
+    * count, a 1-row TakeOrdered argmax (the only driver transfer:
+    * one row per step, bounded by construction), and a per-row
+    * segmentation fold. The per-step localCheckpoint pins the new
+    * segmentation so the plan cannot grow with the step count (the
+    * q_search_mmr lesson).
+    *
+    * The merge is a pure left-to-right fold: append each symbol,
+    * merging when the accumulator's last symbol is `a` and the next
+    * is `b` — correct because the merged symbol `a+b` is strictly
+    * longer than `a`, so a merge result can never re-trigger on its
+    * own left part; a run of equal symbols ("aaa" under merge (a,a))
+    * merges at even offsets exactly like the reference
+    * implementation. Pair counts follow the published `get_stats`:
+    * per adjacent occurrence, so "aaa" counts (a,a) twice though one
+    * merge applies. Tie-break (total DESC, pair ASC) is a total
+    * order; char-split is code-point based on both engines (ASCII
+    * corpus contract, SURVEY §4). */
+  def bpeTrain(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    var vocab = t.documents
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), split(col("w"), "").as("seg"))
+      .localCheckpoint()
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= bpeTrainMerges && !exhausted) {
+      // freq-weighted adjacent-pair stats over the CURRENT
+      // segmentation; argmax = 1-row TakeOrdered under a total order
+      // size >= 2 guard: Spark's sequence(0, -1) would DESCEND for a
+      // single-symbol word (DuckDB's stop-exclusive range is empty)
+      val best = vocab
+        .filter(size(col("seg")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(0), size(col("seg")) - 2),
+          i => concat(get(col("seg"), i), lit(" "),
+            get(col("seg"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val total = best(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.withColumn("seg", aggregate(
+          slice(col("seg"), lit(2), size(col("seg")) - 1),
+          slice(col("seg"), 1, 1),
+          (acc, x) => when(
+            element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        val tokensAfter = vocab
+          .agg(sum(col("c") * size(col("seg")))).first().getLong(0)
+        rows += ((step, a, b, total, tokensAfter))
+        step += 1
+      }
+    }
+    rows.result()
+      .toDF("step", "lhs", "rhs", "pair_total", "tokens_after")
+      .orderBy("step")
+  }
 }

@@ -561,6 +561,71 @@ class TextAnalysisSpec extends SparkTestBase {
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("bpeTrain: reconciles against an independent plain-Scala trainer on " +
+    "the sf corpus, and planted runs/ties/multi-char merges behave") {
+    import spark.implicits._
+    // independent replication: imperative while-loop LTR merge (a
+    // different formulation than the engine's fold / oracle's reduce)
+    def ltrMerge(seg: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < seg.length) {
+        if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += seg(i); i += 1 }
+      }
+      out.toVector
+    }
+    def train(wf: Map[String, Long], steps: Int): Seq[(Int, String, String, Long, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wf.map { case (w, c) => w.toVector.map(_.toString) -> c }
+      (1 to steps).flatMap { k =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((seg, c) <- vocab; i <- 0 until seg.length - 1)
+          pc((seg(i), seg(i + 1))) += c
+        if (pc.isEmpty) None
+        else {
+          val ((a, b), total) =
+            pc.toSeq.minBy { case ((x, y), n) => (-n, s"$x $y") }
+          vocab = vocab.map { case (seg, c) => ltrMerge(seg, a, b) -> c }
+          val tokensAfter = vocab.map { case (s, c) => s.length * c }.sum
+          Some((k, a, b, total, tokensAfter))
+        }
+      }
+    }
+    def wordFreq(texts: Seq[String]): Map[String, Long] =
+      texts.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // sf corpus reconciliation
+    val sfTexts = t.documents.select(col("text")).collect()
+      .flatMap(r => Option(r.getString(0))).toSeq
+    val got = TextAnalysis.bpeTrain(t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === train(wordFreq(sfTexts), 8))
+    // planted: (a,a) run merges LTR ("aaaa" -> [aa,aa]), the 3-vs-3
+    // tie breaks to "p q" < "x y", and step 4 merges the MERGED
+    // symbol pair (aa,aa) -> "aaaa"
+    val docs = Seq(
+      (0L, "s", "aaaa aaaa"), (1L, "s", "xy xy xy"), (2L, "s", "pq pq pq")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpetrain").toFile
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val planted = TextAnalysis.bpeTrain(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // step 1: (a,a) counts 3 per "aaaa" occurrence (6 total) but each
+    // word merges only twice (LTR non-overlap) -> 2 words x 2 symbols
+    assert(planted.take(4) === Seq(
+      (1, "a", "a", 6L, 16L),
+      (2, "p", "q", 3L, 13L),
+      (3, "x", "y", 3L, 10L),
+      (4, "aa", "aa", 2L, 8L)))
+    assert(planted === train(
+      wordFreq(Seq("aaaa aaaa", "xy xy xy", "pq pq pq")), 8))
+  }
+
   test("qualityBuckets: two-level rank equals a plain-Scala per-source " +
     "percent rank with ties id-ordered; singleton source is head; " +
     "empty text is excluded") {
