@@ -242,6 +242,9 @@ object SparkEntry {
     // E13: the pairwise source-overlap (shingle Jaccard) matrix —
     // cross-source contamination audit, fan-out bounded by C(S,2)
     "q_source_overlap"  -> q(Dedup.sourceOverlap),
+    // E20: winnowing fingerprint selection (Schleimer et al. 2003) —
+    // bounded fingerprint sets with the w+k-1 coverage guarantee
+    "q_winnow"          -> q(Dedup.winnow),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -2130,6 +2133,51 @@ object SparkEntry {
          |FROM mid m JOIN gall g ON m.gh = g.gh
          |GROUP BY m.source
          |ORDER BY m.source""".stripMargin,
+    // E20: positional 5-grams, trailing-window MIN (full windows
+    // only: pos >= w-1), then a following-window MAX of those mins —
+    // a position is selected iff some full window's min equals its
+    // hash. Window functions live in their own CTEs (DuckDB quirk).
+    "q_winnow" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    md5(array_to_string(ws[i:i + 4], ' ')) AS gh
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM wd WHERE len(ws) >= 5)),
+        |m AS (
+        |  SELECT doc_id, pos, gh,
+        |    CASE WHEN pos >= 7 THEN MIN(gh) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) END AS wmin
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, pos, gh,
+        |    COALESCE(MAX(wmin) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) = gh, FALSE) AS sel
+        |  FROM m),
+        |occ AS (
+        |  SELECT d.source, COUNT(DISTINCT s.doc_id) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id GROUP BY 1),
+        |sd AS (SELECT DISTINCT doc_id, gh FROM s WHERE sel),
+        |gd AS (SELECT gh, COUNT(*) AS nd FROM sd GROUP BY 1),
+        |sh AS (
+        |  SELECT d.source, COUNT(DISTINCT sd.gh) AS n_fp_distinct,
+        |    COUNT(DISTINCT CASE WHEN nd >= 2 THEN sd.gh END) AS n_fp_shared
+        |  FROM sd JOIN gd ON sd.gh = gd.gh
+        |  JOIN documents d ON sd.doc_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT occ.source, n_docs, n_grams, n_fp,
+        |  ROUND(CAST(n_fp AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+        |    AS density,
+        |  COALESCE(n_fp_distinct, 0) AS n_fp_distinct,
+        |  COALESCE(n_fp_shared, 0) AS n_fp_shared
+        |FROM occ LEFT JOIN sh ON occ.source = sh.source
+        |ORDER BY occ.source""".stripMargin,
     // E12: gram OCCURRENCES are positional (unnest + 1-based range;
     // the Spark side is 0-based — pos never leaves either query, so
     // only its ordering matters and each side stays self-consistent).

@@ -1250,14 +1250,92 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** E20 `q_winnow` parameters: 5-word grams, window of 8 gram
+    * positions — the guarantee threshold is w + k − 1 = 12 words
+    * (any shared verbatim run of ≥ 12 words produces at least one
+    * SHARED fingerprint in both docs). */
+  private[graft] val winnowGramLen = 5
+  private[graft] val winnowWindow = 8
+
+  /** E20 — `q_winnow`: WINNOWING fingerprint selection (Schleimer,
+    * Wilkerson & Aiken 2003, *Winnowing: Local Algorithms for
+    * Document Fingerprinting* — the MOSS algorithm): per document,
+    * hash every [[winnowGramLen]]-word gram positionally, then keep
+    * the minimum hash of every [[winnowWindow]]-gram window — a
+    * bounded-size fingerprint set (expected density 2/(w+1)) with the
+    * paper's COVERAGE GUARANTEE: any verbatim match of at least
+    * w + k − 1 words yields at least one shared fingerprint, which no
+    * fixed-rate sampler (0 mod p) can promise. The sub-quadratic
+    * index E4/E13 would consume instead of full shingle sets.
+    * Tie rule: all positions achieving a window minimum are selected
+    * (the deterministic, order-independent variant — same guarantee,
+    * same expected density on md5 hashes where ties mean equal
+    * grams; the paper's rightmost rule needs sequential state).
+    *
+    * Selection is TWO stacked range windows, no self-join: a position
+    * p is selected iff some FULL window containing p has min = h(p)
+    * ⇔ max over e ∈ [p, p+w−1] of m(e) equals h(p), where
+    * m(e) = min(h[e−w+1..e]) for full windows (e ≥ w−1, else NULL;
+    * since every m(e) covering p is ≤ h(p), the max tests existence).
+    *
+    * Output: the per-source fingerprint audit — gram/fingerprint
+    * volumes, density vs the 2/(w+1) theory line, and how many of the
+    * source's fingerprints are SHARED with at least one other doc
+    * (the overlap-index signal winnowing exists to feed).
+    *
+    * Scale shape: one doc_id shuffle for the positional windows
+    * (token rows, same stage E12 pays), one gh-keyed map-side agg for
+    * the cross-doc fan-in, one ≤|sources| agg — nothing pairwise, no
+    * occupancy caps needed (fingerprints are per-doc-bounded). */
+  def winnow(t: Tables): DataFrame = {
+    val k = winnowGramLen
+    val w = winnowWindow
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = gramOccurrences(t.documents, k)
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val flagged = grams
+      .withColumn("wmin", when(col("pos") >= w - 1,
+        min(col("gh")).over(byPos.rangeBetween(-(w - 1), 0))))
+      .withColumn("sel", coalesce(
+        max(col("wmin")).over(byPos.rangeBetween(0, w - 1)) === col("gh"),
+        lit(false)))
+      .localCheckpoint()
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val occ = flagged.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(col("sel").cast("long")).as("n_fp"))
+    val selDoc = flagged.filter(col("sel"))
+      .select(col("doc_id"), col("gh")).distinct()
+    val ghDocs = selDoc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+    val shared = selDoc.join(ghDocs, "gh").join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("gh")).as("n_fp_distinct"),
+        countDistinct(when(col("nd") >= 2, col("gh"))).as("n_fp_shared"))
+    occ.join(shared, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_grams").cast("double"), 6)
+          .as("density"),
+        coalesce(col("n_fp_distinct"), lit(0L)).as("n_fp_distinct"),
+        coalesce(col("n_fp_shared"), lit(0L)).as("n_fp_shared"))
+      .orderBy(col("source"))
+  }
+
   /** Shared gram-OCCURRENCE assembly for the span rows (full E12 and
     * incremental E14): every token row with the md5 of the
     * [[spanGramLen]]-word gram STARTING at it — null in the last
     * n-1 positions of a doc (those rows ride through the survivor
     * window under a unique per-row key, so the null tail of every
     * document cannot pile into one skewed partition). */
-  private def spanGramOccurrences(documents: DataFrame): DataFrame = {
-    val n = spanGramLen
+  private def spanGramOccurrences(documents: DataFrame): DataFrame =
+    gramOccurrences(documents, spanGramLen)
+
+  /** The positional n-gram assembly itself, parameterized for the
+    * non-span consumers (E20's 5-gram winnowing). */
+  private def gramOccurrences(documents: DataFrame, n: Int): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = documents.select(col("doc_id"),
       posexplode(words(col("text"))).as(Seq("pos", "w")))

@@ -639,6 +639,77 @@ class DedupSpec extends SparkTestBase {
     assert(gotSf.values.forall(v => v._3 <= v._5))
   }
 
+  test("winnow: reconciles against an independent plain-Scala winnower on " +
+    "the sf corpus, and the w+k-1 coverage guarantee holds on a planted run") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gramHashes(text: String): Vector[String] = {
+      val ws = text.trim.toLowerCase.split("\\s+").toVector
+      if (ws.length < k) Vector.empty
+      else (0 to ws.length - k).map(i =>
+        md5hex(ws.slice(i, i + k).mkString(" "))).toVector
+    }
+    // select-all-ties winnowing: every FULL window marks its minima
+    def winnowSel(h: Vector[String]): Set[Int] = {
+      val sel = scala.collection.mutable.Set[Int]()
+      for (s <- 0 to h.length - w) {
+        val mn = (s until s + w).map(h).min
+        (s until s + w).filter(p => h(p) == mn).foreach(sel += _)
+      }
+      sel.toSet
+    }
+    def replicate(docs: Seq[(Long, String, String)])
+        : Map[String, (Long, Long, Long, Double, Long, Long)] = {
+      val per = docs.map { case (id, src, tx) =>
+        val h = gramHashes(tx); (id, src, h, winnowSel(h))
+      }
+      val fpDocs = per.flatMap { case (id, _, h, sel) =>
+        sel.map(p => (h(p), id)) }.distinct
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      per.filter(_._3.nonEmpty).groupBy(_._2).map { case (src, ds) =>
+        val nGrams = ds.map(_._3.size.toLong).sum
+        val nFp = ds.map(_._4.size.toLong).sum
+        val distinctFp = ds.flatMap(d => d._4.map(p => d._3(p))).distinct
+        src -> ((ds.size.toLong, nGrams, nFp, r6(nFp.toDouble / nGrams),
+          distinctFp.size.toLong,
+          distinctFp.count(g => fpDocs(g) >= 2).toLong))
+      }
+    }
+    val sfDocs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect().flatMap(r => Option(r.getString(2)).map(tx =>
+        (r.getLong(0), r.getString(1), tx))).toSeq
+    val got = Dedup.winnow(t).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === replicate(sfDocs))
+    // planted coverage: doc 0 and 1 share a 12-word (w+k-1) verbatim
+    // run amid otherwise-unique words -> at least one SHARED
+    // fingerprint is GUARANTEED; doc 2 is fully disjoint -> zero
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (0L, "sa", s"${filler("x", 10)} $run ${filler("y", 10)}"),
+      (1L, "sa", s"${filler("u", 10)} $run ${filler("v", 10)}"),
+      (2L, "sb", filler("z", 32))
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toFile
+    planted.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val p = Dedup.winnow(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(p("sa") >= 1L)
+    assert(p("sb") === 0L)
+    assert(Dedup.winnow(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+      === replicate(planted))
+  }
+
   test("pruneCompose: equals composing semDedup and prototypes per vector " +
     "(non-members implicitly sem-kept, final verdict is the AND)") {
     val sem = Dedup.semDedup(t).collect()
