@@ -144,6 +144,9 @@ object SparkEntry {
     // F26's quality terciles (anneal toward quality), id-sharded,
     // read-back manifest with micro-unit mean quality
     "q_export_curriculum" -> q(graft.sources.Export.exportCurriculum),
+    // H4: the JSONL interchange sink — one JSON object per line,
+    // manifest recomputed from the parsed read-back (escaping proof)
+    "q_export_jsonl"    -> q(graft.sources.Export.exportJsonl),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -1986,6 +1989,18 @@ object SparkEntry {
          |FROM tk
          |GROUP BY 1, 2
          |ORDER BY split, source""".stripMargin,
+    // H4: the same kept/split/token chain collapsed per split —
+    // the JSON framing/escaping itself is proved by the engine's
+    // parse-back manifest matching these parquet-derived numbers.
+    "q_export_jsonl" ->
+      s"""WITH $pipelineKeptCtesBody,
+         |$exportTkCtesBody
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         |FROM tk
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin,
     // H2: the same kept/split/token chain, collapsed per (split,
     // doc_id mod shard-count) instead of (split, source).
     "q_export_shards" ->

@@ -188,4 +188,58 @@ object Export {
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
+
+  /** H4 — `q_export_jsonl`: the INTERCHANGE sink — materialize the
+    * kept corpus as split-partitioned JSON-LINES text (the format
+    * data pipelines actually exchange: one `{"doc_id":…,"source":…,
+    * "text":…}` object per line), then report the per-split manifest
+    * from a full PARSE of the read-back lines. Where H1/H2 prove the
+    * parquet layout round-trips, this row proves the JSON ESCAPING
+    * does: `n_tokens` recomputes from the from_json-decoded text, so
+    * a quote, backslash, newline or non-ASCII char that broke the
+    * framing or escaping would change the token volume or the id
+    * checksum and fail the oracle. A malformed line parses to a NULL
+    * struct and poisons the checksum — half-run or corrupt exports
+    * cannot pass.
+    *
+    * Scale shape: identical to H1 — shuffle-free partitioned text
+    * write, map-side-combining manifest over the parsed read-back,
+    * bit_xor checksum; to_json/from_json are codegen'd row-local
+    * expressions. */
+  def exportJsonl(t: Tables): DataFrame = {
+    val dir = LayoutStore.scratch(t.dir, "export_jsonl").toPath
+    try {
+      val docs = TextAnalysis.pipelineKeptDocs(t)
+        .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("source"), col("text"), col("split"))
+      jsonlRoundTrip(docs, s"$dir/jsonl")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words(col("text"))).cast(LongType)).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** The JSONL write → parse-back core (testable against planted
+    * escaping pathologies): writes one JSON object per line,
+    * partitioned by `split`, and returns the PARSED read-back frame
+    * (split, doc_id, source, text). `split` values are 'train'/'test'
+    * by the F5 rule, so partition-type inference cannot corrupt them
+    * (H1's numeric-source hazard does not arise). */
+  private[graft] def jsonlRoundTrip(docs: DataFrame, out: String): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(to_json(struct(col("doc_id"), col("source"), col("text")))
+        .as("value"), col("split"))
+      .write.partitionBy("split").text(out)
+    spark.read.text(out)
+      .withColumn("j", from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING")))
+      .select(col("split").cast("string").as("split"),
+        col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+        col("j.text").as("text"))
+  }
 }

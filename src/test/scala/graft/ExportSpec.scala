@@ -113,6 +113,53 @@ class ExportSpec extends SparkTestBase {
       s"phase mean quality not monotone: $byPhase")
   }
 
+  test("exportJsonl: per-split manifest equals the pre-write frame, " +
+    "through the JSON round trip") {
+    val t = Tables(spark, sfDir)
+    val pre = TextAnalysis.pipelineKeptDocs(t)
+      .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("split"), col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+      .collect()
+    assert(pre.nonEmpty)
+    val expected = pre.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum,
+        rs.map(_.getLong(1)).reduce(_ ^ _)))
+    }
+    val got = Export.exportJsonl(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("jsonlRoundTrip: quotes, backslashes, newlines, tabs and non-ASCII " +
+    "round-trip exactly, one line per doc, every line parseable") {
+    import spark.implicits._
+    val nasty = Seq(
+      (0L, "s", "plain text", "train"),
+      (1L, "s", "a \"quoted\" word and a back\\slash", "train"),
+      (2L, "s", "line one\nline two\r\nwindows", "train"),
+      (3L, "s", "tab\there and unicode: 漢字 émoji ❤", "test"),
+      (4L, "s", "{\"looks\":\"like json\"}", "test"),
+      (5L, "s", "", "test"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString
+    val back = Export.jsonlRoundTrip(
+      nasty.toDF("doc_id", "source", "text", "split"), s"$dir/out")
+      .collect()
+      .map(r => (r.getLong(1), (r.getString(2), r.getString(3), r.getString(0))))
+      .toMap
+    nasty.foreach { case (id, src, tx, sp) =>
+      assert(back(id) === ((src, tx, sp)), s"doc $id mangled")
+    }
+    // framing: exactly one physical line per doc (embedded newlines
+    // must be escaped, never split the record), and each line parses
+    val lines = spark.read.text(s"$dir/out")
+      .select(col("value")).collect().map(_.getString(0))
+    assert(lines.length === nasty.length)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
   test("exportManifest: a numeric-looking source survives the partition " +
     "round trip as a STRING (no partition-type inference corruption)") {
     import spark.implicits._
