@@ -129,6 +129,9 @@ object SparkEntry {
     "q_token_fertility" -> q(TextAnalysis.tokenFertility),
     "q_fingerprint"   -> q(TextAnalysis.fingerprint),
     "q_sample_split"  -> q(TextAnalysis.sampleSplit),
+    // F30: exact-k-per-source eval sample — two-level top-k engine
+    // plan, flat ROW_NUMBER oracle (the plans are the same function)
+    "q_sample_stratified" -> q(TextAnalysis.sampleStratified),
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
     "q_tfidf"         -> q(TextAnalysis.tfidf),
@@ -1909,6 +1912,21 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+    // F30: the FLAT per-source ROW_NUMBER the engine's two-level
+    // (shard-local top-k → global rank over survivors) plan must
+    // equal — the row proves the decomposition every run.
+    "q_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    md5('eval:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, ROW_NUMBER() OVER
+         |    (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+         |FROM r WHERE rk <= ${graft.operators.TextAnalysis.stratifiedK}
+         |ORDER BY source, rk""".stripMargin,
     // F7: the same salted-md5 bucket test as F5; target rates derive
     // from the source's numeric suffix so both engines replay the mix.
     "q_mix_sources" ->

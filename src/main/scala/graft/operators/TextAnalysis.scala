@@ -1252,6 +1252,54 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** F30 `q_sample_stratified` parameters: sample size per source,
+    * and the local-stage shard fan-out (a parallelism knob — any
+    * S ≥ 1 gives identical results since each shard's local top-k is
+    * a superset of its contribution to the global top-k; a real
+    * deployment sizes S to the cluster so no task sorts more than
+    * one shard of one source). */
+  private[graft] val stratifiedK = 20
+  private[graft] val stratifiedShards = 16
+
+  /** F30 — `q_sample_stratified`: the per-source EXACT-k eval sample
+    * — every pipeline holds out a fixed-size, deterministic,
+    * label-balanced slice per corpus stratum before training (the
+    * per-domain held-out sets of Pile/Dolma-style evals; fixed k per
+    * stratum, unlike F5's fixed RATE). Selection order is the salted
+    * doc hash (F5's technique: md5('eval:'||doc_id)), so membership
+    * is a pure function of doc_id — stable across runs, re-crawls
+    * and corpus growth reorderings — with doc_id itself as the total
+    * tie-break.
+    *
+    * Scale shape — the hierarchical top-k the flat window can't
+    * survive: ranking a whole source in ONE window partition is the
+    * §6 few-hot-partitions skew (one task sorts the whole stratum at
+    * 100 TB), so the ENGINE ranks TWO-LEVEL: local row_number inside
+    * bounded (source, doc_id mod [[stratifiedShards]]) partitions,
+    * keep each shard's top k, then the global rank over the
+    * ≤ shards·k survivors per source (tiny by construction). Every
+    * shard's local top-k is a superset of what it contributes
+    * globally, so the composition is EXACTLY the flat rank — and the
+    * ORACLE replays the flat ROW_NUMBER, proving the two plans are
+    * the same function on every run (the F26 discipline for top-k
+    * instead of percent-rank). */
+  def sampleStratified(t: Tables): DataFrame = {
+    val k = stratifiedK
+    val h = md5(concat(lit("eval:"), col("doc_id").cast("string")))
+    val local = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(stratifiedShards.toLong)))
+      .orderBy(col("h"), col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    t.documents.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("lr", row_number().over(local))
+      .filter(col("lr") <= k)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Number of merge steps `q_bpe_train` runs — small by design (the
     * row demonstrates the loop; a production vocab runs ~30k steps of
     * the SAME per-step plan). */

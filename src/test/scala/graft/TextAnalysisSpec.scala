@@ -561,6 +561,38 @@ class TextAnalysisSpec extends SparkTestBase {
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("sampleStratified: two-level top-k equals a plain-Scala flat rank, " +
+    "and a source smaller than k is taken whole") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def flat(docs: Seq[(Long, String)], k: Int): Seq[(String, Int, Long)] =
+      docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        ds.map(d => (md5hex(s"eval:${d._1}"), d._1))
+          .sorted.take(k).zipWithIndex
+          .map { case ((_, id), i) => (src, i + 1, id) }
+      }.sortBy(r => (r._1, r._2))
+    val sf = t.documents.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = TextAnalysis.sampleStratified(t).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === flat(sf, 20))
+    assert(got.groupBy(_._1).values.forall(_.map(_._2) == (1 to 20)))
+    // a 3-doc source comes back whole, ranked 1..3
+    val tiny = Seq((0L, "small"), (1L, "small"), (2L, "small")) ++
+      (10L to 60L).map(i => (i, "big"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-strat").toFile
+    tiny.map { case (id, s) => (id, s, s"doc $id text") }
+      .toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val p = TextAnalysis.sampleStratified(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(p.count(_._1 == "small") === 3)
+    assert(p.count(_._1 == "big") === 20)
+    assert(p === flat(tiny, 20))
+  }
+
   test("bpeTrain: reconciles against an independent plain-Scala trainer on " +
     "the sf corpus, and planted runs/ties/multi-char merges behave") {
     import spark.implicits._
