@@ -251,6 +251,9 @@ object SparkEntry {
     // E20: winnowing fingerprint selection (Schleimer et al. 2003) —
     // bounded fingerprint sets with the w+k-1 coverage guarantee
     "q_winnow"          -> q(Dedup.winnow),
+    // E21: the MOSS pair report — ranked doc-pair overlap from the
+    // shared fingerprints, capped-bucket equi-join, never all-pairs
+    "q_winnow_overlap"  -> q(Dedup.winnowOverlap),
     // composed shared-stage run: E2+E6+E7 from ONE materialized
     // shingle+signature stage — the bench line for the shared-stage
     // contract (compare vs the sum of the three standalone lines)
@@ -2171,26 +2174,7 @@ object SparkEntry {
     // a position is selected iff some full window's min equals its
     // hash. Window functions live in their own CTEs (DuckDB quirk).
     "q_winnow" ->
-      """WITH wd AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    md5(array_to_string(ws[i:i + 4], ' ')) AS gh
-        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
-        |        FROM wd WHERE len(ws) >= 5)),
-        |m AS (
-        |  SELECT doc_id, pos, gh,
-        |    CASE WHEN pos >= 7 THEN MIN(gh) OVER
-        |      (PARTITION BY doc_id ORDER BY pos
-        |       RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) END AS wmin
-        |  FROM g),
-        |s AS (
-        |  SELECT doc_id, pos, gh,
-        |    COALESCE(MAX(wmin) OVER
-        |      (PARTITION BY doc_id ORDER BY pos
-        |       RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) = gh, FALSE) AS sel
-        |  FROM m),
+      s"""$winnowSelCtes,
         |occ AS (
         |  SELECT d.source, COUNT(DISTINCT s.doc_id) AS n_docs,
         |    CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -2211,6 +2195,31 @@ object SparkEntry {
         |  COALESCE(n_fp_shared, 0) AS n_fp_shared
         |FROM occ LEFT JOIN sh ON occ.source = sh.source
         |ORDER BY occ.source""".stripMargin,
+    // E21: E20's selection CTEs verbatim (the shared winnowSelCtes
+    // val), then the capped-bucket pair self-join + the top-30 under
+    // the (n_shared DESC, d1, d2) total order.
+    "q_winnow_overlap" ->
+      s"""$winnowSelCtes,
+        |sd AS (SELECT DISTINCT doc_id, gh FROM s WHERE sel),
+        |gd AS (SELECT gh, COUNT(*) AS nd FROM sd GROUP BY 1),
+        |cap AS (
+        |  SELECT sd.doc_id, sd.gh FROM sd JOIN gd ON sd.gh = gd.gh
+        |  WHERE nd <= ${graft.operators.Dedup.maxBucketSize}),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+        |       FROM cap GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM cap a JOIN cap b
+        |    ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, x.nfp AS n1, y.nfp AS n2, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE)
+        |    / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE), 6) AS containment
+        |FROM pr JOIN sz x ON pr.d1 = x.doc_id
+        |JOIN sz y ON pr.d2 = y.doc_id
+        |ORDER BY n_shared DESC, d1, d2
+        |LIMIT 30""".stripMargin,
     // E12: gram OCCURRENCES are positional (unnest + 1-based range;
     // the Spark side is 0-based — pos never leaves either query, so
     // only its ordering matters and each side stays self-consistent).
@@ -3006,6 +3015,32 @@ object SparkEntry {
        |$finals
        |ORDER BY step""".stripMargin
   }
+
+  /** E20/E21's shared selection replay (positional 5-grams, trailing
+    * full-window MIN, following-window MAX existence test) — both
+    * winnow rows nest this ONE definition, so the audit and the pair
+    * report can never disagree about what a fingerprint is. */
+  private val winnowSelCtes: String =
+    """WITH wd AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    md5(array_to_string(ws[i:i + 4], ' ')) AS gh
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+      |        FROM wd WHERE len(ws) >= 5)),
+      |m AS (
+      |  SELECT doc_id, pos, gh,
+      |    CASE WHEN pos >= 7 THEN MIN(gh) OVER
+      |      (PARTITION BY doc_id ORDER BY pos
+      |       RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) END AS wmin
+      |  FROM g),
+      |s AS (
+      |  SELECT doc_id, pos, gh,
+      |    COALESCE(MAX(wmin) OVER
+      |      (PARTITION BY doc_id ORDER BY pos
+      |       RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) = gh, FALSE) AS sel
+      |  FROM m)""".stripMargin
 
   private val spanCovCtes: String =
     s"""WITH w AS (

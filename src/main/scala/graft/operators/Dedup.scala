@@ -1288,19 +1288,7 @@ object Dedup {
     * the cross-doc fan-in, one ≤|sources| agg — nothing pairwise, no
     * occupancy caps needed (fingerprints are per-doc-bounded). */
   def winnow(t: Tables): DataFrame = {
-    val k = winnowGramLen
-    val w = winnowWindow
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = gramOccurrences(t.documents, k)
-      .filter(col("gh").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gh"))
-    val flagged = grams
-      .withColumn("wmin", when(col("pos") >= w - 1,
-        min(col("gh")).over(byPos.rangeBetween(-(w - 1), 0))))
-      .withColumn("sel", coalesce(
-        max(col("wmin")).over(byPos.rangeBetween(0, w - 1)) === col("gh"),
-        lit(false)))
-      .localCheckpoint()
+    val flagged = winnowFlagged(t.documents)
     val src = t.documents.select(col("doc_id"), col("source"))
     val occ = flagged.join(src, "doc_id")
       .groupBy(col("source"))
@@ -1322,6 +1310,66 @@ object Dedup {
         coalesce(col("n_fp_distinct"), lit(0L)).as("n_fp_distinct"),
         coalesce(col("n_fp_shared"), lit(0L)).as("n_fp_shared"))
       .orderBy(col("source"))
+  }
+
+  /** E20/E21's shared selection stage: per (doc_id, pos), the gram
+    * hash and the winnowing `sel` flag (checkpointed — both the
+    * audit's two aggregates and the pair report consume it). */
+  private def winnowFlagged(documents: DataFrame): DataFrame = {
+    val w = winnowWindow
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    gramOccurrences(documents, winnowGramLen)
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gh"))
+      .withColumn("wmin", when(col("pos") >= w - 1,
+        min(col("gh")).over(byPos.rangeBetween(-(w - 1), 0))))
+      .withColumn("sel", coalesce(
+        max(col("wmin")).over(byPos.rangeBetween(0, w - 1)) === col("gh"),
+        lit(false)))
+      .localCheckpoint()
+  }
+
+  /** E21 — `q_winnow_overlap`: the MOSS pair REPORT — the ranked
+    * document-pair overlap table built from E20's fingerprints (the
+    * output the winnowing paper's system actually shows: which pairs
+    * share the most fingerprints, with a containment score). The
+    * pair generator is the family's standard capped bucket
+    * equi-join: fingerprints in more than [[maxBucketSize]] docs are
+    * excluded first — MOSS itself drops matches common to many
+    * documents as boilerplate, and the cap is what bounds the
+    * blow-up (a gh in n docs costs n² pair rows) — so pair work
+    * stays O(Σ nd²) over capped buckets, never all-pairs.
+    * `containment` = shared / min(|fp₁|, |fp₂|) over CAPPED
+    * fingerprint sets (the cap defines the metric on both sides —
+    * excluded boilerplate neither matches nor counts).
+    *
+    * Coverage semantics inherited from E20: a shared verbatim run of
+    * ≥ w + k − 1 words guarantees the pair appears with
+    * n_shared ≥ 1. Top-30 under the (n_shared DESC, d1, d2) total
+    * order via TakeOrdered. */
+  def winnowOverlap(t: Tables): DataFrame = {
+    val sel = winnowFlagged(t.documents).filter(col("sel"))
+      .select(col("doc_id"), col("gh")).distinct()
+      .localCheckpoint()
+    val capped = sel
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("nd") <= maxBucketSize)
+      .select(col("doc_id"), col("gh"))
+      .localCheckpoint()
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.gh") === col("b.gh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("nfp").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nfp").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / least(col("n1"), col("n2")).cast("double"), 6).as("containment"))
+      .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+      .limit(30)
   }
 
   /** Shared gram-OCCURRENCE assembly for the span rows (full E12 and

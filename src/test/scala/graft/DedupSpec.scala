@@ -710,6 +710,64 @@ class DedupSpec extends SparkTestBase {
       === replicate(planted))
   }
 
+  test("winnowOverlap: reconciles against a plain-Scala pair count on the " +
+    "sf corpus, and a planted 12-word shared run surfaces its pair") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fingerprints(text: String): Set[String] = {
+      val ws = text.trim.toLowerCase.split("\\s+").toVector
+      if (ws.length < k) return Set.empty
+      val h = (0 to ws.length - k).map(i =>
+        md5hex(ws.slice(i, i + k).mkString(" "))).toVector
+      val sel = scala.collection.mutable.Set[Int]()
+      for (s <- 0 to h.length - w) {
+        val mn = (s until s + w).map(h).min
+        (s until s + w).filter(p => h(p) == mn).foreach(sel += _)
+      }
+      sel.toSet.map((p: Int) => h(p))
+    }
+    def replicate(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long, Double)] = {
+      val fps = docs.map { case (id, tx) => id -> fingerprints(tx) }
+      val byGh = fps.flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val kept = byGh.filter(_._2.size <= 1000)
+      val capFp = fps.map { case (id, s) =>
+        id -> s.filter(kept.contains) }.toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pairs = for {
+        Seq((i1, s1), (i2, s2)) <- capFp.toSeq.sortBy(_._1).combinations(2).toSeq
+        shared = (s1 & s2).size if shared > 0
+      } yield (i1, i2, s1.size.toLong, s2.size.toLong, shared.toLong,
+        r6(shared.toDouble / math.min(s1.size, s2.size)))
+      pairs.sortBy(p => (-p._5, p._1, p._2)).take(30)
+    }
+    val sf = t.documents.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).map(tx => (r.getLong(0), tx))).toSeq
+    val got = Dedup.winnowOverlap(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === replicate(sf))
+    // planted guarantee: docs 0/1 share a 12-word run -> their pair
+    // MUST appear; doc 2 is disjoint -> never appears
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (0L, "sa", s"${filler("x", 10)} $run ${filler("y", 10)}"),
+      (1L, "sa", s"${filler("u", 10)} $run ${filler("v", 10)}"),
+      (2L, "sb", filler("z", 32)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wover").toFile
+    planted.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val p = Dedup.winnowOverlap(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(p.exists(r => r._1 == 0L && r._2 == 1L && r._3 >= 1L))
+    assert(!p.exists(r => r._1 == 2L || r._2 == 2L))
+  }
+
   test("pruneCompose: equals composing semDedup and prototypes per vector " +
     "(non-members implicitly sem-kept, final verdict is the AND)") {
     val sem = Dedup.semDedup(t).collect()
