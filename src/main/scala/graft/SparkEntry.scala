@@ -305,6 +305,9 @@ object SparkEntry {
     "q_pack_sequences"  -> q(TextAnalysis.packSequences),
     // F13: mT5-style temperature sampling weights per source
     "q_mix_temperature" -> q(TextAnalysis.mixTemperature),
+    // F31: the data-constrained epoch allocation plan — F13's weights
+    // over a 2x budget, 4-epoch repetition cap, exact-long deficit
+    "q_epoch_plan"      -> q(TextAnalysis.epochPlan),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
@@ -1419,25 +1422,34 @@ object SparkEntry {
     // output double then derives from exact BIGINTs via identical
     // IEEE division, so 6dp rounding agrees.
     "q_mix_temperature" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS nt
-        |  FROM documents),
-        |per AS (
-        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
-        |  FROM tok GROUP BY source),
-        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
-        |m AS (
-        |  SELECT source, n_docs, n_tokens,
-        |    n_tokens / (SELECT tot FROM tot) AS p,
-        |    CAST(ROUND(POWER(n_tokens / (SELECT tot FROM tot), 0.3) * 1000000, 0) AS BIGINT) AS micro
-        |  FROM per),
-        |mt AS (SELECT CAST(SUM(micro) AS BIGINT) AS mtot FROM m)
+      s"""WITH $tempMicroCtesBody
         |SELECT source, n_docs, n_tokens,
         |  ROUND(p, 6) AS p_natural,
         |  ROUND(micro / (SELECT mtot FROM mt), 6) AS w_temp,
         |  ROUND((micro / (SELECT mtot FROM mt)) / p, 6) AS boost
         |FROM m
+        |ORDER BY source""".stripMargin,
+    // F31: F13's weight CTEs verbatim (shared tempMicroCtesBody);
+    // target = exact HUGEINT (budget·micro)//mtot, cap/deficit in
+    // exact longs, one 6dp division for the display epochs.
+    "q_epoch_plan" ->
+      s"""WITH $tempMicroCtesBody,
+        |pl AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROUND(micro / (SELECT mtot FROM mt), 6) AS DOUBLE) AS w_temp,
+        |    CAST((CAST(${graft.operators.TextAnalysis.epochBudgetMult}
+        |        * (SELECT tot FROM tot) AS HUGEINT) * micro)
+        |      // (SELECT mtot FROM mt) AS BIGINT) AS target_tokens
+        |  FROM m)
+        |SELECT source, n_tokens AS unique_tokens, w_temp, target_tokens,
+        |  LEAST(target_tokens,
+        |    ${graft.operators.TextAnalysis.epochCap} * n_tokens) AS alloc_tokens,
+        |  ROUND(CAST(LEAST(target_tokens,
+        |      ${graft.operators.TextAnalysis.epochCap} * n_tokens) AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+        |  target_tokens - LEAST(target_tokens,
+        |    ${graft.operators.TextAnalysis.epochCap} * n_tokens) AS deficit_tokens
+        |FROM pl
         |ORDER BY source""".stripMargin,
     // C1 + F-family. DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark replaces all matches by default); token lists agree because
@@ -3015,6 +3027,26 @@ object SparkEntry {
        |$finals
        |ORDER BY step""".stripMargin
   }
+
+  /** F13/F31's shared temperature-weight replay (tok → per-source
+    * totals → p^0.3 in integer micro-units + the two 1-row totals) —
+    * both rows nest this ONE definition, so the mixing audit and the
+    * epoch plan can never disagree about a weight. */
+  private val tempMicroCtesBody: String =
+    """tok AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS nt
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |  FROM tok GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+      |m AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    n_tokens / (SELECT tot FROM tot) AS p,
+      |    CAST(ROUND(POWER(n_tokens / (SELECT tot FROM tot), 0.3) * 1000000, 0) AS BIGINT) AS micro
+      |  FROM per),
+      |mt AS (SELECT CAST(SUM(micro) AS BIGINT) AS mtot FROM m)""".stripMargin
 
   /** E20/E21's shared selection replay (positional 5-grams, trailing
     * full-window MIN, following-window MAX existence test) — both

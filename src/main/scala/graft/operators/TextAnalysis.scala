@@ -542,10 +542,25 @@ object TextAnalysis {
     * MICRO-units (round(p^α·10⁶) as long) and the longs are summed —
     * order-independent and engine-exact; every output double then
     * derives from exact integers through identical IEEE ops. */
-  def mixTemperature(t: Tables): DataFrame = {
+  def mixTemperature(t: Tables): DataFrame =
+    temperatureMicro(t)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("micro") / col("mtot"), 6).as("w_temp"),
+        round((col("micro") / col("mtot")) / col("p"), 6).as("boost"))
+      .orderBy(col("source"))
+
+  /** F13/F31's shared temperature-weight stage: per source —
+    * (n_docs, n_tokens, tot, p, micro, mtot), where micro is the
+    * p^0.3 weight in integer micro-units (order-independent,
+    * engine-exact) and tot/mtot ride along as 1-row cross-broadcast
+    * totals. ONE definition so the mixing audit and the epoch plan
+    * can never disagree about a weight. The identical per-source
+    * aggregate subtree under both total branches collapses to one
+    * exchange via AQE ReusedExchange. */
+  private def temperatureMicro(t: Tables): DataFrame = {
     val alpha = 0.3
-    val nt = reTokenCount
-    val per = t.documents.select(col("source"), nt.as("nt"))
+    val per = t.documents.select(col("source"), reTokenCount.as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
@@ -553,14 +568,51 @@ object TextAnalysis {
       .withColumn("p", col("n_tokens") / col("tot"))
       .withColumn("micro",
         round(pow(col("p"), alpha) * 1e6, 0).cast(LongType))
-    val mtot = m.agg(sum(col("micro")).as("mtot"))
-    m.join(broadcast(mtot))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("p"), 6).as("p_natural"),
-        round(col("micro") / col("mtot"), 6).as("w_temp"),
-        round((col("micro") / col("mtot")) / col("p"), 6).as("boost"))
-      .orderBy(col("source"))
+    m.join(broadcast(m.agg(sum(col("micro")).as("mtot"))))
   }
+
+  /** F31 `q_epoch_plan` constants: the token budget as a multiple of
+    * the corpus' unique-token total (train 2× the corpus), and the
+    * published repetition ceiling — Muennighoff et al. 2023 (*Scaling
+    * Data-Constrained Language Models*) find up to ~4 epochs of
+    * repeated data nearly as good as fresh; beyond that returns decay
+    * rapidly, so a plan caps there and surfaces the deficit. */
+  private[graft] val epochBudgetMult = 2L
+  private[graft] val epochCap = 4L
+
+  /** F31 — `q_epoch_plan`: the DATA-CONSTRAINED allocation plan — the
+    * table a pipeline derives when the token budget exceeds the
+    * unique corpus (the data-constrained regime): per source, the
+    * temperature-weighted token target (F13's exact weight rule over
+    * a budget of [[epochBudgetMult]]× total tokens), the implied
+    * repetition in epochs, the allocation after the published
+    * [[epochCap]]-epoch ceiling, and the unfillable DEFICIT — the
+    * number that says "this mixture wants more of source X than
+    * repetition usefully provides" (the signal to re-temper the mix
+    * or buy more data).
+    *
+    * Exactness: the target is (budget · micro) div mtot computed in
+    * DECIMAL(38,0)/HUGEINT — exact integer arithmetic at any corpus
+    * size (the raw product overflows a long at ~10^13 tokens); the
+    * allocation/deficit are exact-long min/subtraction; only the
+    * display `epochs` divides, once, at 6dp.
+    *
+    * Scale shape: F13's stage verbatim (one map-side-combining
+    * corpus agg, ≤|sources| rows after), plus pure per-row
+    * arithmetic on those rows. */
+  def epochPlan(t: Tables): DataFrame =
+    temperatureMicro(t)
+      .withColumn("target_tokens", expr(
+        s"CAST(CAST($epochBudgetMult * tot AS DECIMAL(38,0)) * micro div mtot AS BIGINT)"))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), lit(epochCap) * col("n_tokens")))
+      .select(col("source"), col("n_tokens").as("unique_tokens"),
+        round(col("micro") / col("mtot"), 6).as("w_temp"),
+        col("target_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("epochs"),
+        (col("target_tokens") - col("alloc_tokens")).as("deficit_tokens"))
+      .orderBy(col("source"))
 
   /** F12 — `q_pack_sequences`: the concat-and-chunk packing audit a
     * pretraining pipeline runs before writing training shards — docs

@@ -46,6 +46,8 @@ class PlanShapeSpec extends SparkTestBase {
     // the two 1-row normalization totals cross-broadcast into the
     // per-source rows
     "q_mix_temperature",
+    // F31 shares F13's two 1-row total cross-broadcasts
+    "q_epoch_plan",
     // the index-health row assembles two 1-row aggregates (per-vector
     // and per-cell) with a 1×1 cross-broadcast
     "q_ivf_stats",

@@ -561,6 +561,56 @@ class TextAnalysisSpec extends SparkTestBase {
       ("aa", 2L, 7L), ("ab", 2L, 2L), ("bb", 1L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("epochPlan: reconciles against a plain-Scala replication, the cap " +
+    "binds on a boosted tiny source, and weights match mixTemperature") {
+    import spark.implicits._
+    def replicate(perSource: Map[String, Long])
+        : Map[String, (Long, Double, Long, Long, Double, Long)] = {
+      val tot = perSource.values.sum
+      val micro = perSource.view.mapValues(u =>
+        math.round(math.pow(u.toDouble / tot, 0.3) * 1e6)).toMap
+      val mtot = micro.values.sum
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      perSource.map { case (s, u) =>
+        val target = (BigInt(2L * tot) * micro(s) / mtot).toLong
+        val alloc = math.min(target, 4L * u)
+        s -> ((u, r6(micro(s).toDouble / mtot), target, alloc,
+          r6(alloc.toDouble / u), target - alloc))
+      }
+    }
+    def tokCount(tx: String): Long =
+      "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r.findAllIn(tx).length.toLong
+    val sf = t.documents.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).map(tokCount).getOrElse(0L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = TextAnalysis.epochPlan(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got === replicate(sf))
+    // w_temp agrees with F13's published weight for every source
+    val w13 = TextAnalysis.mixTemperature(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got.view.mapValues(_._2).toMap === w13)
+    // planted skew: the temperature boost pushes the tiny source's
+    // target far past 4 epochs -> cap binds, deficit surfaces
+    val docs = (0 until 100).map(i => (i.toLong, "big", ("w " * 50).trim)) :+
+      (100L, "tiny", ("w " * 10).trim)
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toFile
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val p = TextAnalysis.epochPlan(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    val (u, target, alloc, epochs, deficit) = p("tiny")
+    assert(u === 10L)
+    assert(target > 4L * u)
+    assert(alloc === 4L * u)
+    assert(epochs === 4.0)
+    assert(deficit === target - 40L)
+    assert(p("big")._5 === 0L)
+  }
+
   test("sampleStratified: two-level top-k equals a plain-Scala flat rank, " +
     "and a source smaller than k is taken whole") {
     import spark.implicits._
