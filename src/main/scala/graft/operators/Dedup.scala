@@ -1348,9 +1348,10 @@ object Dedup {
     * n_shared ≥ 1. Top-30 under the (n_shared DESC, d1, d2) total
     * order via TakeOrdered. */
   def winnowOverlap(t: Tables): DataFrame = {
+    // no checkpoint on sel: winnowFlagged is already pinned and sel's
+    // single consumer is `capped`, which checkpoints for its own fans
     val sel = winnowFlagged(t.documents).filter(col("sel"))
       .select(col("doc_id"), col("gh")).distinct()
-      .localCheckpoint()
     val capped = sel
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("nd") <= maxBucketSize)
@@ -1560,7 +1561,10 @@ object Dedup {
       documents: DataFrame, path: String): DataFrame = {
     val spark = documents.sparkSession
     val w = stateWatermark(path)
-    val src = documents.select(col("doc_id"), col("source"))
+    // delta-only source labels: the watermark filter lets parquet
+    // row-group stats skip the entire base corpus (cost ∝ delta)
+    val src = documents.filter(col("doc_id") > w)
+      .select(col("doc_id"), col("source"))
     val occ = spanGramOccurrences(documents.filter(col("doc_id") > w))
       .filter(col("gh").isNotNull)
       .select(col("doc_id"), col("gh"))

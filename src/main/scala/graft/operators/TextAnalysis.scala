@@ -1421,6 +1421,7 @@ object TextAnalysis {
         val pair = best(0).getString(0)
         val total = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
+        val prev = vocab
         vocab = vocab.withColumn("seg", aggregate(
           slice(col("seg"), lit(2), size(col("seg")) - 1),
           slice(col("seg"), 1, 1),
@@ -1429,6 +1430,9 @@ object TextAnalysis {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x)))))
           .localCheckpoint()
+        // the new checkpoint has materialized — release the superseded
+        // segmentation so storage stays ~2x the vocab, not steps x
+        prev.unpersist()
         val tokensAfter = vocab
           .agg(sum(col("c") * size(col("seg")))).first().getLong(0)
         rows += ((step, a, b, total, tokensAfter))

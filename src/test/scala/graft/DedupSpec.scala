@@ -8,6 +8,31 @@ import graft.sources.Tables
 class DedupSpec extends SparkTestBase {
   lazy val t = Tables(spark, sfDir)
 
+  // ---- shared plain-Scala winnowing replica (E20/E21 tests) --------
+  private val winnowK = 5
+  private val winnowW = 8
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def winnowGramHashes(text: String): Vector[String] = {
+    val ws = text.trim.toLowerCase.split("\\s+").toVector
+    if (ws.length < winnowK) Vector.empty
+    else (0 to ws.length - winnowK).map(i =>
+      md5hex(ws.slice(i, i + winnowK).mkString(" "))).toVector
+  }
+
+  /** Select-all-ties winnowing: every FULL window marks its minima. */
+  private def winnowSelIdx(h: Vector[String]): Set[Int] = {
+    val sel = scala.collection.mutable.Set[Int]()
+    for (s <- 0 to h.length - winnowW) {
+      val mn = (s until s + winnowW).map(h).min
+      (s until s + winnowW).filter(p => h(p) == mn).foreach(sel += _)
+    }
+    sel.toSet
+  }
+
   test("lshRecall: one row per layout, truth = exact E4 pairs, nested layouts order the counts") {
     val rows = Dedup.lshRecall(t).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
@@ -642,25 +667,8 @@ class DedupSpec extends SparkTestBase {
   test("winnow: reconciles against an independent plain-Scala winnower on " +
     "the sf corpus, and the w+k-1 coverage guarantee holds on a planted run") {
     import spark.implicits._
-    val k = 5; val w = 8
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(
-        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def gramHashes(text: String): Vector[String] = {
-      val ws = text.trim.toLowerCase.split("\\s+").toVector
-      if (ws.length < k) Vector.empty
-      else (0 to ws.length - k).map(i =>
-        md5hex(ws.slice(i, i + k).mkString(" "))).toVector
-    }
-    // select-all-ties winnowing: every FULL window marks its minima
-    def winnowSel(h: Vector[String]): Set[Int] = {
-      val sel = scala.collection.mutable.Set[Int]()
-      for (s <- 0 to h.length - w) {
-        val mn = (s until s + w).map(h).min
-        (s until s + w).filter(p => h(p) == mn).foreach(sel += _)
-      }
-      sel.toSet
-    }
+    def gramHashes(text: String): Vector[String] = winnowGramHashes(text)
+    def winnowSel(h: Vector[String]): Set[Int] = winnowSelIdx(h)
     def replicate(docs: Seq[(Long, String, String)])
         : Map[String, (Long, Long, Long, Double, Long, Long)] = {
       val per = docs.map { case (id, src, tx) =>
@@ -713,21 +721,9 @@ class DedupSpec extends SparkTestBase {
   test("winnowOverlap: reconciles against a plain-Scala pair count on the " +
     "sf corpus, and a planted 12-word shared run surfaces its pair") {
     import spark.implicits._
-    val k = 5; val w = 8
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(
-        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def fingerprints(text: String): Set[String] = {
-      val ws = text.trim.toLowerCase.split("\\s+").toVector
-      if (ws.length < k) return Set.empty
-      val h = (0 to ws.length - k).map(i =>
-        md5hex(ws.slice(i, i + k).mkString(" "))).toVector
-      val sel = scala.collection.mutable.Set[Int]()
-      for (s <- 0 to h.length - w) {
-        val mn = (s until s + w).map(h).min
-        (s until s + w).filter(p => h(p) == mn).foreach(sel += _)
-      }
-      sel.toSet.map((p: Int) => h(p))
+      val h = winnowGramHashes(text)
+      winnowSelIdx(h).map(h)
     }
     def replicate(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long, Double)] = {
       val fps = docs.map { case (id, tx) => id -> fingerprints(tx) }
