@@ -59,6 +59,9 @@ object SparkEntry {
     // cells, pruned scan, codegen'd score filter instead of a top-k
     // sort (the near-duplicate audit retrieval shape)
     "q_search_radius"     -> q(EmbeddingStore.searchRadiusQuery),
+    // D28: filtered top-k through the persisted index — pruned probe
+    // joined with the label-filtered metadata table, wider probes
+    "q_search_ivf_filtered" -> q(EmbeddingStore.searchFilteredIvfQuery),
     // D26: base-vs-delta occupancy shift over the shared cell
     // assignment + corpus TVD — the distribution-drift monitor
     // beside D9's volume stats
@@ -690,6 +693,33 @@ object SparkEntry {
          |SELECT doc_id, cell, score FROM sc
          |WHERE score >= 0.12
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // D28: D25's probe replay with the θ filter swapped for a label
+    // equi-join (embeddings.label = 3) + LIMIT k under the total
+    // order — the filtered-ANN plan's exact result.
+    "q_search_ivf_filtered" ->
+      s"""$ivfAssignCte,
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 4),
+         |s AS (
+         |  SELECT e.vec_id, a.cell, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg2 a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id, a.cell),
+         |sc AS (
+         |  SELECT s.vec_id AS doc_id, s.cell, m.label,
+         |    ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score
+         |  FROM s JOIN embeddings m ON s.vec_id = m.vec_id
+         |  WHERE m.label = 3)
+         |SELECT doc_id, cell, label, score FROM sc
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
     // D26: the shared seeded assignment (asg) split at the id
     // midpoint; shares are single exact-long divisions, the per-cell
     // |Δ| quantizes to micro-units BEFORE the TVD sum (order-exact).

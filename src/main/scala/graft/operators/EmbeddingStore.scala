@@ -886,6 +886,51 @@ object EmbeddingStore {
     searchIvfRadius(t.spark, ensureIndex(t), queryDocId = 0L,
       minScore = 0.12, probes = 4)
 
+  /** D28 — `q_search_ivf_filtered`: FILTERED vector search through
+    * the PERSISTED index — top-k restricted to vectors matching a
+    * metadata predicate (here `label = 3`), the query every
+    * production vector store serves ("nearest docs IN THIS
+    * COLLECTION / with this license / from this source"). The index
+    * stores vectors only, so the filter is a doc-keyed join against
+    * the metadata table — BOTH sides arrive pruned: the vector side
+    * scans probes·τ rows via partition pruning (D8's plan), the
+    * metadata side pushes the label predicate into its parquet scan
+    * (PushedFilters), and AQE broadcasts whichever survives smaller.
+    * Post-filter semantics with WIDER probes (4 vs D8's 2): under a
+    * selective filter the k-th match sits deeper in the cell
+    * ordering, so a filtered probe widens its candidate pool — the
+    * published filtered-ANN trade (a matching vector in an unprobed
+    * cell is still missed; D7's recall evaluator prices exactly
+    * that). Scores round to 6dp before ranking; (score DESC, doc_id)
+    * total order. */
+  def searchFilteredIvfQuery(t: Tables): DataFrame =
+    searchIvfFiltered(t.spark, ensureIndex(t), t.embeddings,
+      queryDocId = 0L, k = 10, probes = 4, label = 3)
+
+  /** Filtered top-k over the persisted index: D8's probe + pruned
+    * scan, equi-joined with the label-filtered metadata table before
+    * the TakeOrdered. */
+  def searchIvfFiltered(spark: SparkSession, path: String,
+      embeddings: DataFrame, queryDocId: Long, k: Int, probes: Int,
+      label: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val qv = cells.filter(col("doc_id") === queryDocId)
+      .select(col("embedding").as("qv"))
+    val probedCells = probeCells(spark, path, queryDocId, probes)
+    val meta = embeddings
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .filter(col("label") === label)
+    cells
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .filter(col("doc_id") =!= queryDocId)
+      .join(meta, "doc_id")
+      .join(broadcast(qv))
+      .select(col("doc_id"), col("cell"), col("label"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Range search over the persisted index: D8's probe + pruned scan
     * with the top-k TakeOrdered replaced by a θ filter on the
     * 6dp-rounded score. Emits everything the probed cells hold at or

@@ -341,4 +341,40 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getDouble(2))).take(kAboveTheta.length)
       .toSeq === kAboveTheta)
   }
+
+  test("searchIvfFiltered: exactly the label-matching slice of the probed " +
+    "cells, top-k ordered, pruned scan, label pushed to the metadata scan") {
+    val t = Tables(spark, sfDir)
+    val path = EmbeddingStore.ensureIndex(t)
+    val res = EmbeddingStore.searchIvfFiltered(spark, path, t.embeddings,
+      queryDocId = 0L, k = 10, probes = 4, label = 3)
+    val rows = res.collect()
+    assert(rows.nonEmpty, "filtered search returned nothing for label 3")
+    assert(rows.forall(_.getInt(2) === 3))
+    val order = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(order === order.sorted)
+    // plan: the cell scan partition-prunes AND the label predicate
+    // reaches the metadata parquet scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"filtered cell scan not partition-pruned:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(label,3)"),
+      s"label filter not pushed to the metadata scan:\n$plan")
+    // completeness within the probed cells: independent brute-force
+    // over those cells restricted to label 3 agrees row-for-row
+    val cells = spark.read.parquet(s"$path/cells")
+    val probed = EmbeddingStore.probeCells(spark, path, 0L, probes = 4).toSeq
+    val labels = t.embeddings
+      .filter(col("label") === 3).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val qv = cells.filter(col("doc_id") === 0L).select(col("embedding").as("qv"))
+    val exact = cells
+      .filter(col("cell").isin(probed: _*) && col("doc_id") =!= 0L)
+      .join(broadcast(qv))
+      .select(col("doc_id"), round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => labels(p._1))
+      .sortBy(p => (-p._2, p._1)).take(10).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getDouble(3))).toSeq === exact)
+  }
 }

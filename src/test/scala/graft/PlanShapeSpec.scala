@@ -25,6 +25,9 @@ class PlanShapeSpec extends SparkTestBase {
     "q_search_ivf",
     // D8's broadcast shape with a θ filter instead of top-k
     "q_search_radius",
+    // D28: D8's 1-row query-vector broadcast into the pruned scan
+    // (the label side joins keyed on doc_id)
+    "q_search_ivf_filtered",
     // three 1-row broadcasts (id midpoint, side totals, TVD sum)
     // into the ≤k-row cell table; the assignment itself reuses
     // q_dedup_embedding's centroid broadcast
