@@ -87,6 +87,9 @@ object SparkEntry {
     // D15: the corpus-wide approximate k-NN graph, cell-blocked so
     // candidates are ~n·τ rows at any scale
     "q_knn_graph"         -> q(VectorSearch.knnGraph),
+    // D29: PageRank centrality over the k-NN graph — exact-integer
+    // power iteration (floor-division mass), top-20 exemplars
+    "q_graph_pagerank"    -> q(VectorSearch.graphPagerank),
     // D18: connected components over the thresholded k-NN graph —
     // the corpus-map / SemDeDup-style semantic clustering
     "q_semantic_clusters" -> q(VectorSearch.semanticClusters),
@@ -2447,6 +2450,36 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score
         |FROM r WHERE rnk <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // D29: the D15 graph CTEs verbatim, then 3 unrolled integer
+    // power-iteration steps — (r*85)//(100*outdeg) per edge + the
+    // 150000 micro-unit restart; all-longs, bit-exact by construction.
+    "q_graph_pagerank" -> {
+      val iters = operators.VectorSearch.pagerankIters
+      val steps = (1 to iters).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst AS vec_id,
+           |    CAST(SUM((p.ru * 85) // (100 * od.outdeg)) AS BIGINT) AS s
+           |  FROM e JOIN od ON e.src = od.src
+           |  JOIN r${k - 1} p ON p.vec_id = e.src
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT n.vec_id,
+           |    CAST(150000 + COALESCE(c$k.s, 0) AS BIGINT) AS ru
+           |  FROM n LEFT JOIN c$k ON n.vec_id = c$k.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$knnGraphCtes,
+         |e AS (SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rnk <= 3),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT vec_id FROM embeddings),
+         |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS ru FROM n),
+         |$steps,
+         |ind AS (SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_deg
+         |        FROM e GROUP BY 1)
+         |SELECT f.vec_id, f.ru AS rank_u, COALESCE(ind.in_deg, 0) AS in_deg
+         |FROM r$iters f LEFT JOIN ind ON f.vec_id = ind.vec_id
+         |ORDER BY rank_u DESC, f.vec_id
+         |LIMIT 20""".stripMargin
+    },
     // D18: the D15 graph CTEs verbatim (same cell blocking, scoring
     // and ranking), edges thresholded and symmetrized, then the E6
     // recursive-closure pattern; components labeled by min member id.

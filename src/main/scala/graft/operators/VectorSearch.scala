@@ -629,4 +629,71 @@ object VectorSearch {
         coalesce(col("lex_rank"), lit(0)).cast(LongType).as("lex_rank"),
         round(col("rrf"), 6).as("rrf"))
   }
+
+  /** D29 `q_graph_pagerank`: power-iteration count. Three steps is
+    * the demonstration depth — the per-iteration plan is identical
+    * at any count, and data-curation centrality runs O(10). */
+  private[graft] val pagerankIters = 3
+
+  /** D29 — `q_graph_pagerank`: CENTRALITY over the corpus k-NN graph
+    * — PageRank (Page et al. 1999) on D15's edges, the standard
+    * "which documents are most representative / most referenced by
+    * their neighborhoods" signal a curation pipeline uses to pick
+    * exemplars (the graph-centrality counterpart of E16's
+    * prototypicality: E16 scores against a cluster centroid, this
+    * scores by recursive neighborhood mass on the same similarity
+    * structure). Pruned-dangling variant: a vector with no
+    * qualifying out-edges leaks its mass (documented; the k-NN
+    * graph's dangling set is the no-neighbor fringe).
+    *
+    * EXACT-INTEGER power iteration — the whole computation is longs:
+    * ranks start at 1e6 micro-units, each edge transfers
+    * (r·85) div (100·outdeg), each node restarts at 150000 (the 0.85
+    * damping in micro-units); floor division replays identically in
+    * DuckDB (`//`), so after [[pagerankIters]] iterations the ranks
+    * compare bit-for-bit with no float-parity contract needed at
+    * all — the first fully-integer iterative operator in the
+    * registry.
+    *
+    * Scale shape: per iteration, one keyed edges⋈ranks join (src)
+    * and one map-side-combining sum (dst) — the canonical
+    * distributed PageRank step; at 100 TB both shuffles key on
+    * vector ids (pre-partitioning edges by src makes the join
+    * co-located and reusable across iterations). The per-iteration
+    * localCheckpoint pins the rank frame so the plan stays one
+    * step deep (the MMR lesson). */
+  def graphPagerank(t: Tables): DataFrame = {
+    val nodes = t.embeddings.select(col("vec_id"))
+    val edges = knnGraph(t)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    pagerankOn(nodes, edges)
+      .orderBy(col("rank_u").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** The integer PageRank core (testable on hand-built graphs):
+    * returns (vec_id, rank_u, in_deg) for every node. */
+  private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    (1 to pagerankIters).foreach { _ =>
+      val contrib = edges.join(out, "src")
+        .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
+        .select(col("dst").as("vec_id"),
+          expr("(r * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("in_mass"))
+      val prev = ranks
+      ranks = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    val inDeg = edges.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    ranks.join(inDeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("r").as("rank_u"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
 }

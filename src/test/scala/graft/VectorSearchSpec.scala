@@ -336,4 +336,40 @@ class VectorSearchSpec extends SparkTestBase {
     val both = rows.filter(r => r.getLong(1) === 1L && r.getLong(2) === 1L)
     if (both.nonEmpty) assert(both.head.getLong(0) === rows.head.getLong(0))
   }
+
+  test("pagerankOn: hand-computed star graph ranks exactly, and the corpus " +
+    "row equals an independent plain-Scala power iteration") {
+    import spark.implicits._
+    // star: 1,2,3 -> 0 and 0 -> 1; three iterations by hand
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val star = VectorSearch.pagerankOn(nodes, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(star === Map(
+      0L -> ((2483250L, 3L)), 1L -> ((1216750L, 1L)),
+      2L -> ((150000L, 0L)), 3L -> ((150000L, 0L))))
+    // independent integer power iteration over the engine's own edges
+    def replicate(ns: Seq[Long], es: Seq[(Long, Long)], iters: Int)
+        : Map[Long, (Long, Long)] = {
+      val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = ns.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+          r(s) * 85 / (100 * outdeg(s)) }.sum).toMap
+        r = ns.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+      }
+      val inDeg = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      ns.map(n => n -> ((r(n), inDeg.getOrElse(n, 0L)))).toMap
+    }
+    val corpusEdges = VectorSearch.knnGraph(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val corpusNodes = t.embeddings.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSeq
+    val expected = replicate(corpusNodes, corpusEdges, 3).toSeq
+      .sortBy(p => (-p._2._1, p._1)).take(20)
+      .map { case (v, (ru, d)) => (v, ru, d) }
+    val got = VectorSearch.graphPagerank(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
 }
