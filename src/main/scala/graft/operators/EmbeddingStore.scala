@@ -844,8 +844,13 @@ object EmbeddingStore {
     (rows.map(_.getInt(0)), rows.headOption.map(_.getSeq[Float](2)))
   }
 
-  def searchIvf(spark: SparkSession, path: String, queryDocId: Long,
-      k: Int, probes: Int = 2): DataFrame = {
+  /** D8/D25/D28's ONE probe skeleton: the partition-pruned scan of
+    * the probed cells scored 6dp against the query's stored vector,
+    * query doc excluded — (doc_id, cell, score). Each search variant
+    * adds only its tail (top-k / θ filter / metadata join), so the
+    * exclusion, rounding and probe handling can never diverge. */
+  private def scoredProbeScan(spark: SparkSession, path: String,
+      queryDocId: Long, probes: Int): DataFrame = {
     val cells = spark.read.parquet(s"$path/cells")
     val qv = cells.filter(col("doc_id") === queryDocId)
       .select(col("embedding").as("qv"))
@@ -856,9 +861,13 @@ object EmbeddingStore {
       .join(broadcast(qv))
       .select(col("doc_id"), col("cell"),
         round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+  }
+
+  def searchIvf(spark: SparkSession, path: String, queryDocId: Long,
+      k: Int, probes: Int = 2): DataFrame =
+    scoredProbeScan(spark, path, queryDocId, probes)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** D25 — `q_search_radius`: RADIUS (range) search through the
     * PERSISTED IVF index — every stored vector with cosine ≥ θ of the
@@ -913,20 +922,12 @@ object EmbeddingStore {
   def searchIvfFiltered(spark: SparkSession, path: String,
       embeddings: DataFrame, queryDocId: Long, k: Int, probes: Int,
       label: Int): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val qv = cells.filter(col("doc_id") === queryDocId)
-      .select(col("embedding").as("qv"))
-    val probedCells = probeCells(spark, path, queryDocId, probes)
     val meta = embeddings
       .select(col("vec_id").as("doc_id"), col("label"))
       .filter(col("label") === label)
-    cells
-      .filter(col("cell").isin(probedCells.toSeq: _*))
-      .filter(col("doc_id") =!= queryDocId)
+    scoredProbeScan(spark, path, queryDocId, probes)
       .join(meta, "doc_id")
-      .join(broadcast(qv))
-      .select(col("doc_id"), col("cell"), col("label"),
-        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      .select(col("doc_id"), col("cell"), col("label"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -936,20 +937,10 @@ object EmbeddingStore {
     * 6dp-rounded score. Emits everything the probed cells hold at or
     * above `minScore`, best-first. */
   def searchIvfRadius(spark: SparkSession, path: String, queryDocId: Long,
-      minScore: Double, probes: Int): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val qv = cells.filter(col("doc_id") === queryDocId)
-      .select(col("embedding").as("qv"))
-    val probedCells = probeCells(spark, path, queryDocId, probes)
-    cells
-      .filter(col("cell").isin(probedCells.toSeq: _*))
-      .filter(col("doc_id") =!= queryDocId)
-      .join(broadcast(qv))
-      .select(col("doc_id"), col("cell"),
-        round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+      minScore: Double, probes: Int): DataFrame =
+    scoredProbeScan(spark, path, queryDocId, probes)
       .filter(col("score") >= minScore)
       .orderBy(col("score").desc, col("doc_id"))
-  }
 
   /** D19 — `q_search_batch`: N ARBITRARY queries through the
     * PERSISTED IVF index in ONE pass — the production batch-serving

@@ -1375,9 +1375,11 @@ object TextAnalysis {
     * explode (≤ word length per vocab row) into a map-side-combining
     * count, a 1-row TakeOrdered argmax (the only driver transfer:
     * one row per step, bounded by construction), and a per-row
-    * segmentation fold. The per-step localCheckpoint pins the new
-    * segmentation so the plan cannot grow with the step count (the
-    * q_search_mmr lesson).
+    * segmentation fold. Per-step segmentations pin via cache
+    * substitution (persist + eager action + a working unpersist of
+    * the superseded frame), so the executed plan stays one step deep
+    * (the q_search_mmr lesson) and live storage stays at two vocab
+    * frames at any step count.
     *
     * The merge is a pure left-to-right fold: append each symbol,
     * merging when the accumulator's last symbol is `a` and the next
@@ -1393,12 +1395,19 @@ object TextAnalysis {
   def bpeTrain(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
+    // per-step segmentations use cache substitution (persist + the
+    // step's own actions materialize + a WORKING unpersist of the
+    // superseded frame): downstream steps plan against the
+    // InMemoryRelation, so the plan stays one step deep, and live
+    // storage stays at two vocab frames. localCheckpoint would leak
+    // one frame per step — Dataset.unpersist never frees checkpoint
+    // RDD storage (verified on Spark 4.1.2).
     var vocab = t.documents
       .select(explode(words(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("c"), split(col("w"), "").as("seg"))
-      .localCheckpoint()
+      .persist()
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
     var step = 1
     var exhausted = false
@@ -1429,16 +1438,19 @@ object TextAnalysis {
             element_at(acc, -1) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
-        // the new checkpoint has materialized — release the superseded
-        // segmentation so storage stays ~2x the vocab, not steps x
-        prev.unpersist()
+          .persist()
+        // this full-scan action materializes the new cache; only then
+        // is the superseded segmentation safe (and correct) to free
         val tokensAfter = vocab
           .agg(sum(col("c") * size(col("seg")))).first().getLong(0)
+        prev.unpersist()
         rows += ((step, a, b, total, tokensAfter))
         step += 1
       }
     }
+    // the output lives driver-side in `rows`; the final segmentation
+    // cache has no remaining consumer
+    vocab.unpersist()
     rows.result()
       .toDF("step", "lhs", "rhs", "pair_total", "tokens_after")
       .orderBy("step")

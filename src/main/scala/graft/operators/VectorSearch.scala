@@ -658,10 +658,13 @@ object VectorSearch {
     * Scale shape: per iteration, one keyed edges⋈ranks join (src)
     * and one map-side-combining sum (dst) — the canonical
     * distributed PageRank step; at 100 TB both shuffles key on
-    * vector ids (pre-partitioning edges by src makes the join
-    * co-located and reusable across iterations). The per-iteration
-    * localCheckpoint pins the rank frame so the plan stays one
-    * step deep (the MMR lesson). */
+    * vector ids, and the degree-annotated edge list materializes
+    * ONCE before the loop (loop-invariant — pre-partitioning it by
+    * src makes every iteration's join co-located). Rank frames use
+    * cache substitution (persist + eager count + a WORKING
+    * unpersist of the superseded frame — see [[pagerankOn]]) so the
+    * executed plan stays one step deep and live storage stays at
+    * two rank frames at any iteration depth. */
   def graphPagerank(t: Tables): DataFrame = {
     val nodes = t.embeddings.select(col("vec_id"))
     val edges = knnGraph(t)
@@ -673,24 +676,41 @@ object VectorSearch {
   }
 
   /** The integer PageRank core (testable on hand-built graphs):
-    * returns (vec_id, rank_u, in_deg) for every node. */
+    * returns (vec_id, rank_u, in_deg) for every node.
+    *
+    * Iteration storage contract: the LOOP-INVARIANT frames (the
+    * degree-annotated edge list, the node set) localCheckpoint ONCE —
+    * two pinned frames for the whole run. The PER-ITERATION rank
+    * frame instead uses cache substitution: persist + an eager
+    * count() materializes it, downstream iterations plan against the
+    * InMemoryRelation (so the executed plan stays one step deep),
+    * and unpersist() on the superseded frame actually frees its
+    * blocks — a localCheckpoint here would leak one n-row block per
+    * iteration, because Dataset.unpersist only clears CacheManager
+    * entries, never checkpoint RDD storage (verified on Spark
+    * 4.1.2). Live rank storage is therefore 2 frames at any depth,
+    * the property an O(10)-iteration curation run needs. */
   private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    val ew = edges.join(out, "src").localCheckpoint()
+    val ns = nodes.localCheckpoint()
+    var ranks = ns.withColumn("r", lit(1000000L)).persist()
+    ranks.count()
     (1 to pagerankIters).foreach { _ =>
-      val contrib = edges.join(out, "src")
+      val contrib = ew
         .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
         .select(col("dst").as("vec_id"),
           expr("(r * 85) div (100 * outdeg)").as("c"))
         .groupBy(col("vec_id")).agg(sum(col("c")).as("in_mass"))
       val prev = ranks
-      ranks = nodes.join(contrib, Seq("vec_id"), "left")
+      ranks = ns.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
-        .localCheckpoint()
+        .persist()
+      ranks.count()
       prev.unpersist()
     }
-    val inDeg = edges.groupBy(col("dst").as("vec_id"))
+    val inDeg = ew.groupBy(col("dst").as("vec_id"))
       .agg(count(lit(1)).as("in_deg"))
     ranks.join(inDeg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("r").as("rank_u"),
