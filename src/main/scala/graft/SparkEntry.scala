@@ -90,6 +90,9 @@ object SparkEntry {
     // D29: PageRank centrality over the k-NN graph — exact-integer
     // power iteration (floor-division mass), top-20 exemplars
     "q_graph_pagerank"    -> q(VectorSearch.graphPagerank),
+    // D30: k-NN label propagation + per-class accuracy — the
+    // weak-supervision label-transfer audit over D15's graph
+    "q_knn_classify"      -> q(VectorSearch.knnClassify),
     // D18: connected components over the thresholded k-NN graph —
     // the corpus-map / SemDeDup-style semantic clustering
     "q_semantic_clusters" -> q(VectorSearch.semanticClusters),
@@ -2450,6 +2453,30 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score
         |FROM r WHERE rnk <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // D30: the D15 graph CTEs verbatim, majority vote with the
+    // (count DESC, label ASC) argmax replayed as a window rank in
+    // its own CTE, per-class exact counts + one 6dp division.
+    "q_knn_classify" ->
+      s"""$knnGraphCtes,
+         |e AS (SELECT vec_id, neighbor_id FROM r WHERE rnk <= 3),
+         |v AS (
+         |  SELECT e.vec_id, m.label AS nl, COUNT(*) AS c
+         |  FROM e JOIN embeddings m ON e.neighbor_id = m.vec_id
+         |  GROUP BY 1, 2),
+         |p0 AS (
+         |  SELECT vec_id, nl,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nl) AS rnk
+         |  FROM v),
+         |p AS (SELECT vec_id, nl AS pred FROM p0 WHERE rnk = 1)
+         |SELECT m.label, CAST(COUNT(*) AS BIGINT) AS n_voted,
+         |  CAST(SUM(CASE WHEN p.pred = m.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN p.pred = m.label THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+         |FROM p JOIN embeddings m ON p.vec_id = m.vec_id
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     // D29: the D15 graph CTEs verbatim, then 3 unrolled integer
     // power-iteration steps — (r*85)//(100*outdeg) per edge + the
     // 150000 micro-unit restart; all-longs, bit-exact by construction.

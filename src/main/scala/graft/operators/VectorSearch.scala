@@ -630,6 +630,48 @@ object VectorSearch {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** D30 — `q_knn_classify`: k-NN LABEL PROPAGATION over the corpus
+    * graph (Cover & Hart 1968's rule run corpus-wide) — predict
+    * every vector's label by majority vote of its D15 neighbors and
+    * score the prediction against the stored label, per class. This
+    * is the weak-supervision audit a pipeline runs before trusting
+    * embedding-space label transfer (propagating scarce
+    * quality/domain labels to unlabeled data): per-class accuracy
+    * says WHERE the embedding neighborhood respects the labeling and
+    * where propagation would pollute.
+    *
+    * Vote rule, fully deterministic: neighbors = D15's k=3 edges;
+    * predicted = the neighbor label with the highest count, ties to
+    * the LOWEST label (the house max-struct argmax — a map-side-
+    * combining aggregate, never a window over the vote rows).
+    *
+    * Scale shape: one keyed edges⋈labels join (neighbor side), one
+    * (vec_id, label) map-side count, the argmax aggregate, one
+    * doc-keyed true-label join, and a ≤|labels|-row final agg; all
+    * counts exact longs, accuracy one 6dp division. */
+  def knnClassify(t: Tables): DataFrame = {
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val votes = knnGraph(t)
+      .select(col("vec_id"), col("neighbor_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .groupBy(col("vec_id"), col("nl"))
+      .agg(count(lit(1)).as("c"))
+    val pred = votes
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c"), (-col("nl")).as("m"))).as("b"))
+      .select(col("vec_id"), (-col("b.m")).cast("int").as("pred"))
+    pred.join(labels, "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_voted"), col("n_correct"),
+        round(col("n_correct").cast("double")
+          / col("n_voted").cast("double"), 6).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** D29 `q_graph_pagerank`: power-iteration count. Three steps is
     * the demonstration depth — the per-iteration plan is identical
     * at any count, and data-curation centrality runs O(10). */

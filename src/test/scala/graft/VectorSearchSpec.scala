@@ -337,6 +337,49 @@ class VectorSearchSpec extends SparkTestBase {
     if (both.nonEmpty) assert(both.head.getLong(0) === rows.head.getLong(0))
   }
 
+  test("knnClassify: equals an independent majority vote over the engine's " +
+    "edges, and a label-separable corpus propagates at accuracy 1.0") {
+    import spark.implicits._
+    def replicate(edges: Seq[(Long, Long)], labels: Map[Long, Int])
+        : Map[Int, (Long, Long, Double)] = {
+      val pred = edges.groupBy(_._1).map { case (v, es) =>
+        val votes = es.map(e => labels(e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      pred.toSeq.groupBy(p => labels(p._1)).map { case (l, ps) =>
+        val correct = ps.count { case (v, pr) => pr == labels(v) }.toLong
+        l -> ((ps.size.toLong, correct, r6(correct.toDouble / ps.size)))
+      }
+    }
+    val labels = t.embeddings.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = VectorSearch.knnGraph(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = VectorSearch.knnClassify(t).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === replicate(edges, labels))
+    // separable planted corpus: 3 clusters, one axis each — every
+    // neighbor shares the label, so propagation is perfect
+    val dim = 8
+    val planted = (0 until 30).map { i =>
+      val l = i % 3
+      val v = Array.fill(dim)(0.01f * (i % 7))
+      v(l) = 10f
+      (i.toLong, v.toSeq, l)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-knncls").toFile
+    planted.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val p = VectorSearch.knnClassify(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(p.keySet === Set(0, 1, 2))
+    assert(p.values.forall(_ === 1.0), s"separable corpus not perfect: $p")
+  }
+
   test("pagerankOn: hand-computed star graph ranks exactly, and the corpus " +
     "row equals an independent plain-Scala power iteration") {
     import spark.implicits._
