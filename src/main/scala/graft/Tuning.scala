@@ -114,10 +114,23 @@ object Tuning {
     * confs are immutable on a live session. */
   private[graft] def heapPerCoreFrom(execMemory: Option[String],
       execCores: Option[Int], defaultParallelism: Int,
+      execInstances: Option[Int] = None,
       jvmHeap: => Long = Runtime.getRuntime.maxMemory()): Long =
     (execMemory.map(memoryBytes), execCores) match {
       case (Some(h), Some(c)) => math.max(1L, h / math.max(1, c))
-      case (Some(h), None) => math.max(1L, h / math.max(1, defaultParallelism))
+      // memory declared but cores not (e.g. standalone mode, where an
+      // executor takes the whole worker): defaultParallelism is
+      // CLUSTER-wide, so h (ONE executor's heap) must be divided by
+      // one executor's SLOTS — parallelism over the declared instance
+      // count. With no instance count either, the cluster-wide
+      // division stands as a documented conservative understatement
+      // (budget shrinks toward the floors by the executor count; the
+      // knobs only ever get smaller/safer, never oversized).
+      case (Some(h), None) =>
+        val slots = math.max(1, defaultParallelism /
+          math.max(1, execInstances.getOrElse(1)))
+        if (execInstances.isDefined) math.max(1L, h / slots)
+        else math.max(1L, h / math.max(1, defaultParallelism))
       // cores declared but memory not: a real cluster whose executors
       // run Spark's documented 1g default — dividing the DRIVER's
       // heap by cluster-wide parallelism here would collapse the
@@ -132,7 +145,8 @@ object Tuning {
     val heapPerCore = heapPerCoreFrom(
       sc.getOption("spark.executor.memory"),
       sc.getOption("spark.executor.cores").map(_.toInt),
-      spark.sparkContext.defaultParallelism)
+      spark.sparkContext.defaultParallelism,
+      sc.getOption("spark.executor.instances").map(_.toInt))
     def sizeOf(f: java.io.File): Long =
       if (f.isFile) f.length()
       else if (f.getName == "_graft_layouts") 0L

@@ -54,14 +54,20 @@ object ScalarQuantizer {
   /** int8 codes of a micro-unit (BIGINT) vector with its per-vector
     * max-abs scale s: cᵢ = sign(qᵢ)·⌊(2·127·|qᵢ| + s) / (2·s)⌋ —
     * exact integer half-up of 127·|qᵢ|/s. Zero vector (s = 0) → all
-    * zeros. `s` must be a plain attribute column (not an expression):
-    * HOF lambdas re-evaluate captured expressions per element. */
+    * zeros. STRUCTURALLY once-per-row in s: the scale rides in as a
+    * zip_with ARGUMENT (`array_repeat(s, size(qv))`), so the lambda
+    * only ever touches element attributes — even if the optimizer
+    * inlines an expensive expression for `s` into this projection
+    * (CollapseProject's cheap/multi-ref heuristics are version
+    * fluid), it evaluates once per ROW at argument level, never per
+    * element. The repeat array is `size(qv)` longs/row — noise next
+    * to the per-element arithmetic it guards. */
   private[graft] def sq8Codes(qv: Column, s: Column): Column =
-    transform(qv, v =>
-      when(s === 0L, lit(0L)).otherwise(
+    zip_with(qv, array_repeat(s, size(qv)), (v, sv) =>
+      when(sv === 0L, lit(0L)).otherwise(
         when(v < 0L, lit(-1L)).otherwise(lit(1L)) *
-          floor((lit(2L * sqMaxCode) * abs(v) + s).cast("double") /
-            (lit(2L) * s).cast("double")).cast("long")))
+          floor((lit(2L * sqMaxCode) * abs(v) + sv).cast("double") /
+            (lit(2L) * sv).cast("double")).cast("long")))
 
   /** Exact integer dot product of two BIGINT array columns. Both
     * sides must be plain attributes (HOF re-evaluation rule). */
@@ -157,9 +163,9 @@ object ScalarQuantizer {
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").as("qemb"),
         ProductQuantizer.quantize(col("embedding")).as("qq"))
-    // micro-units → per-vector scale → codes, each stage a plain
-    // attribute before the next (HOF lambdas must not capture
-    // expressions — they re-evaluate per element)
+    // micro-units → per-vector scale → codes; sq8Codes is
+    // structurally once-per-row in s (argument-level repeat), so
+    // nothing here depends on the optimizer keeping the aliases
     val coded = t.embeddings.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         ProductQuantizer.quantize(col("embedding")).as("qv"))

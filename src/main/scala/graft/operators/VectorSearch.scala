@@ -711,31 +711,41 @@ object VectorSearch {
     val nodes = t.embeddings.select(col("vec_id"))
     val edges = knnGraph(t)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint()
-    pagerankOn(nodes, edges)
-      .orderBy(col("rank_u").desc, col("vec_id"))
-      .limit(20)
+      .persist()
+    edges.count()
+    val top = pagerankOn(nodes, edges,
+      _.orderBy(col("rank_u").desc, col("vec_id")).limit(20))
+    edges.unpersist()
+    top
   }
 
   /** The integer PageRank core (testable on hand-built graphs):
-    * returns (vec_id, rank_u, in_deg) for every node.
+    * returns `finish(...)` applied to the (vec_id, rank_u, in_deg)
+    * frame for every node, materialized so NOTHING internal stays
+    * live after the call returns.
     *
-    * Iteration storage contract: the LOOP-INVARIANT frames (the
-    * degree-annotated edge list, the node set) localCheckpoint ONCE —
-    * two pinned frames for the whole run. The PER-ITERATION rank
-    * frame instead uses cache substitution: persist + an eager
-    * count() materializes it, downstream iterations plan against the
-    * InMemoryRelation (so the executed plan stays one step deep),
-    * and unpersist() on the superseded frame actually frees its
-    * blocks — a localCheckpoint here would leak one n-row block per
-    * iteration, because Dataset.unpersist only clears CacheManager
-    * entries, never checkpoint RDD storage (verified on Spark
-    * 4.1.2). Live rank storage is therefore 2 frames at any depth,
-    * the property an O(10)-iteration curation run needs. */
-  private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    * Iteration storage contract: EVERY internal frame — the
+    * loop-invariant degree-annotated edge list and node set, and the
+    * per-iteration rank frame — uses cache substitution (persist +
+    * an eager count() so downstream iterations plan against the
+    * InMemoryRelation, keeping the executed plan one step deep) and
+    * is unpersist()ed once superseded or once the final output is
+    * pinned — a localCheckpoint anywhere here would leak its block
+    * for the session, because Dataset.unpersist only clears
+    * CacheManager entries, never checkpoint RDD storage (verified on
+    * Spark 4.1.2). Live storage is 2 rank frames + the 2 invariants
+    * during the loop and ZERO internal frames after return: the
+    * final ranks frame is consumed into an eager localCheckpoint of
+    * `finish`'s (caller-bounded — graphPagerank passes top-20)
+    * output, then every persist is released. Repeated invocations in
+    * a long-lived session retain only their own bounded outputs. */
+  private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = edges.join(out, "src").localCheckpoint()
-    val ns = nodes.localCheckpoint()
+    val ew = edges.join(out, "src").persist()
+    ew.count()
+    val ns = nodes.persist()
+    ns.count()
     var ranks = ns.withColumn("r", lit(1000000L)).persist()
     ranks.count()
     (1 to pagerankIters).foreach { _ =>
@@ -754,8 +764,13 @@ object VectorSearch {
     }
     val inDeg = ew.groupBy(col("dst").as("vec_id"))
       .agg(count(lit(1)).as("in_deg"))
-    ranks.join(inDeg, Seq("vec_id"), "left")
+    val result = finish(ranks.join(inDeg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("r").as("rank_u"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        coalesce(col("in_deg"), lit(0L)).as("in_deg")))
+      .localCheckpoint(true)
+    ranks.unpersist()
+    ew.unpersist()
+    ns.unpersist()
+    result
   }
 }

@@ -87,6 +87,14 @@ class TuningSpec extends AnyFunSuite {
     // executor memory declared without cores: divide by parallelism
     assert(Tuning.heapPerCoreFrom(Some("8g"), None,
       defaultParallelism = 8, jvmHeap = 1L * GiB) === 1L * GiB)
+    // ...but when the instance count IS declared (standalone mode
+    // with spark.executor.instances), h is ONE executor's heap and
+    // must be divided by one executor's slots, not cluster-wide
+    // parallelism — 50 executors x 8 slots, 8g each => 1 GiB/core,
+    // not 20 MiB/core
+    assert(Tuning.heapPerCoreFrom(Some("8g"), None,
+      defaultParallelism = 400, execInstances = Some(50),
+      jvmHeap = 1L * GiB) === 1L * GiB)
     // cores declared but memory not: a real cluster on Spark's 1g
     // executor-memory default — the driver heap over cluster-wide
     // parallelism (the old fallthrough) would collapse the budget to
