@@ -41,6 +41,10 @@ object SparkEntry {
     "q_cube"            -> q(Relational.cubeAgg),
     "q_pivot"           -> q(Relational.pivotAgg),
     "q_union_agg"       -> q(Relational.unionAgg),
+    // A15: the hot-key split-and-salt join — result ≡ the plain
+    // join (the oracle just joins); no reducer ever sees more than
+    // ~1/S of a hot key's fact rows
+    "q_join_skew"       -> q(Relational.joinSkew),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -48,6 +52,10 @@ object SparkEntry {
     "q_knn_join"          -> q(VectorSearch.knnJoin),
     "q_ann_ivf"           -> q(VectorSearch.annIvf),
     "q_ivf_recall"        -> q(VectorSearch.ivfRecall),
+    // D31: the dimension-truncation recall curve (Matryoshka-style
+    // prefix ranking) — the zero-structure compressed-scan option
+    // priced beside D22's PQ and D23's SQ8 fidelity tables
+    "q_truncate_recall"   -> q(VectorSearch.truncateRecall),
     // D8: the PERSISTED index end-to-end (build once into tmp
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
@@ -141,6 +149,9 @@ object SparkEntry {
     // F30: exact-k-per-source eval sample — two-level top-k engine
     // plan, flat ROW_NUMBER oracle (the plans are the same function)
     "q_sample_stratified" -> q(TextAnalysis.sampleStratified),
+    // F32: Efraimidis–Spirakis weighted sampling without replacement
+    // — size-biased top-k of u^(1/w), one TakeOrdered, zero shuffle
+    "q_sample_weighted"   -> q(TextAnalysis.sampleWeighted),
     "q_redact_pii"    -> q(TextAnalysis.redactPii),
     "q_mix_sources"   -> q(TextAnalysis.mixSources),
     "q_tfidf"         -> q(TextAnalysis.tfidf),
@@ -159,6 +170,10 @@ object SparkEntry {
     // H4: the JSONL interchange sink — one JSON object per line,
     // manifest recomputed from the parsed read-back (escaping proof)
     "q_export_jsonl"    -> q(graft.sources.Export.exportJsonl),
+    // H5: the table-maintenance sink — small-files compaction to
+    // size-derived file counts, losslessness proven by the oracle
+    // manifest (file counts themselves pinned in ExportSpec)
+    "q_compact_shards"  -> q(graft.sources.Export.compactShards),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -291,6 +306,13 @@ object SparkEntry {
     // two user-keyed aggs sharing one shuffle + a days-row broadcast
     "q_retention"   -> q(EventOps.retention),
     "q_session_window" -> q(EventOps.sessionWindowAgg),
+    // B14: ordered-pattern detection (click → purchase within 30
+    // min) as ONE reverse cumulative window — never a time-range
+    // self-join
+    "q_sequence_match" -> q(EventOps.sequenceMatch),
+    // B15: per-event trailing-hour aggregates — integer epoch-micros
+    // RANGE frame, exact decimal sums
+    "q_rolling_stats"  -> q(EventOps.rollingStats),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -431,6 +453,15 @@ object SparkEntry {
         |  SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY nationkey
         |ORDER BY nationkey""".stripMargin,
+    // A15: the oracle is the PLAIN join — the whole point: the
+    // engine's hot-key split + salt rewrite must be algebraically
+    // invisible in the result.
+    "q_join_skew" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // D-family. The exploded-embedding CTE re-derives the same cosine
     // the Spark CosineSimilarity expression computes; both sides round
     // to 6 dp BEFORE threshold/ordering so they select identical rows.
@@ -1170,6 +1201,37 @@ object SparkEntry {
         |    AS retention
         |FROM c JOIN s ON c.cohort_day = s.cohort_day
         |ORDER BY c.cohort_day, c.day_offset""".stripMargin,
+    // B14: the same reverse cumulative min — "next purchase" = min
+    // purchase ts at-or-after the click in the (ts, event_id) order.
+    "q_sequence_match" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |    ROWS UNBOUNDED PRECEDING) AS next_purchase
+        |  FROM ev),
+        |c AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CASE WHEN next_purchase IS NOT NULL
+        |      AND next_purchase <= ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS conv
+        |  FROM m WHERE event_type = 'click')
+        |SELECT day, COUNT(*) AS n_clicks,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS conversion_rate
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
+    // B15: the same interval RANGE frame — timestamp-minus-interval
+    // is exact microsecond arithmetic on both engines.
+    "q_rolling_stats" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
@@ -1978,6 +2040,30 @@ object SparkEntry {
          |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
          |FROM r WHERE rk <= ${graft.operators.TextAnalysis.stratifiedK}
          |ORDER BY source, rk""".stripMargin,
+    // F32: A-ES weighted sampling — u from the first 12 md5 hex
+    // digits parsed a nibble at a time (the F16/G4 strpos idiom),
+    // key = LN((v + 0.5)/2^48)/weight rounded to 9dp (absorbs LN's
+    // 1-ulp cross-engine drift; ties cut by doc_id).
+    "q_sample_weighted" -> {
+      val nib = "strpos('0123456789abcdef', substr(hx,%d,1)) - 1"
+      val hv = (1 to 12)
+        .map(i => s"(${nib.format(i)}) * ${1L << (4 * (12 - i))}")
+        .mkString("\n        |    + ")
+      s"""WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('wsample:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source, n_chars,
+        |    $hv AS hv
+        |  FROM h)
+        |SELECT doc_id, source, n_chars AS weight,
+        |  ROUND(LN((CAST(hv AS DOUBLE) + 0.5) / 281474976710656.0)
+        |    / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        |FROM v
+        |ORDER BY sample_key DESC, doc_id
+        |LIMIT ${graft.operators.TextAnalysis.weightedK}""".stripMargin
+    },
     // F7: the same salted-md5 bucket test as F5; target rates derive
     // from the source's numeric suffix so both engines replay the mix.
     "q_mix_sources" ->
@@ -2058,6 +2144,16 @@ object SparkEntry {
          |FROM tk
          |GROUP BY 1, 2
          |ORDER BY split, source""".stripMargin,
+    // H5: the oracle manifests the ORIGINAL table — a compaction
+    // that drops, duplicates or mangles any row shows up in n_docs /
+    // n_tokens / id_xor of the compacted read-back.
+    "q_compact_shards" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // H4: the same kept/split/token chain collapsed per split —
     // the JSON framing/escaping itself is proved by the engine's
     // parse-back manifest matching these parquet-derived numbers.
@@ -2586,6 +2682,49 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS recall
         |FROM ps LEFT JOIN hits ON ps.probes = hits.probes, total
         |ORDER BY ps.probes""".stripMargin,
+    // D31: truncated cosine = the same grouped-sum cosine restricted
+    // to components i <= dim (an inequality join against the width
+    // table); ground truth is the full-width D7 brute-force block.
+    "q_truncate_recall" ->
+      s"""WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0
+        |  ORDER BY vec_id LIMIT ${operators.VectorSearch.recallQueryCount}),
+        |qe AS (
+        |  SELECT e.vec_id AS qid, e.i, e.v
+        |  FROM ev e JOIN qids q ON e.vec_id = q.vec_id),
+        |exs AS (
+        |  SELECT qe.qid, b.vec_id,
+        |    ROUND(COALESCE(SUM(qe.v*b.v)
+        |      / NULLIF(SQRT(SUM(qe.v*qe.v))*SQRT(SUM(b.v*b.v)),0),0),6) AS s
+        |  FROM qe JOIN ev b ON b.i = qe.i AND b.vec_id <> qe.qid
+        |  GROUP BY qe.qid, b.vec_id),
+        |ex AS (
+        |  SELECT qid, vec_id FROM exs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) <= 10),
+        |ds AS (SELECT UNNEST([${operators.VectorSearch.truncateDims.mkString(", ")}]) AS dim),
+        |trs AS (
+        |  SELECT qe.qid, ds.dim, b.vec_id,
+        |    ROUND(COALESCE(SUM(qe.v*b.v)
+        |      / NULLIF(SQRT(SUM(qe.v*qe.v))*SQRT(SUM(b.v*b.v)),0),0),6) AS s
+        |  FROM qe JOIN ev b ON b.i = qe.i AND b.vec_id <> qe.qid
+        |  JOIN ds ON qe.i <= ds.dim
+        |  GROUP BY qe.qid, ds.dim, b.vec_id),
+        |tr AS (
+        |  SELECT qid, dim, vec_id FROM trs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, dim ORDER BY s DESC, vec_id) <= 10),
+        |hits AS (
+        |  SELECT tr.dim, COUNT(*) AS h
+        |  FROM tr JOIN ex ON tr.qid = ex.qid AND tr.vec_id = ex.vec_id
+        |  GROUP BY tr.dim),
+        |total AS (SELECT COUNT(*) AS t FROM ex)
+        |SELECT ds.dim, 10 AS k,
+        |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS recall
+        |FROM ds LEFT JOIN hits ON ds.dim = hits.dim, total
+        |ORDER BY ds.dim""".stripMargin,
     // F15: bigrams via a positional self-join (Spark uses one lead
     // window — same consecutive pairs); per-pair logp quantized to
     // integer micro-units BEFORE the weighted doc sum, so summation

@@ -536,4 +536,81 @@ object EventOps {
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"),
         dsum(col("value")).as("total_value"))
+
+  /** B14's conversion window. */
+  private[graft] val sequenceWindow = expr("INTERVAL 30 MINUTES")
+
+  /** B14 — `q_sequence_match`: ordered-pattern detection — for every
+    * click, did a purchase by the same user follow within
+    * [[sequenceWindow]]? (The funnel-step/conversion primitive —
+    * MATCH_RECOGNIZE's two-step case — expressed as ONE reverse
+    * cumulative window instead of a self-join.) "Follow" is the
+    * (ts, event_id) total order: the next purchase is the minimum
+    * purchase timestamp among rows at-or-after the click in that
+    * order, computed as a running `min(CASE purchase)` over the
+    * per-user sequence traversed DESCENDING — so each user's whole
+    * history answers every click in one pass, where the naive
+    * clicks⋈purchases time-range self-join is quadratic in a user's
+    * event count (the hot-user pathology). Output: per-day click
+    * volume, conversions, conversion rate (one exact division, 6dp).
+    *
+    * Scale shape: one shuffle on user_id for the window sort, then a
+    * map-side-combining day rollup; nothing pairwise anywhere.
+    * Timestamp comparisons are exact (microsecond integers on both
+    * engines). */
+  def sequenceMatch(t: Tables): DataFrame = sequenceMatchOn(t.events)
+
+  /** B14 over an arbitrary events frame — the spec drives the
+    * 30-minute-boundary and ordering-rule proofs through this. */
+  private[graft] def sequenceMatchOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clicks = ev
+      .withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("converted",
+        (col("next_purchase").isNotNull &&
+          col("next_purchase") <= col("ts") + sequenceWindow).cast(LongType))
+    clicks
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("converted")).as("n_converted"),
+        round(sum(col("converted")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conversion_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** B15 — `q_rolling_stats`: per-event trailing-window aggregates —
+    * for every purchase, the same user's purchase count and exact
+    * value sum over the preceding hour INCLUDING the event (the
+    * velocity/fraud-signal shape: "3rd purchase this hour"). A RANGE
+    * frame over the timestamp itself with a calendar-interval bound
+    * (SQL-expressed: the DataFrame Window API only takes numeric
+    * offsets, and these TIMESTAMP_NTZ values have no epoch accessor
+    * to key on) — timestamp-minus-interval is exact microsecond
+    * arithmetic on both engines, and rows with identical timestamps
+    * see identical frames regardless of tie order — the determinism
+    * a ROWS frame would not have. Value sums in DECIMAL(18,2)
+    * (exact, order-independent), cast back once.
+    *
+    * Scale shape: one shuffle on user_id, one per-user sort, then
+    * the sliding-frame evaluation is a single forward pass with an
+    * O(frame) buffer — never per-row re-scans; the output is
+    * row-per-event, written not collected. */
+  def rollingStats(t: Tables): DataFrame = {
+    val frame = "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_1h", expr(s"count(*) OVER ($frame)"))
+      .withColumn("sum_1h", expr(
+        s"CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ($frame) AS DOUBLE)"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
 }

@@ -220,4 +220,78 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("nationkey"))
   }
+
+  /** A15's salting geometry: a fact key is HOT above this many fact
+    * rows (so the hot SET is bounded at |fact|/threshold keys — tiny
+    * by construction, safe to broadcast at any scale), and each hot
+    * key's fact rows spread over this many salt sub-partitions (its
+    * dim row replicates that many times). Constants so the oracle and
+    * the spec replay the same split. */
+  private[graft] val skewHotThreshold = 15L
+  private[graft] val skewSaltFactor = 8
+
+  /** The hot-key split-and-salt join core (testable on planted-skew
+    * frames): result ≡ `fact ⋈ dim ON factKey = dimKey`, but no
+    * reducer ever sees more than ~1/[[skewSaltFactor]] of a hot key's
+    * fact rows.
+    *
+    * Pass 1 is the hot-key census (one map-side-combining agg over
+    * the fact keys; a production pipeline caches it across runs).
+    * The fact then splits by broadcast semi/anti against that set:
+    * the COLD half joins plainly — its per-key row counts are ≤ the
+    * threshold, so no post-shuffle partition can be key-dominated —
+    * and the HOT half salts: fact rows get `xxhash64(all columns) mod
+    * S`, the dim rows for hot keys replicate once per salt value, and
+    * the join keys on (key, salt). Replication cost is |hot keys| × S
+    * dim rows — bounded by the census, never |dim| × S (the naive
+    * full-replication salting this row exists to avoid).
+    *
+    * When to reach for this instead of AQE: AQE's skew rule splits
+    * oversized SORT-MERGE partitions at runtime, which covers most
+    * cases; the manual rewrite is for skew AQE can't see or can't act
+    * on — a hot key known a priori, hash joins / bucketed no-exchange
+    * plans, or engines mid-migration where the plan must be portable.
+    * Both halves here carry an explicit shuffle-hash hint so the row
+    * exercises (and the spec pins) the salted SHUFFLE path — with the
+    * dim left broadcastable the demo would silently degenerate to two
+    * broadcast joins and prove nothing. */
+  private[graft] def saltedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      threshold: Long = skewHotThreshold,
+      salts: Int = skewSaltFactor): DataFrame = {
+    val hot = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+      .select(col(factKey).as("hk"))
+    val factHot = fact
+      .join(broadcast(hot), col(factKey) === col("hk"), "left_semi")
+      .withColumn("fsalt",
+        pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+    val factCold = fact
+      .join(broadcast(hot), col(factKey) === col("hk"), "left_anti")
+    val dimHot = dim
+      .join(broadcast(hot), col(dimKey) === col("hk"), "left_semi")
+      .withColumn("dsalt",
+        explode(typedLit((0 until salts).map(_.toLong))))
+    val hotJoined = factHot
+      .hint("shuffle_hash")
+      .join(dimHot, col(factKey) === col(dimKey) &&
+        col("fsalt") === col("dsalt"))
+      .drop("fsalt", "dsalt")
+    val coldJoined = factCold
+      .hint("shuffle_hash")
+      .join(dim, col(factKey) === col(dimKey))
+    hotJoined.unionByName(coldJoined)
+  }
+
+  /** A15 — `q_join_skew`: the skew-salted fact ⋈ dim join, proven
+    * equal to the plain join by the oracle (which just joins). Orders
+    * ⋈ customer on custkey — the pair where the dim GROWS with the
+    * data (unlike nation/region), so at 100 TB broadcast stops being
+    * an option and per-key fact skew lands on single reducers unless
+    * split. Post-join aggregate keeps the output bounded. */
+  def joinSkew(t: Tables): DataFrame =
+    saltedJoin(t.orders, t.customer, "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
 }

@@ -1450,4 +1450,36 @@ object TextAnalysis {
       .toDF("step", "lhs", "rhs", "pair_total", "tokens_after")
       .orderBy("step")
   }
+
+  /** F32's sample size. */
+  private[graft] val weightedK = 50
+
+  /** F32 — `q_sample_weighted`: WEIGHTED sampling without
+    * replacement — Efraimidis–Spirakis (2006) A-ES: each item draws
+    * u ∈ (0,1) and the k largest u^(1/w) ARE an exact weight-
+    * proportional without-replacement sample. That reduction is the
+    * whole point at scale: "sample 50 docs proportional to length"
+    * becomes ONE distributed top-k (TakeOrderedAndProject — per-
+    * partition heaps, driver merge, zero shuffle), where the
+    * textbook sequential draw (pick, remove, renormalize, repeat) is
+    * inherently serial and k passes deep. Weight = n_chars (the
+    * size-biased sample a token-budget planner wants); u derives
+    * from the F5 seeded-md5 discipline — first 12 hex digits → a
+    * 48-bit integer v, u = (v + 0.5)/2^48, exactly representable and
+    * engine-exact — and the sort key is ln(u)/w (monotone in
+    * u^(1/w); all values negative), rounded to 9dp with doc_id ties
+    * so both engines cut the same top-k even at the boundary (LN's
+    * 1-ulp cross-engine drift is absorbed by the rounding — the
+    * F8/D16 convention). */
+  def sampleWeighted(t: Tables): DataFrame = {
+    val v = conv(substring(md5(concat(lit("wsample:"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast(LongType)
+    val u = (v.cast("double") + 0.5) / lit(281474976710656.0) // 2^48
+    val key = round(log(u) / col("n_chars").cast("double"), 9)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        col("n_chars").as("weight"), key.as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(weightedK)
+  }
 }

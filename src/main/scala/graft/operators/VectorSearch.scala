@@ -467,6 +467,72 @@ object VectorSearch {
       .orderBy(col("probes"))
   }
 
+  /** D31's truncation widths (the 64-dim anchor makes recall = 1 by
+    * construction — a built-in evaluator sanity check). */
+  private[graft] val truncateDims = Seq(8, 16, 32, 64)
+
+  /** D31 — `q_truncate_recall`: the DIMENSION-truncation recall curve
+    * — top-k recall of cosine over only the first d components vs the
+    * full-width exact top-k, for d ∈ [[truncateDims]]. This is the
+    * measurement behind Matryoshka-style retrieval (Kusupati et al.
+    * 2022: rank on a prefix of the embedding, refine on the full
+    * width) and the scan-bytes lever it prices is the cheapest one an
+    * index owns — a d-prefix scan reads d/64ths of the vector bytes
+    * with ZERO auxiliary structure (no codebooks like D12's PQ, no
+    * scales like D23's SQ8), so this curve vs D22/D23's fidelity
+    * tables is exactly the compression-choice table a deployment
+    * reads (prefix truncation only ranks well when the embedder was
+    * trained for it — which is what the measured curve tells you).
+    *
+    * Same evaluation contract as D7: the bounded [[recallQueryCount]]
+    * lowest-id query sample (O(K) rows at any corpus size), queries
+    * broadcast so the corpus never shuffles, ground truth = one
+    * full-width brute-force pass, one truncated pass per width (the
+    * widths ride a 4-row broadcast), per-(query, width) top-k via
+    * one window over query-bounded candidates, 6dp scores with id
+    * tie-breaks — deterministic end to end, so DuckDB replays it
+    * exactly. */
+  def truncateRecall(t: Tables): DataFrame = {
+    val k = 10
+    val emb = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val queries = emb.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      .orderBy(col("qid")).limit(recallQueryCount)
+      .localCheckpoint()
+    val exact = emb.join(broadcast(queries))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint() // consumed per width + as the denominator
+    val dims = t.spark.range(1)
+      .select(explode(typedLit(truncateDims)).as("dim"))
+    val trunc = emb.join(broadcast(queries))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dims))
+      .select(col("qid"), col("dim"), col("doc_id"),
+        score(slice(col("embedding"), lit(1), col("dim")),
+          slice(col("qv"), lit(1), col("dim"))).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("dim"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("dim"), col("doc_id"))
+    val hits = trunc.join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("hits"))
+    val denom = exact.agg(count(lit(1)).as("total"))
+    dims.join(hits, Seq("dim"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("dim"), lit(k).as("k"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("total").cast("double"), 6).as("recall"))
+      .orderBy(col("dim"))
+  }
+
   /** D4 — IVF ANN over the REAL index cells (SURVEY.md §5): the
     * corpus is quantized by the exact seeded two-level rule the
     * persisted index, E5's dedup blocking and D7's recall evaluator

@@ -129,6 +129,85 @@ object Export {
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
 
+  /** H5's compaction target file size. Small on purpose at test SF so
+    * the row exercises a real many-to-fewer compaction (the sf0.01
+    * corpus is ~hundreds of KB); a production run sets the parquet
+    * sweet spot (128 MB – 1 GB). */
+  private[graft] val compactTargetBytes = 64L * 1024
+
+  /** The compaction core (testable): rewrite the parquet store at
+    * `in` as max(1, ceil(bytes/target)) files at `out`, returning
+    * (filesBefore, filesAfter, bytes). File count derives from the
+    * store's ACTUAL on-disk bytes (post-encoding — the number a
+    * table-maintenance service reads from the file listing), and the
+    * rewrite is one round-robin repartition: uniform row spread with
+    * NO shuffle key to skew, the standard bin-pack for uniformly
+    * sized rows. */
+  private[graft] def compactStore(spark: org.apache.spark.sql.SparkSession,
+      schema: String, in: String, out: String,
+      target: Long = compactTargetBytes): (Long, Long, Long) = {
+    def parquetFiles(p: String): Array[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles(in)
+    val bytes = before.map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + target - 1) / target).toInt
+    spark.read.schema(schema).parquet(in)
+      .repartition(nFiles)
+      .write.parquet(out)
+    (before.length.toLong, parquetFiles(out).length.toLong, bytes)
+  }
+
+  /** H5 — `q_compact_shards`: the table-MAINTENANCE sink — compact a
+    * small-files store into target-size files and prove the rewrite
+    * lossless. Every long-lived 100-TB table accretes the small-files
+    * pathology (streaming micro-batches, high-parallelism writers,
+    * partition fan-out: one file per task per trigger), and scan cost
+    * then goes per-FILE — footer reads, open/seek overhead, scheduler
+    * pressure — not per-byte; periodic compaction (Delta OPTIMIZE,
+    * Iceberg rewrite_data_files) is the standing fix. Here the
+    * pathology is manufactured (the corpus written 64-ways — one
+    * file per task), the store re-lands at
+    * max(1, ceil(bytes/[[compactTargetBytes]])) files via one
+    * round-robin repartition sized from the ACTUAL fragmented bytes,
+    * and the row emits the per-source manifest of the COMPACTED
+    * read-back — docs, tokens, id checksum (H1's discipline). The
+    * oracle computes the same manifest from the ORIGINAL table, so a
+    * compaction that drops, duplicates or mangles one row fails the
+    * gate; ExportSpec pins the file counts themselves (before = the
+    * writer's task count, after = the size-derived target) since
+    * file counts are filesystem facts no SQL oracle can see.
+    *
+    * Scale shape: listing + size math is O(files) driver metadata
+    * (what a maintenance service does); the rewrite is one pass, one
+    * round-robin exchange, no key to skew; the manifest is a
+    * map-side-combining agg. At 100 TB the same rewrite runs
+    * per-partition (compact WITHIN each day/source partition — the
+    * listing bound stays per-partition), which is composition, not a
+    * different operator. */
+  def compactShards(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "compact").toPath
+    try {
+      val frag = s"$dir/fragmented"
+      val out = s"$dir/compacted"
+      val schema = "doc_id LONG, text STRING, source STRING"
+      t.documents.select(col("doc_id"), col("text"), col("source"))
+        .repartition(64, col("doc_id"))
+        .write.parquet(frag)
+      compactStore(spark, schema, frag, out)
+      spark.read.schema(schema).parquet(out)
+        .select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
   /** H3 — `q_export_curriculum`: the CURRICULUM-ordered training
     * sink — materialize the kept TRAIN split phase-partitioned by
     * per-source quality tercile (F26's calibrated buckets: phase 1 =

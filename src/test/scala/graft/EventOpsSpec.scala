@@ -249,6 +249,79 @@ class EventOpsSpec extends SparkTestBase {
     assert(r.forall(!_.isNullAt(3)))
   }
 
+  test("sequenceMatch matches a brute-force conversion computation") {
+    val ev = t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val expected = ev.filter(_._4 == "click").map { case (uid, ts, eid, _) =>
+      // "after" = strictly greater in the (ts, event_id) total order
+      val qual = byUser(uid).filter(p => p._4 == "purchase" &&
+        (p._2.isAfter(ts) || (p._2 == ts && p._3 > eid)))
+      val conv = qual.nonEmpty && {
+        val next = qual.map(_._2).reduce((a, b) => if (a.isBefore(b)) a else b)
+        !next.isAfter(ts.plusMinutes(30))
+      }
+      (ts.toLocalDate, conv)
+    }.groupBy(_._1).map { case (d, cs) =>
+      d -> ((cs.length.toLong, cs.count(_._2).toLong))
+    }
+    val got = EventOps.sequenceMatch(t).collect().map(r =>
+      r.getAs[java.sql.Date](0).toLocalDate ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum > 0, "no conversions anywhere — vacuous corpus")
+  }
+
+  test("sequenceMatch: the 30-minute boundary is inclusive, one " +
+    "microsecond past it is not, and a same-ts purchase counts only " +
+    "when later in the event_id order") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: purchase exactly at +30:00 → converted
+      (1L, ts("2024-03-01 10:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-03-01 10:30:00"), 2L, "purchase", 1.0),
+      // user 2: purchase at +30:00.000001 → NOT converted
+      (2L, ts("2024-03-01 10:00:00"), 3L, "click", 0.0),
+      (2L, ts("2024-03-01 10:30:00.000001"), 4L, "purchase", 1.0),
+      // user 3: same-ts purchase with HIGHER event_id → converted
+      (3L, ts("2024-03-01 11:00:00"), 5L, "click", 0.0),
+      (3L, ts("2024-03-01 11:00:00"), 6L, "purchase", 1.0),
+      // user 4: same-ts purchase with LOWER event_id → not "after"
+      (4L, ts("2024-03-01 11:00:00"), 8L, "click", 0.0),
+      (4L, ts("2024-03-01 11:00:00"), 7L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val row = EventOps.sequenceMatchOn(ev).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(1) === 4L)   // n_clicks
+    assert(row(0).getLong(2) === 2L)   // users 1 and 3 only
+  }
+
+  test("rollingStats matches a brute-force trailing-hour scan") {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3)))
+    val byUser = p.groupBy(_._2)
+    val got = EventOps.rollingStats(t).collect()
+    assert(got.length === p.length)
+    got.foreach { r =>
+      val uid = r.getLong(1)
+      val ts = r.getAs[java.time.LocalDateTime](2)
+      val frame = byUser(uid).filter(e =>
+        !e._3.isAfter(ts) && !e._3.isBefore(ts.minusHours(1)))
+      assert(r.getLong(4) === frame.length.toLong)
+      val exact = frame.map(e => BigDecimal(e._4)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(r.getDouble(5) - exact.toDouble) < 1e-9)
+    }
+    assert(got.exists(_.getLong(4) > 1), "no overlapping frames — vacuous")
+  }
+
   test("plan: rangeJoin is an equi-join on (user, bucket), never a nested loop") {
     val df = EventOps.rangeJoin(t)
     df.collect()

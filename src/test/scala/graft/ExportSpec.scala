@@ -172,4 +172,45 @@ class ExportSpec extends SparkTestBase {
       .collect().map(r => r.getString(1)).toSet
     assert(got === Set("007", "2023"), s"partition values corrupted: $got")
   }
+
+  test("compactStore: many small files re-land at the size-derived " +
+    "count, losslessly — the file-count facts no SQL oracle can see") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    val in = s"${dir.getAbsolutePath}/in"
+    val out = s"${dir.getAbsolutePath}/out"
+    try {
+      spark.range(0, 20000)
+        .select(col("id"), concat(lit("row text payload "), col("id")).as("text"))
+        .repartition(32)
+        .write.parquet(in)
+      val target = 64L * 1024
+      val (before, after, bytes) =
+        Export.compactStore(spark, "id LONG, text STRING", in, out, target)
+      assert(before === 32L)
+      assert(after === math.max(1L, (bytes + target - 1) / target))
+      assert(after < before, s"no compaction: $before -> $after")
+      // losslessness: exact multiset equality through the rewrite
+      val a = spark.read.parquet(in).as[(Long, String)].collect().sorted
+      val b = spark.read.parquet(out).as[(Long, String)].collect().sorted
+      assert(a.toSeq === b.toSeq)
+    } finally graft.sources.LayoutStore.deleteRecursively(dir)
+  }
+
+  test("compactShards manifest equals the direct per-source manifest " +
+    "of the original table") {
+    val t = Tables(spark, sfDir)
+    val got = Export.compactShards(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val direct = t.documents
+      .select(col("source"), col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("toks")).as("tk"),
+        expr("bit_xor(doc_id)").as("x"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === direct.toSeq)
+    assert(got.nonEmpty)
+  }
 }

@@ -20,6 +20,9 @@ class PlanShapeSpec extends SparkTestBase {
     // q_ann_ivf (√n centroid table, the sampled query vectors) plus a
     // 3-row probes axis exploded from a 1-row range
     "q_ivf_recall",
+    // D31: D7's sampled-query broadcast plus a 4-row widths axis and
+    // the 1-row denominator
+    "q_truncate_recall",
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",

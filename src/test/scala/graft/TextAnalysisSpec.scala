@@ -899,4 +899,40 @@ class TextAnalysisSpec extends SparkTestBase {
     val fromF28 = TextAnalysis.tokenFertility(t).agg(sum("re_tokens")).first().getLong(0)
     assert(fromF3 === fromF28)
   }
+
+  test("sampleWeighted equals an independent A-ES replication and is " +
+    "size-biased relative to a uniform draw") {
+    val docs = t.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = docs.map { case (id, w) =>
+      val v = java.lang.Long.parseLong(md5hex(s"wsample:$id").substring(0, 12), 16)
+      val u = (v + 0.5) / 281474976710656.0
+      val k = BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, k)
+    }
+    val expected = keys.sortBy { case (id, k) => (-k, id) }
+      .take(TextAnalysis.weightedK).map(_._1).toSeq
+    val got = TextAnalysis.sampleWeighted(t).collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // the A-ES point: longer docs are over-represented vs uniform
+    val sel = expected.toSet
+    val meanSel = docs.filter(d => sel(d._1)).map(_._2).sum.toDouble / sel.size
+    val meanAll = docs.map(_._2).sum.toDouble / docs.length
+    assert(meanSel > meanAll,
+      s"selected mean weight $meanSel not above corpus mean $meanAll")
+  }
+
+  test("plan: sampleWeighted is one TakeOrderedAndProject over the " +
+    "scan — per-partition heaps, no global sort, no shuffle") {
+    val df = TextAnalysis.sampleWeighted(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

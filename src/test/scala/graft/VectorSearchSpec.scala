@@ -415,4 +415,21 @@ class VectorSearchSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expected)
   }
+
+  test("truncateRecall: one row per width, recall in [0,1], and the " +
+    "full-width anchor is exactly 1 (the evaluator's self-check)") {
+    val rows = VectorSearch.truncateRecall(t).collect()
+    assert(rows.map(_.getInt(0)).toSeq === VectorSearch.truncateDims)
+    rows.foreach { r =>
+      assert(r.getInt(1) === 10)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // truncating to the full width is the identity ranking — recall
+    // below 1 here means the evaluator itself is broken, not the
+    // embedding
+    assert(rows.last.getDouble(2) === 1.0)
+    // the narrowest prefix must lose SOMETHING on a non-Matryoshka
+    // hash embedding, or the curve measures nothing
+    assert(rows.head.getDouble(2) < 1.0)
+  }
 }
