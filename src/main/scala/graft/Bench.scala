@@ -74,6 +74,15 @@ object Bench {
           s"[bench] bucketed-layout setup failed (q_join_bucketed will " +
             s"include the table write): ${e.getMessage}")
     }
+    // same storage argument for the z-ordered events layout probed
+    // by q_zorder_scan: clustered once at write time
+    try graft.sources.Zorder.ensureZorderLayout(spark, sfDir)
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] z-order layout setup failed (q_zorder_scan will " +
+            s"include the clustered write): ${e.getMessage}")
+    }
     // same storage argument for the persisted IVF index: built once at
     // ETL time, probed by q_search_ivf — materialize untimed
     try graft.operators.EmbeddingStore.ensureIndex(

@@ -45,6 +45,9 @@ object SparkEntry {
     // join (the oracle just joins); no reducer ever sees more than
     // ~1/S of a hot key's fact rows
     "q_join_skew"       -> q(Relational.joinSkew),
+    // A16: arbitrary GROUPING SETS — two independent GROUP BYs in
+    // one Expand-fed pass (the general form beyond rollup/cube)
+    "q_grouping_sets"   -> q(Relational.groupingSetsAgg),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -174,6 +177,9 @@ object SparkEntry {
     // size-derived file counts, losslessness proven by the oracle
     // manifest (file counts themselves pinned in ExportSpec)
     "q_compact_shards"  -> q(graft.sources.Export.compactShards),
+    // H6: the multi-dimensional clustering layout — a box query
+    // through the z-ordered store (pruning proven in ZorderSpec)
+    "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
     "q_text_chunks"   -> q(TextAnalysis.textChunks),
     "q_repetition"    -> q(TextAnalysis.repetition),
     // F14: token-budget selection — highest-quality docs until the
@@ -453,6 +459,15 @@ object SparkEntry {
         |  SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY nationkey
         |ORDER BY nationkey""".stripMargin,
+    // A16: DuckDB's GROUPING SETS with the same 'ALL' coalescing.
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY prio, status""".stripMargin,
     // A15: the oracle is the PLAIN join — the whole point: the
     // engine's hot-key split + salt rewrite must be algebraically
     // invisible in the result.
@@ -2144,6 +2159,15 @@ object SparkEntry {
          |FROM tk
          |GROUP BY 1, 2
          |ORDER BY split, source""".stripMargin,
+    // H6: the oracle runs the box predicate over the RAW events
+    // table — the z-ordered layout must be row-for-row invisible in
+    // the result (the pruning it buys is ZorderSpec's metric check).
+    "q_zorder_scan" ->
+      """SELECT event_id, user_id, ts, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
+        |  AND ts >= TIMESTAMP '2024-01-08'
+        |  AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
     // H5: the oracle manifests the ORIGINAL table — a compaction
     // that drops, duplicates or mangles any row shows up in n_docs /
     // n_tokens / id_xor of the compacted read-back.

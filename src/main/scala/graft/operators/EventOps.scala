@@ -560,23 +560,31 @@ object EventOps {
     * engines). */
   def sequenceMatch(t: Tables): DataFrame = sequenceMatchOn(t.events)
 
-  /** B14 over an arbitrary events frame — the spec drives the
-    * 30-minute-boundary and ordering-rule proofs through this. */
-  private[graft] def sequenceMatchOn(events: DataFrame): DataFrame = {
+  /** B14's per-click stage: (user_id, ts, event_id, converted) for
+    * every click — the rule the day rollup aggregates and the
+    * streaming funnel (streaming/StreamingFunnel) must agree with
+    * click-for-click. */
+  private[graft] def clickConversionsOn(events: DataFrame): DataFrame = {
     val ev = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val clicks = ev
+    ev
       .withColumn("next_purchase",
         min(when(col("event_type") === "purchase", col("ts"))).over(w))
       .filter(col("event_type") === "click")
       .withColumn("converted",
         (col("next_purchase").isNotNull &&
           col("next_purchase") <= col("ts") + sequenceWindow).cast(LongType))
-    clicks
+      .select(col("user_id"), col("ts"), col("event_id"), col("converted"))
+  }
+
+  /** B14 over an arbitrary events frame — the spec drives the
+    * 30-minute-boundary and ordering-rule proofs through this. */
+  private[graft] def sequenceMatchOn(events: DataFrame): DataFrame = {
+    clickConversionsOn(events)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_clicks"),
         sum(col("converted")).as("n_converted"),

@@ -221,6 +221,28 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** A16 — `q_grouping_sets`: explicit GROUPING SETS — here the two
+    * NON-hierarchical sets (priority), (status), i.e. two independent
+    * GROUP BYs answered in ONE pass. Rollup/cube (A11/A13) only
+    * express prefix/powerset lattices; arbitrary sets are the general
+    * form, and the scale win is the same Expand-into-one-aggregate
+    * plan: the fact table scans ONCE where the naive union of two
+    * aggregates scans twice (at 100 TB, reading the corpus once per
+    * dashboard axis is the difference between one job and N). The
+    * null-marker cells coalesce to 'ALL' (the A11 convention — both
+    * group columns are non-null in the schema, so the marker is
+    * unambiguous). */
+  def groupingSetsAgg(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy(col("prio"), col("status"))
+
   /** A15's salting geometry: a fact key is HOT above this many fact
     * rows (so the hot SET is bounded at |fact|/threshold keys — tiny
     * by construction, safe to broadcast at any scale), and each hot

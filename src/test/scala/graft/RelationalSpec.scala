@@ -32,6 +32,29 @@ class RelationalSpec extends SparkTestBase {
     assert(per === t.orders.count())
   }
 
+  test("groupingSets equals the union of the two plain group-bys, " +
+    "from ONE Expand-fed scan") {
+    val got = Relational.groupingSetsAgg(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    def side(key: String, tag: Boolean) = t.orders.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tt"))
+      .collect().map(r => (
+        if (tag) r.getString(0) else "ALL",
+        if (tag) "ALL" else r.getString(0),
+        r.getLong(1), r.getDouble(2))).toSet
+    assert(got === side("o_orderpriority", tag = true) ++
+      side("o_orderstatus", tag = false))
+    // the scale contract: one pass — a single scan through one Expand
+    val df = Relational.groupingSetsAgg(t)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.split("\n").count(_.contains("Expand")) === 1)
+    assert(plan.split("\n").count(_.contains("FileScan")) === 1)
+  }
+
   test("topK is sorted desc and bounded") {
     val rows = Relational.topK(t).collect()
     assert(rows.length === 10)
