@@ -86,10 +86,40 @@ object CorpusScaling {
   }
 
   /** Materialize the mult× salted corpus dir (idempotent per
-    * (sfDir, mult)): documents.parquet + embeddings.parquet, the only
-    * tables the heavy family reads. */
+    * (sfDir, mult)): documents.parquet + embeddings.parquet (the
+    * text/vector families) plus events.parquet and orders/customer
+    * (the B/A families) — each replica shifts its entity ids
+    * (users/custkeys/event ids), so per-entity density stays constant
+    * while the corpus grows: the realistic growth axis (more users,
+    * more customers), and the one that keeps windowed/joined work
+    * honestly per-key. */
   def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String =
-    graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r7") { path =>
+    graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r13") { path =>
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val evBase = ev0.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val userBase = ev0.agg(max(col("user_id"))).first().getLong(0) + 1L
+      (0 until mult).map { i =>
+        ev0.select(
+          (col("event_id") + lit(i.toLong * evBase)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i.toLong * userBase)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/events.parquet")
+
+      val ord0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cust0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      val ordBase = ord0.agg(max(col("o_orderkey"))).first().getLong(0) + 1L
+      val custBase = cust0.agg(max(col("c_custkey"))).first().getLong(0) + 1L
+      (0 until mult).map { i =>
+        ord0.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * ordBase))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * custBase))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/orders.parquet")
+      (0 until mult).map { i =>
+        cust0.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * custBase))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/customer.parquet")
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       // id ranges derived from the corpus' own max ids — hardcoded
       // offsets would silently collide on large-id corpora
