@@ -59,6 +59,9 @@ object SparkEntry {
     // prefix ranking) — the zero-structure compressed-scan option
     // priced beside D22's PQ and D23's SQ8 fidelity tables
     "q_truncate_recall"   -> q(VectorSearch.truncateRecall),
+    // D32: the spherical k-means convergence trajectory — per-step
+    // populated-cluster count + exact micro-unit inertia
+    "q_kmeans"            -> q(KMeans.kmeans),
     // D8: the PERSISTED index end-to-end (build once into tmp
     // storage, probe via partition pruning)
     "q_search_ivf"        -> q(EmbeddingStore.searchIvfQuery),
@@ -2706,6 +2709,12 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS recall
         |FROM ps LEFT JOIN hits ON ps.probes = hits.probes, total
         |ORDER BY ps.probes""".stripMargin,
+    // D32: the full Lloyd loop unrolled from the same kmeansIters
+    // constant (the pagerank/bpe_train oracle-generation discipline):
+    // per step, grouped-sum cosine vs the k-row centroid table,
+    // argmax with lowest-cell ties, 6dp member-mean THROUGH FLOAT
+    // (lloydStep's storage contract), micro-unit inertia.
+    "q_kmeans" -> kmeansOracle,
     // D31: truncated cosine = the same grouped-sum cosine restricted
     // to components i <= dim (an inequality join against the width
     // table); ground truth is the full-width D7 brute-force block.
@@ -3626,6 +3635,54 @@ object SparkEntry {
        |  SELECT vec_a, vec_b, cell,
        |         ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
        |  FROM ep)""".stripMargin
+
+  /** D32's oracle: the spherical k-means loop unrolled from the SAME
+    * `kmeansK`/`kmeansIters` constants the engine runs (the
+    * pagerank/bpe_train generation discipline — the oracle cannot
+    * drift from the engine's iteration count or seed rule). Each
+    * step: grouped-sum cosine vs the previous centroid table, argmax
+    * per vector (s DESC, cell ASC), the stats row, then the 6dp
+    * member-mean THROUGH FLOAT (lloydStep's storage contract). */
+  private def kmeansOracle: String = {
+    val k = operators.KMeans.kmeansK
+    val n = operators.KMeans.kmeansIters
+    val steps = (1 to n).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ROUND(COALESCE(SUM(e.v*c.cv)
+         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(c.cv*c.cv)),0),0),6) AS s
+         |  FROM ev e JOIN ct${i - 1} c ON c.i = e.i
+         |  GROUP BY e.vec_id, c.cell),
+         |a$i AS (
+         |  SELECT vec_id, cell, s FROM s$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) = 1),
+         |r$i AS (
+         |  SELECT $i AS iter, CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+         |    CAST(SUM(CAST(ROUND((1.0 - s) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      AS inertia_micro
+         |  FROM a$i),
+         |ct$i AS (
+         |  SELECT a.cell, e.i, CAST(CAST(ROUND(AVG(e.v),6) AS FLOAT) AS DOUBLE) AS cv
+         |  FROM ev e JOIN a$i a ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell, e.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+       |  FROM embeddings
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k),
+       |ct0 AS (
+       |  SELECT c.cell, e.i, e.v AS cv
+       |  FROM c0 c JOIN ev e ON e.vec_id = c.vec_id),
+       |$steps
+       |SELECT * FROM (
+       |  ${(1 to n).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")})
+       |ORDER BY iter""".stripMargin
+  }
 
   /** E15/E16's centroid-similarity CTEs (per-cell member-mean
     * centroids — 6dp components stored through FLOAT, exactly

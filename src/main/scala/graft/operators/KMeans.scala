@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSim
+import graft.sources.Tables
+
+/** D32 — `q_kmeans`: the FLAT k-means convergence trajectory —
+  * spherical k-means (cosine assignment, member-mean update: Dhillon
+  * & Modha 2001) run [[kmeansIters]] steps from the deterministic
+  * lowest-id seeds, emitting per iteration the populated-cluster
+  * count and the exact integer INERTIA (Σ micro-units of 1 − cos to
+  * the assigned centroid). This is the monitoring table every
+  * embedding-clustering job reads — "is it still moving, when did it
+  * stop paying" — the trajectory form of what the index build does
+  * blindly (EmbeddingStore's `lloydIterations` knob refines the SAME
+  * update rule but only IvfIndexSpec ever sees the quality delta;
+  * this row makes the convergence curve a first-class, oracle-checked
+  * output).
+  *
+  * Exactness: assignment scores round to 6dp with lowest-cell ties
+  * (the E5/D4 discipline), centroid components are 6dp means stored
+  * through FLOAT (exactly [[EmbeddingStore.lloydStep]] — ONE update
+  * rule in the library), and inertia quantizes each (1 − s) to
+  * integer micro-units BEFORE the sum (the F13/F15 technique), so
+  * every number replays bit-for-bit in DuckDB across all
+  * [[kmeansIters]] unrolled oracle steps.
+  *
+  * Scale shape: per iteration ONE corpus pass — score against the
+  * k-row broadcast centroid table, argmax as a map-side-combining
+  * struct aggregate (never a window over scored rows), stats and the
+  * k-row update off the same pinned assignment (cache substitution:
+  * persist + eager stats action + unpersist once the update
+  * materializes — the pagerank storage discipline; live storage is
+  * one assignment frame at any depth). Empty clusters drop from the
+  * centroid table (the standard Lloyd behavior; n_cells tracks it). */
+object KMeans {
+
+  private[graft] val kmeansK = 8
+  private[graft] val kmeansIters = 3
+
+  private def score6 = (e: org.apache.spark.sql.Column,
+      q: org.apache.spark.sql.Column) => round(cosineSim(e, q), 6)
+
+  /** Deterministic seeds: the [[kmeansK]] lowest vec_ids, cell =
+    * their rank − 1 (the seedCentroids convention). */
+  private[graft] def seeds(vectors: DataFrame): DataFrame =
+    vectors.orderBy(col("vec_id")).limit(kmeansK)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("int").as("cell"), col("embedding").as("centroid"))
+
+  /** One flat assignment pass: (vec_id, embedding, cell, s) — argmax
+    * cosine over the broadcast centroids, 6dp scores, lowest-cell
+    * ties, zero-norm guard inherited from cosineSim. */
+  private[graft] def assignFlat(vectors: DataFrame,
+      centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        score6(col("embedding"), col("centroid")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("s").as("s"),
+        (-col("cell")).cast("long").as("nc"))).as("m"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("m.nc")).cast("int").as("cell"), col("m.s").as("s"))
+
+  def kmeans(t: Tables): DataFrame =
+    kmeansOn(t.spark,
+      t.embeddings.select(col("vec_id"), col("embedding")))
+
+  private[graft] def kmeansOn(spark: SparkSession,
+      vectors: DataFrame): DataFrame = {
+    val vecDim = vectors.select(size(col("embedding")).as("d")).limit(1)
+      .first().getInt(0)
+    var centroids = seeds(vectors).localCheckpoint()
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    (1 to kmeansIters).foreach { it =>
+      val assigned = assignFlat(vectors, centroids).persist()
+      val stats = assigned.agg(
+        countDistinct(col("cell")).as("n_cells"),
+        sum(round((lit(1.0) - col("s")) * 1e6).cast("long"))
+          .as("inertia_micro")).first()
+      rows += ((it, stats.getLong(0), stats.getLong(1)))
+      // lloydStep localCheckpoints its k-row output, so the corpus-
+      // sized assignment can release immediately after
+      centroids = EmbeddingStore.lloydStep(
+        assigned.select(col("cell"), col("embedding")), vecDim)
+      assigned.unpersist()
+    }
+    import spark.implicits._
+    rows.result().toDF("iter", "n_cells", "inertia_micro")
+      .orderBy(col("iter"))
+  }
+}

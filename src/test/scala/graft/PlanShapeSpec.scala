@@ -23,6 +23,9 @@ class PlanShapeSpec extends SparkTestBase {
     // D31: D7's sampled-query broadcast plus a 4-row widths axis and
     // the 1-row denominator
     "q_truncate_recall",
+    // D32: the k-row centroid table cross-broadcast into the corpus
+    // scoring pass, once per Lloyd step
+    "q_kmeans",
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
