@@ -96,8 +96,9 @@ object CorpusScaling {
   def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String =
     graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r13") { path =>
       val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-      val evBase = ev0.agg(max(col("event_id"))).first().getLong(0) + 1L
-      val userBase = ev0.agg(max(col("user_id"))).first().getLong(0) + 1L
+      val evMaxes = ev0.agg(max(col("event_id")), max(col("user_id"))).first()
+      val evBase = evMaxes.getLong(0) + 1L
+      val userBase = evMaxes.getLong(1) + 1L
       (0 until mult).map { i =>
         ev0.select(
           (col("event_id") + lit(i.toLong * evBase)).as("event_id"),

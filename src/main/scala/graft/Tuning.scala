@@ -129,8 +129,7 @@ object Tuning {
       case (Some(h), None) =>
         val slots = math.max(1, defaultParallelism /
           math.max(1, execInstances.getOrElse(1)))
-        if (execInstances.isDefined) math.max(1L, h / slots)
-        else math.max(1L, h / math.max(1, defaultParallelism))
+        math.max(1L, h / slots)
       // cores declared but memory not: a real cluster whose executors
       // run Spark's documented 1g default — dividing the DRIVER's
       // heap by cluster-wide parallelism here would collapse the

@@ -284,24 +284,33 @@ object Relational {
     val hot = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold)
       .select(col(factKey).as("hk"))
+    // salt = a row-POSITION spread, deliberately not a content hash:
+    // identical fact rows must still land on different salts (a
+    // content hash would co-locate a hot key's duplicate rows on one
+    // reducer — the exact pathology this exists to fix). Any salt
+    // value in [0, S) yields the same join result (the dim replicates
+    // for every salt), so non-determinism across retries is harmless.
     val factHot = fact
       .join(broadcast(hot), col(factKey) === col("hk"), "left_semi")
       .withColumn("fsalt",
-        pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+        pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val factCold = fact
       .join(broadcast(hot), col(factKey) === col("hk"), "left_anti")
     val dimHot = dim
       .join(broadcast(hot), col(dimKey) === col("hk"), "left_semi")
       .withColumn("dsalt",
         explode(typedLit((0 until salts).map(_.toLong))))
+    // the shuffle-hash hint sits on the DIM side: a one-sided hint
+    // makes THAT side the hash-map build side, and the build side
+    // must be the bounded one (the replicated hot dim / the dim) —
+    // hinting the fact would hash-build whole fact partitions,
+    // inverting the memory bound the salting exists to provide
     val hotJoined = factHot
-      .hint("shuffle_hash")
-      .join(dimHot, col(factKey) === col(dimKey) &&
+      .join(dimHot.hint("shuffle_hash"), col(factKey) === col(dimKey) &&
         col("fsalt") === col("dsalt"))
       .drop("fsalt", "dsalt")
     val coldJoined = factCold
-      .hint("shuffle_hash")
-      .join(dim, col(factKey) === col(dimKey))
+      .join(dim.hint("shuffle_hash"), col(factKey) === col(dimKey))
     hotJoined.unionByName(coldJoined)
   }
 

@@ -804,7 +804,15 @@ object VectorSearch {
     * final ranks frame is consumed into an eager localCheckpoint of
     * `finish`'s (caller-bounded — graphPagerank passes top-20)
     * output, then every persist is released. Repeated invocations in
-    * a long-lived session retain only their own bounded outputs. */
+    * a long-lived session retain only their own bounded outputs.
+    * Two accepted costs of the eager pin: the returned frame's
+    * retention is permanent for the session (unpersist is a no-op on
+    * localCheckpointed frames — so pass a BOUNDED finish; the
+    * identity default pins n rows and is for small test graphs
+    * only), and plan-audit artifacts see `Scan ExistingRDD` rather
+    * than the iteration internals (the driver-loop operators' shared
+    * trade — q_kmeans/q_bpe_train likewise; the per-step plan shape
+    * is documented above instead). */
   private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame,
       finish: DataFrame => DataFrame = identity): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -107,10 +107,15 @@ object StreamingFunnel {
     out.iterator
   }
 
-  /** Resolved clicks as a streaming Dataset over an event directory. */
-  def clicks(spark: SparkSession, inputDir: String): Dataset[FunnelClick] = {
+  /** Resolved clicks as a streaming Dataset over an event directory.
+    * `maxFilesPerTrigger` bounds each micro-batch (the recovery-spec
+    * knob — the reconcile spec uses it to force a genuinely
+    * multi-batch drain so cross-batch state carry-over is what's
+    * being tested, not a single-batch pass). */
+  def clicks(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[FunnelClick] = {
     import spark.implicits._
-    EventStream.read(spark, inputDir)
+    EventStream.read(spark, inputDir, maxFilesPerTrigger)
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -123,8 +128,9 @@ object StreamingFunnel {
   /** Drain all currently-available input into an in-memory table
     * (test/dev harness; production appends to a real sink with
     * checkpointing). Returns the sink table name. */
-  def runAvailableNow(spark: SparkSession, inputDir: String, name: String): String = {
-    val q = clicks(spark, inputDir)
+  def runAvailableNow(spark: SparkSession, inputDir: String, name: String,
+      maxFilesPerTrigger: Option[Int] = None): String = {
+    val q = clicks(spark, inputDir, maxFilesPerTrigger)
       .writeStream
       .format("memory")
       .queryName(name)

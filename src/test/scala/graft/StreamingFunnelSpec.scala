@@ -32,7 +32,12 @@ class StreamingFunnelSpec extends SparkTestBase {
         .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
     }
 
-    StreamingFunnel.runAvailableNow(spark, dir.getAbsolutePath, "funnel_sink")
+    // maxFilesPerTrigger = 1 forces one micro-batch per day file, so
+    // cross-batch state carry-over (held clicks answered by a later
+    // batch's purchases, held purchases answering later clicks, the
+    // watermark-deadline sweep) is what this reconcile actually tests
+    StreamingFunnel.runAvailableNow(spark, dir.getAbsolutePath, "funnel_sink",
+      maxFilesPerTrigger = Some(1))
     val streamed = spark.table("funnel_sink")
       .select(col("user_id"), col("click_us"), col("event_id"),
         col("converted").cast("long").as("converted"))
