@@ -131,7 +131,11 @@ object LayoutStore {
 
   /** Build-once: resolve the layout path for (dataDir, kind, rule
     * version), run `build(path)` if its `_BUILT` marker is missing,
-    * and return the path. */
+    * and return the path. An `_OWNER` attribution file (the data
+    * dir's absolute path) is written beside the marker — [[vacuum]]
+    * only ever reaps dirs it can attribute, so a SHARED root (the
+    * tmp fallback serves every data dir of a user) can never lose
+    * another dataset's layouts to this one's GC. */
   def ensure(dataDir: String, kind: String, ruleVersion: String)
       (build: String => Unit): String = {
     val abs = new File(dataDir).getAbsolutePath
@@ -141,8 +145,67 @@ object LayoutStore {
     if (!marker.exists()) {
       build(path.getAbsolutePath)
       path.mkdirs() // a build that wrote nothing still gets a marker home
+      java.nio.file.Files.writeString(
+        new File(path, "_OWNER").toPath, abs + "\n")
       marker.createNewFile()
     }
     path.getAbsolutePath
+  }
+
+  /** A vacuum pass's outcome: what stayed, what was reaped, and the
+    * bytes the reaped dirs held. */
+  final case class VacuumReport(kept: Seq[String], deleted: Seq[String],
+      bytesFreed: Long)
+
+  private def sizeOfTree(f: File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty[File]).map(sizeOfTree).sum
+
+  /** MAINTENANCE (H5's compaction sibling — Delta VACUUM / Iceberg
+    * expire_snapshots): garbage-collect this data dir's stale layout
+    * generations. A layout dir is LIVE iff its name is exactly what
+    * [[ensure]] resolves TODAY for one of `current`'s (kind,
+    * ruleVersion) pairs — same data fingerprint, same rule version;
+    * everything else OWNED BY THIS DATA DIR (the `_OWNER` file; the
+    * staleness sources are a bumped rule version, changed data, or a
+    * renamed dir) is reaped, as are `_scratch` orphans older than
+    * `maxScratchAgeMs` (crash leftovers — live scratch is
+    * seconds-old and deleted by its creator). Dirs owned by OTHER
+    * data dirs and legacy dirs with no attribution are never
+    * touched: a GC that cannot prove ownership must not delete.
+    *
+    * Scale shape: pure driver-side metadata (list + stat + delete) —
+    * the same operation a table-maintenance service schedules beside
+    * compaction; no Spark jobs. */
+  def vacuum(dataDir: String, current: Seq[(String, String)],
+      maxScratchAgeMs: Long = 24L * 3600 * 1000): VacuumReport = {
+    val abs = new File(dataDir).getAbsolutePath
+    val fp = fingerprint(dataDir)
+    val live = current.map { case (kind, v) =>
+      s"${kind}_${md5(s"$abs|$fp|$v").take(12)}"
+    }.toSet
+    val now = System.currentTimeMillis()
+    val kept = Seq.newBuilder[String]
+    val deleted = Seq.newBuilder[String]
+    var freed = 0L
+    def reap(d: File): Unit = {
+      freed += sizeOfTree(d); deleted += d.getName; deleteRecursively(d)
+    }
+    Option(root(dataDir).listFiles()).getOrElse(Array.empty[File])
+      .foreach { d =>
+        if (d.getName == "_scratch") {
+          Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { s =>
+            if (now - s.lastModified() > maxScratchAgeMs) reap(s)
+            else kept += s"_scratch/${s.getName}"
+          }
+        } else if (live(d.getName)) kept += d.getName
+        else {
+          val owner = new File(d, "_OWNER")
+          val owned = owner.isFile &&
+            java.nio.file.Files.readString(owner.toPath).trim == abs
+          if (owned) reap(d) else kept += d.getName
+        }
+      }
+    VacuumReport(kept.result().sorted, deleted.result().sorted, freed)
   }
 }

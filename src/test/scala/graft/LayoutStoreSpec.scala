@@ -57,4 +57,48 @@ class LayoutStoreSpec extends AnyFunSuite {
       assert(r.getName.startsWith("graft_layouts_"))
     } finally data.setWritable(true)
   }
+
+  test("vacuum reaps THIS data dir's stale generations and crash-left " +
+    "scratch, and never touches other owners, live layouts or " +
+    "unattributed dirs") {
+    // a shared root (the tmp-fallback situation, forced explicitly)
+    val shared = Files.createTempDirectory("graft-ls-vacroot").toFile
+    shared.deleteOnExit()
+    sys.props("spark.graft.storage.dir") = shared.getAbsolutePath
+    try {
+      val data = Files.createTempDirectory("graft-ls-vacdata").toFile
+      val other = Files.createTempDirectory("graft-ls-vacother").toFile
+      Seq(data, other).foreach { d =>
+        d.deleteOnExit(); touch(d, "t.parquet", "payload")
+      }
+      def build(p: String): Unit = {
+        new File(p).mkdirs(); touch(new File(p), "blob", "x" * 1000)
+      }
+      // generation 1 (will go stale), generation 2 (current), another
+      // owner's layout, and a legacy dir with no attribution
+      val stale = LayoutStore.ensure(data.getAbsolutePath, "probe", "v1")(build)
+      val live = LayoutStore.ensure(data.getAbsolutePath, "probe", "v2")(build)
+      val foreign = LayoutStore.ensure(other.getAbsolutePath, "probe", "v1")(build)
+      val legacy = new File(shared, "probe_deadbeef0000")
+      build(legacy.getAbsolutePath)
+      // scratch: one crash-left orphan (aged), one live
+      val oldScratch = LayoutStore.scratch(data.getAbsolutePath, "orphan")
+      touch(oldScratch, "tmp", "y" * 500)
+      oldScratch.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      val freshScratch = LayoutStore.scratch(data.getAbsolutePath, "live")
+
+      val r = LayoutStore.vacuum(data.getAbsolutePath, Seq("probe" -> "v2"))
+
+      assert(r.deleted.contains(new File(stale).getName))
+      assert(r.deleted.contains(oldScratch.getName))
+      assert(r.deleted.length === 2)
+      assert(r.bytesFreed >= 1500)
+      assert(!new File(stale).exists() && !oldScratch.exists())
+      assert(new File(live).exists(), "the current generation must survive")
+      assert(new File(foreign).exists(), "another owner's layout must survive")
+      assert(legacy.exists(), "an unattributed dir must survive")
+      assert(freshScratch.exists(), "young scratch must survive")
+      assert(r.kept.contains(new File(live).getName))
+    } finally sys.props.remove("spark.graft.storage.dir")
+  }
 }
