@@ -813,15 +813,28 @@ object VectorSearch {
     * than the iteration internals (the driver-loop operators' shared
     * trade — q_kmeans/q_bpe_train likewise; the per-step plan shape
     * is documented above instead). */
+  /** Pin an iteration frame BOTH ways at once: the logical plan
+    * truncates to an RDD leaf (per-iteration Catalyst/codegen work
+    * stays O(1) instead of re-optimizing a tree that regrows the
+    * whole upstream DAG every step — measured ~2× process CPU on
+    * q_graph_pagerank when these were plain persists) and the
+    * storage stays RELEASABLE (plain persist + working unpersist —
+    * unlike localCheckpoint, whose blocks no unpersist can free).
+    * The RDD keeps its lineage for fault recovery; only the SQL tree
+    * is cut. */
+  private def pinLeaf(df: DataFrame): DataFrame = {
+    val leaf = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    leaf.persist()
+    leaf.count()
+    leaf
+  }
+
   private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame,
       finish: DataFrame => DataFrame = identity): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = edges.join(out, "src").persist()
-    ew.count()
-    val ns = nodes.persist()
-    ns.count()
-    var ranks = ns.withColumn("r", lit(1000000L)).persist()
-    ranks.count()
+    val ew = pinLeaf(edges.join(out, "src"))
+    val ns = pinLeaf(nodes)
+    var ranks = pinLeaf(ns.withColumn("r", lit(1000000L)))
     (1 to pagerankIters).foreach { _ =>
       val contrib = ew
         .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
@@ -829,11 +842,9 @@ object VectorSearch {
           expr("(r * 85) div (100 * outdeg)").as("c"))
         .groupBy(col("vec_id")).agg(sum(col("c")).as("in_mass"))
       val prev = ranks
-      ranks = ns.join(contrib, Seq("vec_id"), "left")
+      ranks = pinLeaf(ns.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
-          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
-        .persist()
-      ranks.count()
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r")))
       prev.unpersist()
     }
     val inDeg = ew.groupBy(col("dst").as("vec_id"))
