@@ -210,6 +210,10 @@ object SparkEntry {
     // F29: the actual 8-step BPE training loop — per-step argmax
     // merge over the vocabulary + the corpus compression curve
     "q_bpe_train"      -> q(TextAnalysis.bpeTrain),
+    // F33: the learned vocabulary APPLIED — per-source BPE token
+    // volume + compression via the vocab-segmentation join (BPE
+    // never crosses word boundaries, so apply ≡ a word-level join)
+    "q_bpe_apply"      -> q(TextAnalysis.bpeApply),
     // F23: word2vec phrase-score collocations — integer-exact lift
     // over adjacent pairs, delta floor before the vocab-keyed joins
     "q_collocations"   -> q(TextAnalysis.collocations),
@@ -1886,6 +1890,7 @@ object SparkEntry {
     // accumulator tests the FULL last symbol; a merged symbol is
     // strictly longer than its left part, so it never re-triggers).
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_apply" -> bpeApplyOracle,
     // E13: distinct (source, shingle) sets per the F4 rule; the pair
     // intersection self-joins on the shingle (upper triangle via
     // s1 < s2); Jaccard from exact integer counts, rounded at 6dp.
@@ -3253,7 +3258,7 @@ object SparkEntry {
     * generator so the step count can never drift from
     * `TextAnalysis.bpeTrainMerges` — the engine and the oracle unroll
     * the SAME constant. */
-  private val bpeTrainOracle: String = {
+  private def bpeStepCtesBody: String = {
     val n = graft.operators.TextAnalysis.bpeTrainMerges
     val steps = (1 to n).map { k =>
       s"""p$k AS (
@@ -3272,22 +3277,55 @@ object SparkEntry {
          |         ELSE acc || ' ' || x END), ' ') AS seg
          |  FROM v${k - 1}, b$k)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to n).map { k =>
-      s"""SELECT $k AS step, l AS lhs, r AS rhs, total AS pair_total,
-         |  (SELECT CAST(SUM(c * len(seg)) AS BIGINT) FROM v$k)
-         |    AS tokens_after
-         |FROM b$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |  FROM documents),
        |v0 AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
        |    regexp_split_to_array(w, '') AS seg
        |  FROM tok WHERE length(w) >= 1 GROUP BY w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val bpeTrainOracle: String = {
+    val n = graft.operators.TextAnalysis.bpeTrainMerges
+    val finals = (1 to n).map { k =>
+      s"""SELECT $k AS step, l AS lhs, r AS rhs, total AS pair_total,
+         |  (SELECT CAST(SUM(c * len(seg)) AS BIGINT) FROM v$k)
+         |    AS tokens_after
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeStepCtesBody
        |$finals
        |ORDER BY step""".stripMargin
+  }
+
+  /** F33's oracle: the SAME unrolled trainer chain, then the final
+    * vocabulary's segment lengths joined back to per-(source, word)
+    * occurrence counts — a word spells back as the concatenation of
+    * its segments, so the vocab chain needs no carried word column. */
+  private val bpeApplyOracle: String = {
+    val n = graft.operators.TextAnalysis.bpeTrainMerges
+    s"""WITH $bpeStepCtesBody,
+       |vf AS (
+       |  SELECT array_to_string(seg, '') AS w,
+       |    CAST(len(seg) AS BIGINT) AS bpe_len
+       |  FROM v$n),
+       |ps AS (
+       |  SELECT source, w, COUNT(*) AS n FROM (
+       |    SELECT source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1, 2)
+       |SELECT ps.source,
+       |  CAST(SUM(ps.n) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(ps.n * length(ps.w)) AS BIGINT) AS char_tokens,
+       |  CAST(SUM(ps.n * vf.bpe_len) AS BIGINT) AS bpe_tokens,
+       |  ROUND(CAST(SUM(ps.n * length(ps.w)) AS DOUBLE)
+       |    / CAST(SUM(ps.n * vf.bpe_len) AS DOUBLE), 6) AS compression
+       |FROM ps JOIN vf ON ps.w = vf.w
+       |GROUP BY ps.source
+       |ORDER BY ps.source""".stripMargin
   }
 
   /** F13/F31's shared temperature-weight replay (tok → per-source

@@ -1395,6 +1395,17 @@ object TextAnalysis {
   def bpeTrain(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
+    bpeTrainCore(t.documents)._1
+      .toDF("step", "lhs", "rhs", "pair_total", "tokens_after")
+      .orderBy("step")
+  }
+
+  /** The trainer loop, shared by F29 (the merge table) and F33 (the
+    * learned-vocabulary fit audit): returns the per-step merge rows
+    * AND the final vocabulary segmentation (c, seg) — one trained
+    * tokenizer, two consumers. */
+  private[graft] def bpeTrainCore(documents: DataFrame)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     // per-step segmentations pin via eager localCheckpoint: the
     // checkpointed frames stay pinned for the session (Dataset
     // .unpersist cannot free checkpoint storage — measured), but the
@@ -1404,7 +1415,7 @@ object TextAnalysis {
     // columnar encode/decode of the seg array at ~3x the row's CPU,
     // so the bounded pin is the right trade here (contrast
     // pagerankOn, whose depth is unbounded and frames corpus-sized)
-    var vocab = t.documents
+    var vocab = documents
       .select(explode(words(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1446,9 +1457,46 @@ object TextAnalysis {
         step += 1
       }
     }
-    rows.result()
-      .toDF("step", "lhs", "rhs", "pair_total", "tokens_after")
-      .orderBy("step")
+    (rows.result(), vocab)
+  }
+
+  /** F33 — `q_bpe_apply`: tokenizer FIT under the LEARNED vocabulary
+    * — apply F29's trained merges to the whole corpus and report,
+    * per source, the whitespace word volume, the character-symbol
+    * volume (the step-0 token count) and the BPE token volume after
+    * all merges, with the compression ratio (chars per BPE token).
+    * This is F28's fertility audit under the REAL trained tokenizer
+    * instead of the regex proxy: the table that says which corpus
+    * slices the learned vocabulary serves and which it fragments
+    * (the multilingual-undertraining signal tokenizer teams watch).
+    *
+    * The key reduction: BPE never merges across word boundaries, so
+    * applying the merges to every DOCUMENT is exactly a join of each
+    * word occurrence to the final VOCABULARY segmentation — the
+    * vocab-sized table the trainer already holds (its word spells
+    * back as the concatenation of its segments). No per-document
+    * fold, no second training pass; per-source sums are one
+    * map-side-combining aggregate over (source, word) counts joined
+    * to the ≤vocab-sized segment-length table. Compression is one
+    * exact-long division, 6dp. */
+  def bpeApply(t: Tables): DataFrame = {
+    val vocab = bpeTrainCore(t.documents)._2
+    val segs = vocab.select(array_join(col("seg"), "").as("w"),
+      size(col("seg")).cast(LongType).as("bpe_len"))
+    val perSource = t.documents
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    perSource.join(segs, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("ws_tokens"),
+        sum(col("n") * length(col("w")).cast(LongType)).as("char_tokens"),
+        sum(col("n") * col("bpe_len")).as("bpe_tokens"))
+      .select(col("source"), col("ws_tokens"), col("char_tokens"),
+        col("bpe_tokens"),
+        round(col("char_tokens").cast("double") /
+          col("bpe_tokens").cast("double"), 6).as("compression"))
+      .orderBy(col("source"))
   }
 
   /** F32's sample size. */

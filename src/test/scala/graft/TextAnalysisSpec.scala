@@ -926,6 +926,42 @@ class TextAnalysisSpec extends SparkTestBase {
       s"selected mean weight $meanSel not above corpus mean $meanAll")
   }
 
+  test("bpeApply: corpus BPE volume reconciles with the trainer's own " +
+    "final tokens_after (one trained tokenizer, two consumers), and a " +
+    "repetitive planted source compresses better than a diverse one") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = TextAnalysis.bpeApply(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // compression is exactly the emitted longs' division
+    rows.foreach { case (_, _, chars, bpe, comp) =>
+      val expect = BigDecimal(chars.toDouble / bpe.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(comp === expect)
+      assert(comp >= 1.0, "a merge can only shorten a segmentation")
+    }
+    // Σ-per-source BPE volume == the trainer's corpus-wide
+    // tokens_after at the final step
+    val trainerFinal = TextAnalysis.bpeTrain(t)
+      .orderBy(c("step").desc).limit(1).collect()(0).getLong(4)
+    assert(rows.map(_._4).sum === trainerFinal)
+    // planted: source A repeats one phrase (its pairs win the merges),
+    // source B is all-distinct words — A must compress strictly better
+    import spark.implicits._
+    val docs = (
+      (0L until 8L).map(i => (i, "aba aba aba aba aba aba", "en", "rep", 23L)) ++
+        (8L until 16L).map(i => (i, s"qw${i}x er${i}y tu${i}z", "en", "div", 15L))
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpeapply").toFile
+    dir.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val planted = TextAnalysis.bpeApply(Tables(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(planted("rep") > planted("div"),
+      s"repetitive source did not compress better: $planted")
+  }
+
   test("plan: sampleWeighted is one TakeOrderedAndProject over the " +
     "scan — per-partition heaps, no global sort, no shuffle") {
     val df = TextAnalysis.sampleWeighted(t)
