@@ -323,6 +323,11 @@ object SparkEntry {
     // min) as ONE reverse cumulative window — never a time-range
     // self-join
     "q_sequence_match" -> q(EventOps.sequenceMatch),
+    // B16: the behavior-flow transition matrix — per-user lead pairs,
+    // |types|²-bounded output, probabilities from the count table
+    "q_event_transitions" -> q(EventOps.eventTransitions),
+    // B17: top session paths under B2's shared gap rule, depth-capped
+    "q_session_paths"  -> q(EventOps.sessionPaths),
     // B15: per-event trailing-hour aggregates — integer epoch-micros
     // RANGE frame, exact decimal sums
     "q_rolling_stats"  -> q(EventOps.rollingStats),
@@ -1108,24 +1113,47 @@ object SparkEntry {
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour_start, event_type""".stripMargin,
     "q_sessionize" ->
-      """WITH o AS (
-        |  SELECT event_id, ts, user_id, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |m AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-        |    THEN 1 ELSE 0 END AS new_sess
-        |  FROM o),
-        |s AS (
-        |  SELECT *, CAST(SUM(new_sess) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-        |  FROM m)
+      s"""WITH $sessionCtesBody
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s
         |GROUP BY user_id, sess_id""".stripMargin,
+    // B17: the SAME session CTE chain (one gap rule), then per-session
+    // ordered type concatenation truncated at the engine's depth cap.
+    "q_session_paths" ->
+      s"""WITH $sessionCtesBody,
+        |p0 AS (
+        |  SELECT user_id, sess_id, event_type, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p1 AS (
+        |  SELECT user_id, sess_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM p0 WHERE rn <= ${operators.EventOps.pathDepth}
+        |  GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n
+        |FROM p1 GROUP BY path
+        |ORDER BY n DESC, path
+        |LIMIT 10""".stripMargin,
+    // B16: the same lead window; probabilities divide the pair count
+    // by the prev type's outgoing total, both exact longs.
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN tt ON c.prev_type = tt.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
@@ -3673,6 +3701,26 @@ object SparkEntry {
        |  SELECT vec_a, vec_b, cell,
        |         ROUND(COALESCE(dot/NULLIF(na*nb,0),0),6) AS score
        |  FROM ep)""".stripMargin
+
+  /** B2/B17's shared session CTE chain (lag → gap flag → running
+    * session id over the (ts, event_id) order) — the rollup and the
+    * path report nest this ONE definition, so they can never disagree
+    * about a session boundary. Ends in s(event_id, ts, user_id,
+    * value, event_type, prev_ts, new_sess, sess_id). */
+  private val sessionCtesBody: String =
+    """o AS (
+      |  SELECT event_id, ts, user_id, value, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM o),
+      |s AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM m)""".stripMargin
 
   /** D32's oracle: the spherical k-means loop unrolled from the SAME
     * `kmeansK`/`kmeansIters` constants the engine runs (the

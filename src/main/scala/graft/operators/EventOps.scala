@@ -44,21 +44,66 @@ object EventOps {
   /** B2 — gap-based sessionization (30-min inactivity): lag to detect
     * session starts, running sum to number sessions, then a session
     * rollup. Two shuffles total, both keyed on user_id. */
-  def sessionize(t: Tables): DataFrame = {
+  def sessionize(t: Tables): DataFrame =
+    sessionIdsOn(t.events)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+        dsum(col("value")).as("total_value"))
+
+  /** B2's session-id stage — ONE gap rule shared by the rollup (B2)
+    * and the path report (B17). Per event: (event_id, ts, user_id,
+    * value, event_type, sess_id). */
+  private[graft] def sessionIdsOn(events: DataFrame): DataFrame = {
     val runSum = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.events
+    events
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"),
         lag(col("ts"), 1).over(byUserTime).as("prev_ts"))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           expr("ts - prev_ts > INTERVAL 30 MINUTES"), 1).otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(runSum).cast(LongType))
+      .drop("prev_ts", "new_sess")
+  }
+
+  /** B17's path depth cap — paths report the first this-many steps
+    * of a session (the product-analytics convention, and the memory
+    * bound: collect_list per session is otherwise unbounded for an
+    * always-active user). */
+  private[graft] val pathDepth = 8
+
+  /** B17 — `q_session_paths`: PATH analysis — the top-10 session
+    * event-type sequences ("view>click>purchase"), the behavior-flow
+    * report beside B16's one-step transition matrix (B16 is the
+    * Markov model; this is the raw trajectory distribution it
+    * approximates). Sessions come from the SHARED B2 gap rule
+    * ([[sessionIdsOn]] — rollup and paths can never disagree about a
+    * session boundary); within a session, steps order by
+    * (ts, event_id) and truncate at [[pathDepth]].
+    *
+    * Scale shape: one user-keyed shuffle (the session window), one
+    * (user, sess) aggregate whose per-group state is capped by the
+    * depth truncation, then a map-side-combining path count and a
+    * TakeOrdered top-10 — path cardinality ≤ |types|^depth but the
+    * count table only materializes observed paths. */
+  def sessionPaths(t: Tables): DataFrame = sessionPathsOn(t.events)
+
+  /** B17 over an arbitrary events frame — the spec drives the
+    * ordering/truncation proofs through this. */
+  private[graft] def sessionPathsOn(events: DataFrame): DataFrame = {
+    val paths = sessionIdsOn(events)
       .groupBy(col("user_id"), col("sess_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
-        dsum(col("value")).as("total_value"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, pathDepth),
+          e => e.getField("event_type"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
   }
 
   /** B3 — semi-structured JSON extraction from the props payload
@@ -591,6 +636,37 @@ object EventOps {
         round(sum(col("converted")).cast("double") /
           count(lit(1)).cast("double"), 6).as("conversion_rate"))
       .orderBy(col("day"))
+  }
+
+  /** B16 — `q_event_transitions`: the behavior-flow TRANSITION
+    * matrix — per user, consecutive event-type pairs in the
+    * (ts, event_id) order; globally, each (prev, next) pair's count
+    * and its probability among the prev type's outgoing transitions
+    * (the first-order Markov model product analytics fits to "what
+    * do users do after X"). Output is |types|² rows at most —
+    * bounded by the type vocabulary at any corpus size.
+    *
+    * Scale shape: one user-keyed shuffle for the lead window, then a
+    * map-side-combining pair count; per-prev totals derive from the
+    * ≤|types|²-row count table itself (never a second corpus pass)
+    * and broadcast back; probability = one exact-long division, 6dp. */
+  def eventTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
   }
 
   /** B15 — `q_rolling_stats`: per-event trailing-window aggregates —

@@ -301,6 +301,59 @@ class EventOpsSpec extends SparkTestBase {
     assert(row(0).getLong(2) === 2L)   // users 1 and 3 only
   }
 
+  test("eventTransitions matches a brute-force per-user lead-pair count " +
+    "and rows per prev type sum to probability 1") {
+    val ev = t.events.select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._4) }
+    }.toSeq
+    val expected = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventOps.eventTransitions(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2) -> g._3).toMap === expected)
+    got.groupBy(_._1).foreach { case (prev, rows) =>
+      val tot = rows.map(_._3).sum
+      rows.foreach { r =>
+        val p = BigDecimal(r._3.toDouble / tot.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r._4 === p)
+      }
+    }
+  }
+
+  test("sessionPaths: counts bounded by the shared-rule session count, " +
+    "and a planted session orders by (ts, event_id) and truncates at " +
+    "the depth cap") {
+    // top-10 counts can never exceed the session count under the SAME
+    // gap rule (one definition, two consumers)
+    val nPathsTotal = EventOps.sessionPaths(t)
+      .agg(sum("n")).first().getLong(0)
+    val allSessions = EventOps.sessionIdsOn(t.events)
+      .select("user_id", "sess_id").distinct().count()
+    assert(nPathsTotal > 0 && nPathsTotal <= allSessions)
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-04-01 10:$m%02d:00")
+    // one user: 10 events a minute apart (ONE session, over the
+    // 8-step cap), event_ids DESCENDING so ts must drive the order;
+    // plus a same-ts pair where event_id must break the tie
+    val ev = ((0 until 10).map { i =>
+      (1L, ts(i), (100 - i).toLong, s"t$i", 0.0)
+    } ++ Seq(
+      (2L, ts(0), 11L, "first", 0.0),
+      (2L, ts(0), 12L, "second", 0.0)
+    )).toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val got = EventOps.sessionPathsOn(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(
+      ((0 until 8).map(i => s"t$i").mkString(">"), 1L), // ordered + capped
+      ("first>second", 1L)))                            // event_id tie-break
+  }
+
   test("rollingStats matches a brute-force trailing-hour scan") {
     val p = t.events.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value").collect()
