@@ -53,15 +53,18 @@ object EventOps {
 
   /** B2's session-id stage — ONE gap rule shared by the rollup (B2)
     * and the path report (B17). Per event: (event_id, ts, user_id,
-    * value, event_type, sess_id). */
-  private[graft] def sessionIdsOn(events: DataFrame): DataFrame = {
+    * value, sess_id) plus any `extraCols` a consumer needs —
+    * parameterized so B2's window shuffle stays lean (B17 alone pays
+    * for carrying event_type through the exchange). */
+  private[graft] def sessionIdsOn(events: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val runSum = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Seq("event_id", "ts", "user_id", "value") ++ extraCols
     events
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
-        col("event_type"),
-        lag(col("ts"), 1).over(byUserTime).as("prev_ts"))
+      .select(base.map(col) :+
+        lag(col("ts"), 1).over(byUserTime).as("prev_ts"): _*)
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           expr("ts - prev_ts > INTERVAL 30 MINUTES"), 1).otherwise(0))
@@ -71,8 +74,10 @@ object EventOps {
 
   /** B17's path depth cap — paths report the first this-many steps
     * of a session (the product-analytics convention, and the memory
-    * bound: collect_list per session is otherwise unbounded for an
-    * always-active user). */
+    * bound: events past the cap are FILTERED OUT before any
+    * aggregation, so no per-group buffer ever exceeds this many
+    * rows — an always-active gap-free user costs 8 structs, not a
+    * session's worth). */
   private[graft] val pathDepth = 8
 
   /** B17 — `q_session_paths`: PATH analysis — the top-10 session
@@ -94,13 +99,21 @@ object EventOps {
   /** B17 over an arbitrary events frame — the spec drives the
     * ordering/truncation proofs through this. */
   private[graft] def sessionPathsOn(events: DataFrame): DataFrame = {
-    val paths = sessionIdsOn(events)
+    // depth-cap BEFORE aggregating (the oracle's rn <= depth filter):
+    // the row_number rides the session window's existing (user_id)
+    // partitioning, and collect_list then never buffers more than
+    // pathDepth structs per group — aggregate-then-slice would hold a
+    // whole gap-free session in one buffer
+    val sw = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessionIdsOn(events, extraCols = Seq("event_type"))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= pathDepth)
       .groupBy(col("user_id"), col("sess_id"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
-        col("event_type")))).as("evs"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+        .as("evs"))
       .select(concat_ws(">",
-        transform(slice(col("evs"), 1, pathDepth),
-          e => e.getField("event_type"))).as("path"))
+        transform(col("evs"), e => e.getField("event_type"))).as("path"))
     paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(10)

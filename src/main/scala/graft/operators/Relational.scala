@@ -262,8 +262,10 @@ object Relational {
     * The fact then splits by broadcast semi/anti against that set:
     * the COLD half joins plainly — its per-key row counts are ≤ the
     * threshold, so no post-shuffle partition can be key-dominated —
-    * and the HOT half salts: fact rows get `xxhash64(all columns) mod
-    * S`, the dim rows for hot keys replicate once per salt value, and
+    * and the HOT half salts: fact rows get a row-position salt
+    * (monotonically_increasing_id mod S — a content hash would
+    * co-locate a hot key's duplicate rows), the dim rows for hot keys
+    * replicate once per salt value, and
     * the join keys on (key, salt). Replication cost is |hot keys| × S
     * dim rows — bounded by the census, never |dim| × S (the naive
     * full-replication salting this row exists to avoid).

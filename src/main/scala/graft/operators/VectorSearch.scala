@@ -785,43 +785,16 @@ object VectorSearch {
     top
   }
 
-  /** The integer PageRank core (testable on hand-built graphs):
-    * returns `finish(...)` applied to the (vec_id, rank_u, in_deg)
-    * frame for every node, materialized so NOTHING internal stays
-    * live after the call returns.
-    *
-    * Iteration storage contract: EVERY internal frame — the
-    * loop-invariant degree-annotated edge list and node set, and the
-    * per-iteration rank frame — uses cache substitution (persist +
-    * an eager count() so downstream iterations plan against the
-    * InMemoryRelation, keeping the executed plan one step deep) and
-    * is unpersist()ed once superseded or once the final output is
-    * pinned — a localCheckpoint anywhere here would leak its block
-    * for the session, because Dataset.unpersist only clears
-    * CacheManager entries, never checkpoint RDD storage (verified on
-    * Spark 4.1.2). Live storage is 2 rank frames + the 2 invariants
-    * during the loop and ZERO internal frames after return: the
-    * final ranks frame is consumed into an eager localCheckpoint of
-    * `finish`'s (caller-bounded — graphPagerank passes top-20)
-    * output, then every persist is released. Repeated invocations in
-    * a long-lived session retain only their own bounded outputs.
-    * Two accepted costs of the eager pin: the returned frame's
-    * retention is permanent for the session (unpersist is a no-op on
-    * localCheckpointed frames — so pass a BOUNDED finish; the
-    * identity default pins n rows and is for small test graphs
-    * only), and plan-audit artifacts see `Scan ExistingRDD` rather
-    * than the iteration internals (the driver-loop operators' shared
-    * trade — q_kmeans/q_bpe_train likewise; the per-step plan shape
-    * is documented above instead). */
   /** Pin an iteration frame BOTH ways at once: the logical plan
     * truncates to an RDD leaf (per-iteration Catalyst/codegen work
     * stays O(1) instead of re-optimizing a tree that regrows the
-    * whole upstream DAG every step — measured ~2× process CPU on
-    * q_graph_pagerank when these were plain persists) and the
-    * storage stays RELEASABLE (plain persist + working unpersist —
-    * unlike localCheckpoint, whose blocks no unpersist can free).
-    * The RDD keeps its lineage for fault recovery; only the SQL tree
-    * is cut. */
+    * whole upstream DAG every step — plain persists measured ~2×
+    * process CPU on q_graph_pagerank, because cache substitution
+    * truncates only the EXECUTED plan, never the tree the optimizer
+    * walks) and the storage stays RELEASABLE (plain persist +
+    * working unpersist — unlike localCheckpoint, whose blocks no
+    * unpersist can free). The RDD keeps its lineage for fault
+    * recovery; only the SQL tree is cut. */
   private def pinLeaf(df: DataFrame): DataFrame = {
     val leaf = df.sparkSession.createDataFrame(df.rdd, df.schema)
     leaf.persist()
@@ -829,6 +802,29 @@ object VectorSearch {
     leaf
   }
 
+  /** The integer PageRank core (testable on hand-built graphs):
+    * returns `finish(...)` applied to the (vec_id, rank_u, in_deg)
+    * frame for every node, materialized so NOTHING internal stays
+    * live after the call returns.
+    *
+    * Iteration storage contract: every internal frame — the
+    * loop-invariant degree-annotated edge list and node set, and the
+    * per-iteration rank frame — pins via [[pinLeaf]] (O(1)-sized
+    * per-iteration plans AND working unpersist) and is released once
+    * superseded or once the final output is pinned. Live storage is
+    * 2 rank frames + the 2 invariants during the loop and ZERO
+    * internal frames after return: the final ranks frame is consumed
+    * into an eager localCheckpoint of `finish`'s (caller-bounded —
+    * graphPagerank passes top-20) output, then every persist is
+    * released. Two accepted costs of that final eager pin: the
+    * returned frame's retention is permanent for the session
+    * (unpersist is a no-op on localCheckpointed frames — so pass a
+    * BOUNDED finish; the identity default pins n rows and is for
+    * small test graphs only), and plan-audit artifacts see
+    * `Scan ExistingRDD` rather than the iteration internals (the
+    * driver-loop operators' shared trade — q_kmeans/q_bpe_train
+    * likewise; the per-step plan shape is documented above
+    * instead). */
   private[graft] def pagerankOn(nodes: DataFrame, edges: DataFrame,
       finish: DataFrame => DataFrame = identity): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

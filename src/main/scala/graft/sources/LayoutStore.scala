@@ -86,8 +86,20 @@ object LayoutStore {
     val d = new File(home,
       s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
     d.mkdirs()
+    // attribution FIRST (before any content lands): vacuum only ever
+    // reaps scratch it can prove belongs to the vacuuming data dir —
+    // under a shared root, ageing alone must never delete another
+    // dataset's in-flight scratch
+    java.nio.file.Files.writeString(new File(d, "_OWNER").toPath,
+      new File(dataDir).getAbsolutePath + "\n")
     d
   }
+
+  /** Recursive byte size of a file tree (shared by [[fingerprint]]
+    * and [[vacuum]]). */
+  private def sizeOfTree(f: File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty[File]).map(sizeOfTree).sum
 
   /** Cheap content fingerprint of a data dir: (name, size, mtime) of
     * each top-level entry (one stat walk, no data read — the same
@@ -95,14 +107,11 @@ object LayoutStore {
     * dirs are excluded so a root placed beside the data cannot
     * fingerprint itself. */
   def fingerprint(dataDir: String): String = {
-    def sizeOf(f: File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).getOrElse(Array.empty[File]).map(sizeOf).sum
     val entries = Option(new File(dataDir).listFiles())
       .getOrElse(Array.empty[File])
       .filterNot(f => f.getName == "_graft_layouts" || f.getName.startsWith("."))
       .sortBy(_.getName)
-      .map(f => s"${f.getName}:${sizeOf(f)}:${f.lastModified()}")
+      .map(f => s"${f.getName}:${sizeOfTree(f)}:${f.lastModified()}")
     md5(entries.mkString("|"))
   }
 
@@ -148,6 +157,12 @@ object LayoutStore {
       java.nio.file.Files.writeString(
         new File(path, "_OWNER").toPath, abs + "\n")
       marker.createNewFile()
+    } else if (!new File(path, "_OWNER").isFile) {
+      // retrofit attribution onto pre-attribution layouts, so their
+      // future stale generations become collectable (vacuum keeps
+      // anything it cannot attribute)
+      java.nio.file.Files.writeString(
+        new File(path, "_OWNER").toPath, abs + "\n")
     }
     path.getAbsolutePath
   }
@@ -157,10 +172,6 @@ object LayoutStore {
   final case class VacuumReport(kept: Seq[String], deleted: Seq[String],
       bytesFreed: Long)
 
-  private def sizeOfTree(f: File): Long =
-    if (f.isFile) f.length()
-    else Option(f.listFiles()).getOrElse(Array.empty[File]).map(sizeOfTree).sum
-
   /** MAINTENANCE (H5's compaction sibling — Delta VACUUM / Iceberg
     * expire_snapshots): garbage-collect this data dir's stale layout
     * generations. A layout dir is LIVE iff its name is exactly what
@@ -168,11 +179,12 @@ object LayoutStore {
     * ruleVersion) pairs — same data fingerprint, same rule version;
     * everything else OWNED BY THIS DATA DIR (the `_OWNER` file; the
     * staleness sources are a bumped rule version, changed data, or a
-    * renamed dir) is reaped, as are `_scratch` orphans older than
-    * `maxScratchAgeMs` (crash leftovers — live scratch is
-    * seconds-old and deleted by its creator). Dirs owned by OTHER
-    * data dirs and legacy dirs with no attribution are never
-    * touched: a GC that cannot prove ownership must not delete.
+    * renamed dir) is reaped, as are THIS data dir's `_scratch` orphans
+    * older than `maxScratchAgeMs` (crash leftovers — live scratch is
+    * short-lived and deleted by its creator). Dirs owned by OTHER
+    * data dirs and anything with no attribution — legacy layouts,
+    * foreign scratch — are never touched, at any age: a GC that
+    * cannot prove ownership must not delete.
     *
     * Scale shape: pure driver-side metadata (list + stat + delete) —
     * the same operation a table-maintenance service schedules beside
@@ -194,9 +206,12 @@ object LayoutStore {
     Option(root(dataDir).listFiles()).getOrElse(Array.empty[File])
       .foreach { d =>
         if (d.getName == "_scratch") {
-          Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { s =>
-            if (now - s.lastModified() > maxScratchAgeMs) reap(s)
-            else kept += s"_scratch/${s.getName}"
+          Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { sd =>
+            val owner = new File(sd, "_OWNER")
+            val owned = owner.isFile &&
+              java.nio.file.Files.readString(owner.toPath).trim == abs
+            if (owned && now - sd.lastModified() > maxScratchAgeMs) reap(sd)
+            else kept += s"_scratch/${sd.getName}"
           }
         } else if (live(d.getName)) kept += d.getName
         else {
