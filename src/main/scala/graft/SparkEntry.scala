@@ -349,6 +349,9 @@ object SparkEntry {
     // G6: average-hash (aHash) near-dup pairs over payloads — 64
     // strided samples, integer-exact mean bits, E3's banded Hamming
     "q_media_phash"     -> q(Multimodal.mediaPhash),
+    // G7: within-payload frame near-dup audit — the static-scene
+    // pruning pass; per-row bounded pairs, zero shuffle
+    "q_frame_dedup"     -> q(Multimodal.frameDedup),
     // F12: concat-and-chunk packing audit via a two-level distributed
     // prefix sum (no single-partition-per-source window)
     "q_pack_sequences"  -> q(TextAnalysis.packSequences),
@@ -2487,6 +2490,38 @@ object SparkEntry {
          |ORDER BY eval_id, train_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_media_phash" -> mediaPhashOracle,
+    // G7: G3's frame geometry (16-char frames at stride-64 offsets,
+    // first 8 sampled), per-pair 16-position Hamming, keep-first
+    // unique rule — all VARCHAR/ASCII per the G-family byte contract.
+    "q_frame_dedup" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    LEAST((length(text) // 16 + 3) // 4, 8) AS n_sampled
+        |  FROM documents WHERE length(text) >= 16),
+        |fr AS (
+        |  SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS BIGINT), 16) AS f
+        |  FROM (SELECT doc_id, text, unnest(range(0, n_sampled)) AS i FROM e)),
+        |hp AS (
+        |  SELECT doc_id, i, j,
+        |    CAST(SUM(CASE WHEN substr(fa, k, 1) <> substr(fb, k, 1)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM (
+        |    SELECT a.doc_id, a.i AS i, b.i AS j, a.f AS fa, b.f AS fb,
+        |      unnest(range(1, 17)) AS k
+        |    FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.i > a.i)
+        |  GROUP BY 1, 2, 3),
+        |ag AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_pairs,
+        |    CAST(COUNT(DISTINCT CASE WHEN ham <= 3 THEN j END) AS BIGINT)
+        |      AS n_dup_frames
+        |  FROM hp GROUP BY 1)
+        |SELECT e.doc_id, CAST(e.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(ag.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(e.n_sampled - COALESCE(ag.n_dup_frames, 0) AS BIGINT) AS n_unique
+        |FROM e LEFT JOIN ag ON e.doc_id = ag.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     "q_search_mmr" -> mmrOracle,
     // E4/E8 replay the Spark side's shingle DOCUMENT-FREQUENCY cap
     // (drop shingles in > maxBucketSize docs before pairing; sizes

@@ -312,4 +312,80 @@ object Multimodal {
         coalesce(col("n_dupes"), lit(0L)).as("n_dupes"))
       .orderBy(col("doc_id"))
   }
+
+  /** G7's geometry: G3's 16-byte frames at byte stride 64 (frame
+    * stride 4), audited over the first [[frameDupWindow]] sampled
+    * frames per payload (pair work per row is C(8,2) = 28, a
+    * CONSTANT — the per-payload bound that keeps the audit zero-
+    * shuffle at any corpus size); frames within byte-Hamming
+    * [[frameDupHamming]] are near-dups. */
+  private[graft] val frameDupWindow = 8
+  private[graft] val frameDupHamming = 3
+
+  /** G7 — `q_frame_dedup`: WITHIN-payload frame near-dup audit — the
+    * static-scene / duplicate-frame pruning pass a video pipeline
+    * runs before paying decode/embed per frame (consecutive frames
+    * of a still scene are near-identical; dropping them is the
+    * cheapest token-budget win in video curation). Composes the
+    * family's existing rules: G3's sampled-frame geometry, byte-level
+    * Hamming like G6's fingerprint test, E10's keep-first survivor
+    * rule at frame granularity. Per eligible payload: sampled-frame
+    * count (≤ [[frameDupWindow]]), near-dup PAIR count, and the
+    * unique-frame count under keep-first (frame j is a dup iff some
+    * earlier sampled frame sits within Hamming [[frameDupHamming]]).
+    * On this corpus dup counts are honestly ~0 (shuffled words have
+    * no still scenes); the pairing semantics are proven in spec on
+    * planted repeated-frame payloads.
+    *
+    * Scale shape: everything is per-row — two bounded explodes (≤8
+    * frames → ≤64 ordered pairs per payload), a 16-position
+    * per-pair compare, one map-side-combining per-doc aggregate; no
+    * join, no shuffle beyond the final rollup. Byte slicing uses the
+    * G-family VARCHAR/ASCII contract (DuckDB 1.0 has no BLOB
+    * substr). */
+  def frameDedup(t: Tables): DataFrame = frameDedupDocs(t.documents)
+
+  /** G7 over an arbitrary (doc_id, text) frame — the spec drives the
+    * planted repeated-frame proofs through this. */
+  private[graft] def frameDedupDocs(documents: DataFrame): DataFrame = {
+    val frameB = 16
+    val byteStride = 64 // frame stride 4 × 16-byte frames (G3's rule)
+    val nFrames = floor(length(col("text")) / lit(frameB.toDouble))
+      .cast(LongType)
+    // Spark `/` on longs returns DOUBLE — cast back for the sequence
+    val nSampled =
+      least(((nFrames + 3) / 4).cast(LongType), lit(frameDupWindow.toLong))
+    val base = documents
+      .filter(length(col("text")) >= frameB)
+      .select(col("doc_id"), col("text"), nSampled.as("n_sampled"))
+      .select(col("doc_id"), col("n_sampled"),
+        transform(sequence(lit(0L), col("n_sampled") - 1), i =>
+          col("text").substr((i * byteStride + 1).cast("int"), lit(frameB)))
+          .as("fr"))
+    // ordered frame pairs (j > i), ≤ C(8,2) rows per payload; fa/fb
+    // are plain attributes by the time the Hamming HOF touches them
+    val ham = base
+      .select(col("doc_id"), col("fr"),
+        posexplode(col("fr")).as(Seq("i", "fa")))
+      .select(col("doc_id"), col("i"), col("fa"),
+        posexplode(col("fr")).as(Seq("j", "fb")))
+      .filter(col("j") > col("i"))
+      .select(col("doc_id"), col("i"), col("j"),
+        aggregate(sequence(lit(1), lit(frameB)), lit(0),
+          (acc, p) => acc + when(
+            col("fa").substr(p, lit(1)) =!= col("fb").substr(p, lit(1)),
+            lit(1)).otherwise(lit(0))).as("ham"))
+    val audit = ham.groupBy(col("doc_id"))
+      .agg(sum(when(col("ham") <= frameDupHamming, 1L).otherwise(0L))
+        .as("n_dup_pairs"),
+        countDistinct(when(col("ham") <= frameDupHamming, col("j")))
+          .as("n_dup_frames"))
+    base.select(col("doc_id"), col("n_sampled"))
+      .join(audit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sampled"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        (col("n_sampled") - coalesce(col("n_dup_frames"), lit(0L)))
+          .as("n_unique"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -359,4 +359,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(1L)._2 === 1L && got(1L)._3 === 1L)
     assert(got(2L)._2 === 1L && got(2L)._3 === 0L)
   }
+
+  test("frameDedup: a planted still scene collapses under keep-first, " +
+    "Hamming-3 frames count as dups, Hamming-4 and distinct frames stay " +
+    "unique") {
+    import spark.implicits._
+    // place 16-char frames at the sampled byte offsets (t * 64); fill
+    // the gaps with a position-varying pattern so only the planted
+    // frames can match
+    def mk(frames: Seq[String], len: Int): String = {
+      val a = Array.tabulate(len)(p => ('a' + (p * 7 % 26)).toChar)
+      frames.zipWithIndex.foreach { case (f, t) =>
+        f.zipWithIndex.foreach { case (c, k) => a(t * 64 + k) = c }
+      }
+      new String(a)
+    }
+    val f0 = "ABCDEFGHIJKLMNOP"
+    val ham3 = "XYZDEFGHIJKLMNOP"  // 3 chars off f0
+    val ham4 = "XYZWEFGHIJKLMNOP"  // 4 chars off f0 (3 off ham3)
+    val other = "0123456789abcdef"
+    val docs = Seq(
+      // 5 identical sampled frames -> C(5,2) dup pairs, 1 unique
+      (0L, mk(Seq.fill(5)(f0), 272)),
+      // f0 then a Hamming-3 mate -> 1 dup pair, 1 unique
+      (1L, mk(Seq(f0, ham3), 80)),
+      // f0 then a Hamming-4 frame -> no dup, 2 unique
+      (2L, mk(Seq(f0, ham4), 80)),
+      // two unrelated frames -> no dup, 2 unique
+      (3L, mk(Seq(f0, other), 80))
+    ).toDF("doc_id", "text")
+    val got = Multimodal.frameDedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) === ((5L, 10L, 1L)))
+    assert(got(1L) === ((2L, 1L, 1L)))
+    assert(got(2L) === ((2L, 0L, 2L)))
+    assert(got(3L) === ((2L, 0L, 2L)))
+  }
 }
