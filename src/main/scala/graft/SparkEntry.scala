@@ -326,6 +326,9 @@ object SparkEntry {
     // B16: the behavior-flow transition matrix — per-user lead pairs,
     // |types|²-bounded output, probabilities from the count table
     "q_event_transitions" -> q(EventOps.eventTransitions),
+    // B18: per-user z-score outliers — exact decimal stats, 6dp z
+    // before the threshold so the alarm set is engine-exact
+    "q_anomaly"        -> q(EventOps.anomalies),
     // B17: top session paths under B2's shared gap rule, depth-capped
     "q_session_paths"  -> q(EventOps.sessionPaths),
     // B15: per-event trailing-hour aggregates — integer epoch-micros
@@ -1140,6 +1143,27 @@ object SparkEntry {
         |FROM p1 GROUP BY path
         |ORDER BY n DESC, path
         |LIMIT 10""".stripMargin,
+    // B18: identical stats expression — exact decimal sums cast to
+    // double once, variance clamped at 0, z rounded 6dp pre-threshold.
+    "q_anomaly" ->
+      s"""WITH st AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY 1
+        |  HAVING COUNT(*) >= ${operators.EventOps.anomalyMinEvents}),
+        |sd AS (
+        |  SELECT user_id, s / n AS mean,
+        |    SQRT(GREATEST(ss / n - (s / n) * (s / n), 0.0)) AS std
+        |  FROM st),
+        |z AS (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value,
+        |    ROUND((e.value - sd.mean) / sd.std, 6) AS z
+        |  FROM events e JOIN sd ON e.user_id = sd.user_id
+        |  WHERE sd.std > 0.0)
+        |SELECT * FROM z WHERE ABS(z) > ${operators.EventOps.anomalyZ}
+        |ORDER BY user_id, event_id""".stripMargin,
     // B16: the same lead window; probabilities divide the pair count
     // by the prev type's outgoing total, both exact longs.
     "q_event_transitions" ->

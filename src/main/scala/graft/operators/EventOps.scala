@@ -651,6 +651,52 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** B18's gates: minimum history before a user's distribution is
+    * trusted, and the |z| alarm threshold. */
+  private[graft] val anomalyMinEvents = 5L
+  private[graft] val anomalyZ = 3.0
+
+  /** B18 — `q_anomaly`: per-user OUTLIER detection — events whose
+    * value sits more than [[anomalyZ]] standard deviations from that
+    * user's own mean (the per-entity z-score alarm every metrics/
+    * fraud pipeline runs; population stats would flag every big
+    * spender instead of behavior CHANGES). Users need
+    * [[anomalyMinEvents]] events before their distribution is
+    * trusted; zero-variance users cannot alarm.
+    *
+    * Exactness: per-user sums and sum-of-squares accumulate in exact
+    * DECIMAL (order-independent) and cast to double once, so both
+    * engines derive mean/std from identical doubles via the identical
+    * expression (variance clamped at 0 before the sqrt — fp can put
+    * an all-equal user's variance at -1e-18, and sqrt(negative)
+    * diverges between engines); z rounds to 6dp BEFORE the threshold
+    * so the alarm set is engine-exact.
+    *
+    * Scale shape: one map-side-combining stats pass grouped by user,
+    * then the events⋈stats join keyed on user_id (both sides already
+    * user-keyed; at 100 TB this is one co-partitioned shuffle, and
+    * under the bucketed layout zero exchanges) and a codegen'd
+    * projection+filter. Output is alarms only. */
+  def anomalies(t: Tables): DataFrame = {
+    val dv = col("value").cast(DecimalType(18, 2))
+    val stats = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dv).cast(DoubleType).as("s"),
+        sum(dv * dv).cast(DoubleType).as("ss"))
+      .filter(col("n") >= anomalyMinEvents)
+      .select(col("user_id"), (col("s") / col("n")).as("mean"),
+        sqrt(greatest(col("ss") / col("n") -
+          (col("s") / col("n")) * (col("s") / col("n")), lit(0.0)))
+          .as("std"))
+      .filter(col("std") > 0.0)
+    t.events
+      .join(stats, "user_id")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .filter(abs(col("z")) > anomalyZ)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** B16 — `q_event_transitions`: the behavior-flow TRANSITION
     * matrix — per user, consecutive event-type pairs in the
     * (ts, event_id) order; globally, each (prev, next) pair's count

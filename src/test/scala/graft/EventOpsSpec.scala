@@ -301,6 +301,58 @@ class EventOpsSpec extends SparkTestBase {
     assert(row(0).getLong(2) === 2L)   // users 1 and 3 only
   }
 
+  test("anomalies matches a brute-force per-user z-score scan, and " +
+    "planted users behave: a spike alarms, constants and thin " +
+    "histories never do") {
+    val ev = t.events.select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (uid, es) =>
+      if (es.length < 5) Nil
+      else {
+        def d2(x: Double) = BigDecimal(x)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val s = es.map(e => d2(e._3)).sum.toDouble
+        val ss = es.map(e => d2(e._3) * d2(e._3)).sum.toDouble
+        val n = es.length
+        val mean = s / n
+        val std = math.sqrt(math.max(ss / n - (s / n) * (s / n), 0.0))
+        if (std <= 0.0) Nil
+        else es.flatMap { e =>
+          val z = BigDecimal((e._3 - mean) / std)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (math.abs(z) > 3.0) Some((uid, e._2, z)) else None
+        }
+      }
+    }.toSet
+    val got = EventOps.anomalies(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no anomalies on the corpus — vacuous")
+    // planted behaviors through the same query over a tiny dir
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$i%02d:00")
+    val planted = (
+      // user 1: 15 quiet events + one spike -> exactly the spike.
+      // (15, not 9: population-std z is capped at (n-1)/sqrt(n), so a
+      // single outlier can only clear |z| > 3 once n >= 12.)
+      (0 until 15).map(i => (1L, ts(i), (10 + i).toLong, "view", 5.0)) ++
+        Seq((1L, ts(15), 25L, "view", 500.0)) ++
+        // user 2: constant values (std 0) -> never alarms
+        (0 until 8).map(i => (2L, ts(i), (20 + i).toLong, "view", 7.0)) ++
+        // user 3: thin history (< 5) with a wild value -> excluded
+        Seq((3L, ts(0), 30L, "view", 1.0), (3L, ts(1), 31L, "view", 999.0))
+      ).toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toFile
+    dir.deleteOnExit()
+    planted.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val alarms = EventOps.anomalies(
+      graft.sources.Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(alarms.toSeq === Seq((1L, 25L)))
+  }
+
   test("eventTransitions matches a brute-force per-user lead-pair count " +
     "and rows per prev type sum to probability 1") {
     val ev = t.events.select("user_id", "ts", "event_id", "event_type")
