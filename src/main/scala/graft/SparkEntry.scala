@@ -2137,7 +2137,7 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, source, n_chars AS weight,
         |  ROUND(LN((CAST(hv AS DOUBLE) + 0.5) / 281474976710656.0)
-        |    / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        |    / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS sample_key
         |FROM v
         |ORDER BY sample_key DESC, doc_id
         |LIMIT ${graft.operators.TextAnalysis.weightedK}""".stripMargin

@@ -328,11 +328,17 @@ object Multimodal {
     * of a still scene are near-identical; dropping them is the
     * cheapest token-budget win in video curation). Composes the
     * family's existing rules: G3's sampled-frame geometry, byte-level
-    * Hamming like G6's fingerprint test, E10's keep-first survivor
-    * rule at frame granularity. Per eligible payload: sampled-frame
-    * count (≤ [[frameDupWindow]]), near-dup PAIR count, and the
-    * unique-frame count under keep-first (frame j is a dup iff some
-    * earlier sampled frame sits within Hamming [[frameDupHamming]]).
+    * Hamming like G6's fingerprint test, and an any-earlier-frame
+    * dup rule. Per eligible payload: sampled-frame count
+    * (≤ [[frameDupWindow]]), near-dup PAIR count, and the dup count
+    * under the rule "frame j is a dup iff ANY earlier sampled frame
+    * sits within Hamming [[frameDupHamming]]" — deliberately NOT
+    * E10's survivor-chain rule (under a transitive chain A~B, B~C,
+    * A!~C the survivor rule would keep C; this audit counts C as a
+    * dup because B precedes it). The any-earlier rule is the
+    * conservative pruning bound a video pipeline wants (a frame near
+    * anything already seen carries no new signal), and it is what
+    * both the engine and the oracle compute.
     * On this corpus dup counts are honestly ~0 (shuffled words have
     * no still scenes); the pairing semantics are proven in spec on
     * planted repeated-frame payloads.

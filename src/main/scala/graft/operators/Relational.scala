@@ -283,9 +283,14 @@ object Relational {
       factKey: String, dimKey: String,
       threshold: Long = skewHotThreshold,
       salts: Int = skewSaltFactor): DataFrame = {
+    // the census is materialized ONCE (eager localCheckpoint of a
+    // frame bounded by the hot-key count) — it feeds three joins
+    // (hot semi, cold anti, dim semi) and an unpinned broadcast(hot)
+    // would re-run the full-fact aggregate for each of them
     val hot = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold)
       .select(col(factKey).as("hk"))
+      .localCheckpoint(true)
     // salt = a row-POSITION spread, deliberately not a content hash:
     // identical fact rows must still land on different salts (a
     // content hash would co-locate a hot key's duplicate rows on one

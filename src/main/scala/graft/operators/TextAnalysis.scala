@@ -1523,7 +1523,10 @@ object TextAnalysis {
     val v = conv(substring(md5(concat(lit("wsample:"),
       col("doc_id").cast("string"))), 1, 12), 16, 10).cast(LongType)
     val u = (v.cast("double") + 0.5) / lit(281474976710656.0) // 2^48
-    val key = round(log(u) / col("n_chars").cast("double"), 9)
+    // greatest(n_chars, 1): a zero-length doc would otherwise divide
+    // by 0 (−Infinity in Spark, NULL/error in other engines) and
+    // diverge the top-k cut; weight 1 = the minimum-weight item
+    val key = round(log(u) / greatest(col("n_chars"), lit(1)).cast("double"), 9)
     t.documents
       .select(col("doc_id"), col("source"),
         col("n_chars").as("weight"), key.as("sample_key"))

@@ -205,21 +205,23 @@ object LayoutStore {
     }
     Option(root(dataDir).listFiles()).getOrElse(Array.empty[File])
       .foreach { d =>
+        // an unreadable/vanished _OWNER (racing process, fs error) is
+        // "cannot prove ownership" — keep, never abort the sweep
+        def ownedBy(dir: File): Boolean = {
+          val owner = new File(dir, "_OWNER")
+          owner.isFile && scala.util.Try(
+            java.nio.file.Files.readString(owner.toPath).trim == abs)
+            .getOrElse(false)
+        }
         if (d.getName == "_scratch") {
           Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { sd =>
-            val owner = new File(sd, "_OWNER")
-            val owned = owner.isFile &&
-              java.nio.file.Files.readString(owner.toPath).trim == abs
-            if (owned && now - sd.lastModified() > maxScratchAgeMs) reap(sd)
+            if (ownedBy(sd) && now - sd.lastModified() > maxScratchAgeMs)
+              reap(sd)
             else kept += s"_scratch/${sd.getName}"
           }
         } else if (live(d.getName)) kept += d.getName
-        else {
-          val owner = new File(d, "_OWNER")
-          val owned = owner.isFile &&
-            java.nio.file.Files.readString(owner.toPath).trim == abs
-          if (owned) reap(d) else kept += d.getName
-        }
+        else if (ownedBy(d)) reap(d)
+        else kept += d.getName
       }
     VacuumReport(kept.result().sorted, deleted.result().sorted, freed)
   }
