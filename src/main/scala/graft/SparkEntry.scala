@@ -48,6 +48,10 @@ object SparkEntry {
     // A16: arbitrary GROUPING SETS — two independent GROUP BYs in
     // one Expand-fed pass (the general form beyond rollup/cube)
     "q_grouping_sets"   -> q(Relational.groupingSetsAgg),
+    // A17: TPC-H Q13 — LEFT OUTER fact join + null-group aggregate
+    // (orders-per-customer distribution incl. the zero bucket);
+    // engine pre-aggregates the fact below the outer join
+    "q_join_outer"      -> q(Relational.joinOuter),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -489,6 +493,18 @@ object SparkEntry {
     // A15: the oracle is the PLAIN join — the whole point: the
     // engine's hot-key split + salt rewrite must be algebraically
     // invisible in the result.
+    // A17: the oracle is the LITERAL Q13 — DuckDB's native LEFT JOIN
+    // over the raw tables — proving the engine's pre-aggregate
+    // rewrite result-equivalent to the textbook plan
+    "q_join_outer" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_join_skew" ->
       """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

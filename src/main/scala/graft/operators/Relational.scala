@@ -321,6 +321,42 @@ object Relational {
     hotJoined.unionByName(coldJoined)
   }
 
+  /** A17 — `q_join_outer`: the LEFT-OUTER fact join + null-group
+    * aggregate (TPC-H Q13 — the orders-per-customer distribution
+    * INCLUDING the zero bucket, the single most common warehouse
+    * join form; customers whose only orders are urgent land in the
+    * zero bucket through the outer join's null side). The oracle is
+    * DuckDB's native LEFT JOIN over the raw tables.
+    *
+    * Scale shape: the literal Q13 plan left-joins the RAW fact and
+    * then groups by custkey — shuffling every order row. Catalyst
+    * does NOT push a partial aggregate below an outer join, so the
+    * engine applies the standard Q13 rewrite by hand: pre-aggregate
+    * orders to (o_custkey, n) FIRST (map-side combine; only key+count
+    * pairs shuffle, and the join's right side shrinks to ≤ |custkeys|
+    * rows), then LEFT JOIN customer to the aggregate — null-group
+    * semantics intact, coalesce(n, 0) IS the zero bucket. Both sides
+    * shuffle on the one join key; the final distribution aggregate is
+    * ≤ max-orders-per-customer rows. Equivalence to the literal plan
+    * holds because the join key is the full grouping key. */
+  def joinOuter(t: Tables): DataFrame = joinOuterOn(t.customer, t.orders)
+
+  /** A17 over arbitrary (customer, orders) frames — the spec drives
+    * planted zero-order customers through this. */
+  private[graft] def joinOuterOn(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** A15 — `q_join_skew`: the skew-salted fact ⋈ dim join, proven
     * equal to the plain join by the oracle (which just joins). Orders
     * ⋈ customer on custkey — the pair where the dim GROWS with the

@@ -127,4 +127,36 @@ class RelationalSpec extends SparkTestBase {
     val plan = Relational.filterProject(t).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"))
   }
+
+  test("joinOuter: zero-order customers land in the zero bucket; " +
+    "pre-agg rewrite ≡ the literal outer-join plan") {
+    import spark.implicits._
+    // planted frame: c1 two kept orders; c2 ONLY an urgent order
+    // (outer-join null via the filter); c3 no orders at all; c4 one
+    // kept order. Expected distribution: {0→2 (c2,c3), 1→1, 2→1}.
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq(
+      (1L, "2-HIGH"), (1L, "5-LOW"), (2L, "1-URGENT"), (4L, "3-MEDIUM"))
+      .toDF("o_custkey", "o_orderpriority")
+    val got = Relational.joinOuterOn(customer, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+
+    // the rewrite contract: pre-aggregating the fact below the outer
+    // join is result-equivalent to the literal Q13 plan (left join
+    // raw orders, then group by custkey) — on the real tables
+    val literal = t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val engine = Relational.joinOuter(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine === literal)
+    // (the zero bucket is proven non-vacuous on the planted frame
+    // above; at the spec's sf0.001 fixture every customer retains a
+    // non-urgent order, so no corpus-level zero assertion here)
+  }
 }
