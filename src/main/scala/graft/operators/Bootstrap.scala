@@ -117,7 +117,8 @@ object Bootstrap {
     * persisted stage output, so a half-run stage surfaces as a
     * mismatched report, not a silently smaller corpus. */
   def coldStart(t: Tables, dbDir: String, workDir: String,
-      key: Option[String] = sys.env.get("SEATALK_DB_KEY")): ColdStartReport = {
+      key: Option[String] = sys.env.get("SEATALK_DB_KEY"),
+      encoder: Encoder = EmbeddingStore.defaultEncoder): ColdStartReport = {
     import graft.sources.SqliteSnapshot
     val spark = t.spark
     val snap = SqliteSnapshot.createSnapshot(
@@ -136,7 +137,7 @@ object Bootstrap {
     val persisted = spark.read.parquet(s"$workDir/docs.parquet")
     val nExtracted = persisted.count()
     EmbeddingStore.store(
-      EmbeddingStore.embed(persisted), s"$workDir/store")
+      EmbeddingStore.embedWith(encoder, persisted), s"$workDir/store")
     val stored = spark.read.parquet(s"$workDir/store")
     EmbeddingStore.buildIvfIndex(spark,
       stored.select(col("doc_id"), col("embedding")), s"$workDir/ivf")

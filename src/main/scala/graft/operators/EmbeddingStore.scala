@@ -78,16 +78,32 @@ object EmbeddingStore {
   val dim = 64
   val numShards = 16
 
+  /** The shipped encoder behind [[embed]]/[[embedRaw]] — the
+    * [[Encoder]] seam's default binding. A deployment swaps this at
+    * the call sites that take an encoder ([[embedWith]],
+    * [[searchTextWith]], [[updateSinceWith]],
+    * [[Bootstrap.coldStart]]); nothing downstream of the produced
+    * vectors knows which encoder ran. */
+  val defaultEncoder: Encoder = HashingEncoder(dim)
+
   /** Batch-embed cleaned document text → (doc_id, shard, embedding
     * float[dim], norm 1). `dim` defaults to the store width; pass 384
     * to embed at the reference's model dimensionality. */
   def embed(docs: DataFrame): DataFrame = embed(docs, dim)
 
   def embed(docs: DataFrame, dim: Int): DataFrame =
-    embedRaw(docs, dim)
+    embedWith(HashingEncoder(dim), docs)
+
+  /** Batch-embed through an arbitrary [[Encoder]] — THE seam entry:
+    * the encoder yields raw vectors; the L2 normalization, float
+    * cast and shard key are ONE shared encoder-independent rule, so
+    * two deployments with different models still produce the same
+    * store layout. */
+  def embedWith(encoder: Encoder, docs: DataFrame): DataFrame =
+    encoder.encodeRaw(docs)
       // norm projected ONCE per row (a lambda-embedded aggregate would
       // re-run the fold per output element), with a zero-norm guard so
-      // fully-cancelling hash votes yield a zero vector, not NaNs
+      // fully-cancelling raw components yield a zero vector, not NaNs
       .withColumn("nrm",
         sqrt(aggregate(col("raw"), lit(0.0), (acc, y) => acc + y * y)))
       .select(col("doc_id"),
@@ -97,28 +113,15 @@ object EmbeddingStore {
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(numShards)).as("shard"), col("embedding"))
 
-  /** The raw hash-vote stage of [[embed]]: dense UNNORMALIZED double
-    * vectors whose components are the ±1 vote sums — small integers,
-    * so float casts and sparse cross-engine replays are EXACT (the
-    * G4 technique), and cosine over them equals cosine over the
-    * normalized store vectors (scale invariance). The ONE definition
-    * of the tokenize → md5-bucket → vote pipeline; [[embed]]
-    * normalizes on top. */
-  def embedRaw(docs: DataFrame, dim: Int): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id"),
-        (conv(substring(col("h"), 1, 6), 16, 10).cast("int") % dim).as("bucket"),
-        when(substring(col("h"), 7, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
-    tok.groupBy(col("doc_id"), col("bucket"))
-      .agg(sum(col("sign")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
-  }
+  /** The raw stage of [[embed]] under the DEFAULT hashing encoder:
+    * dense UNNORMALIZED double vectors whose components are the ±1
+    * vote sums — small integers, so float casts and sparse
+    * cross-engine replays are EXACT (the G4 technique), and cosine
+    * over them equals cosine over the normalized store vectors
+    * (scale invariance). The pipeline definition lives in
+    * [[HashingEncoder]]; [[embed]] normalizes on top. */
+  def embedRaw(docs: DataFrame, dim: Int): DataFrame =
+    HashingEncoder(dim).encodeRaw(docs)
 
   /** `q_search_dim384` — the heavy-WIDTH bench row: brute-force
     * cosine top-10 at the reference's model width (384,
@@ -168,12 +171,19 @@ object EmbeddingStore {
     * 6dp scores engine-exact, so DuckDB replays embed + search for a
     * LITERAL string. */
   def searchText(t: Tables, queryText: String = textQueryString,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    searchTextWith(defaultEncoder, t, queryText, k)
+
+  /** [[searchText]] through an arbitrary [[Encoder]] — query and
+    * corpus embed through the SAME seam (a mixed-encoder search is
+    * meaningless; one parameter makes it unrepresentable). */
+  def searchTextWith(encoder: Encoder, t: Tables, queryText: String,
+      k: Int): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val qv = embedRaw(Seq((-1L, queryText)).toDF("doc_id", "text"), dim)
+    val qv = encoder.encodeRaw(Seq((-1L, queryText)).toDF("doc_id", "text"))
       .select(col("raw").cast("array<float>").as("qv"))
-    embedRaw(t.documents, dim)
+    encoder.encodeRaw(t.documents)
       .select(col("doc_id"), col("raw").cast("array<float>").as("embedding"))
       .join(broadcast(qv))
       .select(col("doc_id"),
@@ -214,7 +224,15 @@ object EmbeddingStore {
     * update call's memory and runtime fixed no matter how far the
     * store has fallen behind. */
   def updateSince(t: Tables, path: String, sinceDocId: Long,
-      maxDocs: Option[Int]): UpdateStats = {
+      maxDocs: Option[Int]): UpdateStats =
+    updateSinceWith(defaultEncoder, t, path, sinceDocId, maxDocs)
+
+  /** [[updateSince]] through an arbitrary [[Encoder]] — the
+    * incremental path of the seam (a store must append with the SAME
+    * encoder that built it; the caller owns that invariant, like the
+    * reference owns its loaded model). */
+  def updateSinceWith(encoder: Encoder, t: Tables, path: String,
+      sinceDocId: Long, maxDocs: Option[Int]): UpdateStats = {
     val t0 = System.nanoTime()
     val delta = t.documents.filter(col("doc_id") > sinceDocId)
     val bounded = maxDocs.fold(delta)(m => delta.orderBy(col("doc_id")).limit(m))
@@ -226,7 +244,7 @@ object EmbeddingStore {
     val head = fresh.agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
     val processed = head.getLong(0)
     val newWatermark = if (head.isNullAt(1)) sinceDocId else head.getLong(1)
-    if (processed > 0) store(embed(fresh), path, append = true)
+    if (processed > 0) store(embedWith(encoder, fresh), path, append = true)
     UpdateStats(processed, newWatermark, (System.nanoTime() - t0) / 1e9)
   }
 

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** The embedding-model SEAM — the one interface a production user
+  * replaces on day one (reference src/core/embeddings/processor.py:
+  * 47-108 loads all-MiniLM-L6-v2, :174 batch-encodes; no model
+  * runtime exists in this sandbox, so the shipped default is
+  * deterministic feature hashing).
+  *
+  * Contract: [[encodeRaw]] maps a (doc_id, text) frame to
+  * (doc_id, raw array&lt;double&gt;) — the UNNORMALIZED model output
+  * at [[dim]] components, one row per input doc. Everything
+  * downstream consumes only this contract through
+  * [[EmbeddingStore.embedWith]], which adds the ONE shared
+  * L2-normalize / float-cast / shard rule: the store layout, IVF
+  * build/append/probe, PQ/SQ8 sidecars, recall evaluators and the
+  * refresh orchestration never see the encoder, only vectors
+  * (EncoderSpec proves the whole store→index→search→recall chain
+  * under a second, structurally different encoder).
+  *
+  * Implementations MUST be deterministic per (doc_id, text): Spark
+  * retries tasks, so a nondeterministic encoder makes a partially
+  * failed store write irreproducible. A real model wrapper (ONNX
+  * MiniLM etc.) satisfies this by being a pure function of the text;
+  * batch it via `mapInPandas`/`mapPartitions` INSIDE encodeRaw — the
+  * plan around it stays declarative. */
+trait Encoder extends Serializable {
+  /** Model output width (the reference's is 384). */
+  def dim: Int
+
+  /** (doc_id, text) → (doc_id, raw array&lt;double&gt;[dim]),
+    * unnormalized, deterministic. */
+  def encodeRaw(docs: DataFrame): DataFrame
+}
+
+/** The shipped default: deterministic WORD-level feature hashing —
+  * each token votes ±1 into one of `dim` md5-addressed buckets
+  * (reference processor.py:174's batch encode re-expressed without a
+  * model runtime). Components are small-integer vote sums, so float
+  * casts and sparse cross-engine replays are EXACT (the G4
+  * technique) and cosine over raw votes equals cosine over the
+  * normalized store vectors (scale invariance).
+  *
+  * Scale shape: explode + two keyed map-side-combining aggregations,
+  * keyed on doc_id — embarrassingly parallel in the corpus, no
+  * driver involvement, fully codegen-friendly (built-ins only). */
+final case class HashingEncoder(dim: Int = EmbeddingStore.dim)
+    extends Encoder {
+  def encodeRaw(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 6), 16, 10).cast("int") % dim).as("bucket"),
+        when(substring(col("h"), 7, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+  }
+}

@@ -401,7 +401,9 @@ object VectorSearch {
         .select(col("doc_id"), col("raw").cast("array<float>").as("embedding"))
         .localCheckpoint())
 
-  private def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
+  // private[graft]: EncoderSpec re-runs the evaluator over an
+  // alternate-encoder corpus to prove it encoder-agnostic
+  private[graft] def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame): DataFrame = {
     val k = 10
     val cent = EmbeddingStore.seedCentroids(emb)

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingStore, Encoder, HashingEncoder, VectorSearch}
+import graft.sources.Tables
+
+/** The ALTERNATE deterministic encoder: character-TRIGRAM hashing —
+  * structurally different from the shipped word-level
+  * [[HashingEncoder]] on every axis (tokenization unit, hash salt,
+  * bucket nibble count, sign rule), so anything downstream that
+  * secretly depended on the default encoder's shape would break
+  * under it. This is the sandbox stand-in for "swap in ONNX MiniLM
+  * on day one": only the [[Encoder]] binding changes. */
+final case class TrigramEncoder(dim: Int) extends Encoder {
+  def encodeRaw(docs: DataFrame): DataFrame = {
+    // cleaned text lands as a plain attribute BEFORE the HOF touches
+    // it (house rule: a non-lambda expression inside a HOF lambda
+    // re-evaluates per element)
+    val grams = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("c"))
+      .filter(length(col("c")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("c")) - 2),
+          i => col("c").substr(i, lit(3)))).as("g"))
+      .select(col("doc_id"), md5(concat(lit("tri:"), col("g"))).as("h"))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 5), 16, 10).cast("int") % dim).as("bucket"),
+        when(substring(col("h"), 6, 1) <= "9", 1.0).otherwise(-1.0).as("sign"))
+    grams.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+  }
+}
+
+/** Proves the [[Encoder]] seam: the whole store → index → search →
+  * recall → stats machinery runs unchanged under an encoder that
+  * shares nothing with the default but the contract. */
+class EncoderSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+  private val alt = TrigramEncoder(32)
+
+  private lazy val altVecs = EmbeddingStore
+    .embedWith(alt, t.documents)
+    .select(col("doc_id"), col("embedding"))
+    .localCheckpoint(true)
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  test("embedWith(alt) honors the shared normalize/shard contract and " +
+    "differs from the default encoder") {
+    val rows = EmbeddingStore.embedWith(alt, t.documents).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length === alt.dim)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(n === 0.0 || math.abs(n - 1.0) < 1e-5, s"norm $n")
+      assert(r.getLong(1) === java.lang.Math.floorMod(r.getLong(0),
+        EmbeddingStore.numShards.toLong))
+    }
+    // non-vacuity: at matching width the two encoders disagree
+    val defVecs = EmbeddingStore.embedWith(HashingEncoder(alt.dim), t.documents)
+      .select(col("doc_id"), col("embedding").as("dv"))
+    val joined = EmbeddingStore.embedWith(alt, t.documents)
+      .select(col("doc_id"), col("embedding").as("av"))
+      .join(defVecs, "doc_id").collect()
+    assert(joined.exists(r => r.getSeq[Float](1) != r.getSeq[Float](2)))
+  }
+
+  test("D8 machinery is encoder-agnostic: full-probe searchIvf over an " +
+    "alternate-encoder index equals independent brute force") {
+    val dir = Files.createTempDirectory("graft-enc-ivf").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    EmbeddingStore.buildIvfIndex(spark, altVecs, path)
+
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    val got = EmbeddingStore
+      .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = nCells)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // independent plain-Scala brute force over the same vectors
+    val all = altVecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val q = all.find(_._1 == 0L).get._2
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, math.round(cos(q, v) * 1e6) / 1e6) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(10).toSeq
+    assert(got === expected)
+  }
+
+  test("D9 stats and D7 recall evaluator run unchanged over the " +
+    "alternate-encoder corpus") {
+    val dir = Files.createTempDirectory("graft-enc-stats").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    EmbeddingStore.buildIvfIndex(spark, altVecs, path)
+
+    val st = EmbeddingStore.indexStats(spark, path).first()
+    assert(st.getAs[Long]("n_vectors") === altVecs.count())
+    assert(st.getAs[Double]("appended_frac") === 0.0)
+    val mic = st.getAs[Double]("mean_intra_cosine")
+    assert(mic > 0.0 && mic <= 1.0, s"mean_intra_cosine $mic")
+
+    val recall = VectorSearch.ivfRecallOver(spark, altVecs)
+      .orderBy(col("probes")).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("recall")))
+    assert(recall.map(_._1).toSeq === Seq(1, 2, 4))
+    assert(recall.forall { case (_, rc) => rc >= 0.0 && rc <= 1.0 })
+    // more probes can only add candidates: recall is non-decreasing
+    assert(recall.map(_._2).toSeq === recall.map(_._2).sorted.toSeq)
+  }
+
+  test("the incremental and query-time paths thread the seam: " +
+    "updateSinceWith appends, searchTextWith serves") {
+    val dir = Files.createTempDirectory("graft-enc-store").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/store"
+    val n = t.documents.count()
+    val mid = t.documents.agg(expr("percentile(doc_id, 0.5)")).first()
+      .getDouble(0).toLong
+    EmbeddingStore.store(
+      EmbeddingStore.embedWith(alt, t.documents.filter(col("doc_id") <= mid)),
+      path)
+    val stats = EmbeddingStore.updateSinceWith(alt, t, path, mid, None)
+    assert(stats.processed === n - t.documents
+      .filter(col("doc_id") <= mid).count())
+    assert(spark.read.parquet(path).count() === n)
+    // appended vectors came through the SAME encoder: width alt.dim
+    val widths = spark.read.parquet(path)
+      .select(size(col("embedding")).as("w")).distinct().collect()
+    assert(widths.map(_.getInt(0)).toSeq === Seq(alt.dim))
+
+    val hits = EmbeddingStore.searchTextWith(alt, t,
+      "the quick brown fox jumps over the lazy dog", 5).collect()
+    assert(hits.length === 5)
+    assert(hits.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+  }
+}
