@@ -184,6 +184,10 @@ object SparkEntry {
     // size-derived file counts, losslessness proven by the oracle
     // manifest (file counts themselves pinned in ExportSpec)
     "q_compact_shards"  -> q(graft.sources.Export.compactShards),
+    // H7: the index-store maintenance episode — D13's append
+    // accretion compacted within cell partitions, probe proven
+    // bit-identical through the rewrite
+    "q_index_maintain"  -> q(IndexMaintenance.indexMaintainQuery),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -2257,6 +2261,44 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // H7: replays the MAINTAINED index's logical state — base build
+    // from the lower vec_id half (D8's CTEs with the build population
+    // restricted), append assignment of the upper half against those
+    // refined centroids (asg2 spans all of ev by construction), then
+    // D8's probe. Compaction is INVISIBLE to this replay by design:
+    // that invisibility, plus the engine's own pre-vs-post probe
+    // comparison surfacing as probe_stable against the literal TRUE,
+    // is the lossless-rewrite proof. File counts are filesystem facts
+    // (IndexMaintenanceSpec pins them).
+    "q_index_maintain" -> {
+      val basePred = "vec_id <= (SELECT MAX(vec_id)//2 FROM embeddings)"
+      s"""${ivfAssignCteOn(basePred)},
+         |$ivfRefinedCte,
+         |q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+         |qn AS (SELECT SQRT(SUM(qv*qv)) AS qnorm FROM q),
+         |prs AS (
+         |  SELECT c.cell,
+         |    ROUND(COALESCE(SUM(c.v*q.qv)
+         |      / NULLIF(SQRT(SUM(c.v*c.v))*SQRT(SUM(q.qv*q.qv)),0),0),6) AS cs
+         |  FROM rc c JOIN q ON c.i = q.i GROUP BY c.cell),
+         |probe AS (SELECT cell FROM prs ORDER BY cs DESC, cell LIMIT 2),
+         |s AS (
+         |  SELECT e.vec_id, a.cell, SUM(e.v*q.qv) AS dot, SQRT(SUM(e.v*e.v)) AS en
+         |  FROM ev e JOIN asg2 a ON e.vec_id = a.vec_id JOIN q ON e.i = q.i
+         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+         |  GROUP BY e.vec_id, a.cell),
+         |nn AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |    CAST(SUM(CASE WHEN NOT ($basePred) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_appended
+         |  FROM embeddings)
+         |SELECT vec_id AS doc_id, cell,
+         |  ROUND(COALESCE(dot/NULLIF(en*(SELECT qnorm FROM qn),0),0),6) AS score,
+         |  nn.n_vectors, nn.n_appended, TRUE AS probe_stable
+         |FROM s, nn
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
     // H4: the same kept/split/token chain collapsed per split —
     // the JSON framing/escaping itself is proved by the engine's
     // parse-back manifest matching these parquet-derived numbers.
@@ -3628,20 +3670,31 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
       |  FROM r)""".stripMargin
 
-  private val ivfAssignCte: String =
-    """WITH ev AS (
+  private val ivfAssignCte: String = ivfAssignCteOn("TRUE")
+
+  /** [[ivfAssignCte]] with the BUILD population restricted by a
+    * vec_id predicate: seeds, the cell-count rule and the first-round
+    * assignment (which feeds the Lloyd step's means) see only the
+    * matching vectors, while `ev` still spans the whole corpus — the
+    * replay shape of an index BUILT from a base and APPENDED to
+    * afterwards (q_index_maintain). With the default TRUE this is
+    * byte-for-byte the full-corpus build every other D oracle
+    * nests. */
+  private def ivfAssignCteOn(buildPred: String): String =
+    s"""WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
+        |evb AS (SELECT * FROM ev WHERE $buildPred),
         |nc AS (
         |  SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
         |                  CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS k
-        |  FROM embeddings),
+        |  FROM embeddings WHERE $buildPred),
         |kcn AS (SELECT GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) AS kc FROM nc),
         |seed AS (
         |  SELECT vec_id,
         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
-        |  FROM embeddings
+        |  FROM embeddings WHERE $buildPred
         |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM nc)),
         |cent AS (SELECT s.cell, e.i, e.v FROM seed s JOIN ev e ON e.vec_id = s.vec_id),
         |co AS (SELECT cell AS coarse, i, v FROM cent WHERE cell < (SELECT kc FROM kcn)),
@@ -3660,7 +3713,7 @@ object SparkEntry {
         |  SELECT e.vec_id, k.coarse,
         |    ROUND(COALESCE(SUM(e.v*k.v)
         |      / NULLIF(SQRT(SUM(e.v*e.v))*SQRT(SUM(k.v*k.v)),0),0),6) AS cscore
-        |  FROM ev e JOIN co k ON e.i = k.i
+        |  FROM evb e JOIN co k ON e.i = k.i
         |  GROUP BY e.vec_id, k.coarse),
         |l1 AS (
         |  SELECT vec_id, coarse FROM l1s

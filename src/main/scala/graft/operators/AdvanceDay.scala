@@ -53,7 +53,9 @@ object AdvanceDay {
     * per query invocation. Each invocation copies it (storage-layer
     * file copy, no Spark jobs) so the advance mutates a private
     * copy and the cached base stays pristine. */
-  private def ensureDayBase(t: Tables): String =
+  // private[operators]: IndexMaintenance reuses the SAME ensured
+  // half-corpus base (its episode starts from D13's steady state)
+  private[operators] def ensureDayBase(t: Tables): String =
     graft.sources.LayoutStore.ensure(t.dir, "daybase", "v1") { path =>
       val maxDoc = t.documents.agg(max(col("doc_id"))).first().getLong(0)
       Dedup.buildDedupState(t.documents, maxDoc / 2, s"$path/dedup")

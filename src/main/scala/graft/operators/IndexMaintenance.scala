@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{LayoutStore, Tables}
+
+/** Per-store compaction outcome: parquet data-file counts before and
+  * after, and the bytes the rewrite moved. */
+case class CompactionReport(store: String, filesBefore: Long,
+    filesAfter: Long, bytes: Long)
+
+/** INDEX-STORE MAINTENANCE — the steady-state chore D13's daily loop
+  * creates (reference engine.py:57 runs update_embeddings forever):
+  * every [[EmbeddingStore.appendToIvfIndex]] call lands one parquet
+  * file per touched cell per batch, so after a year of daily appends
+  * the persisted index IS H5's small-files pathology — scan cost per
+  * probe goes per-FILE (footer reads, open/seek, scheduler pressure),
+  * not per-byte. The fix is H5's rewrite applied WITHIN each cell
+  * partition of the index (Delta OPTIMIZE / Iceberg
+  * rewrite_data_files scoped to a partition), plus the
+  * [[LayoutStore.vacuum]] sweep that reaps what maintenance leaves
+  * behind — and the proof obligation is that a probe through the
+  * compacted index is BIT-IDENTICAL to one through the fragmented
+  * index (compaction is a layout change, never a data change). */
+object IndexMaintenance {
+
+  /** Daily append batches the episode replays (a week of D13 days
+    * compressed into one row — enough for multi-file cells). */
+  private[graft] val maintainBatches = 4
+
+  /** Compact every cell-partitioned store of a persisted IVF index
+    * (`cells` + the `pq_codes`/`sq8_codes` sidecars) down to ONE
+    * data file per cell. One file per cell is the SIZE-CORRECT
+    * target by construction, not a shortcut: [[EmbeddingStore
+    * .targetCellRows]] caps a cell at τ = 1024 rows (≈ a few hundred
+    * KB at any realistic width — two orders of magnitude under H5's
+    * 128 MB file target), so H5's max(1, ⌈bytes/target⌉) rule always
+    * evaluates to 1 within a cell; what GROWS with the corpus is the
+    * cell COUNT, which is exactly the partitioning the rewrite
+    * preserves.
+    *
+    * Scale shape: one job per store — scan → repartition on the
+    * partition key (every row of a cell lands in one task, so the
+    * partitioned write emits one file per cell) → write BESIDE the
+    * live store → metadata swap (two renames, the commit a
+    * maintenance service owns) → old generation deleted. Listing and
+    * size math are O(files) driver metadata, the same work the
+    * fragmentation itself inflicts on every probe until it is paid
+    * down once here. Readers racing the swap re-list on retry — the
+    * same visibility contract every file-listing table maintenance
+    * (Hive-style overwrite) has; production object stores do the
+    * swap via their table format's atomic commit. */
+  def compactIndex(spark: SparkSession, path: String): Seq[CompactionReport] =
+    Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
+      val dir = new File(path, sub)
+      if (!dir.isDirectory) None
+      else {
+        val before = dataFiles(dir)
+        val bytes = before.map(_.length()).sum
+        val df = spark.read.parquet(dir.getAbsolutePath)
+        val tmp = new File(path, s"${sub}_compact")
+        val old = new File(path, s"${sub}_precompact")
+        df.repartition(col("cell"))
+          .write.partitionBy("cell").parquet(tmp.getAbsolutePath)
+        require(dir.renameTo(old) && tmp.renameTo(dir),
+          s"compaction swap failed for $dir")
+        LayoutStore.deleteRecursively(old)
+        Some(CompactionReport(sub, before.length.toLong,
+          dataFiles(dir).length.toLong, bytes))
+      }
+    }
+
+  /** All parquet data files under a partitioned store root. */
+  private[graft] def dataFiles(root: File): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    walk(root)
+  }
+
+  /** `q_index_maintain` — the index-store MAINTENANCE episode as one
+    * driver-checked row: start from D13's steady-state base (the
+    * ensured half-corpus index), replay [[maintainBatches]] daily
+    * append batches (each lands one file per touched cell — the
+    * accretion), probe, COMPACT within cell partitions, probe again.
+    * Output = the post-maintenance top-10 probe (the D8 shape) plus
+    * the episode's readback facts, every one a pure corpus function:
+    * `n_vectors`/`n_appended` re-read from the compacted store (a
+    * half-run rewrite fails the row), `probe_stable` = the engine's
+    * own pre-vs-post probe comparison (TRUE is the maintenance
+    * CONTRACT; a lossy rewrite emits FALSE and hash-mismatches the
+    * oracle's literal TRUE). The oracle replays the base build from
+    * the lower vec_id half, the append assignment of the upper half
+    * against those centroids, and the probe — compaction is
+    * invisible to it BY DESIGN, which is the proof.
+    *
+    * File counts are filesystem facts no SQL oracle can see;
+    * IndexMaintenanceSpec pins them (before > cells, after == cells
+    * per store) and composes the [[LayoutStore.vacuum]] sweep that
+    * reaps a crash-left scratch and a stale owned generation while
+    * the live compacted index survives. */
+  def indexMaintainQuery(t: Tables): DataFrame = {
+    val pristine = AdvanceDay.ensureDayBase(t)
+    val work = LayoutStore.scratch(t.dir, "maintain")
+    try {
+      val path = s"$work/ivf"
+      LayoutStore.copyRecursively(new File(pristine, "ivf"), new File(path))
+      maintainEpisode(t, path)
+    } finally LayoutStore.deleteRecursively(work)
+  }
+
+  private def maintainEpisode(t: Tables, path: String): DataFrame = {
+    val spark = t.spark
+    val vectors = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+    val delta = vectors.filter(col("doc_id") > maxVec / 2)
+    // the daily batches: a deterministic id split — batch membership
+    // cannot affect the final state (appends union on disk and each
+    // vector's cell assignment is independent), the MULTIPLICITY is
+    // what manufactures the per-cell file accretion
+    (0 until maintainBatches).foreach { b =>
+      EmbeddingStore.appendToIvfIndex(spark, path,
+        delta.filter(pmod(col("doc_id"), lit(maintainBatches.toLong)) === b))
+    }
+    val probePre = EmbeddingStore
+      .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = 2)
+      .collect().toSeq
+    compactIndex(spark, path)
+    val probePost = EmbeddingStore
+      .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = 2)
+      .localCheckpoint(true)
+    val stable = probePost.collect().toSeq == probePre
+    val cells = spark.read.parquet(s"$path/cells")
+    val nVectors = cells.count()
+    val nAppended = cells.filter(col("gen") === 1).count()
+    probePost.select(col("doc_id"), col("cell"), col("score"),
+      lit(nVectors).as("n_vectors"),
+      lit(nAppended).as("n_appended"),
+      lit(stable).as("probe_stable"))
+      // ≤10-row result pinned so the caller's finally can delete the
+      // per-invocation index now (searchRefreshQuery's discipline)
+      .localCheckpoint(true)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingStore, IndexMaintenance}
+import graft.sources.{LayoutStore, Tables}
+
+class IndexMaintenanceSpec extends SparkTestBase {
+  lazy val t = Tables(spark, sfDir)
+
+  private def vectors = t.embeddings
+    .select(col("vec_id").as("doc_id"), col("embedding"))
+
+  /** Replays the episode's accretion into a private dir: base build
+    * from the lower id half + [[IndexMaintenance.maintainBatches]]
+    * appends of the upper half. */
+  private def accretedIndex(): String = {
+    val dir = Files.createTempDirectory("graft-maint").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/ivf"
+    val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= maxVec / 2), path)
+    val delta = vectors.filter(col("doc_id") > maxVec / 2)
+    val b = IndexMaintenance.maintainBatches
+    (0 until b).foreach { i =>
+      EmbeddingStore.appendToIvfIndex(spark, path,
+        delta.filter(pmod(col("doc_id"), lit(b.toLong)) === i))
+    }
+    path
+  }
+
+  test("compaction collapses the per-cell file accretion to one file " +
+    "per cell in every store, losslessly, with the probe bit-identical") {
+    val path = accretedIndex()
+    val stores = Seq("cells", "pq_codes", "sq8_codes")
+    def cellCount(sub: String): Long =
+      Option(new File(s"$path/$sub").listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("cell=")).toLong
+
+    val probePre = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
+    val contentPre = stores.map(s => spark.read.parquet(s"$path/$s")
+      .collect().map(_.toString).sorted.toSeq)
+
+    val reports = IndexMaintenance.compactIndex(spark, path)
+    assert(reports.map(_.store) === stores)
+    reports.foreach { r =>
+      val nCells = cellCount(r.store)
+      // accretion is real: appends landed extra files beyond one/cell
+      assert(r.filesBefore > nCells,
+        s"${r.store}: ${r.filesBefore} files before vs $nCells cells")
+      // and maintenance pays it down to exactly one per cell
+      assert(r.filesAfter === nCells,
+        s"${r.store}: ${r.filesAfter} files after vs $nCells cells")
+      assert(IndexMaintenance.dataFiles(new File(s"$path/${r.store}"))
+        .length.toLong === r.filesAfter)
+    }
+
+    // lossless: full content of every store survives bit-identical
+    val contentPost = stores.map(s => spark.read.parquet(s"$path/$s")
+      .collect().map(_.toString).sorted.toSeq)
+    assert(contentPost === contentPre)
+    // and the probe through the compacted index is the SAME rows
+    val probePost = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
+    assert(probePost.toSeq === probePre.toSeq)
+  }
+
+  test("the maintenance sweep composes with vacuum: stale generations " +
+    "and crash-left scratch reaped, the live compacted index kept") {
+    val data = Files.createTempDirectory("graft-maint-vac").toFile
+    data.deleteOnExit()
+    Files.writeString(new File(data, "d.parquet").toPath, "payload")
+    val dd = data.getAbsolutePath
+
+    // the live generation: an ensured (attributed) index layout
+    val live = LayoutStore.ensure(dd, "ivf", "v2") { p =>
+      new File(p).mkdirs()
+      Files.writeString(new File(p, "cells").toPath, "live")
+    }
+    // a STALE generation this data dir owns (an old rule version)
+    val stale = new File(new File(dd, "_graft_layouts"), "ivf_deadbeef0000")
+    stale.mkdirs()
+    Files.writeString(new File(stale, "_OWNER").toPath, dd + "\n")
+    // a crash-left scratch from a maintenance run that died mid-swap
+    val scr = LayoutStore.scratch(dd, "maintain")
+    Files.writeString(new File(scr, "cells_compact").toPath, "orphan")
+    scr.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+
+    val r = LayoutStore.vacuum(dd, Seq("ivf" -> "v2"))
+    assert(r.deleted.contains("ivf_deadbeef0000"))
+    assert(r.deleted.exists(_.startsWith("maintain")))
+    assert(r.kept.contains(new File(live).getName))
+    assert(new File(live).isDirectory && !stale.exists() && !scr.exists())
+  }
+}

@@ -29,6 +29,9 @@ class PlanShapeSpec extends SparkTestBase {
     // the persisted-index probe broadcasts the 1-row query vector
     // into the pruned cell scan
     "q_search_ivf",
+    // H7 ends in D8's probe over the maintained index — the same
+    // 1-row query-vector broadcast (+ the ≤10-row constant attach)
+    "q_index_maintain",
     // D8's broadcast shape with a θ filter instead of top-k
     "q_search_radius",
     // D28: D8's 1-row query-vector broadcast into the pruned scan
