@@ -146,6 +146,12 @@ object SparkEntry {
     // D7's full 64-dim replay; VectorSearchSpec bounds these values;
     // rows-only driver check, like A7b/B9b)
     "q_ivf_recall_dim384" -> q(VectorSearch.ivfRecallDim384),
+    // D34: the filtered-ANN recall surface — recall@k vs (filter
+    // selectivity × probes), D28's published trade measured. No
+    // oracleSql ON PURPOSE (the machinery's exactness is D7's full
+    // replay; the 100%-selectivity column must equal D7's curve and
+    // VectorSearchSpec asserts it; rows-only driver check)
+    "q_filtered_recall"   -> q(VectorSearch.filteredRecall),
     // C1 + F-family: text cleaning and analysis
     "q_text_clean"    -> q(TextAnalysis.textClean),
     "q_lang_id"       -> q(TextAnalysis.langId),

@@ -469,6 +469,103 @@ object VectorSearch {
       .orderBy(col("probes"))
   }
 
+  /** D34's selectivity axis: `label < maxl` for maxl ∈ {1, 5, 10} —
+    * ~10% / ~50% / 100% of the uniform 10-label corpus (the 100%
+    * level anchors the curve to D7's unfiltered numbers — a built-in
+    * evaluator sanity check, like D31's full-width row). */
+  private[graft] val filteredRecallLabels = Seq(1, 5, 10)
+
+  /** D34 — `q_filtered_recall`: the FILTERED-ANN recall surface —
+    * recall@k vs (filter selectivity × probes), the published trade
+    * D28 prices by assertion (post-filter semantics: under a
+    * selective filter the k-th match sits deeper in each probed cell
+    * AND qualifying vectors hide in unprobed cells, so fixed probes
+    * lose recall as the filter narrows; D28 widens probes 2→4 and
+    * this row MEASURES what that buys at each selectivity). D7's
+    * evaluator with a selectivity axis: ground truth = exact top-k
+    * over the FILTERED corpus, ANN = top-k over filtered vectors in
+    * the top-`probes` cells, per (selectivity, probes) cell of the
+    * surface. No oracleSql ON PURPOSE — the machinery's cross-engine
+    * exactness is pinned by D7's full replay, and the 100% column
+    * must equal D7's curve (VectorSearchSpec asserts exactly that,
+    * plus bounds and probe-monotonicity); rows-only driver check,
+    * curve recorded per round in BENCH_BASELINE.md like D7b.
+    *
+    * Scale shape: D7's verbatim — one assignment pass, the bounded
+    * lowest-id query sample broadcast so the corpus never shuffles,
+    * ONE scored corpus×queries pass feeding all three selectivity
+    * legs via a 3-row broadcast axis (the filter prunes the fan-out
+    * to ~1.6× total), per-(query, sel, probes) top-k windows over
+    * query-bounded candidates. The label attach is one doc-keyed
+    * equi-join on the assignment. */
+  def filteredRecall(t: Tables): DataFrame =
+    filteredRecallOver(t.spark, t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("label")))
+
+  private[graft] def filteredRecallOver(
+      spark: org.apache.spark.sql.SparkSession, embL: DataFrame): DataFrame = {
+    val k = 10
+    val emb = embL.select(col("doc_id"), col("embedding"))
+    val cent = EmbeddingStore.seedCentroids(emb)
+    val assigned = EmbeddingStore.assignCells(emb, cent)
+      .join(embL.select(col("doc_id"), col("label")), "doc_id")
+      .localCheckpoint()
+    val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      .orderBy(col("qid")).limit(recallQueryCount)
+      .localCheckpoint()
+    val probeRank = queries.join(broadcast(cent))
+      .select(col("qid"), col("cell"),
+        score(col("centroid"), col("qv")).as("cs"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
+      .select(col("qid"), col("cell"), col("prank"))
+    val probeLevels = spark.range(1)
+      .select(explode(array(lit(1), lit(2), lit(4))).as("probes"))
+    val sels = spark.range(1).select(explode(typedLit(
+      filteredRecallLabels)).as("max_label"))
+    // ground truth per selectivity: the ONE scored corpus×queries
+    // pass fans out over the 3-row axis, filtered before the window
+    val exact = assigned.join(broadcast(queries))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(sels), col("label") < col("max_label"))
+      .select(col("qid"), col("max_label"), col("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("max_label"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("max_label"), col("doc_id"))
+      .localCheckpoint() // consumed by every probe level + denominators
+    val ann = probeRank.join(broadcast(probeLevels),
+        col("prank") <= col("probes"))
+      .select(col("qid"), col("probes"), col("cell"))
+      .join(assigned, "cell")
+      .join(queries.withColumnRenamed("qid", "qid2"),
+        col("qid") === col("qid2") && col("doc_id") =!= col("qid2"))
+      .join(broadcast(sels), col("label") < col("max_label"))
+      .select(col("qid"), col("probes"), col("max_label"), col("doc_id"),
+        score(col("embedding"), col("qv")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("probes"), col("max_label"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("probes"), col("max_label"), col("doc_id"))
+    val hits = ann.join(exact, Seq("qid", "max_label", "doc_id"))
+      .groupBy(col("probes"), col("max_label")).agg(count(lit(1)).as("hits"))
+    val denom = exact.groupBy(col("max_label"))
+      .agg(count(lit(1)).as("total"))
+    probeLevels.crossJoin(broadcast(sels))
+      .join(hits, Seq("probes", "max_label"), "left")
+      .join(broadcast(denom), Seq("max_label"))
+      .select(col("max_label"),
+        round(col("max_label").cast("double") / 10.0, 1).as("selectivity"),
+        col("probes"), lit(k).as("k"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("total").cast("double"), 6).as("recall"))
+      .orderBy(col("max_label"), col("probes"))
+  }
+
   /** D31's truncation widths (the 64-dim anchor makes recall = 1 by
     * construction — a built-in evaluator sanity check). */
   private[graft] val truncateDims = Seq(8, 16, 32, 64)

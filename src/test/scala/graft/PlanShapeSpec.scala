@@ -23,6 +23,9 @@ class PlanShapeSpec extends SparkTestBase {
     // D31: D7's sampled-query broadcast plus a 4-row widths axis and
     // the 1-row denominator
     "q_truncate_recall",
+    // D34: D7's broadcasts plus the 3-row selectivity axis and the
+    // 3-row probes axis
+    "q_filtered_recall",
     // D32: the k-row centroid table cross-broadcast into the corpus
     // scoring pass, once per Lloyd step
     "q_kmeans",

@@ -20,6 +20,31 @@ class VectorSearchSpec extends SparkTestBase {
     assert(recalls.last > 0.0, "probing 4 cells must recover some exact neighbors")
   }
 
+  test("filteredRecall: a full 3x3 surface, bounded, probe-monotone per " +
+    "selectivity, with the 100% column anchored to D7's unfiltered curve") {
+    val rows = VectorSearch.filteredRecall(t).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    // full surface: every (selectivity, probes) cell present, k = 10
+    assert(rows.map(r => (r._1, r._3)).toSeq ===
+      (for (s <- VectorSearch.filteredRecallLabels; p <- Seq(1, 2, 4))
+        yield (s, p)))
+    assert(rows.forall(_._4 === 10))
+    assert(rows.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // per selectivity: probing more cells can only add candidates
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      val rc = g.sortBy(_._3).map(_._5)
+      assert(rc.sliding(2).forall(p => p(0) <= p(1)),
+        s"sel $s not probe-monotone: ${rc.mkString(",")}")
+    }
+    // the 100%-selectivity column IS D7's curve (same machinery, the
+    // label < 10 filter keeps everything) — the evaluator's anchor
+    val full = rows.filter(_._1 == 10).sortBy(_._3).map(r => (r._3, r._5))
+    val d7 = VectorSearch.ivfRecall(t).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).sortBy(_._1)
+    assert(full.toSeq === d7.toSeq)
+  }
+
   test("ivfRecallDim384: the width canary keeps the D7 contract at 384 dims") {
     val r = VectorSearch.ivfRecallDim384(t).collect()
     assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
