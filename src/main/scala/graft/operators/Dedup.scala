@@ -1191,7 +1191,7 @@ object Dedup {
   def dedupSpans(t: Tables): DataFrame = {
     val grams = spanGramOccurrences(t.documents)
     val byGram = Window.partitionBy(
-      coalesce(col("gh"), concat(lit(" "), col("doc_id"), lit(":"), col("pos"))))
+      coalesce(col("gh"), concat(lit("\u0000"), col("doc_id"), lit(":"), col("pos"))))
       .orderBy(col("doc_id"), col("pos"))
     spanCollapse(grams.withColumn("dup",
       (col("gh").isNotNull && row_number().over(byGram) > 1).cast("int")))
@@ -1489,7 +1489,7 @@ object Dedup {
         Seq("gh"))
       .withColumn("in_base", lit(1))
     val byGram = Window.partitionBy(
-      coalesce(col("gh"), concat(lit(" "), col("doc_id"), lit(":"), col("pos"))))
+      coalesce(col("gh"), concat(lit("\u0000"), col("doc_id"), lit(":"), col("pos"))))
       .orderBy(col("doc_id"), col("pos"))
     spanCollapse(grams
       .join(touched, Seq("gh"), "left")
