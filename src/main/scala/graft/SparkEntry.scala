@@ -52,6 +52,10 @@ object SparkEntry {
     // (orders-per-customer distribution incl. the zero bucket);
     // engine pre-aggregates the fact below the outer join
     "q_join_outer"      -> q(Relational.joinOuter),
+    // A18: TPC-H Q17 — correlated scalar aggregate subquery; oracle
+    // keeps the literal correlated form, engine decorrelates to one
+    // windowed pass over the brand-pruned fact
+    "q_correlated_subquery" -> q(Relational.correlatedSubquery),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -515,6 +519,17 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // A18: the oracle is the LITERAL correlated subquery — proving
+    // the engine's windowed decorrelation result-equivalent to the
+    // textbook form DuckDB plans natively
+    "q_correlated_subquery" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_join_skew" ->
       """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -357,6 +357,39 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** A18 — `q_correlated_subquery`: the CORRELATED scalar aggregate
+    * subquery (TPC-H Q17: lineitem rows under 20 % of their part's
+    * average quantity, for one brand's parts — the small-order
+    * revenue-loss probe). The oracle keeps the LITERAL correlated
+    * form (`l_quantity < (SELECT 0.2*AVG(l_quantity) … WHERE
+    * l2.l_partkey = p_partkey)`); the engine applies the standard
+    * decorrelation a warehouse optimizer performs, taken one step
+    * further to its single-shuffle form: the brand's parts BROADCAST
+    * semi-prune the fact scan, then ONE window average over
+    * l_partkey computes every part's threshold in the same pass that
+    * filters against it — no per-part re-aggregation join, no second
+    * fact scan, one exchange on the correlation key total.
+    *
+    * Parity: l_quantity is integral, so the partial sums behind AVG
+    * are exact and the average is ONE correctly-rounded division in
+    * both engines; `0.2 * avg` is the same IEEE product, making the
+    * filter boundary engine-exact. The revenue sum uses the A-family
+    * decimal discipline, divided by 7.0 once and rounded 2 dp. */
+  def correlatedSubquery(t: Tables): DataFrame = {
+    val parts = t.part.filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / 7.0, 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** A15 — `q_join_skew`: the skew-salted fact ⋈ dim join, proven
     * equal to the plain join by the oracle (which just joins). Orders
     * ⋈ customer on custkey — the pair where the dim GROWS with the

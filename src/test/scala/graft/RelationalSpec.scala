@@ -159,4 +159,25 @@ class RelationalSpec extends SparkTestBase {
     // above; at the spec's sf0.001 fixture every customer retains a
     // non-urgent order, so no corpus-level zero assertion here)
   }
+
+  test("correlatedSubquery: the windowed decorrelation equals the " +
+    "aggregate-join decorrelation on the real tables") {
+    val got = Relational.correlatedSubquery(t).first()
+    // the OTHER standard decorrelation: per-part aggregate + re-join
+    // (two fact passes where the window form pays one)
+    val avgPer = t.lineitem.groupBy(col("l_partkey").as("k"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val expected = t.lineitem
+      .join(t.part.filter(col("p_brand") === "Brand#1"),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgPer, col("l_partkey") === col("k"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+      .first()
+    assert(got.getDouble(0) === expected.getDouble(0))
+    assert(got.getLong(1) === expected.getLong(1))
+    assert(got.getLong(1) > 0, "the Q17 filter must keep some rows")
+  }
 }
