@@ -56,17 +56,36 @@ object IndexMaintenance {
   def compactIndex(spark: SparkSession, path: String): Seq[CompactionReport] =
     Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
       val dir = new File(path, sub)
+      val tmp = new File(path, s"${sub}_compact")
+      val old = new File(path, s"${sub}_precompact")
+      // crash recovery BEFORE any new work, so a retry after a
+      // partial swap heals instead of wedging:
+      //  - live store missing but _precompact present = died between
+      //    the two renames → the old generation IS the store, put it
+      //    back (the _compact twin, if fully written, is merely a
+      //    lost rewrite — recompacted below);
+      //  - stale _compact/_precompact beside a live store = died
+      //    before/after the swap → dead generations, delete (a
+      //    leftover _compact would otherwise fail the parquet write
+      //    with path-already-exists forever)
+      if (!dir.isDirectory && old.isDirectory)
+        require(old.renameTo(dir), s"could not restore $dir from $old")
+      LayoutStore.deleteRecursively(tmp)
+      LayoutStore.deleteRecursively(old)
       if (!dir.isDirectory) None
       else {
         val before = dataFiles(dir)
         val bytes = before.map(_.length()).sum
         val df = spark.read.parquet(dir.getAbsolutePath)
-        val tmp = new File(path, s"${sub}_compact")
-        val old = new File(path, s"${sub}_precompact")
         df.repartition(col("cell"))
           .write.partitionBy("cell").parquet(tmp.getAbsolutePath)
-        require(dir.renameTo(old) && tmp.renameTo(dir),
-          s"compaction swap failed for $dir")
+        require(dir.renameTo(old), s"compaction swap failed moving $dir aside")
+        if (!tmp.renameTo(dir)) {
+          // restore the old generation before failing — the store
+          // must never be left missing
+          old.renameTo(dir)
+          sys.error(s"compaction swap failed installing $tmp as $dir")
+        }
         LayoutStore.deleteRecursively(old)
         Some(CompactionReport(sub, before.length.toLong,
           dataFiles(dir).length.toLong, bytes))

@@ -404,70 +404,13 @@ object VectorSearch {
   // private[graft]: EncoderSpec re-runs the evaluator over an
   // alternate-encoder corpus to prove it encoder-agnostic
   private[graft] def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
-      emb: DataFrame): DataFrame = {
-    val k = 10
-    val cent = EmbeddingStore.seedCentroids(emb)
-    // eager checkpoint: queries, the exact ranking and the ANN side
-    // are three independent consumers of the assignment (see
-    // dedupMinhash's scaladoc for why lazy would recompute per stage)
-    val assigned = EmbeddingStore.assignCells(emb, cent).localCheckpoint()
-    // bounded sample: TakeOrdered keeps the K lowest matching ids —
-    // deterministic, oracle-replayable (ORDER BY vec_id LIMIT K), and
-    // O(K) rows regardless of corpus size; eagerly checkpointed so
-    // the three consumers below reuse the materialized K rows instead
-    // of re-running the corpus-wide sort each
-    val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
-      .orderBy(col("qid")).limit(recallQueryCount)
-      .localCheckpoint()
-    // probe ranking per query over the broadcast centroid table
-    // (rounded like every ranked score here, unlike searchIvf's
-    // internal probe pick, so the oracle can replay the ordering)
-    val probeRank = queries.join(broadcast(cent))
-      .select(col("qid"), col("cell"),
-        score(col("centroid"), col("qv")).as("cs"))
-      .withColumn("prank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
-      .select(col("qid"), col("cell"), col("prank"))
-    // exact ground truth: brute force over the corpus, queries
-    // broadcast, per-query top-k via a qid-partitioned window
-    val exact = assigned.join(broadcast(queries))
-      .filter(col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        score(col("embedding"), col("qv")).as("s"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("s").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("doc_id"))
-      .localCheckpoint() // consumed by every probe level + the denominator
-    val probeLevels = spark.range(1)
-      .select(explode(array(lit(1), lit(2), lit(4))).as("probes"))
-    // ANN side: candidates = vectors in each query's top-`probes`
-    // cells (each vector lives in exactly one cell, so no dedup
-    // needed), scored and top-k'd per (query, probe level)
-    val ann = probeRank.join(broadcast(probeLevels),
-        col("prank") <= col("probes"))
-      .select(col("qid"), col("probes"), col("cell"))
-      .join(assigned, "cell")
-      .join(queries.withColumnRenamed("qid", "qid2"),
-        col("qid") === col("qid2") && col("doc_id") =!= col("qid2"))
-      .select(col("qid"), col("probes"), col("doc_id"),
-        score(col("embedding"), col("qv")).as("s"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid"), col("probes"))
-          .orderBy(col("s").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("probes"), col("doc_id"))
-    val hits = ann.join(exact, Seq("qid", "doc_id"))
-      .groupBy(col("probes")).agg(count(lit(1)).as("hits"))
-    val denom = exact.agg(count(lit(1)).as("total"))
-    probeLevels.join(hits, Seq("probes"), "left")
-      .crossJoin(broadcast(denom))
-      .select(col("probes"), lit(k).as("k"),
-        round(coalesce(col("hits"), lit(0L)).cast("double") /
-          col("total").cast("double"), 6).as("recall"))
+      emb: DataFrame): DataFrame =
+    // the D34 surface with ONE all-inclusive selectivity level (every
+    // vector labeled 0 < 1) IS the unfiltered evaluator — one
+    // skeleton, two rows, no drift possible between them
+    recallSurface(spark, emb.withColumn("label", lit(0)), Seq(1))
+      .select(col("probes"), col("k"), col("recall"))
       .orderBy(col("probes"))
-  }
 
   /** D34's selectivity axis: `label < maxl` for maxl ∈ {1, 5, 10} —
     * ~10% / ~50% / 100% of the uniform 10-label corpus (the 100%
@@ -503,7 +446,19 @@ object VectorSearch {
       .select(col("vec_id").as("doc_id"), col("embedding"), col("label")))
 
   private[graft] def filteredRecallOver(
-      spark: org.apache.spark.sql.SparkSession, embL: DataFrame): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, embL: DataFrame): DataFrame =
+    recallSurface(spark, embL, filteredRecallLabels)
+
+  /** THE recall-evaluator skeleton — D7's unfiltered curve and D34's
+    * filtered surface are the same machinery, so they ARE the same
+    * function (ivfRecallOver delegates with one all-inclusive
+    * selectivity level): one place for the sample rule, the probe
+    * ranking and the window shapes to evolve. A selectivity leg with
+    * an EMPTY ground truth (no candidate matches its filter) emits
+    * its surface rows with recall NULL — undefined, never a silent
+    * row drop and never a misleading 0. */
+  private def recallSurface(spark: org.apache.spark.sql.SparkSession,
+      embL: DataFrame, selLevels: Seq[Int]): DataFrame = {
     val k = 10
     val emb = embL.select(col("doc_id"), col("embedding"))
     val cent = EmbeddingStore.seedCentroids(emb)
@@ -523,7 +478,7 @@ object VectorSearch {
     val probeLevels = spark.range(1)
       .select(explode(array(lit(1), lit(2), lit(4))).as("probes"))
     val sels = spark.range(1).select(explode(typedLit(
-      filteredRecallLabels)).as("max_label"))
+      selLevels)).as("max_label"))
     // ground truth per selectivity: the ONE scored corpus×queries
     // pass fans out over the 3-row axis, filtered before the window
     val exact = assigned.join(broadcast(queries))
@@ -557,12 +512,14 @@ object VectorSearch {
       .agg(count(lit(1)).as("total"))
     probeLevels.crossJoin(broadcast(sels))
       .join(hits, Seq("probes", "max_label"), "left")
-      .join(broadcast(denom), Seq("max_label"))
+      .join(broadcast(denom), Seq("max_label"), "left")
       .select(col("max_label"),
         round(col("max_label").cast("double") / 10.0, 1).as("selectivity"),
         col("probes"), lit(k).as("k"),
-        round(coalesce(col("hits"), lit(0L)).cast("double") /
-          col("total").cast("double"), 6).as("recall"))
+        when(coalesce(col("total"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("total").cast("double"), 6)).as("recall"))
       .orderBy(col("max_label"), col("probes"))
   }
 

@@ -68,6 +68,32 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(probePost.toSeq === probePre.toSeq)
   }
 
+  test("compactIndex heals crash leftovers: a store stranded as " +
+    "_precompact is restored, stale _compact dirs do not wedge a retry") {
+    val path = accretedIndex()
+    val cells = new File(s"$path/cells")
+    val content = spark.read.parquet(cells.getAbsolutePath)
+      .collect().map(_.toString).sorted.toSeq
+
+    // crash between the two renames: live store missing, old
+    // generation stranded as _precompact, a fully-written _compact
+    // twin beside it
+    assert(cells.renameTo(new File(s"$path/cells_precompact")))
+    new File(s"$path/cells_compact").mkdirs()
+    Files.writeString(
+      new File(s"$path/cells_compact/part-orphan.parquet").toPath, "junk")
+    val reports = IndexMaintenance.compactIndex(spark, path)
+    assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
+    // healed AND compacted: same rows, leftovers gone
+    assert(spark.read.parquet(cells.getAbsolutePath)
+      .collect().map(_.toString).sorted.toSeq === content)
+    assert(!new File(s"$path/cells_precompact").exists())
+    assert(!new File(s"$path/cells_compact").exists())
+    // and a retry right after is a no-op-shaped success, not a wedge
+    val again = IndexMaintenance.compactIndex(spark, path)
+    assert(again.forall(r => r.filesBefore === r.filesAfter))
+  }
+
   test("the maintenance sweep composes with vacuum: stale generations " +
     "and crash-left scratch reaped, the live compacted index kept") {
     val data = Files.createTempDirectory("graft-maint-vac").toFile

@@ -45,6 +45,22 @@ class VectorSearchSpec extends SparkTestBase {
     assert(full.toSeq === d7.toSeq)
   }
 
+  test("filteredRecall: an empty ground-truth leg emits its surface " +
+    "rows with recall NULL, never a silent drop") {
+    import spark.implicits._
+    // every label >= 1, so the max_label=1 leg has NO qualifying docs
+    val embL = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        (col("label") % 9 + 1).as("label"))
+    val rows = VectorSearch.filteredRecallOver(spark, embL).collect()
+    assert(rows.length === VectorSearch.filteredRecallLabels.length * 3,
+      "the full surface must be emitted even with an empty leg")
+    val emptyLeg = rows.filter(_.getInt(0) === 1)
+    assert(emptyLeg.length === 3 && emptyLeg.forall(_.isNullAt(4)),
+      "the empty leg's recall must be NULL (undefined), not 0 or missing")
+    assert(rows.filter(_.getInt(0) === 10).forall(!_.isNullAt(4)))
+  }
+
   test("ivfRecallDim384: the width canary keeps the D7 contract at 384 dims") {
     val r = VectorSearch.ivfRecallDim384(t).collect()
     assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
