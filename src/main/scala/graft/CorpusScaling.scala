@@ -94,7 +94,7 @@ object CorpusScaling {
     * more customers), and the one that keeps windowed/joined work
     * honestly per-key. */
   def ensureReplicatedDir(spark: SparkSession, sfDir: String, mult: Int): String =
-    graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r13") { path =>
+    graft.sources.LayoutStore.ensure(sfDir, s"scale_x$mult", "r14") { path =>
       val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
       val evMaxes = ev0.agg(max(col("event_id")), max(col("user_id"))).first()
       val evBase = evMaxes.getLong(0) + 1L
@@ -121,6 +121,22 @@ object CorpusScaling {
         cust0.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * custBase))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$path/customer.parquet")
+      // lineitem/part (the A18/Q17 pair): orderkeys shift with their
+      // orders, partkeys with their parts; p_brand stays, so per-brand
+      // part density is constant — the brand-filtered fact slice grows
+      // linearly like everything else
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val partBase = part0.agg(max(col("p_partkey"))).first().getLong(0) + 1L
+      (0 until mult).map { i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * ordBase))
+          .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * partBase))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/lineitem.parquet")
+      (0 until mult).map { i =>
+        part0.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * partBase))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/part.parquet")
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       // id ranges derived from the corpus' own max ids — hardcoded
       // offsets would silently collide on large-id corpora
