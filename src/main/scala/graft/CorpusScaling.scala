@@ -87,9 +87,10 @@ object CorpusScaling {
 
   /** Materialize the mult× salted corpus dir (idempotent per
     * (sfDir, mult)): documents.parquet + embeddings.parquet (the
-    * text/vector families) plus events.parquet and orders/customer
-    * (the B/A families) — each replica shifts its entity ids
-    * (users/custkeys/event ids), so per-entity density stays constant
+    * text/vector families) plus events.parquet, orders/customer and
+    * lineitem/part (the B/A families, Q17's pair included) — each
+    * replica shifts its entity ids
+    * (users/custkeys/order/part keys/event ids), so per-entity density stays constant
     * while the corpus grows: the realistic growth axis (more users,
     * more customers), and the one that keeps windowed/joined work
     * honestly per-key. */

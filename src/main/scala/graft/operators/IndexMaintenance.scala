@@ -82,9 +82,13 @@ object IndexMaintenance {
         require(dir.renameTo(old), s"compaction swap failed moving $dir aside")
         if (!tmp.renameTo(dir)) {
           // restore the old generation before failing — the store
-          // must never be left missing
-          old.renameTo(dir)
-          sys.error(s"compaction swap failed installing $tmp as $dir")
+          // must never be left missing; a failed restore must say so
+          // loudly (readers crash on a missing path until the next
+          // compactIndex entry-heal repairs it)
+          val restored = old.renameTo(dir)
+          sys.error(s"compaction swap failed installing $tmp as $dir" +
+            (if (restored) " (old generation restored)"
+             else s" AND restoring $old failed — store missing until retry"))
         }
         LayoutStore.deleteRecursively(old)
         Some(CompactionReport(sub, before.length.toLong,

@@ -406,9 +406,10 @@ object VectorSearch {
   private[graft] def ivfRecallOver(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame): DataFrame =
     // the D34 surface with ONE all-inclusive selectivity level (every
-    // vector labeled 0 < 1) IS the unfiltered evaluator — one
-    // skeleton, two rows, no drift possible between them
-    recallSurface(spark, emb.withColumn("label", lit(0)), Seq(1))
+    // vector labeled 0 < 1, a constant projection — no label join)
+    // IS the unfiltered evaluator — one skeleton, two rows, no drift
+    // possible between them
+    recallSurface(spark, emb, Seq(1), _.withColumn("label", lit(0)))
       .select(col("probes"), col("k"), col("recall"))
       .orderBy(col("probes"))
 
@@ -447,23 +448,28 @@ object VectorSearch {
 
   private[graft] def filteredRecallOver(
       spark: org.apache.spark.sql.SparkSession, embL: DataFrame): DataFrame =
-    recallSurface(spark, embL, filteredRecallLabels)
+    recallSurface(spark, embL.select(col("doc_id"), col("embedding")),
+      filteredRecallLabels,
+      _.join(embL.select(col("doc_id"), col("label")), "doc_id"))
 
   /** THE recall-evaluator skeleton — D7's unfiltered curve and D34's
     * filtered surface are the same machinery, so they ARE the same
     * function (ivfRecallOver delegates with one all-inclusive
     * selectivity level): one place for the sample rule, the probe
-    * ranking and the window shapes to evolve. A selectivity leg with
-    * an EMPTY ground truth (no candidate matches its filter) emits
-    * its surface rows with recall NULL — undefined, never a silent
-    * row drop and never a misleading 0. */
+    * ranking and the window shapes to evolve. `attachLabel` supplies
+    * the selectivity column on the assignment — D34's doc-keyed
+    * equi-join, D7's constant `lit(0)` — so the unfiltered evaluator
+    * never pays a corpus self-join for a label its all-inclusive
+    * level ignores. A selectivity leg with an EMPTY ground truth (no
+    * candidate matches its filter) emits its surface rows with
+    * recall NULL — undefined, never a silent row drop and never a
+    * misleading 0. */
   private def recallSurface(spark: org.apache.spark.sql.SparkSession,
-      embL: DataFrame, selLevels: Seq[Int]): DataFrame = {
+      emb: DataFrame, selLevels: Seq[Int],
+      attachLabel: DataFrame => DataFrame): DataFrame = {
     val k = 10
-    val emb = embL.select(col("doc_id"), col("embedding"))
     val cent = EmbeddingStore.seedCentroids(emb)
-    val assigned = EmbeddingStore.assignCells(emb, cent)
-      .join(embL.select(col("doc_id"), col("label")), "doc_id")
+    val assigned = attachLabel(EmbeddingStore.assignCells(emb, cent))
       .localCheckpoint()
     val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
       .select(col("doc_id").as("qid"), col("embedding").as("qv"))

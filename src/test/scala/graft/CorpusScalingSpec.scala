@@ -66,5 +66,23 @@ class CorpusScalingSpec extends SparkTestBase {
       assert(r.getDouble(1) === baseNorms(r.getLong(0) % embBase),
         s"norm drifted for replicated vec ${r.getLong(0)}")
     }
+
+    // lineitem/part (the A18/Q17 pair, replicated since r14): counts
+    // multiply, the lineitem→part FK survives the key shifts, and
+    // per-part fact density is constant (the Q17 window never
+    // deepens under replication)
+    assert(scaled.lineitem.count() === 2 * base.lineitem.count())
+    assert(scaled.part.count() === 2 * base.part.count())
+    assert(scaled.lineitem
+      .join(scaled.part, col("l_partkey") === col("p_partkey"), "left_anti")
+      .count() === 0L, "a replicated lineitem row lost its part")
+    val partBase = base.part.agg(max(col("p_partkey"))).first().getLong(0) + 1L
+    val baseDens = base.lineitem.groupBy(col("l_partkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scaled.lineitem.groupBy(col("l_partkey")).count()
+      .collect().foreach { r =>
+        assert(r.getLong(1) === baseDens(r.getLong(0) % partBase),
+          s"per-part density drifted for replicated part ${r.getLong(0)}")
+      }
   }
 }
