@@ -56,6 +56,10 @@ object SparkEntry {
     // keeps the literal correlated form, engine decorrelates to one
     // windowed pass over the brand-pruned fact
     "q_correlated_subquery" -> q(Relational.correlatedSubquery),
+    // A19: TPC-H Q21 shape — multiple correlated EXISTS/NOT EXISTS
+    // against the same fact; engine folds both into ONE aggregate
+    // pass (distinct-supplier count + returned-line flag per key)
+    "q_multi_exists"    -> q(Relational.multiExists),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -198,6 +202,10 @@ object SparkEntry {
     // accretion compacted within cell partitions, probe proven
     // bit-identical through the rewrite
     "q_index_maintain"  -> q(IndexMaintenance.indexMaintainQuery),
+    // H8: MERGE/UPSERT — yesterday's persisted table absorbs updates
+    // + inserts (anti-join + union, one key shuffle), manifest from
+    // the read-back merged table
+    "q_merge_upsert"    -> q(graft.sources.Export.mergeUpsert),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -530,6 +538,53 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // A19: the oracle keeps BOTH correlated subqueries literal (the
+    // EXISTS even contains its pairwise self-join) — proving the
+    // engine's one-aggregate-pass decorrelation result-equivalent
+    "q_multi_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1, lineitem l2
+        |    WHERE l1.l_orderkey = o.o_orderkey
+        |      AND l2.l_orderkey = o.o_orderkey
+        |      AND l1.l_suppkey <> l2.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = o.o_orderkey AND l3.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // H8: the oracle reconstructs the merged table from the raw
+    // corpus (survivor lower-half rows + the status-X update slice +
+    // the upper-half inserts) and aggregates it identically — a merge
+    // that drops, duplicates or mangles one row diverges the counts,
+    // totals or the key checksum.
+    "q_merge_upsert" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey <= (SELECT s FROM mx)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey > (SELECT s FROM mx)),
+        |ep AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey <= (SELECT s FROM mx)
+        |      AND o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |    CAST(SUM(CASE WHEN o_orderkey > (SELECT s FROM mx)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+        |  ep.n_updated, ep.n_inserted
+        |FROM merged, ep
+        |GROUP BY o_orderstatus, ep.n_updated, ep.n_inserted
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_join_skew" ->
       """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -390,6 +390,42 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** A19 — `q_multi_exists`: MULTIPLE correlated existential
+    * subqueries against the same fact (the TPC-H Q21 shape): orders
+    * whose lineitems came from at least TWO distinct suppliers AND
+    * with no returned line — one EXISTS (a self-join inside it) and
+    * one NOT EXISTS, both correlated to the outer row. The oracle
+    * keeps the literal two-subquery form.
+    *
+    * The engine decorrelates BOTH subqueries into ONE map-side-
+    * combining aggregate over the fact: per orderkey,
+    * `count(distinct l_suppkey)` answers the pairwise-different-
+    * supplier EXISTS (∃ two rows with different suppliers ⇔ distinct
+    * count ≥ 2 — the self-join inside the EXISTS never runs) and
+    * `max(returnflag = 'R')` answers the NOT EXISTS; the qualifying
+    * keys then semi-join orders. One fact pass, one shuffle on the
+    * correlation key, instead of three correlated probes per outer
+    * row — at 100 TB the literal form is two extra fact joins, one
+    * of them a fact×fact self-join. */
+  def multiExists(t: Tables): DataFrame = multiExistsOn(t.orders, t.lineitem)
+
+  /** A19 over arbitrary (orders, lineitem) frames — the spec drives
+    * planted qualification edge cases through this. */
+  private[graft] def multiExistsOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val flags = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .filter(col("n_supp") >= 2 && col("has_r") === 0)
+      .select(col("l_orderkey"))
+    orders
+      .join(flags, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A15 — `q_join_skew`: the skew-salted fact ⋈ dim join, proven
     * equal to the plain join by the oracle (which just joins). Orders
     * ⋈ customer on custkey — the pair where the dim GROWS with the

@@ -301,6 +301,76 @@ object Export {
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
 
+  /** H8 — `q_merge_upsert`: the MERGE/UPSERT table-maintenance
+    * fundamental (Delta `MERGE INTO` / Iceberg `MERGE` — the single
+    * most common mutation a warehouse table takes): yesterday's
+    * persisted orders table absorbs today's changes — UPDATES
+    * (matched keys replace their row) and INSERTS (new keys append)
+    * in one operation. The episode: state = the lower orderkey half
+    * persisted to scratch; delta = the upper half (inserts) plus a
+    * deterministic update slice (lower-half keys ≡ 0 mod 10, status
+    * rewritten to 'X'); merge = latest-wins per key; the output
+    * manifest aggregates the READ-BACK merged table (per status:
+    * count, decimal total, bit_xor key checksum, plus the episode's
+    * n_updated/n_inserted — every number a pure corpus function, so
+    * DuckDB reconstructs the merged table and must agree).
+    *
+    * Scale shape: the merge is the standard anti-join + union
+    * implementation (state rows whose key has NO delta row survive;
+    * all delta rows land) — ONE shuffle on the key, no window, no
+    * global sort; the rewrite is one partitioned-write pass. At
+    * 100 TB a table format scopes the rewrite to the partitions the
+    * delta touches (partition-pruned anti join — composition, not a
+    * different operator) and commits via its transaction log; the
+    * read-back manifest is this episode's stand-in for that commit
+    * proof. */
+  def mergeUpsert(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "merge").toPath
+    try {
+      val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val split = maxKey / 2
+      val state = s"$dir/state"
+      t.orders.filter(col("o_orderkey") <= split).write.parquet(state)
+      val updates = t.orders
+        .filter(col("o_orderkey") <= split &&
+          pmod(col("o_orderkey"), lit(10L)) === 0L)
+        .withColumn("o_orderstatus", lit("X"))
+      val inserts = t.orders.filter(col("o_orderkey") > split)
+      val delta = updates.unionByName(inserts)
+      val nUpdated = updates.count()
+      val nInserted = inserts.count()
+      val merged = mergeLatest(spark.read.parquet(state), delta, "o_orderkey")
+      val out = s"$dir/merged"
+      merged.write.parquet(out)
+      spark.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          expr("bit_xor(o_orderkey)").as("key_xor"))
+        .select(col("o_orderstatus"), col("n_orders"), col("total"),
+          col("key_xor"),
+          lit(nUpdated).as("n_updated"), lit(nInserted).as("n_inserted"))
+        .orderBy(col("o_orderstatus"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** The MERGE core — latest-wins upsert of `delta` into `state` on
+    * `key`: survivors = state rows whose key has no delta row
+    * (anti join), plus every delta row. One shuffle on the key,
+    * no window, no sort; idempotent (re-merging the same delta is a
+    * no-op) because the anti join removes exactly what the union
+    * re-adds. Preconditions a table format would enforce: both
+    * sides key-unique. */
+  private[graft] def mergeLatest(state: DataFrame, delta: DataFrame,
+      key: String): DataFrame =
+    state
+      .join(delta.select(col(key).as("__dk")),
+        col(key) === col("__dk"), "left_anti")
+      .unionByName(delta)
+
   /** The JSONL write → parse-back core (testable against planted
     * escaping pathologies): writes one JSON object per line,
     * partitioned by `split`, and returns the PARSED read-back frame

@@ -213,4 +213,21 @@ class ExportSpec extends SparkTestBase {
     assert(got.toSeq === direct.toSeq)
     assert(got.nonEmpty)
   }
+
+  test("mergeLatest: updates replace, inserts append, untouched rows " +
+    "survive; re-merging the same delta is a no-op") {
+    import spark.implicits._
+    val state = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("o_orderkey", "v")
+    val delta = Seq((2L, "B2"), (9L, "new"))
+      .toDF("o_orderkey", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val merged = Export.mergeLatest(state, delta, "o_orderkey")
+    assert(rows(merged) ===
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // idempotent: the anti join removes exactly what the union re-adds
+    assert(rows(Export.mergeLatest(merged, delta, "o_orderkey")) ===
+      rows(merged))
+  }
 }

@@ -160,6 +160,43 @@ class RelationalSpec extends SparkTestBase {
     // non-urgent order, so no corpus-level zero assertion here)
   }
 
+  test("multiExists: planted qualification edges; one-aggregate-pass " +
+    "decorrelation equals the two-join composition on the real tables") {
+    import spark.implicits._
+    // order 1: two suppliers, no return → qualifies
+    // order 2: two suppliers, one returned line → NOT EXISTS kills it
+    // order 3: one supplier across many lines → EXISTS kills it
+    // order 4: no lineitems at all → EXISTS kills it
+    val orders = Seq((1L, "P1", 10.0), (2L, "P1", 20.0), (3L, "P2", 30.0),
+      (4L, "P2", 40.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 100L, "N"), (1L, 200L, "N"),
+      (2L, 100L, "N"), (2L, 200L, "R"),
+      (3L, 100L, "N"), (3L, 100L, "N"), (3L, 100L, "A"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val got = Relational.multiExistsOn(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("P1", 1L, 10.0)))
+
+    // independent composition: distinct-pair semi + returned anti
+    val twoSupp = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .distinct().groupBy(col("l_orderkey")).count().filter(col("count") > 1)
+      .select(col("l_orderkey").as("k1"))
+    val returned = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k2")).distinct()
+    val expected = t.orders
+      .join(twoSupp, col("o_orderkey") === col("k1"), "left_semi")
+      .join(returned, col("o_orderkey") === col("k2"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val engine = Relational.multiExists(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(engine === expected && engine.nonEmpty)
+  }
+
   test("correlatedSubquery: the windowed decorrelation equals the " +
     "aggregate-join decorrelation on the real tables") {
     val got = Relational.correlatedSubquery(t).first()
