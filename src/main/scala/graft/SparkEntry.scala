@@ -206,6 +206,10 @@ object SparkEntry {
     // + inserts (anti-join + union, one key shuffle), manifest from
     // the read-back merged table
     "q_merge_upsert"    -> q(graft.sources.Export.mergeUpsert),
+    // H9: SCD-2 — the history-PRESERVING merge: matched versions
+    // close (valid_to stamps), arrivals append as current; manifest
+    // from the read-back history table
+    "q_scd2"            -> q(graft.sources.Export.scd2),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -585,6 +589,35 @@ object SparkEntry {
         |FROM merged, ep
         |GROUP BY o_orderstatus, ep.n_updated, ep.n_inserted
         |ORDER BY o_orderstatus""".stripMargin,
+    // H9: the oracle reconstructs the SCD-2 history table — closed
+    // versions (updated keys at their ORIGINAL status, valid_to 1),
+    // survivors and current versions — and aggregates identically.
+    "q_scd2" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders),
+        |hist AS (
+        |  -- closed: updated keys' original version, valid_to = 1
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, FALSE AS is_current
+        |  FROM orders
+        |  WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  -- survivors: untouched state rows stay current
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+        |  FROM orders
+        |  WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  -- arrivals: the update slice at status X + the inserts
+        |  SELECT o_orderkey, 'X', o_totalprice, TRUE
+        |  FROM orders
+        |  WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+        |  FROM orders WHERE o_orderkey > (SELECT s FROM mx))
+        |SELECT o_orderstatus, is_current, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+        |FROM hist
+        |GROUP BY o_orderstatus, is_current
+        |ORDER BY o_orderstatus, is_current""".stripMargin,
     "q_join_skew" ->
       """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

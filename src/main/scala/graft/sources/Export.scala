@@ -357,6 +357,79 @@ object Export {
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
 
+  /** H9 — `q_scd2`: the HISTORY-PRESERVING merge (slowly-changing
+    * dimension type 2 — the other standard warehouse mutation beside
+    * H8's overwrite): instead of replacing a matched row, the old
+    * version CLOSES (valid_to stamps) and the new version appends as
+    * current — point-in-time queries ("what was this customer's
+    * segment when the order shipped") read the closed versions, and
+    * B7's as-of join is exactly the consumer. Same episode inputs as
+    * H8 (state = lower orderkey half at version 0; day-1 delta =
+    * status-X updates on keys ≡ 0 mod 10 + upper-half inserts);
+    * output manifest = per (o_orderstatus, is_current) count +
+    * decimal total + key checksum from the READ-BACK table, plus the
+    * version counters — all pure corpus functions the oracle
+    * reconstructs.
+    *
+    * Scale shape: three key-partitioned legs off ONE shuffle pair —
+    * closed = state semi delta-keys (valid_to stamped), survivors =
+    * state anti delta-keys, arrivals = delta (valid_from stamped) —
+    * then one partitioned write + the read-back manifest aggregate.
+    * History is APPEND-ONLY: no version is ever rewritten, which is
+    * what makes the pattern safe under retries and cheap under a
+    * table format's commit log. */
+  def scd2(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "scd2").toPath
+    try {
+      val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val split = maxKey / 2
+      val statePath = s"$dir/state"
+      t.orders.filter(col("o_orderkey") <= split)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast(LongType))
+        .write.parquet(statePath)
+      val updates = t.orders
+        .filter(col("o_orderkey") <= split &&
+          pmod(col("o_orderkey"), lit(10L)) === 0L)
+        .withColumn("o_orderstatus", lit("X"))
+      val inserts = t.orders.filter(col("o_orderkey") > split)
+      val delta = updates.unionByName(inserts)
+        .withColumn("valid_from", lit(1L))
+        .withColumn("valid_to", lit(null).cast(LongType))
+      val out = s"$dir/scd2"
+      scd2Apply(spark.read.parquet(statePath), delta, "o_orderkey",
+        closeAt = 1L)
+        .write.parquet(out)
+      spark.read.parquet(out)
+        .groupBy(col("o_orderstatus"), col("valid_to").isNull.as("is_current"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          expr("bit_xor(o_orderkey)").as("key_xor"))
+        .orderBy(col("o_orderstatus"), col("is_current"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** The SCD-2 core — history-preserving merge of `delta` (already
+    * stamped with its valid_from and open valid_to) into `state` on
+    * `key`: matched versions CLOSE at `closeAt`, unmatched survive
+    * untouched, every delta row appends as current. Three legs off
+    * one shuffle pair; append-only (no version rewritten). Spec
+    * proves the point-in-time contract a B7-style as-of consumer
+    * relies on. */
+  private[graft] def scd2Apply(state: DataFrame, delta: DataFrame,
+      key: String, closeAt: Long): DataFrame = {
+    val dk = delta.select(col(key).as("__dk"))
+    val closed = state
+      .join(dk, col(key) === col("__dk"), "left_semi")
+      .withColumn("valid_to", lit(closeAt))
+    val survivors = state
+      .join(dk, col(key) === col("__dk"), "left_anti")
+    closed.unionByName(survivors).unionByName(delta)
+  }
+
   /** The MERGE core — latest-wins upsert of `delta` into `state` on
     * `key`: survivors = state rows whose key has no delta row
     * (anti join), plus every delta row. One shuffle on the key,

@@ -230,4 +230,35 @@ class ExportSpec extends SparkTestBase {
     assert(rows(Export.mergeLatest(merged, delta, "o_orderkey")) ===
       rows(merged))
   }
+
+  test("scd2Apply: matched versions close, history is append-only, and " +
+    "point-in-time reads resolve each era to the right version") {
+    import spark.implicits._
+    val state = Seq((1L, "a", 0L, Option.empty[Long]),
+      (2L, "b", 0L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val delta = Seq((2L, "B2", 5L, Option.empty[Long]),
+      (9L, "new", 5L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val hist = Export.scd2Apply(state, delta, "k", closeAt = 5L)
+    val rows = hist.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(rows === Set(
+      (1L, "a", 0L, None),          // survivor stays current
+      (2L, "b", 0L, Some(5L)),      // matched version CLOSED, not lost
+      (2L, "B2", 5L, None),         // its replacement is current
+      (9L, "new", 5L, None)))       // insert appends as current
+    // exactly one current version per key
+    val current = hist.filter(col("valid_to").isNull)
+      .groupBy(col("k")).count().filter(col("count") > 1).count()
+    assert(current === 0L)
+    // the point-in-time contract (the B7 as-of consumer): at t=3 key 2
+    // reads 'b'; at t=7 it reads 'B2'
+    def asOf(tq: Long, k: Long): String = hist
+      .filter(col("k") === k && col("valid_from") <= tq &&
+        (col("valid_to").isNull || col("valid_to") > tq))
+      .collect().map(_.getString(1)).toSeq match { case Seq(v) => v }
+    assert(asOf(3L, 2L) === "b" && asOf(7L, 2L) === "B2")
+  }
 }
