@@ -210,6 +210,13 @@ object SparkEntry {
     // close (valid_to stamps), arrivals append as current; manifest
     // from the read-back history table
     "q_scd2"            -> q(graft.sources.Export.scd2),
+    // H10: takedown/right-to-be-forgotten — anti-join purge of a
+    // broadcast id list + the read-back deletion-completeness proof
+    // (residual must be the oracle's literal 0)
+    "q_purge"           -> q(graft.sources.Export.purge),
+    // H11: additive schema evolution — two file generations, one
+    // mergeSchema read, NULL backfill proven per source
+    "q_schema_evolve"   -> q(graft.sources.Export.schemaEvolve),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -589,6 +596,33 @@ object SparkEntry {
         |FROM merged, ep
         |GROUP BY o_orderstatus, ep.n_updated, ep.n_inserted
         |ORDER BY o_orderstatus""".stripMargin,
+    // H10: the oracle manifests the corpus MINUS the takedown list
+    // and pins residual to the literal 0 — deletion completeness.
+    "q_purge" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 97 = 0) AS n_purged,
+        |  CAST(0 AS BIGINT) AS residual
+        |FROM documents
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // H11: the oracle computes both generations from the raw corpus —
+    // legacy rows are exactly the lower half, the evolved volume is
+    // exactly the upper half's n_chars.
+    "q_schema_evolve" ->
+      """WITH mx AS (SELECT MAX(doc_id)//2 AS s FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id <= (SELECT s FROM mx) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_legacy,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id > (SELECT s FROM mx)
+        |    THEN n_chars END), 0) AS BIGINT) AS evolved_chars,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // H9: the oracle reconstructs the SCD-2 history table — closed
     // versions (updated keys at their ORIGINAL status, valid_to 1),
     // survivors and current versions — and aggregates identically.

@@ -430,6 +430,100 @@ object Export {
     closed.unionByName(survivors).unionByName(delta)
   }
 
+  /** H10 — `q_purge`: TARGETED DELETION from a persisted store — the
+    * takedown / right-to-be-forgotten operation every training-data
+    * pipeline must execute on demand (copyright claims, PII
+    * complaints, license revocations arrive as id lists, and "we
+    * deleted it" needs PROOF, not a best effort). Episode: the
+    * corpus persists source-partitioned; the takedown list =
+    * doc_id ≡ 0 (mod 97) — deterministic, source-crossing; the purge
+    * rewrites the store WITHOUT the listed ids; the output manifest
+    * aggregates the READ-BACK purged store per source (count, token
+    * volume, id checksum) plus `n_purged` and `residual` — the
+    * engine's own read-back count of surviving listed ids, compared
+    * against the oracle's literal 0: a purge that leaves one listed
+    * row fails the gate from inside the row.
+    *
+    * Scale shape: the delete is one anti-join rewrite (the id list
+    * broadcasts — takedown lists are human-scale); at 100 TB a table
+    * format scopes the rewrite to the FILES whose min/max id ranges
+    * intersect the list (file-skipping on the sorted id column —
+    * composition with H6's stats pruning) and commits a delete
+    * vector or rewritten files via its log; the read-back residual
+    * check is the audit a compliance process runs either way. */
+  def purge(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "purge").toPath
+    try {
+      val store = s"$dir/store"
+      t.documents.write.partitionBy("source").parquet(store)
+      val listed = col("doc_id") % 97 === 0
+      val takedown = spark.read.parquet(store).filter(listed)
+        .select(col("doc_id"))
+      val nPurged = takedown.count()
+      val out = s"$dir/purged"
+      spark.read.parquet(store)
+        .join(broadcast(takedown.select(col("doc_id").as("__td"))),
+          col("doc_id") === col("__td"), "left_anti")
+        .write.partitionBy("source").parquet(out)
+      val back = spark.read.parquet(out)
+      // deletion completeness, from the read-back bytes
+      val residual = back.filter(listed).count()
+      back
+        .select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("id_xor"),
+          lit(nPurged).as("n_purged"), lit(residual).as("residual"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** H11 — `q_schema_evolve`: ADDITIVE SCHEMA EVOLUTION across a
+    * store's lifetime — the reality of any long-lived corpus (day-1
+    * files predate the `lang` and `n_chars` columns; day-2 files
+    * carry them): one read must serve both generations, old rows
+    * surfacing the new columns as NULL. Episode: the lower doc_id
+    * half persists with the ORIGINAL 3-column schema, the upper half
+    * with the full 5-column schema; the read uses parquet
+    * `mergeSchema` (the schema union is computed from file footers);
+    * the manifest proves the semantics — per source: total rows, rows
+    * where the late column is NULL (exactly the day-1 generation),
+    * the non-null n_chars volume (exactly the day-2 totals), and the
+    * id checksum over BOTH generations.
+    *
+    * Scale shape: mergeSchema costs a footer read per file at plan
+    * time — fine for a bounded store, a reason table formats track
+    * the schema in their log instead (the engine note a 100 TB
+    * deployment acts on); the data pass itself is one scan + one
+    * map-side-combining aggregate, NULL backfill is free (absent
+    * columns never materialize). */
+  def schemaEvolve(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "evolve").toPath
+    try {
+      val store = s"$dir/store"
+      val split = t.documents.agg(max(col("doc_id"))).first().getLong(0) / 2
+      t.documents.filter(col("doc_id") <= split)
+        .select(col("doc_id"), col("text"), col("source"))
+        .write.parquet(store)
+      t.documents.filter(col("doc_id") > split)
+        .write.mode("append").parquet(store)
+      spark.read.option("mergeSchema", "true").parquet(store)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("evolved_chars"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
   /** The MERGE core — latest-wins upsert of `delta` into `state` on
     * `key`: survivors = state rows whose key has no delta row
     * (anti join), plus every delta row. One shuffle on the key,

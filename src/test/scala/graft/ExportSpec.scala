@@ -231,6 +231,52 @@ class ExportSpec extends SparkTestBase {
       rows(merged))
   }
 
+  test("purge: listed ids are gone from the read-back (residual 0), " +
+    "everything else survives, and the counts close the ledger") {
+    val t = Tables(spark, sfDir)
+    val rows = Export.purge(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("residual") === 0L),
+      "a listed id survived the purge")
+    val nPurged = rows.head.getAs[Long]("n_purged")
+    val expectedPurged = t.documents
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(nPurged === expectedPurged && nPurged > 0,
+      "the fixture must actually exercise the takedown path")
+    // ledger closes: survivors + purged = corpus
+    val survivors = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(survivors + nPurged === t.documents.count())
+    // per-source survivor counts match an independent recompute
+    val expected = t.documents.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_docs") === expected(r.getString(0))))
+  }
+
+  test("schemaEvolve: one mergeSchema read serves both generations — " +
+    "legacy rows NULL-backfill, evolved volume matches the new files") {
+    val t = Tables(spark, sfDir)
+    val rows = Export.schemaEvolve(t).collect()
+    assert(rows.nonEmpty)
+    val split = t.documents.agg(max(col("doc_id"))).first().getLong(0) / 2
+    val legacy = t.documents.filter(col("doc_id") <= split)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val evolved = t.documents.filter(col("doc_id") > split)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_legacy") === legacy.getOrElse(src, 0L),
+        s"NULL backfill drifted for $src")
+      assert(r.getAs[Long]("evolved_chars") === evolved.getOrElse(src, 0L),
+        s"evolved volume drifted for $src")
+    }
+    assert(rows.map(_.getAs[Long]("n_legacy")).sum > 0)
+    assert(rows.map(_.getAs[Long]("evolved_chars")).sum > 0)
+  }
+
   test("scd2Apply: matched versions close, history is append-only, and " +
     "point-in-time reads resolve each era to the right version") {
     import spark.implicits._
