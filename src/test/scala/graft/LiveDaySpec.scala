@@ -20,6 +20,97 @@ import graft.streaming.{LiveDay, StreamingDataCard, StreamingDeduper, StreamingS
 class LiveDaySpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Run `q` until at least `minBatches` data batches committed, then
+    * stop it mid-day (the crash). */
+  private def killAfter(q: org.apache.spark.sql.streaming.StreamingQuery,
+      minBatches: Int): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    while (q.isActive &&
+        q.recentProgress.count(_.numInputRows > 0) < minBatches) {
+      assert(System.currentTimeMillis() < deadline, "no stream progress")
+      Thread.sleep(50)
+    }
+    q.stop()
+  }
+
+  test("a stream killed mid-day resumes from ITS OWN checkpoint under a " +
+    "second LiveDay.start; the composed end state is unchanged") {
+    val t = Tables(spark, sfDir)
+    val vectors = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+    val vecSplit = maxVec / 2
+    val docs = t.documents
+    val maxDoc = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val docSplit = maxDoc / 2
+
+    val root = Files.createTempDirectory("graft-liveday-crash").toFile
+    val docDrop = Files.createTempDirectory("graft-ldc-docs").toFile
+    val vecDrop = Files.createTempDirectory("graft-ldc-vecs").toFile
+    val refIdx = Files.createTempDirectory("graft-ldc-ref").toFile
+    Seq(root, docDrop, vecDrop, refIdx).foreach(_.deleteOnExit())
+    Dedup.buildSpanState(
+      docs.filter(col("doc_id") <= docSplit).select(col("doc_id"), col("text")),
+      docSplit, s"$root/spans")
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= vecSplit), s"$root/ivf")
+    EmbeddingStore.buildIvfIndex(spark,
+      vectors.filter(col("doc_id") <= vecSplit), refIdx.getAbsolutePath)
+
+    // four files per drop so the kill lands mid-day with real work left
+    val t0 = System.currentTimeMillis()
+    def drop(df: org.apache.spark.sql.DataFrame, dir: File, lo: Long,
+        hi: Long, n: Int): Unit = {
+      val step = math.max(1L, (hi - lo) / n)
+      (0 until n).foreach { i =>
+        val a = lo + i * step + 1
+        val b = if (i == n - 1) Long.MaxValue - 1 else lo + (i + 1) * step
+        df.filter(col("doc_id").between(a, b))
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("append").parquet(dir.getAbsolutePath)
+        new File(dir, "_SUCCESS").delete()
+        dir.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            f.lastModified() >= t0 - 1000)
+          .foreach(_.setLastModified(t0 - 1000000L + 2000L * i))
+      }
+    }
+    drop(docs, docDrop, docSplit, maxDoc, 4)
+    drop(vectors, vecDrop, vecSplit, maxVec, 4)
+
+    // day 1: the ingest CRASHES mid-day; the other three drain fully
+    val h1 = LiveDay.start(spark, docDrop.getAbsolutePath,
+      vecDrop.getAbsolutePath, root.getAbsolutePath,
+      maxFilesPerTrigger = Some(1))
+    val ingest = h1.queries.find(_._1 == "ingest").get._2
+    killAfter(ingest, minBatches = 2)
+    h1.queries.filterNot(_._1 == "ingest").foreach(_._2.awaitTermination())
+    val partial = spark.read.parquet(s"$root/ivf/cells").count()
+
+    // day 1 resumed: a second composed start — the three finished
+    // streams no-op off their checkpoints, the ingest resumes
+    LiveDay.start(spark, docDrop.getAbsolutePath, vecDrop.getAbsolutePath,
+      root.getAbsolutePath, maxFilesPerTrigger = Some(1)).awaitAll()
+
+    // the crash was real and the resume completed the day
+    EmbeddingStore.appendToIvfIndex(spark, refIdx.getAbsolutePath,
+      vectors.filter(col("doc_id") > vecSplit))
+    def cells(p: String) = spark.read.parquet(s"$p/cells")
+      .select("doc_id", "cell", "gen").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val live = cells(s"$root/ivf")
+    assert(partial < live.size.toLong, "kill was not mid-day")
+    assert(live === cells(refIdx.getAbsolutePath))
+    // nothing double-appended
+    assert(spark.read.parquet(s"$root/ivf/cells")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
+    // the other streams' artifacts are whole too
+    assert(Dedup.stateWatermark(s"$root/spans") === maxDoc)
+    assert(StreamingDataCard.readCard(spark, s"$root/card")
+      .agg(sum(col("n_docs"))).first().getLong(0) ===
+      docs.filter(col("doc_id") > docSplit).count())
+  }
+
   test("live day ≡ batch day: four concurrent streams, one drop dir, " +
     "index row ≡ q_advance_day, spans/card/pairs ≡ their batch folds") {
     val t = Tables(spark, sfDir)
