@@ -60,6 +60,9 @@ object SparkEntry {
     // against the same fact; engine folds both into ONE aggregate
     // pass (distinct-supplier count + returned-line flag per key)
     "q_multi_exists"    -> q(Relational.multiExists),
+    // A20: explicit INTERSECT/EXCEPT — declared, Catalyst rewrites
+    // to distinct + semi/anti on the key
+    "q_set_ops"         -> q(Relational.setOps),
     // D-family: vector search
     "q_search_bruteforce" -> q(VectorSearch.searchBruteforce),
     "q_search_filtered"   -> q(VectorSearch.searchFiltered),
@@ -596,6 +599,20 @@ object SparkEntry {
         |FROM merged, ep
         |GROUP BY o_orderstatus, ep.n_updated, ep.n_inserted
         |ORDER BY o_orderstatus""".stripMargin,
+    // A20: the literal set-operator keywords — DuckDB's INTERSECT/
+    // EXCEPT are distinct-set semantics, matching Dataset.intersect/
+    // except exactly.
+    "q_set_ops" ->
+      """WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |ex AS (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f),
+        |it AS (SELECT o_custkey FROM o INTERSECT SELECT o_custkey FROM f)
+        |SELECT 'except' AS op, COUNT(*) AS n_cust,
+        |  CAST(bit_xor(o_custkey) AS BIGINT) AS key_xor FROM ex
+        |UNION ALL
+        |SELECT 'intersect', COUNT(*),
+        |  CAST(bit_xor(o_custkey) AS BIGINT) FROM it
+        |ORDER BY op""".stripMargin,
     // H10: the oracle manifests the corpus MINUS the takedown list
     // and pins residual to the literal 0 — deletion completeness.
     "q_purge" ->

@@ -426,6 +426,33 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A20 — `q_set_ops`: the explicit SET OPERATORS (INTERSECT /
+    * EXCEPT — the last piece of the relational-algebra surface beside
+    * A12's UNION): customers with open AND fulfilled orders vs
+    * customers with open but NO fulfilled orders, as one two-row
+    * audit (per op: distinct-customer count + key checksum). The
+    * oracle uses the literal INTERSECT/EXCEPT keywords.
+    *
+    * Scale shape: the engine DECLARES `intersect`/`except` and lets
+    * Catalyst apply its rewrite (distinct + left-semi / left-anti on
+    * the one key — A8/A9's machinery, chosen by the optimizer rather
+    * than hand-assembled), so the shuffled bytes are bounded by the
+    * distinct key sets, never the fact; the two legs share the two
+    * filtered scans and the final union is two 1-row aggregates. */
+  def setOps(t: Tables): DataFrame = {
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val fulfilled = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_cust"),
+        expr("bit_xor(o_custkey)").as("key_xor"))
+        .select(lit(name).as("op"), col("n_cust"), col("key_xor"))
+    leg("except", open.except(fulfilled))
+      .unionByName(leg("intersect", open.intersect(fulfilled)))
+      .orderBy(col("op"))
+  }
+
   /** A15 — `q_join_skew`: the skew-salted fact ⋈ dim join, proven
     * equal to the plain join by the oracle (which just joins). Orders
     * ⋈ customer on custkey — the pair where the dim GROWS with the

@@ -197,6 +197,22 @@ class RelationalSpec extends SparkTestBase {
     assert(engine === expected && engine.nonEmpty)
   }
 
+  test("setOps: distinct-set semantics (duplicates collapse) and " +
+    "independent recompute on the real tables") {
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val full = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val expect = Map(
+      "except" -> (open -- full), "intersect" -> (open intersect full))
+    Relational.setOps(t).collect().foreach { r =>
+      val s = expect(r.getString(0))
+      // duplicate custkeys in orders must collapse: count = |set|
+      assert(r.getLong(1) === s.size.toLong, s"${r.getString(0)} count")
+      assert(r.getLong(2) === s.reduce(_ ^ _), s"${r.getString(0)} xor")
+    }
+  }
+
   test("correlatedSubquery: the windowed decorrelation equals the " +
     "aggregate-join decorrelation on the real tables") {
     val got = Relational.correlatedSubquery(t).first()
