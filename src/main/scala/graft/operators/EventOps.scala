@@ -23,9 +23,9 @@ import graft.sources.Tables
   */
 object EventOps {
 
-  /** Exact order-independent money sum (same contract as Relational). */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** Exact order-independent money sum — the shared
+    * [[graft.functions.Exact.dsum]] convention. */
+  private def dsum(c: Column): Column = graft.functions.Exact.dsum(c)
 
   /** Per-user event-time window: unique total order via (ts, event_id). */
   private val byUserTime =

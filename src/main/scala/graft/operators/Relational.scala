@@ -19,9 +19,9 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Exact, order-independent sum of a money-like double column. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** Exact, order-independent sum of a money-like double column —
+    * the shared [[graft.functions.Exact.dsum]] convention. */
+  private def dsum(c: Column): Column = graft.functions.Exact.dsum(c)
 
   private val dec = DecimalType(18, 2)
 

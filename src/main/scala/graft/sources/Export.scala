@@ -324,19 +324,30 @@ object Export {
     * different operator) and commits via its transaction log; the
     * read-back manifest is this episode's stand-in for that commit
     * proof. */
+  /** The H8/H9 shared mutation-episode inputs: yesterday's state cut
+    * (lower orderkey half), today's UPDATE slice (lower-half keys ≡ 0
+    * mod 10, status rewritten to 'X') and INSERT slice (the upper
+    * half) — ONE rule both mutation rows and both their oracles
+    * replay. */
+  private def mutationEpisode(t: Tables): (DataFrame, DataFrame, DataFrame) = {
+    val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
+    val split = maxKey / 2
+    val state = t.orders.filter(col("o_orderkey") <= split)
+    val updates = t.orders
+      .filter(col("o_orderkey") <= split &&
+        pmod(col("o_orderkey"), lit(10L)) === 0L)
+      .withColumn("o_orderstatus", lit("X"))
+    val inserts = t.orders.filter(col("o_orderkey") > split)
+    (state, updates, inserts)
+  }
+
   def mergeUpsert(t: Tables): DataFrame = {
     val spark = t.spark
     val dir = LayoutStore.scratch(t.dir, "merge").toPath
     try {
-      val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
-      val split = maxKey / 2
+      val (stateDf, updates, inserts) = mutationEpisode(t)
       val state = s"$dir/state"
-      t.orders.filter(col("o_orderkey") <= split).write.parquet(state)
-      val updates = t.orders
-        .filter(col("o_orderkey") <= split &&
-          pmod(col("o_orderkey"), lit(10L)) === 0L)
-        .withColumn("o_orderstatus", lit("X"))
-      val inserts = t.orders.filter(col("o_orderkey") > split)
+      stateDf.write.parquet(state)
       val delta = updates.unionByName(inserts)
       val nUpdated = updates.count()
       val nInserted = inserts.count()
@@ -346,8 +357,7 @@ object Export {
       spark.read.parquet(out)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("total"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"),
           expr("bit_xor(o_orderkey)").as("key_xor"))
         .select(col("o_orderstatus"), col("n_orders"), col("total"),
           col("key_xor"),
@@ -382,18 +392,12 @@ object Export {
     val spark = t.spark
     val dir = LayoutStore.scratch(t.dir, "scd2").toPath
     try {
-      val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
-      val split = maxKey / 2
+      val (stateDf, updates, inserts) = mutationEpisode(t)
       val statePath = s"$dir/state"
-      t.orders.filter(col("o_orderkey") <= split)
+      stateDf
         .withColumn("valid_from", lit(0L))
         .withColumn("valid_to", lit(null).cast(LongType))
         .write.parquet(statePath)
-      val updates = t.orders
-        .filter(col("o_orderkey") <= split &&
-          pmod(col("o_orderkey"), lit(10L)) === 0L)
-        .withColumn("o_orderstatus", lit("X"))
-      val inserts = t.orders.filter(col("o_orderkey") > split)
       val delta = updates.unionByName(inserts)
         .withColumn("valid_from", lit(1L))
         .withColumn("valid_to", lit(null).cast(LongType))
@@ -404,8 +408,7 @@ object Export {
       spark.read.parquet(out)
         .groupBy(col("o_orderstatus"), col("valid_to").isNull.as("is_current"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("total"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"),
           expr("bit_xor(o_orderkey)").as("key_xor"))
         .orderBy(col("o_orderstatus"), col("is_current"))
         .localCheckpoint(true)
@@ -457,16 +460,23 @@ object Export {
     try {
       val store = s"$dir/store"
       t.documents.write.partitionBy("source").parquet(store)
+      // EXPLICIT read schema on every read-back (exportManifest's
+      // rule): partition-type inference would corrupt a numeric-
+      // looking source ("007" → 7) and a FULLY-purged store must
+      // read as an empty frame, not a schema-inference failure
+      val docSchema =
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING"
+      def readBack(p: String) = spark.read.schema(docSchema).parquet(p)
       val listed = col("doc_id") % 97 === 0
-      val takedown = spark.read.parquet(store).filter(listed)
+      val takedown = readBack(store).filter(listed)
         .select(col("doc_id"))
       val nPurged = takedown.count()
       val out = s"$dir/purged"
-      spark.read.parquet(store)
+      readBack(store)
         .join(broadcast(takedown.select(col("doc_id").as("__td"))),
           col("doc_id") === col("__td"), "left_anti")
         .write.partitionBy("source").parquet(out)
-      val back = spark.read.parquet(out)
+      val back = readBack(out)
       // deletion completeness, from the read-back bytes
       val residual = back.filter(listed).count()
       back

@@ -226,9 +226,12 @@ class ExportSpec extends SparkTestBase {
     val merged = Export.mergeLatest(state, delta, "o_orderkey")
     assert(rows(merged) ===
       Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
-    // idempotent: the anti join removes exactly what the union re-adds
-    assert(rows(Export.mergeLatest(merged, delta, "o_orderkey")) ===
-      rows(merged))
+    assert(merged.count() === 4L, "a merge must not duplicate rows")
+    // idempotent: the anti join removes exactly what the union
+    // re-adds — compare COUNTS too (a set compare alone would hide a
+    // re-appended duplicate)
+    val again = Export.mergeLatest(merged, delta, "o_orderkey")
+    assert(rows(again) === rows(merged) && again.count() === 4L)
   }
 
   test("purge: listed ids are gone from the read-back (residual 0), " +
@@ -295,6 +298,7 @@ class ExportSpec extends SparkTestBase {
       (2L, "b", 0L, Some(5L)),      // matched version CLOSED, not lost
       (2L, "B2", 5L, None),         // its replacement is current
       (9L, "new", 5L, None)))       // insert appends as current
+    assert(hist.count() === 4L, "history must not duplicate versions")
     // exactly one current version per key
     val current = hist.filter(col("valid_to").isNull)
       .groupBy(col("k")).count().filter(col("count") > 1).count()

@@ -57,7 +57,10 @@ class LiveDaySpec extends SparkTestBase {
     EmbeddingStore.buildIvfIndex(spark,
       vectors.filter(col("doc_id") <= vecSplit), refIdx.getAbsolutePath)
 
-    // four files per drop so the kill lands mid-day with real work left
+    // docs land as four files; VECTORS as EIGHT — the kill triggers
+    // after >=2 committed ingest batches, so six single-file batches
+    // (each a multi-second append job) remain outstanding: the stop
+    // reliably lands mid-day without a timing race
     val t0 = System.currentTimeMillis()
     def drop(df: org.apache.spark.sql.DataFrame, dir: File, lo: Long,
         hi: Long, n: Int): Unit = {
@@ -76,7 +79,7 @@ class LiveDaySpec extends SparkTestBase {
       }
     }
     drop(docs, docDrop, docSplit, maxDoc, 4)
-    drop(vectors, vecDrop, vecSplit, maxVec, 4)
+    drop(vectors, vecDrop, vecSplit, maxVec, 8)
 
     // day 1: the ingest CRASHES mid-day; the other three drain fully
     val h1 = LiveDay.start(spark, docDrop.getAbsolutePath,

@@ -209,8 +209,12 @@ class RelationalSpec extends SparkTestBase {
       val s = expect(r.getString(0))
       // duplicate custkeys in orders must collapse: count = |set|
       assert(r.getLong(1) === s.size.toLong, s"${r.getString(0)} count")
-      assert(r.getLong(2) === s.reduce(_ ^ _), s"${r.getString(0)} xor")
+      // empty-leg-safe: bit_xor over nothing is NULL on both engines
+      if (s.isEmpty) assert(r.isNullAt(2), s"${r.getString(0)} xor")
+      else assert(r.getLong(2) === s.fold(0L)(_ ^ _), s"${r.getString(0)} xor")
     }
+    assert(expect.values.exists(_.nonEmpty),
+      "the fixture must exercise at least one non-empty leg")
   }
 
   test("correlatedSubquery: the windowed decorrelation equals the " +
