@@ -54,6 +54,32 @@ object IndexMaintenance {
     * (Hive-style overwrite) has; production object stores do the
     * swap via their table format's atomic commit. */
   def compactIndex(spark: SparkSession, path: String): Seq[CompactionReport] =
+    rewriteStores(spark, path, identity)
+
+  /** TAKEDOWN over the persisted index — the derived-data half of the
+    * right-to-be-forgotten story (H10's `q_purge` scrubs the corpus
+    * store; a compliant pipeline must ALSO scrub every artifact
+    * derived from the listed documents, and the vector index stores
+    * their embeddings and compressed codes verbatim). A purge IS a
+    * filtered compaction: the same per-cell rewrite + swap machinery
+    * with a doc_id filter, so the listed vectors leave `cells` and
+    * BOTH sidecars atomically-per-store, small files get paid down in
+    * the same pass, and the crash-heal discipline is inherited.
+    * Probes simply stop seeing the ids (assignment of the survivors
+    * is untouched — cells only shrink). IndexMaintenanceSpec proves
+    * absence from all three stores, probe exclusion, and survivor
+    * integrity. */
+  def purgeIndex(spark: SparkSession, path: String,
+      docIds: Seq[Long]): Seq[CompactionReport] =
+    rewriteStores(spark, path,
+      _.filter(!col("doc_id").isin(docIds: _*)))
+
+  /** The shared per-store rewrite: read → transform → repartition on
+    * the cell key (one file per cell after) → write-beside →
+    * two-rename swap, with entry-time crash healing. */
+  private def rewriteStores(spark: SparkSession, path: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[CompactionReport] =
     Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
       val dir = new File(path, sub)
       val tmp = new File(path, s"${sub}_compact")
@@ -76,7 +102,7 @@ object IndexMaintenance {
       else {
         val before = dataFiles(dir)
         val bytes = before.map(_.length()).sum
-        val df = spark.read.parquet(dir.getAbsolutePath)
+        val df = transform(spark.read.parquet(dir.getAbsolutePath))
         df.repartition(col("cell"))
           .write.partitionBy("cell").parquet(tmp.getAbsolutePath)
         require(dir.renameTo(old), s"compaction swap failed moving $dir aside")

@@ -68,6 +68,41 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(probePost.toSeq === probePre.toSeq)
   }
 
+  test("purgeIndex: listed vectors leave cells AND both sidecars, " +
+    "probes stop seeing them, survivors are untouched") {
+    val path = accretedIndex()
+    val all = spark.read.parquet(s"$path/cells")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // victims include three ids the probe CURRENTLY returns — the
+    // takedown must visibly change a served result, not just row
+    // counts
+    val preProbe = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2)
+      .collect().map(_.getLong(0)).toSet
+    val victims =
+      (preProbe.take(3) ++ all.filter(_ % 7 == 3).take(17)).toSeq.distinct
+    assert(victims.nonEmpty)
+
+    val reports = IndexMaintenance.purgeIndex(spark, path, victims)
+    assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
+    val vset = victims.toSet
+    Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
+      val ids = spark.read.parquet(s"$path/$sub")
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      assert(!ids.exists(vset), s"$sub still holds a purged id")
+      // survivors intact: purged store = original minus victims
+      assert(ids.sorted.toSeq === all.filterNot(vset).toSeq,
+        s"$sub lost a survivor")
+    }
+    val postProbe = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(postProbe.intersect(vset).isEmpty,
+      "a probe returned a purged id")
+    // non-vacuous by construction: three victims were pre-probe hits
+    assert(preProbe.intersect(vset).size >= 3)
+    assert(spark.read.parquet(s"$path/cells").count() ===
+      all.length - victims.size)
+  }
+
   test("compactIndex heals crash leftovers: a store stranded as " +
     "_precompact is restored, stale _compact dirs do not wedge a retry") {
     val path = accretedIndex()
