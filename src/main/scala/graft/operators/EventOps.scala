@@ -756,4 +756,47 @@ object EventOps {
         s"CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ($frame) AS DOUBLE)"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
+
+  /** B19 — `q_pit_lookup`: POINT-IN-TIME dimension resolution against
+    * a VERSIONED (SCD-2-shaped) dimension — the temporal star-schema
+    * lookup H9's history table exists to serve ("what was this
+    * customer's segment WHEN the order was placed", not what it is
+    * now — joining facts to a dimension's current row silently
+    * rewrites history, the classic reporting bug SCD-2 prevents).
+    * The dimension history derives deterministically from the corpus
+    * so the oracle replays it: every customer runs their original
+    * segment until 365 days after their FIRST order, then the
+    * 'UPGRADED' version opens (half-open [from, to) windows, NULL =
+    * unbounded). Each order resolves to the version whose window
+    * covers its order date; the rollup by resolved segment splits
+    * first-year revenue from post-upgrade revenue.
+    *
+    * Scale shape: the history build is one fact aggregate (min order
+    * date per custkey) joined to the dim; the resolve is ONE equi-join
+    * on the key with the window predicate as a residual filter —
+    * per-key version counts are bounded (2 here; dozens in real
+    * dimensions), so join fan-out is |fact|·versions, and because the
+    * windows PARTITION the timeline each fact row survives exactly
+    * once: output = |fact| rows, no range-join machinery needed (B8
+    * covers the genuinely unbounded-interval case). Fixed-length
+    * INTERVAL 365 DAYS keeps the boundary calendar-clamp-free on both
+    * engines. */
+  def pitLookup(t: Tables): DataFrame = {
+    val upgrade = t.orders.groupBy(col("o_custkey").as("ck"))
+      .agg((min(col("o_orderdate")) + expr("INTERVAL 365 DAYS")).as("upg"))
+    val dim = t.customer
+      .join(upgrade, col("c_custkey") === col("ck"))
+      .select(col("c_custkey").as("k"), col("c_mktsegment"), col("upg"))
+    val hist = dim.select(col("k"), col("c_mktsegment").as("segment"),
+        lit(null).cast("timestamp").as("valid_from"), col("upg").as("valid_to"))
+      .unionByName(dim.select(col("k"), lit("UPGRADED").as("segment"),
+        col("upg").as("valid_from"), lit(null).cast("timestamp").as("valid_to")))
+    t.orders
+      .join(hist, col("o_custkey") === col("k") &&
+        (col("valid_from").isNull || col("valid_from") <= col("o_orderdate")) &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("segment"))
+  }
 }
