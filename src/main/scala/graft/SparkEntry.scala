@@ -374,6 +374,9 @@ object SparkEntry {
     // B15: per-event trailing-hour aggregates — integer epoch-micros
     // RANGE frame, exact decimal sums
     "q_rolling_stats"  -> q(EventOps.rollingStats),
+    // B19: point-in-time dimension resolution against an SCD-2-shaped
+    // history — ONE equi-join on the key, window predicate residual
+    "q_pit_lookup"     -> q(EventOps.pitLookup),
     // C-family: message pipeline semantics
     "q_msg_context"       -> q(EventOps.msgContext),
     "q_user_names"        -> q(EventOps.userNames),
@@ -1489,6 +1492,31 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // B19: the oracle replays the deterministic history derivation
+    // (first order + 365 days opens the UPGRADED version) and the
+    // literal half-open-window join; money totals per the DECIMAL
+    // convention.
+    "q_pit_lookup" ->
+      """WITH upg AS (
+        |  SELECT o_custkey AS ck,
+        |    MIN(o_orderdate) + INTERVAL 365 DAY AS upg
+        |  FROM orders GROUP BY o_custkey),
+        |dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment, upg
+        |  FROM customer JOIN upg ON c_custkey = ck),
+        |hist AS (
+        |  SELECT k, c_mktsegment AS segment,
+        |    CAST(NULL AS TIMESTAMP) AS valid_from, upg AS valid_to FROM dim
+        |  UNION ALL
+        |  SELECT k, 'UPGRADED' AS segment,
+        |    upg AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM dim)
+        |SELECT segment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN hist ON o_custkey = k
+        |  AND (valid_from IS NULL OR valid_from <= o_orderdate)
+        |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+        |GROUP BY segment
+        |ORDER BY segment""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,

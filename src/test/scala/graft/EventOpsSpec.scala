@@ -462,4 +462,59 @@ class EventOpsSpec extends SparkTestBase {
       ("2024-01-02", 0L, 1L, 1L, 1.0),
       ("2024-01-02", 1L, 1L, 1L, 1.0)))
   }
+
+  test("pitLookup matches an independent per-order resolution scan " +
+    "and every order resolves exactly once") {
+    val seg = t.customer.select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ords = t.orders.select("o_custkey", "o_orderdate", "o_totalprice")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getDouble(2)))
+    val upg = ords.groupBy(_._1).map { case (ck, os) =>
+      ck -> os.map(_._2).min(Ordering.fromLessThan[java.time.LocalDateTime](
+        _.isBefore(_))).plusDays(365)
+    }
+    val expect = ords.groupBy { case (ck, d, _) =>
+      if (!d.isBefore(upg(ck))) "UPGRADED" else seg(ck)
+    }.map { case (s, os) =>
+      val exact = os.map(o => BigDecimal(o._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (s, os.length.toLong, exact.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = EventOps.pitLookup(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(x => (x._1, x._2)) === expect.map(x => (x._1, x._2)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6, s"total mismatch for ${g._1}") }
+    // windows partition the timeline: fan-out never duplicates a fact
+    assert(got.map(_._2).sum === ords.length.toLong)
+    assert(got.exists(_._1 == "UPGRADED"), "no post-upgrade orders — vacuous")
+  }
+
+  test("pitLookup boundary: an order ON the upgrade instant resolves " +
+    "UPGRADED, one microsecond before resolves the original segment") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    // cust 1: first order 2024-01-01 → upgrade instant 2024-12-31
+    // 00:00:00 (365 days, leap year irrelevant by construction);
+    // planted orders ON the instant and 1µs before it. cust 2: only
+    // the first order — never upgrades.
+    val orders = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-12-30 23:59:59.999999"), 20.0),
+      (1L, ts("2024-12-31 00:00:00"), 40.0),
+      (2L, ts("2024-03-01 12:00:00"), 80.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toFile
+    customer.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/orders.parquet")
+    val got = EventOps.pitLookup(Tables(spark, dir.getAbsolutePath)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("BUILDING", 2L, 30.0),   // first order + the 1µs-before order
+      ("MACHINERY", 1L, 80.0),  // never upgraded
+      ("UPGRADED", 1L, 40.0)))  // the on-the-instant order
+  }
 }

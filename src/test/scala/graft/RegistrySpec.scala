@@ -42,6 +42,32 @@ class RegistrySpec extends AnyFunSuite {
       s"§2 rows naming unregistered queries: ${phantom.toSeq.sorted.mkString(", ")}")
   }
 
+  /** Round 14's drift variant: a finished operator swept into a
+    * snapshot commit WITHOUT a registry entry (B19 `q_pit_lookup`) —
+    * dead code the §2 checks above cannot see because they only look
+    * at registered keys. The library convention is that every
+    * operator's scaladoc names its registry key in backticks, so any
+    * backticked `q_*` token anywhere in main source that is NOT a
+    * registered key is an unwired operator (or a stale doc — equally
+    * a defect). */
+  test("every q_* key mentioned in main source is a registered query") {
+    val root = Paths.get("src/main/scala")
+    val keyPat = "`(q_[a-z0-9_]+)`".r
+    val walk = Files.walk(root)
+    val mentioned =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala"))
+          .flatMap(p => keyPat.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+          .toSet
+      } finally walk.close()
+    assert(mentioned.nonEmpty, "source scan found no keys — pattern rot")
+    val unwired = mentioned -- SparkEntry.queries.keySet
+    assert(unwired.isEmpty,
+      s"operators documented but not registered: ${unwired.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every oracle key is a registered query") {
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty,
