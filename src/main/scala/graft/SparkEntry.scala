@@ -220,6 +220,18 @@ object SparkEntry {
     // H11: additive schema evolution — two file generations, one
     // mergeSchema read, NULL backfill proven per source
     "q_schema_evolve"   -> q(graft.sources.Export.schemaEvolve),
+    // H12: generation-pinned reads — both generations aggregated
+    // AFTER the gen-1 commit; the gen-0 leg proves non-destructive
+    // versioning from inside the row
+    "q_time_travel"     -> q(graft.sources.TableFormat.timeTravel),
+    // H13: H10's purge as a merge-on-read DELETE-VECTOR sidecar —
+    // data files untouched, every read (incl. the residual audit)
+    // anti-joins the sidecar; same manifest/oracle as H10
+    "q_purge_dv"        -> q(graft.sources.TableFormat.purgeDv),
+    // H14: the change data feed between two committed generations —
+    // insert/delete/update_pre/update_post rows diffed from the
+    // READ-BACK generations, no-op updates suppressed
+    "q_cdc"             -> q(graft.sources.TableFormat.cdc),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -643,6 +655,71 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // H12: the oracle reconstructs BOTH generations from the corpus —
+    // gen 0 is the pre-merge state cut, gen 1 is H8's merged table;
+    // the pointer lands on 1.
+    "q_time_travel" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders),
+        |g0 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey <= (SELECT s FROM mx)),
+        |g1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT s FROM mx)
+        |      AND o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS gen, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+        |  CAST(1 AS BIGINT) AS current_gen
+        |FROM g0 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(bit_xor(o_orderkey) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM g1 GROUP BY o_orderstatus
+        |ORDER BY gen, o_orderstatus""".stripMargin,
+    // H13: the DELETE-VECTOR purge must read exactly what H10's
+    // rewrite reads — the oracle is H10's verbatim.
+    "q_purge_dv" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 97 = 0) AS n_purged,
+        |  CAST(0 AS BIGINT) AS residual
+        |FROM documents
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // H14: the literal change set reconstructed from the episode
+    // rule — inserts are the upper half, deletes the lower-half ≡5
+    // slice, update pre/post the ≡0 slice's original and rewritten
+    // rows.
+    "q_cdc" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders)
+        |SELECT 'insert' AS change_type, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey > (SELECT s FROM mx)
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 5
+        |UNION ALL
+        |SELECT 'update_pre', o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, o_custkey,
+        |  'X', o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 0
+        |ORDER BY change_type, o_orderkey""".stripMargin,
     // H9: the oracle reconstructs the SCD-2 history table — closed
     // versions (updated keys at their ORIGINAL status, valid_to 1),
     // survivors and current versions — and aggregates identically.

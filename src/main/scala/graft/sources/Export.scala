@@ -329,7 +329,7 @@ object Export {
     * mod 10, status rewritten to 'X') and INSERT slice (the upper
     * half) — ONE rule both mutation rows and both their oracles
     * replay. */
-  private def mutationEpisode(t: Tables): (DataFrame, DataFrame, DataFrame) = {
+  private[sources] def mutationEpisode(t: Tables): (DataFrame, DataFrame, DataFrame) = {
     val maxKey = t.orders.agg(max(col("o_orderkey"))).first().getLong(0)
     val split = maxKey / 2
     val state = t.orders.filter(col("o_orderkey") <= split)

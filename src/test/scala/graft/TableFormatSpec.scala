@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableFormat
+
+/** The table-format read family (H12 time travel, H13 delete-vector
+  * merge-on-read, H14 CDC): core-level proofs against independent
+  * plain-Scala replications plus the planted pathologies the oracle
+  * rows can't reach (no-op updates, empty delete vectors, reads
+  * pinned across a concurrent commit). */
+class TableFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("commitGen/readGen: a gen-0 read is bit-identical before and " +
+    "after the gen-1 commit, and the pointer advances atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val g0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    TableFormat.commitGen(g0, dir, 0L)
+    assert(TableFormat.currentGen(dir) === 0L)
+    val schema = g0.schema
+    val before = TableFormat.readGen(spark, dir, 0L, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val g1 = Seq((1L, "a", 10.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    TableFormat.commitGen(g1, dir, 1L)
+    assert(TableFormat.currentGen(dir) === 1L)
+    // the pinned past-generation read after the commit — time travel
+    val after = TableFormat.readGen(spark, dir, 0L, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(before.toSeq === after.toSeq)
+    val cur = TableFormat.readGen(spark, dir, TableFormat.currentGen(dir), schema)
+      .collect().map(_.getLong(0)).sorted
+    assert(cur.toSeq === Seq(1L, 3L))
+  }
+
+  test("applyDv: merge-on-read equals the rewrite row-for-row, an " +
+    "empty DV is the identity, double application is idempotent") {
+    val store = Seq(
+      (1L, "t1", "en", 2L, "web"), (2L, "t2", "en", 2L, "web"),
+      (97L, "t97", "de", 3L, "book"), (194L, "t194", "de", 4L, "book"),
+      (5L, "t5", "fr", 2L, "code")
+    ).toDF("doc_id", "text", "lang", "n_chars", "source")
+    val dv = Seq(97L, 194L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang", "n_chars", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    val mor = TableFormat.applyDv(store, dv)
+    // independent rewrite replication: literal id-set filter
+    val rewrite = store.filter(!col("doc_id").isin(97L, 194L))
+    assert(rows(mor) === rows(rewrite))
+    assert(rows(TableFormat.applyDv(store, spark.emptyDataset[Long]
+      .toDF("doc_id"))) === rows(store))
+    assert(rows(TableFormat.applyDv(mor, dv)) === rows(mor))
+  }
+
+  test("cdcDiff: planted insert/delete/update/no-op classify exactly, " +
+    "a no-op row emits NOTHING, and applying the feed reproduces the " +
+    "next generation row-for-row") {
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val next = Seq((1L, "a", 10.0), // untouched — must emit nothing
+      (2L, "B", 20.0),              // update (string field)
+      (4L, "d", 45.0),              // update (numeric field)
+      (5L, "e", 50.0)               // insert; 3 deleted
+    ).toDF("k", "s", "v")
+    val diff = TableFormat.cdcDiff(prev, next, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(!diff.exists(_._2 == 1L), "no-op row leaked into the feed")
+    assert(diff.filter(_._1 == "insert").toSet === Set(("insert", 5L, "e", 50.0)))
+    assert(diff.filter(_._1 == "delete").toSet === Set(("delete", 3L, "c", 30.0)))
+    assert(diff.filter(_._1 == "update_pre").toSet ===
+      Set(("update_pre", 2L, "b", 20.0), ("update_pre", 4L, "d", 40.0)))
+    assert(diff.filter(_._1 == "update_post").toSet ===
+      Set(("update_post", 2L, "B", 20.0), ("update_post", 4L, "d", 45.0)))
+    // the changefeed contract: apply(gen N, diff) ≡ gen N+1
+    val applied = TableFormat.applyChanges(prev,
+      TableFormat.cdcDiff(prev, next, "k"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val want = next.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(applied === want)
+  }
+
+  test("cdc episode invariants at sf0.001: all four change types " +
+    "present, update pre/post key sets identical, inserts disjoint " +
+    "from deletes") {
+    val feed = SparkEntry.queries("q_cdc")(spark, sfDir)
+    val byType = feed.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(o_orderkey)").as("kx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byType.keySet ===
+      Set("insert", "delete", "update_pre", "update_post"))
+    assert(byType("update_pre") === byType("update_post"),
+      "update pre/post must cover the same keys")
+    val ins = feed.filter(col("change_type") === "insert")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val del = feed.filter(col("change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ins.intersect(del).isEmpty)
+  }
+}
