@@ -643,11 +643,17 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
     // H11: the oracle computes both generations from the raw corpus —
     // legacy rows are exactly the lower half, the evolved volume is
-    // exactly the upper half's n_chars.
+    // exactly the upper half's n_chars. The engine counts legacy by
+    // `n_chars IS NULL` on the merged read (the NULL-backfill proof);
+    // the OR term makes the oracle agree even for a day-2 document
+    // whose n_chars is genuinely NULL in the corpus — without it such
+    // a row would fail the gate confusingly (engine: legacy; oracle:
+    // not), despite both being right about the store.
     "q_schema_evolve" ->
       """WITH mx AS (SELECT MAX(doc_id)//2 AS s FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN doc_id <= (SELECT s FROM mx) THEN 1 ELSE 0 END)
+        |  CAST(SUM(CASE WHEN doc_id <= (SELECT s FROM mx)
+        |    OR n_chars IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_legacy,
         |  CAST(COALESCE(SUM(CASE WHEN doc_id > (SELECT s FROM mx)
         |    THEN n_chars END), 0) AS BIGINT) AS evolved_chars,

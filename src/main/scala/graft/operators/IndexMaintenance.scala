@@ -2,6 +2,8 @@ package graft.operators
 
 import java.io.File
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,9 +72,19 @@ object IndexMaintenance {
     * absence from all three stores, probe exclusion, and survivor
     * integrity. */
   def purgeIndex(spark: SparkSession, path: String,
-      docIds: Seq[Long]): Seq[CompactionReport] =
+      docIds: Seq[Long]): Seq[CompactionReport] = {
+    // broadcast anti-join, NOT isin: a large takedown list as one
+    // In-expression per id bloats the expression tree/codegen, and
+    // Export.purge already fixed this operation's scale shape — both
+    // purge paths share it
+    val td = spark.createDataFrame(
+      docIds.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__td",
+          org.apache.spark.sql.types.LongType))))
     rewriteStores(spark, path,
-      _.filter(!col("doc_id").isin(docIds: _*)))
+      _.join(broadcast(td), col("doc_id") === col("__td"), "left_anti"))
+  }
 
   /** The shared per-store rewrite: read → transform → repartition on
     * the cell key (one file per cell after) → write-beside →
@@ -105,6 +117,17 @@ object IndexMaintenance {
         val df = transform(spark.read.parquet(dir.getAbsolutePath))
         df.repartition(col("cell"))
           .write.partitionBy("cell").parquet(tmp.getAbsolutePath)
+        // a transform that EMPTIES the store (a purge listing every
+        // doc in it) writes a partitioned dir with no data files —
+        // schema inference on every later read would fail; install a
+        // schema-bearing empty file instead (cell becomes a regular
+        // column; pruning is moot on an empty store)
+        if (dataFiles(tmp).isEmpty) {
+          LayoutStore.deleteRecursively(tmp)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+            .repartition(1).write.parquet(tmp.getAbsolutePath)
+        }
         require(dir.renameTo(old), s"compaction swap failed moving $dir aside")
         if (!tmp.renameTo(dir)) {
           // restore the old generation before failing — the store

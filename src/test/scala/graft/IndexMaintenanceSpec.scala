@@ -103,6 +103,25 @@ class IndexMaintenanceSpec extends SparkTestBase {
       all.length - victims.size)
   }
 
+  test("purgeIndex that empties the store leaves a READABLE empty " +
+    "store, and the next maintenance pass still runs") {
+    val path = accretedIndex()
+    val all = spark.read.parquet(s"$path/cells")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    IndexMaintenance.purgeIndex(spark, path, all)
+    // schema-inferred reads must SUCCEED and see zero rows — the
+    // partitioned write of an empty frame would otherwise leave a
+    // dir with no data files that fails inference forever
+    Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
+      assert(spark.read.parquet(s"$path/$sub").count() === 0L,
+        s"$sub should be empty but readable")
+    }
+    // the emptied store is not a wedge: another full pass succeeds
+    val again = IndexMaintenance.compactIndex(spark, path)
+    assert(again.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
+    assert(spark.read.parquet(s"$path/cells").count() === 0L)
+  }
+
   test("compactIndex heals crash leftovers: a store stranded as " +
     "_precompact is restored, stale _compact dirs do not wedge a retry") {
     val path = accretedIndex()
