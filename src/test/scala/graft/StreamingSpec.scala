@@ -13,6 +13,70 @@ import graft.streaming.IncrementalPipeline
   * sink, then reconciled against the equivalent batch aggregation. */
 class StreamingSpec extends SparkTestBase {
 
+  test("watermark late-data semantics: an event OLDER than the " +
+    "watermark is dropped, an out-of-order event inside the horizon " +
+    "is kept, and emitted windows equal batch on the on-time corpus") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-late").toFile
+    in.deleteOnExit()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one file per land() = one micro-batch (maxFilesPerTrigger=1);
+    // the file source processes oldest-modification-time first, so
+    // sleep keeps the arrival order deterministic
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in.getAbsolutePath)
+      Thread.sleep(1000)
+    }
+    land(Seq((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 00:40:00"), 2L, "click", 1.0),
+      (4L, ts("2024-01-01 01:15:00"), 1L, "click", 1.0)))
+    // advances the watermark to 08:30 (= 10:30 − the 2h lateness)
+    land(Seq((5L, ts("2024-01-01 10:30:00"), 3L, "click", 1.0)))
+    // spacer batch: the engine applies a batch's watermark update to
+    // FILTERING one batch later (it commits post-batch), so give the
+    // 08:30 watermark one batch to become the active filter
+    land(Seq((9L, ts("2024-01-01 10:45:00"), 3L, "click", 1.0)))
+    // 00:30 is LATE (window end 01:00 < 08:30 watermark → dropped);
+    // 09:15 is merely OUT OF ORDER (window end 10:00 > watermark →
+    // kept) — the distinction the allowed-lateness contract draws
+    land(Seq((6L, ts("2024-01-01 00:30:00"), 4L, "click", 1.0),
+      (7L, ts("2024-01-01 09:15:00"), 5L, "click", 1.0)))
+    // advances the watermark to 11:30, closing hours 9 and 10
+    land(Seq((8L, ts("2024-01-01 13:30:00"), 6L, "click", 1.0)))
+
+    val q = IncrementalPipeline.hourlyCounts(spark, in.getAbsolutePath,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("late_drop").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).getHour,
+        r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    // hour 0 counts THREE clicks, not four: the late 00:30 event is
+    // dropped per the declared lateness. Hour 9 counts the
+    // out-of-order event. Hour 13 is still open (never emitted in
+    // append mode) — absent by contract, not lost.
+    assert(got === Seq((0, "click", 3L), (1, "click", 1L),
+      (9, "click", 1L), (10, "click", 2L)))
+    // batch equivalence on the on-time corpus: the same aggregation
+    // over everything except the late row, restricted to closed
+    // windows, is exactly what the stream emitted
+    val batch = spark.read.parquet(in.getAbsolutePath)
+      .filter(col("event_id") =!= 6L &&
+        col("ts") < ts("2024-01-01 11:30:00"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toLocalDateTime.getHour,
+        r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === batch)
+  }
+
   test("streaming hourly counts reconcile with the batch timeWindow") {
     // stream source needs a directory of parquet files
     val dir = Files.createTempDirectory("graft-stream").toFile
