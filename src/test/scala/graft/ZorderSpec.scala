@@ -52,6 +52,71 @@ class ZorderSpec extends SparkTestBase {
     assert(got.nonEmpty, "box query empty — vacuous")
   }
 
+  test("appends DEGRADE z-order pruning and a re-optimize pass " +
+    "restores it, with the box result identical in every phase") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zopt").toFile
+    try {
+      val schema = "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING, day LONG"
+      val path = s"${dir.getAbsolutePath}/store"
+      // split by PARITY, not by id range: event ids are assigned in
+      // time order, so an id-range delta would cover only late days
+      // and the box's day stats would prune the appended files for
+      // the wrong reason — parity makes every append batch span the
+      // full user AND day range, the real worst case
+      val base = t.events.filter(pmod(col("event_id"), lit(2L)) === 0L)
+      val delta = t.events.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      val deltaRows = delta.count()
+
+      // phase 1: fresh z-ordered store over the lower half
+      Zorder.writeZordered(base, path)
+      def store = spark.read.schema(schema).parquet(path)
+      def boxRows(df: DataFrame) = Zorder.boxFilter(df)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val freshScan = scanRows(Zorder.boxFilter(store).select("event_id"))
+      assert(boxRows(store) === Zorder.boxFilterRaw(base)
+        .select("event_id").collect().map(_.getLong(0)).toSet)
+
+      // phase 2: four arrival-order append batches — the daily-append
+      // accretion; each file spans the full user AND day range, so
+      // min/max stats cannot prune it
+      (0 until 4).foreach { i =>
+        delta.filter(pmod(col("event_id"), lit(8L)) === (2 * i + 1))
+          .withColumn("day", Zorder.dayCol)
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      val degradedScan = scanRows(Zorder.boxFilter(store).select("event_id"))
+      assert(boxRows(store) === Zorder.boxFilterRaw(t.events)
+        .select("event_id").collect().map(_.getLong(0)).toSet,
+        "append changed the box ANSWER — decay must be a cost story only")
+      // the decay fact: the appended half is scanned essentially in
+      // full on top of the fresh half's pruned scan
+      assert(degradedScan >= freshScan + (deltaRows * 9) / 10,
+        s"appends should defeat pruning: $degradedScan vs " +
+          s"$freshScan + ~$deltaRows")
+
+      // phase 3: OPTIMIZE — re-cluster the whole store (a production
+      // pass scopes this to partitions the appends touched; the
+      // rewrite itself is H7's swap discipline)
+      val opt = s"${dir.getAbsolutePath}/optimized"
+      Zorder.writeZordered(store.drop("day"), opt)
+      def optStore = spark.read.schema(schema).parquet(opt)
+      val reoptScan = scanRows(Zorder.boxFilter(optStore).select("event_id"))
+      info(s"scan rows: fresh=$freshScan degraded=$degradedScan " +
+        s"reoptimized=$reoptScan (delta=$deltaRows)")
+      assert(boxRows(optStore) === boxRows(store),
+        "re-optimize changed the box answer")
+      assert(reoptScan * 2 <= degradedScan,
+        s"re-optimize recovered too little: $reoptScan vs $degradedScan")
+      // recovered to fresh-level pruning: the store doubled, so the
+      // scan should land near 2× the fresh cost, not near the
+      // degraded cost (25% slack — at ~16 rows/file the bucket
+      // boundaries are coarse)
+      assert(reoptScan * 10 <= freshScan * 25,
+        s"pruning did not recover to fresh level: $reoptScan vs 2×$freshScan")
+    } finally graft.sources.LayoutStore.deleteRecursively(dir)
+  }
+
   test("the z-ordered layout prunes BOTH dimensions where a " +
     "single-column sort only prunes its own") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
