@@ -87,9 +87,14 @@ object EmbeddingStore {
   val defaultEncoder: Encoder = HashingEncoder(dim)
 
   /** Batch-embed cleaned document text → (doc_id, shard, embedding
-    * float[dim], norm 1). `dim` defaults to the store width; pass 384
-    * to embed at the reference's model dimensionality. */
-  def embed(docs: DataFrame): DataFrame = embed(docs, dim)
+    * float[dim], norm 1) under the SESSION's encoder binding
+    * ([[Encoder.resolve]] — the `graft.encoder.class` conf, or the
+    * shipped hashing default). The width-taking overload is
+    * explicitly the HASHING encoder at that width (the dim-sweep
+    * bench rows); the seam entry for an arbitrary model is
+    * [[embedWith]]. */
+  def embed(docs: DataFrame): DataFrame =
+    embedWith(Encoder.resolve(docs.sparkSession), docs)
 
   def embed(docs: DataFrame, dim: Int): DataFrame =
     embedWith(HashingEncoder(dim), docs)
@@ -172,7 +177,7 @@ object EmbeddingStore {
     * LITERAL string. */
   def searchText(t: Tables, queryText: String = textQueryString,
       k: Int = 10): DataFrame =
-    searchTextWith(defaultEncoder, t, queryText, k)
+    searchTextWith(Encoder.resolve(t.spark), t, queryText, k)
 
   /** [[searchText]] through an arbitrary [[Encoder]] — query and
     * corpus embed through the SAME seam (a mixed-encoder search is
@@ -225,7 +230,7 @@ object EmbeddingStore {
     * store has fallen behind. */
   def updateSince(t: Tables, path: String, sinceDocId: Long,
       maxDocs: Option[Int]): UpdateStats =
-    updateSinceWith(defaultEncoder, t, path, sinceDocId, maxDocs)
+    updateSinceWith(Encoder.resolve(t.spark), t, path, sinceDocId, maxDocs)
 
   /** [[updateSince]] through an arbitrary [[Encoder]] — the
     * incremental path of the seam (a store must append with the SAME

@@ -37,6 +37,66 @@ trait Encoder extends Serializable {
   def encodeRaw(docs: DataFrame): DataFrame
 }
 
+/** The conf-driven encoder BINDING — how a deployment installs its
+  * production model without touching engine code (reference
+  * processor.py:47 hardcodes all-MiniLM-L6-v2; here the class name
+  * is session conf). A production ONNX wrapper has exactly this
+  * shape:
+  *
+  * {{{
+  * // --conf graft.encoder.class=com.example.MiniLmEncoder
+  * final class MiniLmEncoder() extends Encoder {
+  *   val dim = 384                       // the model's output width
+  *   def encodeRaw(docs: DataFrame): DataFrame =
+  *     docs.mapPartitions { rows =>      // one ONNX session per task,
+  *       val session = ModelCache.get()  // batched inference inside
+  *       rows.grouped(64).flatMap(b => session.encode(b))
+  *     }  // deterministic per (doc_id, text) — the retry contract
+  * }
+  * }}}
+  */
+object Encoder {
+  /** Session conf naming the [[Encoder]] implementation class. */
+  val classKey = "graft.encoder.class"
+
+  /** Optional width passed to a `(dim: Int)` constructor. */
+  val dimKey = "graft.encoder.dim"
+
+  /** Resolve the session's encoder: the class named by
+    * [[classKey]] — built via its `(dim: Int)` constructor when
+    * [[dimKey]] is set, else its no-arg constructor (falling back to
+    * the Int constructor at the library default width) — or the
+    * shipped [[HashingEncoder]] when the conf is absent. Every
+    * default-encoder entry point ([[EmbeddingStore.embed]],
+    * searchText, updateSince) resolves through here, so the swap
+    * needs ZERO engine changes (EncoderSpec loads a third encoder
+    * purely via conf and runs the search chain under it). */
+  def resolve(spark: org.apache.spark.sql.SparkSession): Encoder =
+    spark.conf.getOption(classKey) match {
+      case None => EmbeddingStore.defaultEncoder
+      case Some(name) =>
+        val cls = Class.forName(name)
+        require(classOf[Encoder].isAssignableFrom(cls),
+          s"$name does not implement graft.operators.Encoder")
+        val ctors = cls.getConstructors
+        def intCtor = ctors.find(
+          _.getParameterTypes.toSeq == Seq(classOf[Int]))
+        def nullary = ctors.find(_.getParameterCount == 0)
+        val built = spark.conf.getOption(dimKey).map(_.toInt) match {
+          case Some(d) =>
+            intCtor.getOrElse(sys.error(
+              s"$name has no (dim: Int) constructor but $dimKey is set"))
+              .newInstance(Int.box(d))
+          case None =>
+            nullary.map(_.newInstance())
+              .orElse(intCtor.map(_.newInstance(Int.box(EmbeddingStore.dim))))
+              .getOrElse(sys.error(
+                s"$name needs a no-arg or (dim: Int) constructor"))
+        }
+        built.asInstanceOf[Encoder]
+    }
+}
+
 /** The shipped default: deterministic WORD-level feature hashing —
   * each token votes ±1 into one of `dim` md5-addressed buckets
   * (reference processor.py:174's batch encode re-expressed without a

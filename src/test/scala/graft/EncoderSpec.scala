@@ -40,6 +40,27 @@ final case class TrigramEncoder(dim: Int) extends Encoder {
   }
 }
 
+/** The THIRD encoder, loadable purely by conf: no-arg constructor
+  * (Class.forName + newInstance — the production deployment path),
+  * word-LENGTH count bucketing, nothing shared with either other
+  * encoder. */
+final class ByteFoldEncoder() extends Encoder {
+  val dim = 16
+  def encodeRaw(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(
+          lower(trim(col("text"))))).as("w"))
+      .select(col("doc_id"), (length(col("w")) % dim).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+}
+
 /** Proves the [[Encoder]] seam: the whole store → index → search →
   * recall → stats machinery runs unchanged under an encoder that
   * shares nothing with the default but the contract. */
@@ -153,5 +174,41 @@ class EncoderSpec extends SparkTestBase {
       "the quick brown fox jumps over the lazy dog", 5).collect()
     assert(hits.length === 5)
     assert(hits.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("conf-driven binding: a THIRD encoder loads via " +
+    "graft.encoder.class with zero engine changes, the dim conf " +
+    "selects the (dim: Int) constructor, and no conf means the " +
+    "shipped default") {
+    assert(Encoder.resolve(spark) === EmbeddingStore.defaultEncoder)
+    try {
+      // the (dim: Int) constructor path
+      spark.conf.set(Encoder.classKey, "graft.TrigramEncoder")
+      spark.conf.set(Encoder.dimKey, "48")
+      assert(Encoder.resolve(spark) === TrigramEncoder(48))
+      spark.conf.unset(Encoder.dimKey)
+      // the no-arg constructor path, driven through the PUBLIC
+      // default entry points — the engine never names the class
+      spark.conf.set(Encoder.classKey, "graft.ByteFoldEncoder")
+      val docs = t.documents.limit(50)
+      val viaConf = EmbeddingStore.embed(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      val direct = EmbeddingStore.embedWith(new ByteFoldEncoder(), docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      assert(viaConf === direct, "conf binding did not select the encoder")
+      val hashed = EmbeddingStore.embedWith(HashingEncoder(16), docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      assert(viaConf !== hashed, "third encoder indistinct — vacuous")
+      // the search chain end-to-end under the conf binding
+      val hits = EmbeddingStore.searchText(t, "the quick brown fox", 5)
+        .collect()
+      val expect = EmbeddingStore.searchTextWith(new ByteFoldEncoder(),
+        t, "the quick brown fox", 5).collect()
+      assert(hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        expect.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    } finally {
+      spark.conf.unset(Encoder.classKey)
+      spark.conf.unset(Encoder.dimKey)
+    }
   }
 }
