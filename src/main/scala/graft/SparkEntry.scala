@@ -232,6 +232,9 @@ object SparkEntry {
     // insert/delete/update_pre/update_post rows diffed from the
     // READ-BACK generations, no-op updates suppressed
     "q_cdc"             -> q(graft.sources.TableFormat.cdc),
+    // H15: the retention sweep — three generations, keep 2; both
+    // retained generations aggregated from read-back AFTER the sweep
+    "q_vacuum"          -> q(graft.sources.TableFormat.vacuum),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -726,6 +729,35 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey <= (SELECT s FROM mx) AND o_orderkey % 10 = 0
         |ORDER BY change_type, o_orderkey""".stripMargin,
+    // H15: the oracle reconstructs the two RETAINED generations (the
+    // H8 merge, and the merge minus the ≡5 takedown slice); the
+    // sweep reaps exactly generation 0.
+    "q_vacuum" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders),
+        |g1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT s FROM mx)
+        |      AND o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders),
+        |g2 AS (
+        |  SELECT * FROM g1
+        |  WHERE NOT (o_orderkey <= (SELECT s FROM mx)
+        |    AND o_orderkey % 10 = 5))
+        |SELECT CAST(1 AS BIGINT) AS gen, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+        |  CAST(2 AS BIGINT) AS current_gen, CAST(1 AS BIGINT) AS n_reaped
+        |FROM g1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(bit_xor(o_orderkey) AS BIGINT),
+        |  CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM g2 GROUP BY o_orderstatus
+        |ORDER BY gen, o_orderstatus""".stripMargin,
     // H9: the oracle reconstructs the SCD-2 history table — closed
     // versions (updated keys at their ORIGINAL status, valid_to 1),
     // survivors and current versions — and aggregates identically.

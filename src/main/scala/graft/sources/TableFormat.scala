@@ -111,6 +111,78 @@ object TableFormat {
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
 
+  /** The RETENTION sweep over a versioned table: reap every
+    * generation at or below `current − keep`, i.e. retain the
+    * newest `keep` committed generations. Never touches generations
+    * NEWER than the pointer (an in-flight uncommitted write) or the
+    * pointer itself. Returns the reaped ids. Driver-side directory
+    * ops, O(generations) regardless of table size. */
+  private[graft] def vacuumGenerations(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "retention must keep at least the current generation")
+    val cur = currentGen(root)
+    val reap = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .flatMap(f => f.getName.stripPrefix("gen_").toLongOption.map(_ -> f))
+      .filter { case (g, _) => g <= cur - keep }
+    reap.foreach { case (_, f) => LayoutStore.deleteRecursively(f) }
+    reap.map(_._1).sorted.toSeq
+  }
+
+  /** H15 — `q_vacuum`: the RETENTION sweep that bounds what H12's
+    * time travel lets grow (Delta VACUUM / Iceberg expire_snapshots)
+    * — the lifecycle's last verb: commit (H8-H11), read pinned
+    * (H12), diff (H14), then EXPIRE history by policy. Episode:
+    * three committed generations (the mutation-episode state, the
+    * H8 merge, the merge minus H14's takedown slice); retention
+    * keeps 2 → generation 0 reaps. The manifest aggregates BOTH
+    * retained generations READ BACK AFTER the sweep — the proof the
+    * vacuum deleted ONLY what the policy named (a sweep that
+    * touched a retained generation's files changes a corpus-derived
+    * number); `n_reaped` pins the sweep's own report against the
+    * oracle's literal 1, and the gen-0-is-gone half lives in the
+    * spec (absence is a filesystem fact no SQL oracle can see).
+    *
+    * Scale shape: the sweep is driver-side directory removal,
+    * O(generations) and data-size independent; the manifest legs
+    * are map-side-combining aggregates. At 100 TB the policy is the
+    * same two numbers (retain N, or retain by age) — what grows is
+    * reclaimed bytes, not sweep cost. */
+  def vacuum(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "vacuum").toPath
+    try {
+      val root = dir.toString
+      val (state, updates, inserts) = Export.mutationEpisode(t)
+      commitGen(state, root, 0L)
+      val schema = state.schema
+      val gen0 = readGen(spark, root, 0L, schema)
+      val merged = Export.mergeLatest(gen0,
+        updates.unionByName(inserts), "o_orderkey")
+      commitGen(merged, root, 1L)
+      val takedown = gen0
+        .filter(pmod(col("o_orderkey"), lit(10L)) === 5L)
+        .select(col("o_orderkey").as("__tk"))
+      commitGen(readGen(spark, root, 1L, schema).join(takedown,
+        col("o_orderkey") === col("__tk"), "left_anti"), root, 2L)
+      val reaped = vacuumGenerations(root, keep = 2)
+      val pinnedGen = currentGen(root)
+      def leg(gen: Long) =
+        readGen(spark, root, gen, schema)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.functions.Exact.dsum(col("o_totalprice")).as("total"),
+            expr("bit_xor(o_orderkey)").as("key_xor"))
+          .select(lit(gen).as("gen"), col("o_orderstatus"),
+            col("n_orders"), col("total"), col("key_xor"))
+      leg(1L).unionByName(leg(2L))
+        .withColumn("current_gen", lit(pinnedGen))
+        .withColumn("n_reaped", lit(reaped.length.toLong))
+        .orderBy(col("gen"), col("o_orderstatus"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
   // ---------------------------------------------------------------
   // H13: merge-on-read delete vectors
   // ---------------------------------------------------------------

@@ -86,6 +86,35 @@ class TableFormatSpec extends SparkTestBase {
     assert(applied === want)
   }
 
+  test("vacuumGenerations reaps only what the policy names: retained " +
+    "generations read intact, the reaped one is gone, an in-flight " +
+    "(uncommitted) generation survives, and the sweep is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
+    TableFormat.commitGen(mk(0), root, 0L)
+    TableFormat.commitGen(mk(1), root, 1L)
+    TableFormat.commitGen(mk(2), root, 2L)
+    // an in-flight generation: fully written, pointer NOT moved
+    mk(3).write.parquet(TableFormat.genDir(root, 3L))
+    assert(TableFormat.currentGen(root) === 2L)
+
+    assert(TableFormat.vacuumGenerations(root, keep = 2) === Seq(0L))
+    assert(TableFormat.currentGen(root) === 2L, "sweep moved the pointer")
+    val schema = mk(0).schema
+    def v(gen: Long) = TableFormat.readGen(spark, root, gen, schema)
+      .collect().map(_.getLong(1)).toSeq
+    assert(v(1L) === Seq(1L) && v(2L) === Seq(2L),
+      "a retained generation was damaged")
+    assert(!new java.io.File(TableFormat.genDir(root, 0L)).exists(),
+      "the reaped generation still exists")
+    assert(new java.io.File(TableFormat.genDir(root, 3L)).isDirectory,
+      "the sweep touched an in-flight generation newer than the pointer")
+    assert(TableFormat.vacuumGenerations(root, keep = 2) === Seq.empty)
+    // keep=1 retains only the current committed generation
+    assert(TableFormat.vacuumGenerations(root, keep = 1) === Seq(1L))
+    assert(v(2L) === Seq(2L))
+  }
+
   test("cdc episode invariants at sf0.001: all four change types " +
     "present, update pre/post key sets identical, inserts disjoint " +
     "from deletes") {
