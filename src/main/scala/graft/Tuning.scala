@@ -78,6 +78,33 @@ object Tuning {
     Recommendation(shuffle, maxPart, batch)
   }
 
+  /** The encoder INFERENCE batch: rows per model call inside a
+    * `mapPartitions` encoder (the [[graft.operators.Encoder]]
+    * scaladoc's `rows.grouped(batch)` — reference
+    * hardware_optimizer.py:87-131 steps `embedding_batch_size`
+    * 32→256 by hardware tier and caps a memory fraction; here the
+    * same decision derives from the MEASURED per-core executor
+    * budget). Transformer activations dominate a batch's footprint:
+    * ~4 bytes × tokens × hidden per row in flight plus the output
+    * row, and a quarter of the per-core heap is the batch's budget
+    * (the update path's fraction), bounded to [16, 4096] — the
+    * floor keeps per-call model overhead amortized on tiny
+    * executors, the cap is past where batching stops helping on
+    * CPU (the reference's own top tier is 256).
+    *
+    * Per-OPERATOR, per-SESSION: an executor running 384-dim MiniLM
+    * on an 8 GB/8-core executor gets
+    * `encoderBatchRows(1 GiB, 384)` ≈ 680 → 680-row model calls,
+    * while a 2 GB/4-core executor lands ~340 — sized, not guessed. */
+  def encoderBatchRows(heapBytesPerCore: Long, dim: Int,
+      tokensPerDoc: Int = 256, hiddenWidth: Int = 384): Int = {
+    require(heapBytesPerCore > 0 && dim > 0 &&
+      tokensPerDoc > 0 && hiddenWidth > 0)
+    val perRowBytes = 4L * (tokensPerDoc.toLong * hiddenWidth + dim)
+    math.max(16L, math.min(4096L,
+      heapBytesPerCore / 4 / perRowBytes)).toInt
+  }
+
   /** Parse a Spark memory string to bytes. Spark's own suffix table
     * (JavaUtils.byteSuffixes) accepts BOTH the one- and two-letter
     * forms — "4g" and "4gb", up to "p"/"pb" — so this must too

@@ -49,8 +49,10 @@ trait Encoder extends Serializable {
   *   val dim = 384                       // the model's output width
   *   def encodeRaw(docs: DataFrame): DataFrame =
   *     docs.mapPartitions { rows =>      // one ONNX session per task,
-  *       val session = ModelCache.get()  // batched inference inside
-  *       rows.grouped(64).flatMap(b => session.encode(b))
+  *       val session = ModelCache.get()  // batched inference inside;
+  *       val batch = Tuning.encoderBatchRows(  // sized from the
+  *         heapPerCore, dim)             // measured per-core budget
+  *       rows.grouped(batch).flatMap(b => session.encode(b))
   *     }  // deterministic per (doc_id, text) — the retry contract
   * }
   * }}}

@@ -105,4 +105,22 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.heapPerCoreFrom(None, None,
       defaultParallelism = 4, jvmHeap = 8L * GiB) === 2L * GiB)
   }
+
+  test("encoderBatchRows sizes the inference batch from the per-core " +
+    "budget, bounded to [16, 4096], monotone in memory") {
+    val GiB = 1L << 30
+    // 1 GiB/core at MiniLM geometry (256 tokens × 384 hidden):
+    // 268435456 / (4 × (256×384 + 384)) ≈ 680 rows
+    assert(Tuning.encoderBatchRows(1L * GiB, 384) === 680)
+    // half the budget → half the batch (integer floor)
+    assert(Tuning.encoderBatchRows(GiB / 2, 384) === 340)
+    // a tiny executor floors at 16, never 0
+    assert(Tuning.encoderBatchRows(1L << 20, 384) === 16)
+    // a huge budget caps at 4096
+    assert(Tuning.encoderBatchRows(64L * GiB, 384) === 4096)
+    // longer documents shrink the batch
+    assert(Tuning.encoderBatchRows(1L * GiB, 384, tokensPerDoc = 512) <
+      Tuning.encoderBatchRows(1L * GiB, 384, tokensPerDoc = 256))
+    assertThrows[IllegalArgumentException](Tuning.encoderBatchRows(0, 384))
+  }
 }
