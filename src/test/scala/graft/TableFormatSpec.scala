@@ -115,6 +115,63 @@ class TableFormatSpec extends SparkTestBase {
     assert(v(2L) === Seq(2L))
   }
 
+  test("the changefeed drives derived-data maintenance: IVF append + " +
+    "index purge from the feed's rows land a store identical to " +
+    "maintenance from the literal delta — no rescan needed") {
+    import graft.operators.{EmbeddingStore, IndexMaintenance}
+    val t = graft.sources.Tables(spark, sfDir)
+    val vectors = t.embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val mid = vectors.agg(max(col("doc_id"))).first().getLong(0) / 2
+    val gen0 = vectors.filter(col("doc_id") <= mid)
+    // gen 1 = inserts (upper half) + a takedown slice leaving
+    val deleted = gen0.filter(pmod(col("doc_id"), lit(10L)) === 5L)
+    val gen1 = vectors.filter(col("doc_id") > mid)
+      .unionByName(gen0.join(deleted.select(col("doc_id").as("__d")),
+        col("doc_id") === col("__d"), "left_anti"))
+
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcivf").toFile
+    try {
+      val root = s"$work/table"
+      new java.io.File(root).mkdirs()
+      TableFormat.commitGen(gen0, root, 0L)
+      TableFormat.commitGen(gen1, root, 1L)
+      val schema = gen0.schema
+      val feed = TableFormat.cdcDiff(
+        TableFormat.readGen(spark, root, 0L, schema),
+        TableFormat.readGen(spark, root, 1L, schema), "doc_id")
+        .localCheckpoint(true)
+
+      // two replicas of the SAME gen-0 index (same centroids)
+      val a = s"$work/ivfA"; val b = s"$work/ivfB"
+      EmbeddingStore.buildIvfIndex(spark, gen0, a)
+      graft.sources.LayoutStore.copyRecursively(
+        new java.io.File(a), new java.io.File(b))
+      // A: maintenance from the literal delta (the rescan path)
+      EmbeddingStore.appendToIvfIndex(spark, a,
+        vectors.filter(col("doc_id") > mid))
+      IndexMaintenance.purgeIndex(spark, a,
+        deleted.select("doc_id").collect().map(_.getLong(0)).toSeq)
+      // B: maintenance from the FEED alone
+      EmbeddingStore.appendToIvfIndex(spark, b,
+        feed.filter(col("change_type") === "insert")
+          .select(col("doc_id"), col("embedding")))
+      IndexMaintenance.purgeIndex(spark, b,
+        feed.filter(col("change_type") === "delete")
+          .select("doc_id").collect().map(_.getLong(0)).toSeq)
+
+      Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
+        val fa = spark.read.parquet(s"$a/$sub")
+        val fb = spark.read.parquet(s"$b/$sub").select(fa.columns.map(col): _*)
+        assert(fa.exceptAll(fb).isEmpty && fb.exceptAll(fa).isEmpty,
+          s"feed-driven $sub diverged from literal-delta maintenance")
+      }
+      assert(feed.filter(col("change_type") === "delete").count() > 0 &&
+        feed.filter(col("change_type") === "insert").count() > 0,
+        "episode vacuous")
+    } finally graft.sources.LayoutStore.deleteRecursively(work)
+  }
+
   test("cdc episode invariants at sf0.001: all four change types " +
     "present, update pre/post key sets identical, inserts disjoint " +
     "from deletes") {
