@@ -57,6 +57,47 @@ object TableFormat {
   private[graft] def currentGen(root: String): Long =
     Files.readString(pointerPath(root)).trim.toLong
 
+  /** OPTIMISTIC-CONCURRENCY commit: install `df` as generation
+    * `expected + 1` only if the table is still at generation
+    * `expected` — the transaction-log conflict check every real
+    * table format runs (Delta's protocol: reread the log, fail the
+    * loser). Returns false (and writes nothing durable) when
+    * another writer committed first; the caller re-derives its
+    * change against the new current generation and retries — the
+    * data work is the retry cost, never a corrupted table.
+    *
+    * The critical section is a `_LOCK` file created atomically
+    * (O_EXCL semantics: exactly one creator wins); the check and
+    * the pointer move happen inside it. A crash inside the section
+    * leaves a stale lock — [[healLock]] reaps one older than its
+    * staleness bound, the standard lease compromise (a table-format
+    * service holds leases in its catalog instead; same shape). */
+  private[graft] def tryCommitGen(df: DataFrame, root: String,
+      expected: Long): Boolean = {
+    val lock = Paths.get(root, "_LOCK")
+    val acquired =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!acquired) false
+    else
+      try {
+        if (currentGen(root) != expected) false
+        else { commitGen(df, root, expected + 1); true }
+      } finally Files.deleteIfExists(lock)
+  }
+
+  /** Reap a `_LOCK` left by a writer that died inside its critical
+    * section, once it is older than `staleMillis`. Returns true if
+    * a stale lock was removed. */
+  private[graft] def healLock(root: String, staleMillis: Long): Boolean = {
+    val lock = Paths.get(root, "_LOCK")
+    Files.exists(lock) && {
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(lock).toMillis
+      age > staleMillis && Files.deleteIfExists(lock)
+    }
+  }
+
   /** Generation-pinned read with an EXPLICIT schema (the purge
     * read-back rule: inference must never re-type a column, and an
     * empty generation must read as an empty frame). */

@@ -86,6 +86,35 @@ class TableFormatSpec extends SparkTestBase {
     assert(applied === want)
   }
 
+  test("tryCommitGen: conflicting writers — exactly one wins, the " +
+    "loser's commit writes nothing durable, and a stale crash lock " +
+    "heals by age") {
+    val root = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
+    TableFormat.commitGen(mk(0), root, 0L)
+    // writer A derived its change against gen 0 and commits first
+    assert(TableFormat.tryCommitGen(mk(10), root, expected = 0L))
+    assert(TableFormat.currentGen(root) === 1L)
+    // writer B ALSO derived against gen 0 — its commit must fail,
+    // the pointer must not move, and gen 1 must still be A's data
+    assert(!TableFormat.tryCommitGen(mk(20), root, expected = 0L))
+    assert(TableFormat.currentGen(root) === 1L)
+    val schema = mk(0).schema
+    assert(TableFormat.readGen(spark, root, 1L, schema)
+      .collect().map(_.getLong(1)).toSeq === Seq(10L))
+    // B retries against the NEW current generation and succeeds
+    assert(TableFormat.tryCommitGen(mk(20), root, expected = 1L))
+    assert(TableFormat.currentGen(root) === 2L)
+    // a lock left by a crashed writer blocks commits until it ages out
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_LOCK"))
+    assert(!TableFormat.tryCommitGen(mk(30), root, expected = 2L))
+    assert(!TableFormat.healLock(root, staleMillis = 60000),
+      "a fresh lock must not be reaped")
+    assert(TableFormat.healLock(root, staleMillis = -1))
+    assert(TableFormat.tryCommitGen(mk(30), root, expected = 2L))
+    assert(TableFormat.currentGen(root) === 3L)
+  }
+
   test("vacuumGenerations reaps only what the policy names: retained " +
     "generations read intact, the reaped one is gone, an in-flight " +
     "(uncommitted) generation survives, and the sweep is idempotent") {
