@@ -235,6 +235,13 @@ object SparkEntry {
     // H15: the retention sweep — three generations, keep 2; both
     // retained generations aggregated from read-back AFTER the sweep
     "q_vacuum"          -> q(graft.sources.TableFormat.vacuum),
+    // H16: H10's purge scoped by the per-file min/max manifest —
+    // only intersecting files rewrite, the rest carry by reference;
+    // same manifest/oracle as H10 (answer-invariant optimization)
+    "q_stats_skipping"  -> q(graft.sources.TableFormat.statsSkipping),
+    // H17: the changefeed CONSUMER — a materialized aggregate
+    // maintained from H14's feed alone, oracle = recompute of gen 1
+    "q_cdc_consume"     -> q(graft.sources.TableFormat.cdcConsume),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -758,6 +765,40 @@ object SparkEntry {
         |  CAST(2 AS BIGINT), CAST(1 AS BIGINT)
         |FROM g2 GROUP BY o_orderstatus
         |ORDER BY gen, o_orderstatus""".stripMargin,
+    // H16: the stats-scoped purge must answer exactly what H10's
+    // full rewrite answers — the oracle is H10's verbatim.
+    "q_stats_skipping" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 97 = 0) AS n_purged,
+        |  CAST(0 AS BIGINT) AS residual
+        |FROM documents
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // H17: the feed-maintained aggregate must equal a from-scratch
+    // recompute of the post-change table (q_vacuum's g2 — the H8
+    // merge minus the ≡5 takedown slice).
+    "q_cdc_consume" ->
+      """WITH mx AS (SELECT MAX(o_orderkey)//2 AS s FROM orders),
+        |g1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT s FROM mx)
+        |      AND o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders),
+        |g2 AS (
+        |  SELECT * FROM g1
+        |  WHERE NOT (o_orderkey <= (SELECT s FROM mx)
+        |    AND o_orderkey % 10 = 5))
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+        |FROM g2 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // H9: the oracle reconstructs the SCD-2 history table — closed
     // versions (updated keys at their ORIGINAL status, valid_to 1),
     // survivors and current versions — and aggregates identically.

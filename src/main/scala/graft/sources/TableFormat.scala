@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructType}
 
 import graft.functions.TextFunctions.words
 
@@ -36,18 +36,25 @@ object TableFormat {
   private[graft] def genDir(root: String, gen: Long): String =
     s"$root/gen_$gen"
 
+  /** Atomically point `_GEN` at `gen` (temp file + ATOMIC_MOVE — the
+    * StreamingDataCard commit discipline). A crash between the temp
+    * write and the move leaves only a `_GEN*.tmp` orphan, which
+    * [[vacuumGenerations]] sweeps as crash debris. */
+  private def movePointer(root: String, gen: Long): Unit = {
+    val tmp = Files.createTempFile(Paths.get(root), "_GEN", ".tmp")
+    Files.writeString(tmp, gen.toString)
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Write `df` as generation `gen` and COMMIT it by atomically
-    * replacing the `_GEN` pointer (temp file + ATOMIC_MOVE — the
-    * StreamingDataCard commit discipline). Superseded generations
+    * replacing the `_GEN` pointer. Superseded generations
     * are NOT garbage-collected here: retaining them is the whole
     * point (time travel); a production deployment vacuums by
     * retention policy, exactly like a table format. */
   private[graft] def commitGen(df: DataFrame, root: String, gen: Long): Unit = {
     df.write.mode("overwrite").parquet(genDir(root, gen))
-    val tmp = Files.createTempFile(Paths.get(root), "_GEN", ".tmp")
-    Files.writeString(tmp, gen.toString)
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    movePointer(root, gen)
   }
 
   /** The committed generation id — the pointer's content. The
@@ -66,24 +73,60 @@ object TableFormat {
     * change against the new current generation and retries — the
     * data work is the retry cost, never a corrupted table.
     *
+    * The generation data is STAGED before the lock is taken — each
+    * writer writes to its own token-named `_stage_*` dir, so the
+    * critical section is only check + two renames and lock-hold time
+    * is independent of data size (the Delta discipline: do the work,
+    * then contend for the log). Two racing writers both finish their
+    * data writes; exactly one pointer lands.
+    *
     * The critical section is a `_LOCK` file created atomically
-    * (O_EXCL semantics: exactly one creator wins); the check and
-    * the pointer move happen inside it. A crash inside the section
-    * leaves a stale lock — [[healLock]] reaps one older than its
-    * staleness bound, the standard lease compromise (a table-format
-    * service holds leases in its catalog instead; same shape). */
+    * (O_EXCL semantics: exactly one creator wins) and carrying the
+    * writer's OWNER TOKEN; the check and the renames happen inside
+    * it. A crash inside the section leaves a stale lock —
+    * [[healLock]] reaps one older than its staleness bound, the
+    * standard lease compromise. The token FENCES the lease: a writer
+    * that stalls past the bound, gets healed, and wakes after another
+    * writer re-acquired re-verifies ownership before the pointer move
+    * and before its `finally` delete, so it can neither commit over
+    * the new holder nor delete the new holder's lock (the remaining
+    * check-to-move window is the filesystem's lack of CAS — a
+    * table-format service closes it in its catalog; same shape). */
   private[graft] def tryCommitGen(df: DataFrame, root: String,
       expected: Long): Boolean = {
+    val token = java.util.UUID.randomUUID().toString
+    // stage OUTSIDE the critical section: the data write is the
+    // data-size-dependent part, and it must not extend the lease
+    val staging = Paths.get(root, s"_stage_$token")
+    df.write.parquet(staging.toString)
     val lock = Paths.get(root, "_LOCK")
+    def ownsLock: Boolean =
+      try Files.readString(lock) == token
+      catch { case _: java.io.IOException => false }
     val acquired =
-      try { Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!acquired) false
-    else
       try {
-        if (currentGen(root) != expected) false
-        else { commitGen(df, root, expected + 1); true }
-      } finally Files.deleteIfExists(lock)
+        Files.write(lock, token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    try {
+      if (!acquired || currentGen(root) != expected || !ownsLock) false
+      else {
+        // install: any dir already at the target id is uncommitted
+        // debris (a crashed loser) — the pointer never reached it
+        val target = Paths.get(genDir(root, expected + 1))
+        if (Files.exists(target))
+          LayoutStore.deleteRecursively(target.toFile)
+        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        movePointer(root, expected + 1)
+        true
+      }
+    } finally {
+      if (Files.exists(staging)) LayoutStore.deleteRecursively(staging.toFile)
+      // delete ONLY our own lock — after a heal, the file is the
+      // next writer's lease, not ours
+      if (acquired && ownsLock) Files.deleteIfExists(lock)
+    }
   }
 
   /** Reap a `_LOCK` left by a writer that died inside its critical
@@ -157,16 +200,37 @@ object TableFormat {
     * newest `keep` committed generations. Never touches generations
     * NEWER than the pointer (an in-flight uncommitted write) or the
     * pointer itself. Returns the reaped ids. Driver-side directory
-    * ops, O(generations) regardless of table size. */
-  private[graft] def vacuumGenerations(root: String, keep: Int): Seq[Long] = {
+    * ops, O(generations) regardless of table size.
+    *
+    * The sweep also reaps CRASH DEBRIS past `debrisStaleMillis`:
+    * orphaned `_GEN*.tmp` pointer temps (a crash between the temp
+    * write and the atomic move), abandoned `_stage_*` dirs (a writer
+    * that died after staging, before its critical section), and a
+    * stale `_LOCK` (via [[healLock]]). The age bound is what keeps
+    * the sweep safe beside LIVE writers — a fresh stage dir or lock
+    * belongs to an in-flight commit and survives (the same lease
+    * compromise the lock itself makes; Delta's VACUUM has the same
+    * retention-vs-in-flight horizon). */
+  private[graft] def vacuumGenerations(root: String, keep: Int,
+      debrisStaleMillis: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keep >= 1, "retention must keep at least the current generation")
     val cur = currentGen(root)
-    val reap = Option(new java.io.File(root).listFiles())
+    val entries = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
+    val reap = entries
       .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
       .flatMap(f => f.getName.stripPrefix("gen_").toLongOption.map(_ -> f))
       .filter { case (g, _) => g <= cur - keep }
     reap.foreach { case (_, f) => LayoutStore.deleteRecursively(f) }
+    def stale(f: java.io.File) =
+      System.currentTimeMillis() - f.lastModified() > debrisStaleMillis
+    entries
+      .filter(f => stale(f) && (
+        (f.isFile && f.getName.startsWith("_GEN") &&
+          f.getName.endsWith(".tmp")) ||
+        (f.isDirectory && f.getName.startsWith("_stage_"))))
+      .foreach(LayoutStore.deleteRecursively)
+    healLock(root, debrisStaleMillis)
     reap.map(_._1).sorted.toSeq
   }
 
@@ -220,6 +284,166 @@ object TableFormat {
         .withColumn("current_gen", lit(pinnedGen))
         .withColumn("n_reaped", lit(reaped.length.toLong))
         .orderBy(col("gen"), col("o_orderstatus"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  // ---------------------------------------------------------------
+  // H16: per-file min/max statistics manifest + data skipping
+  // ---------------------------------------------------------------
+
+  private[graft] def manifestPath(root: String, gen: Long): String =
+    s"$root/manifest_$gen"
+
+  private val manifestSchema = StructType.fromDDL(
+    "file STRING, min_key LONG, max_key LONG, n_rows LONG")
+
+  /** Per-file (min, max, rows) of `key` over the parquet files under
+    * `dir` — the statistics every table format records at commit
+    * time. One map-side-combining pass grouped on the file identity
+    * (`_metadata.file_path`); at 100 TB a format collects these
+    * DURING the write from each task's writer, which is the same
+    * numbers without the extra read — composition, not a different
+    * manifest. */
+  private def fileStats(spark: SparkSession, dir: String,
+      schema: StructType, key: String): DataFrame =
+    spark.read.schema(schema).parquet(dir)
+      .select(col("_metadata.file_path").as("file"), col(key).as("__sk"))
+      .groupBy(col("file"))
+      .agg(min(col("__sk")).cast(LongType).as("min_key"),
+        max(col("__sk")).cast(LongType).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Commit `df` as generation `gen` WITH a per-file min/max
+    * manifest on `key`. A manifested generation is READ through its
+    * manifest's file list, not the directory listing — which is what
+    * lets a later commit REFERENCE this generation's surviving files
+    * instead of copying them (see [[purgeScoped]]). */
+  private[graft] def commitGenManifested(df: DataFrame, root: String,
+      gen: Long, key: String): Unit = {
+    df.write.mode("overwrite").parquet(genDir(root, gen))
+    fileStats(df.sparkSession, genDir(root, gen), df.schema, key)
+      .write.mode("overwrite").parquet(manifestPath(root, gen))
+    movePointer(root, gen)
+  }
+
+  private[graft] def readManifest(spark: SparkSession, root: String,
+      gen: Long): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestPath(root, gen))
+
+  /** Read a manifested generation via its file list. The collect is
+    * the driver's scan-planning cost — O(files), the same listing
+    * Spark's own file index materializes; a format's log IS this
+    * list. An all-rows-deleted generation (empty manifest) reads as
+    * an empty frame. */
+  private[graft] def readViaManifest(spark: SparkSession, root: String,
+      gen: Long, schema: StructType): DataFrame = {
+    val files = readManifest(spark, root, gen)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  private[graft] final case class SkipReport(
+      filesTouched: Long, filesCarried: Long)
+
+  /** STATS-SKIPPING targeted delete: rewrite ONLY the files whose
+    * [min_key, max_key] range can contain a listed key; every other
+    * file is CARRIED into the new generation's manifest by reference
+    * — zero bytes moved for files the list cannot touch. This is the
+    * at-100-TB shape H10's scale note promises (Delta/Iceberg scope
+    * a DELETE to intersecting files via their log's file stats; H6's
+    * z-order is the row-group-level analog).
+    *
+    * The skip decision is a range-intersection semi join of the
+    * manifest against the broadcast key list (BroadcastNestedLoop —
+    * manifest rows = file count, the list is human-scale, so the
+    * product is scan-planning-sized, never data-sized). The rewrite
+    * itself is H10's broadcast anti-join over ONLY the touched
+    * files. Retention note: a generation that references an earlier
+    * generation's files makes [[vacuumGenerations]]'s by-directory
+    * reap unsafe — a manifested table vacuums by REACHABILITY from
+    * retained manifests (exactly Delta VACUUM's rule); this episode
+    * retains everything. */
+  private[graft] def purgeScoped(spark: SparkSession, root: String,
+      keys: DataFrame, schema: StructType, key: String): SkipReport = {
+    val cur = currentGen(root)
+    val m = readManifest(spark, root, cur).localCheckpoint(true)
+    val k = broadcast(keys.select(col(keys.columns.head).as("__sk")))
+    val intersects = col("__sk").between(col("min_key"), col("max_key"))
+    val touchedFiles = m.join(k, intersects, "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val carried = m.join(k, intersects, "left_anti")
+    val next = cur + 1
+    val rewritten =
+      if (touchedFiles.isEmpty)
+        // nothing intersects: a manifest-only commit, no data write
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+      else {
+        spark.read.schema(schema).parquet(touchedFiles: _*)
+          .join(broadcast(keys.select(col(keys.columns.head).as("__td"))),
+            col(key) === col("__td"), "left_anti")
+          .write.parquet(genDir(root, next))
+        fileStats(spark, genDir(root, next), schema, key)
+      }
+    carried.unionByName(rewritten)
+      .write.mode("overwrite").parquet(manifestPath(root, next))
+    movePointer(root, next)
+    // semi + anti partition the manifest exactly
+    SkipReport(touchedFiles.length.toLong,
+      m.count() - touchedFiles.length)
+  }
+
+  /** H16 — `q_stats_skipping`: H10's takedown purge scoped by FILE
+    * STATISTICS — the min/max manifest collected at commit time
+    * decides which files the rewrite must touch; the rest carry into
+    * the new generation by reference (Delta/Iceberg file skipping
+    * from log stats; reference posture: processor.py:320's
+    * incremental scan is the same only-what-changed idea at row
+    * granularity). Same episode, manifest aggregate and oracle as
+    * H10 — the answer is INVARIANT to how the purge executed, which
+    * is the proof the scoped path is a pure optimization. The store
+    * commits range-clustered on doc_id (the layout job H6 owns at
+    * scale) so file stats are tight; at this SF's ~31-id-wide files
+    * most files contain no multiple of 97 and skip — the spec pins
+    * the files-actually-rewritten count, the filesystem fact the SQL
+    * oracle can't see.
+    *
+    * Scale shape: the skip decision costs |manifest| × |list| inside
+    * a broadcast — scan-planning-sized; the rewrite reads ONLY
+    * intersecting files (O(touched), not O(store)); the audit +
+    * manifest read the whole table once through the manifest, same
+    * pruning/pushdown as any parquet read. */
+  def statsSkipping(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "skip").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      commitGenManifested(
+        t.documents.repartitionByRange(16, col("doc_id")),
+        root, 0L, "doc_id")
+      val listed = col("doc_id") % 97 === 0
+      val takedown = readViaManifest(spark, root, 0L, docSchema)
+        .filter(listed).select(col("doc_id"))
+      val nPurged = takedown.count()
+      purgeScoped(spark, root, takedown, docSchema, "doc_id")
+      val back = readViaManifest(spark, root, currentGen(root), docSchema)
+      val residual = back.filter(listed).count()
+      back
+        .select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("id_xor"),
+          lit(nPurged).as("n_purged"), lit(residual).as("residual"))
+        .orderBy(col("source"))
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }
@@ -297,21 +521,25 @@ object TableFormat {
     * `delete` (key only in prev), `update_pre`/`update_post` (key in
     * both, row CHANGED — identical rows emit nothing, the no-op
     * suppression a changefeed consumer relies on). Null-safe
-    * struct comparison; ONE full-outer shuffle join on the key,
+    * struct comparison AND a null-safe join key (`<=>` plus presence
+    * flags instead of key-isNull classification), so a genuinely
+    * NULL key matches across generations and classifies as an
+    * update/no-op like any other key value, never as a phantom
+    * delete+insert pair. ONE full-outer shuffle join on the key,
     * nothing pairwise, output bounded by |prev Δ next|. */
   private[graft] def cdcDiff(prev: DataFrame, next: DataFrame,
       key: String): DataFrame = {
     val cols = prev.columns
-    val p = prev.select(col(key).as("__k"),
+    val p = prev.select(col(key).as("__k"), lit(true).as("__pp"),
       struct(cols.map(col).toIndexedSeq: _*).as("__pre"))
-    val n = next.select(col(key).as("__k2"),
+    val n = next.select(col(key).as("__k2"), lit(true).as("__np"),
       struct(cols.map(col).toIndexedSeq: _*).as("__post"))
     def tagged(tag: String, row: org.apache.spark.sql.Column) =
       struct(lit(tag).as("change_type"), row.as("row"))
-    p.join(n, col("__k") === col("__k2"), "full_outer")
+    p.join(n, col("__k") <=> col("__k2"), "full_outer")
       .select(explode(
-        when(col("__k").isNull, array(tagged("insert", col("__post"))))
-          .when(col("__k2").isNull, array(tagged("delete", col("__pre"))))
+        when(col("__pp").isNull, array(tagged("insert", col("__post"))))
+          .when(col("__np").isNull, array(tagged("delete", col("__pre"))))
           .when(!(col("__pre") <=> col("__post")),
             array(tagged("update_pre", col("__pre")),
               tagged("update_post", col("__post"))))
@@ -335,7 +563,9 @@ object TableFormat {
     val opened = changes
       .filter(col("change_type").isin("insert", "update_post"))
       .drop("change_type")
-    prev.join(closed, col(key) === col("__ck"), "left_anti")
+    // null-safe anti key, matching cdcDiff: a delete of a NULL-keyed
+    // row must actually remove it
+    prev.join(closed, col(key) <=> col("__ck"), "left_anti")
       .unionByName(opened)
   }
 
@@ -381,6 +611,80 @@ object TableFormat {
         col("o_orderkey") === col("__tk"), "left_anti"), root, 1L)
       cdcDiff(gen0, readGen(spark, root, 1L, schema), "o_orderkey")
         .orderBy(col("change_type"), col("o_orderkey"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** Maintain a per-group (count, decimal total, key checksum)
+    * aggregate from a [[cdcDiff]] feed: the base aggregate plus the
+    * feed's SIGNED deltas — inserts/update_post add, deletes/
+    * update_pre subtract; bit_xor is its own inverse so one unsigned
+    * xor over the feed's keys per group is the checksum delta. Never
+    * reads the next generation. Decimal arithmetic keeps the
+    * maintained total EXACTLY equal to a recompute. */
+  private[graft] def maintainAgg(base: DataFrame, feed: DataFrame,
+      group: String, key: String, money: String): DataFrame = {
+    val dec = col(money).cast(DecimalType(18, 2))
+    val b = base.groupBy(col(group))
+      .agg(count(lit(1)).as("__bn"), sum(dec).as("__bt"),
+        expr(s"bit_xor($key)").as("__bx"))
+    val sign = when(col("change_type").isin("insert", "update_post"), 1L)
+      .otherwise(-1L)
+    val d = feed.groupBy(col(group))
+      .agg(sum(sign).as("__dn"), sum(dec * sign).as("__dt"),
+        expr(s"bit_xor($key)").as("__dx"))
+    b.join(d, Seq(group), "full_outer")
+      .select(col(group),
+        (coalesce(col("__bn"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("__bt"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("__dt"), lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("total"),
+        coalesce(col("__bx"), lit(0L))
+          .bitwiseXOR(coalesce(col("__dx"), lit(0L))).as("key_xor"))
+      .filter(col("n_orders") > 0)
+  }
+
+  /** H17 — `q_cdc_consume`: the changefeed's DOWNSTREAM CONSUMER as
+    * a gated row — a materialized per-status aggregate maintained
+    * from H14's feed ALONE (base aggregate over generation 0 plus
+    * the feed's signed deltas; generation 1 is never read for the
+    * output), checked against the oracle's from-scratch recompute of
+    * the post-change table. This is the contract that makes a
+    * changefeed a substitute for re-reading the table (reference
+    * engine.py:57's incremental update is exactly this loop;
+    * TableFormatSpec proves the IVF-maintenance sibling). Episode =
+    * H14's verbatim: gen 1 = H8's merge plus the ≡5-mod-10 takedown,
+    * so all four change types flow through the consumer.
+    *
+    * Scale shape: the base aggregate is one map-side-combining pass
+    * over the PREVIOUS materialization's input (in steady state it
+    * IS the stored materialization — zero passes); the delta
+    * aggregate is bounded by the feed mass, not the table; the merge
+    * of the two is a join on the group key — group-cardinality-
+    * sized. At 100 TB this is the difference between re-aggregating
+    * the corpus daily and touching only what changed. */
+  def cdcConsume(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "cdccons").toPath
+    try {
+      val root = dir.toString
+      val (state, updates, inserts) = Export.mutationEpisode(t)
+      commitGen(state, root, 0L)
+      val schema = state.schema
+      val gen0 = readGen(spark, root, 0L, schema)
+      val merged = Export.mergeLatest(gen0,
+        updates.unionByName(inserts), "o_orderkey")
+      val takedown = gen0
+        .filter(pmod(col("o_orderkey"), lit(10L)) === 5L)
+        .select(col("o_orderkey").as("__tk"))
+      commitGen(merged.join(takedown,
+        col("o_orderkey") === col("__tk"), "left_anti"), root, 1L)
+      val feed = cdcDiff(gen0, readGen(spark, root, 1L, schema),
+        "o_orderkey")
+      maintainAgg(gen0, feed, "o_orderstatus", "o_orderkey",
+        "o_totalprice")
+        .orderBy(col("o_orderstatus"))
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }

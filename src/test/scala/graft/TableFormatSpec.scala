@@ -86,6 +86,33 @@ class TableFormatSpec extends SparkTestBase {
     assert(applied === want)
   }
 
+  test("cdcDiff: a genuinely NULL key matches across generations — " +
+    "changed row classifies as update, identical row as no-op, " +
+    "never as a phantom delete+insert pair") {
+    val prev = Seq((Option(1L), "a", 10.0), (None, "n", 1.0),
+      (Option(2L), "b", 20.0)).toDF("k", "s", "v")
+    // null-keyed row CHANGED; key-2 row untouched
+    val next = Seq((Option(1L), "a", 10.0), (None, "n", 9.0),
+      (Option(2L), "b", 20.0)).toDF("k", "s", "v")
+    val diff = TableFormat.cdcDiff(prev, next, "k").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getString(2),
+        r.getDouble(3)))
+    assert(diff.map(_._1).sorted.toSeq === Seq("update_post", "update_pre"),
+      s"null-keyed update misclassified: ${diff.mkString(", ")}")
+    assert(diff.forall(_._2.isEmpty))
+    // and an identical null-keyed row emits nothing
+    assert(TableFormat.cdcDiff(prev, prev, "k").isEmpty)
+    // applyChanges removes/reinstalls the null-keyed row correctly
+    val applied = TableFormat.applyChanges(prev,
+      TableFormat.cdcDiff(prev, next, "k"), "k")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2)))
+      .sortBy(_._2).toSeq
+    val want = next.collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2)))
+      .sortBy(_._2).toSeq
+    assert(applied === want)
+  }
+
   test("tryCommitGen: conflicting writers — exactly one wins, the " +
     "loser's commit writes nothing durable, and a stale crash lock " +
     "heals by age") {
@@ -113,6 +140,122 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.healLock(root, staleMillis = -1))
     assert(TableFormat.tryCommitGen(mk(30), root, expected = 2L))
     assert(TableFormat.currentGen(root) === 3L)
+    // no staging debris survives a completed commit cycle
+    val debris = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_stage_"))
+    assert(debris.isEmpty, s"staging debris left: ${debris.mkString(", ")}")
+  }
+
+  test("tryCommitGen fencing: a writer that lost its lease neither " +
+    "commits over the new holder nor deletes the new holder's lock") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
+    TableFormat.commitGen(mk(0), root, 0L)
+    // another writer's lease is in place (owner token inside)
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.writeString(lock, "other-writers-token")
+    assert(!TableFormat.tryCommitGen(mk(10), root, expected = 0L))
+    assert(TableFormat.currentGen(root) === 0L, "committed over a live lease")
+    assert(java.nio.file.Files.exists(lock) &&
+      java.nio.file.Files.readString(lock) === "other-writers-token",
+      "deleted another writer's lock")
+    // and the loser staged nothing durable
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("_stage_")))
+  }
+
+  test("vacuumGenerations sweeps aged crash debris (_GEN*.tmp, " +
+    "_stage_* dirs, stale _LOCK) but leaves FRESH debris — an " +
+    "in-flight writer's staging and lease — alone") {
+    val root = java.nio.file.Files.createTempDirectory("graft-debris").toString
+    val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
+    TableFormat.commitGen(mk(0), root, 0L)
+    TableFormat.commitGen(mk(1), root, 1L)
+    val tmp = java.nio.file.Paths.get(root, "_GEN123.tmp")
+    java.nio.file.Files.writeString(tmp, "9")
+    val stage = new java.io.File(root, "_stage_deadbeef")
+    assert(stage.mkdir())
+    java.nio.file.Files.writeString(stage.toPath.resolve("part-0"), "x")
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.writeString(lock, "dead-writer")
+    // fresh debris survives a sweep with a real staleness bound
+    assert(TableFormat.vacuumGenerations(root, keep = 1,
+      debrisStaleMillis = 3600000L) === Seq(0L))
+    assert(java.nio.file.Files.exists(tmp) && stage.isDirectory &&
+      java.nio.file.Files.exists(lock),
+      "swept an in-flight writer's fresh files")
+    // aged debris reaps; live generation + pointer intact
+    assert(TableFormat.vacuumGenerations(root, keep = 1,
+      debrisStaleMillis = -1L) === Seq.empty)
+    assert(!java.nio.file.Files.exists(tmp), "_GEN*.tmp survived")
+    assert(!stage.exists(), "_stage_* survived")
+    assert(!java.nio.file.Files.exists(lock), "stale _LOCK survived")
+    assert(TableFormat.currentGen(root) === 1L)
+    assert(TableFormat.readGen(spark, root, 1L, mk(0).schema)
+      .collect().map(_.getLong(1)).toSeq === Seq(1L))
+  }
+
+  test("purgeScoped: only files whose min/max range intersects the " +
+    "list rewrite (files-read < total), carried files are REFERENCED " +
+    "not copied, and the scoped purge equals the full rewrite " +
+    "row-for-row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    // ids 0..999 in 10 tight range files of 100
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    val m0 = TableFormat.readManifest(spark, root, 0L)
+    assert(m0.count() === 10L)
+    // two listed ids hit exactly two files
+    val keys = Seq(5L, 950L).toDF("doc_id")
+    val report = TableFormat.purgeScoped(spark, root, keys, schema, "doc_id")
+    assert(report.filesTouched === 2L, s"expected 2 touched: $report")
+    assert(report.filesCarried === 8L)
+    assert(TableFormat.currentGen(root) === 1L)
+    // carried manifest rows still point INTO gen_0 — reference, no copy
+    val m1 = TableFormat.readManifest(spark, root, 1L)
+      .collect().map(_.getString(0))
+    assert(m1.count(_.contains("gen_0")) === 8)
+    assert(m1.count(_.contains("gen_1")) === 2)
+    // scoped result ≡ the full-rewrite purge
+    val got = TableFormat.readViaManifest(spark, root, 1L, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = docs.filter(!col("doc_id").isin(5L, 950L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === want)
+    // an empty list is a pure manifest commit: zero files rewrite
+    val r2 = TableFormat.purgeScoped(spark, root,
+      spark.emptyDataset[Long].toDF("doc_id"), schema, "doc_id")
+    assert(r2.filesTouched === 0L && r2.filesCarried === 10L)
+    assert(TableFormat.readViaManifest(spark, root, 2L, schema)
+      .count() === 998L)
+  }
+
+  test("maintainAgg: the feed-maintained aggregate equals a " +
+    "from-scratch recompute of the next generation, including a " +
+    "group born and a group emptied by the feed") {
+    val prev = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    // B empties (delete), C is born (insert), one A updates in place
+    val next = Seq((1L, "A", 15.0), (2L, "A", 20.0), (4L, "C", 40.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val feed = TableFormat.cdcDiff(prev, next, "o_orderkey")
+    val got = TableFormat.maintainAgg(prev, feed,
+      "o_orderstatus", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val want = next.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("o_totalprice")).as("t"),
+        expr("bit_xor(o_orderkey)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got === want)
+    assert(!got.exists(_._1 == "B"), "emptied group must disappear")
+    assert(got.exists(_._1 == "C"), "feed-born group must appear")
   }
 
   test("vacuumGenerations reaps only what the policy names: retained " +
