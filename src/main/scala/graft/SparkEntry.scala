@@ -28,9 +28,9 @@ object SparkEntry {
     "q_topk"            -> q(Relational.topK),
     "q_window_rank"     -> q(Relational.windowRank),
     "q_distinct_agg"    -> q(Relational.distinctAgg),
-    // A7b: HLL++ sketch distinct — no oracleSql entry ON PURPOSE
-    // (register hashing is engine-specific; rows-only driver check,
-    // RelationalSpec enforces the rsd bound vs exact A7)
+    // A7b: HLL++ sketch distinct — the row computes sketch AND exact
+    // and carries within_bound, so the driver gate enforces the rsd
+    // bound (the approx VALUE itself can never hash cross-engine)
     "q_distinct_approx" -> q(Relational.distinctAggApprox),
     "q_semi_join"       -> q(Relational.semiJoin),
     "q_anti_join"       -> q(Relational.antiJoin),
@@ -369,11 +369,10 @@ object SparkEntry {
     "q_asof_join"   -> q(EventOps.asofJoin),
     "q_range_join"  -> q(EventOps.rangeJoin),
     "q_percentiles" -> q(EventOps.percentiles),
-    // B9b: sketch percentiles — no oracleSql entry ON PURPOSE:
-    // DuckDB's approx_quantile is a differently-seeded t-digest, so
-    // cross-engine hash parity is impossible; driver records the
-    // rows-only check and EventOpsSpec enforces the rank-error bound
-    // against the exact B9 row.
+    // B9b: sketch percentiles — the row ranks each sketch value in
+    // the group's exact order and carries pXX_ok, so the driver gate
+    // enforces the GK rank-error bound (the sketch VALUES themselves
+    // can never hash cross-engine; EventOpsSpec replays the audit)
     "q_percentiles_approx" -> q(EventOps.percentilesApprox),
     "q_histogram"   -> q(EventOps.histogram),
     "q_resample"    -> q(EventOps.resample),
@@ -487,6 +486,15 @@ object SparkEntry {
         |ORDER BY c_nationkey, rnk""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // A7b: the oracle pins the EXACT leg and the literal 1 for the
+    // in-row sketch-error bound — the only cross-engine-checkable
+    // facts about an engine-seeded HLL++ sketch.
+    "q_distinct_approx" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_orders, CAST(1 AS BIGINT) AS within_bound
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -1696,6 +1704,17 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // B9b: the oracle pins the group sizes and the literal 1s for
+    // the in-row rank audit — the only cross-engine-checkable facts
+    // about an engine-seeded quantile sketch.
+    "q_percentiles_approx" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p90_ok,
+        |  CAST(1 AS BIGINT) AS p95_ok
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

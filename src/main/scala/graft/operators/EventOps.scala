@@ -482,21 +482,45 @@ object EventOps {
     * combining shuffle on the group key.
     *
     * Contract: DuckDB's approx_quantile is a differently-seeded
-    * t-digest, so hash parity across engines is impossible by
-    * construction — the driver records the weaker rows-only check
-    * (no oracleSql entry), and EventOpsSpec enforces the real
-    * guarantee: each approx quantile's RANK in the exact sorted
-    * values is within the documented bound of the requested rank. */
-  def percentilesApprox(t: Tables): DataFrame =
-    t.events
+    * t-digest, so the sketch VALUES can never hash-match a
+    * cross-engine oracle. The row therefore carries the sketch's
+    * real guarantee as data: a second pass ranks each reported
+    * quantile inside its group's exact value order (lo = values
+    * strictly below, hi = values at-or-below — the tie window) and
+    * emits `pXX_ok` = 1 iff the requested rank q·n falls inside
+    * [lo − tol, hi + tol] with tol = n/accuracy + 2 (the GK bound
+    * plus its off-by-one rank conventions). The oracle pins the
+    * group sizes and the literal 1s, so a sketch past its documented
+    * rank error fails the DRIVER gate, not just the ScalaTest one
+    * (round-15 verdict item 7). Shape: the sketch pass is one
+    * map-side-combining shuffle; the audit is one broadcast of the
+    * ≤|event types| sketch rows back into the events scan plus a
+    * second map-side-combining aggregate — two corpus passes total,
+    * the honest price of an in-row audit (production would sample
+    * it). */
+  def percentilesApprox(t: Tables): DataFrame = {
+    val sketch = t.events
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("approx_percentile(value, array(0.5D, 0.9D, 0.95D), 10000)").as("ps"))
-      .select(col("event_type"), col("n"),
-        round(col("ps").getItem(0), 6).as("p50"),
-        round(col("ps").getItem(1), 6).as("p90"),
-        round(col("ps").getItem(2), 6).as("p95"))
+    def okCol(i: Int, q: Double): Column = {
+      val v = col("ps").getItem(i)
+      val lo = sum(when(col("value") < v, 1L).otherwise(0L))
+      val hi = sum(when(col("value") <= v, 1L).otherwise(0L))
+      val n = first(col("n"))
+      val tol = n / lit(10000.0) + lit(2.0)
+      val target = lit(q) * n
+      when(lo - tol <= target && target <= hi + tol, 1L).otherwise(0L)
+    }
+    t.events.select(col("event_type"), col("value"))
+      .join(broadcast(sketch), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        okCol(0, 0.5).as("p50_ok"),
+        okCol(1, 0.9).as("p90_ok"),
+        okCol(2, 0.95).as("p95_ok"))
       .orderBy(col("event_type"))
+  }
 
   /** B7 — `q_asof_join`: event-time AS-OF join — for every error
     * event, the most recent click by the same user at or before it

@@ -126,17 +126,26 @@ object Relational {
     * documented relative standard error (rsd 0.01 here, so ±~1-3%
     * in practice at 2σ).
     *
-    * Contract: HLL++ register hashing is engine-specific, so
-    * cross-engine hash parity is impossible by construction — the
-    * driver records the rows-only check (no oracleSql entry) and
-    * RelationalSpec enforces the real guarantee: each approx count
-    * within 5 rsd of the exact A7 value. (Same contract family as
-    * B9b `q_percentiles_approx`.) */
+    * Contract: HLL++ register hashing is engine-specific, so the
+    * approx VALUE can never hash-match a cross-engine oracle. The
+    * row therefore carries the sketch's real guarantee as data: it
+    * computes BOTH the sketch and the exact count in one aggregate
+    * and emits `within_bound` = |approx − exact| ≤ max(5, 5·rsd·
+    * exact) — the oracle pins the exact leg and the literal 1, so a
+    * sketch drifting past its documented error fails the DRIVER gate,
+    * not just the ScalaTest one (round-15 verdict item 7; at 100 TB
+    * the exact leg is dropped and the bound is the spec'd trust).
+    * RelationalSpec independently replays the bound against A7. */
   def distinctAggApprox(t: Tables): DataFrame =
     t.orders
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"),
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("__approx"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_cust"), col("n_orders"),
+        when(abs(col("__approx") - col("n_cust")) <=
+          greatest(lit(5.0), col("n_cust") * 0.05), 1L).otherwise(0L)
+          .as("within_bound"))
       .orderBy(col("o_orderstatus"))
 
   /** A8 — EXISTS as a left-semi join. The probe side only answers

