@@ -120,13 +120,21 @@ object IndexMaintenance {
         // a transform that EMPTIES the store (a purge listing every
         // doc in it) writes a partitioned dir with no data files —
         // schema inference on every later read would fail; install a
-        // schema-bearing empty file instead (cell becomes a regular
-        // column; pruning is moot on an empty store)
+        // schema-bearing empty file instead, UNDER a sentinel
+        // partition dir (cell=-1) so the emptied store stays
+        // partition-layout compatible: a later partitioned append
+        // (the purge-everything-then-append sequence the changefeed-
+        // driven maintenance makes realistic) must never mix root
+        // data files with cell=*/ dirs — Spark's partition discovery
+        // fails that mix with 'Conflicting directory structures'
         if (dataFiles(tmp).isEmpty) {
           LayoutStore.deleteRecursively(tmp)
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
-            .repartition(1).write.parquet(tmp.getAbsolutePath)
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              df.schema.filterNot(_.name == "cell")))
+            .repartition(1)
+            .write.parquet(new File(tmp, "cell=-1").getAbsolutePath)
         }
         require(dir.renameTo(old), s"compaction swap failed moving $dir aside")
         if (!tmp.renameTo(dir)) {

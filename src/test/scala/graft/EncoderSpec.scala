@@ -176,6 +176,106 @@ class EncoderSpec extends SparkTestBase {
     assert(hits.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("BatchedHashEncoder equals HashingEncoder vector-for-vector: " +
+    "the executed mapPartitions batch path computes the same model " +
+    "function as the declarative path") {
+    import graft.operators.BatchedHashEncoder
+    val batched = EmbeddingStore
+      .embedWith(new BatchedHashEncoder(32), t.documents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val declarative = EmbeddingStore
+      .embedWith(HashingEncoder(32), t.documents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(batched.keySet === declarative.keySet)
+    assert(batched === declarative,
+      "batched and declarative encoder paths diverged")
+  }
+
+  test("the batched encoder takes the SIZED batches: full batches at " +
+    "the bound, per-partition tails smaller, every row encoded " +
+    "exactly once") {
+    import graft.operators.{BatchedEncoder, BatchedHashEncoder}
+    import scala.jdk.CollectionConverters._
+    // force multi-batch partitions at toy corpus size by overriding
+    // ONLY the sizing rule; the model function is the shared one
+    val tiny = new BatchedEncoder {
+      private val inner = new BatchedHashEncoder(16)
+      val dim = 16
+      override protected def batchRowsFor(h: Long): Int = 7
+      def encodeBatch(texts: Seq[String]): Seq[Array[Double]] =
+        inner.encodeBatch(texts)
+    }
+    BatchedEncoder.recordedBatchSizes.clear()
+    BatchedEncoder.recordBatchSizes = true
+    try {
+      val n = EmbeddingStore.embedWith(tiny, t.documents).count()
+      val sizes = BatchedEncoder.recordedBatchSizes.asScala
+        .map(_.toInt).toSeq
+      assert(sizes.sum === n.toInt, "batched rows != encoded rows")
+      assert(sizes.forall(_ <= 7), s"batch over the bound: $sizes")
+      assert(sizes.contains(7),
+        "no full batch taken — grouping never exercised")
+      // the production sizing derives from the measured per-core
+      // budget: a non-overridden instance sizes by
+      // Tuning.encoderBatchRows' documented derivation
+      class Probe extends BatchedEncoder {
+        val dim = 384
+        def encodeBatch(ts: Seq[String]): Seq[Array[Double]] =
+          ts.map(_ => new Array[Double](dim))
+        def sized(h: Long): Int = batchRowsFor(h)
+      }
+      assert(new Probe().sized(1L << 30) ===
+        graft.Tuning.encoderBatchRows(1L << 30, 384))
+    } finally {
+      BatchedEncoder.recordBatchSizes = false
+      BatchedEncoder.recordedBatchSizes.clear()
+    }
+  }
+
+  test("D8 + D21 serve through the conf-bound BATCHED encoder: the " +
+    "persisted-index probe and the free-text search equal their " +
+    "declarative-encoder twins") {
+    import graft.operators.BatchedHashEncoder
+    try {
+      spark.conf.set(Encoder.classKey, "graft.operators.BatchedHashEncoder")
+      spark.conf.set(Encoder.dimKey, "32")
+      // D21: the free-text query chain (corpus AND query embed
+      // through the batched path via the PUBLIC default entry point)
+      val hits = EmbeddingStore.searchText(t, "the quick brown fox", 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expect = EmbeddingStore.searchTextWith(HashingEncoder(32), t,
+        "the quick brown fox", 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hits === expect, "conf-bound batched D21 diverged")
+      // D8: an IVF index built from batched-encoder vectors probes
+      // identically to one built from the declarative twin
+      val vecs = EmbeddingStore
+        .embedWith(new BatchedHashEncoder(32), t.documents)
+        .select(col("doc_id"), col("embedding"))
+      val dirA = Files.createTempDirectory("graft-benc-ivf").toFile
+      dirA.deleteOnExit()
+      EmbeddingStore.buildIvfIndex(spark, vecs, dirA.getAbsolutePath)
+      val got = EmbeddingStore.searchIvf(spark, dirA.getAbsolutePath,
+        queryDocId = 0L, k = 10, probes = 4)
+        .select(col("doc_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val dirB = Files.createTempDirectory("graft-denc-ivf").toFile
+      dirB.deleteOnExit()
+      EmbeddingStore.buildIvfIndex(spark,
+        EmbeddingStore.embedWith(HashingEncoder(32), t.documents)
+          .select(col("doc_id"), col("embedding")),
+        dirB.getAbsolutePath)
+      val want = EmbeddingStore.searchIvf(spark, dirB.getAbsolutePath,
+        queryDocId = 0L, k = 10, probes = 4)
+        .select(col("doc_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want, "conf-bound batched D8 diverged")
+    } finally {
+      spark.conf.unset(Encoder.classKey)
+      spark.conf.unset(Encoder.dimKey)
+    }
+  }
+
   test("conf-driven binding: a THIRD encoder loads via " +
     "graft.encoder.class with zero engine changes, the dim conf " +
     "selects the (dim: Int) constructor, and no conf means the " +

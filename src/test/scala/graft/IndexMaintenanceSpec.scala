@@ -122,6 +122,36 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/cells").count() === 0L)
   }
 
+  test("purge-everything-then-APPEND: the emptied store stays " +
+    "partition-layout compatible, the partitioned append lands, and " +
+    "probes serve the re-appended vectors") {
+    val path = accretedIndex()
+    val vectors = spark.read.parquet(s"$path/cells")
+      .select(col("doc_id"), col("embedding")).localCheckpoint(true)
+    val all = vectors.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    IndexMaintenance.purgeIndex(spark, path, all)
+    assert(spark.read.parquet(s"$path/cells").count() === 0L)
+    // the realistic changefeed-driven sequence: a purge that empties
+    // the store followed by a partitioned append — partition
+    // discovery must not see conflicting directory structures
+    val stats = graft.operators.EmbeddingStore
+      .appendToIvfIndex(spark, path, vectors)
+    assert(stats.processed === all.length.toLong)
+    Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
+      assert(spark.read.parquet(s"$path/$sub").count() === all.length.toLong,
+        s"$sub did not recover the appended rows")
+    }
+    // and the probe path serves the re-appended vectors
+    val hits = EmbeddingStore.searchIvf(spark, path, all.head, 5, 4)
+      .collect()
+    assert(hits.nonEmpty)
+    // a follow-up maintenance pass compacts the mixed sentinel +
+    // appended layout without wedging
+    val reports = IndexMaintenance.compactIndex(spark, path)
+    assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
+    assert(spark.read.parquet(s"$path/cells").count() === all.length.toLong)
+  }
+
   test("compactIndex heals crash leftovers: a store stranded as " +
     "_precompact is restored, stale _compact dirs do not wedge a retry") {
     val path = accretedIndex()
