@@ -397,6 +397,114 @@ object TableFormat {
       m.count() - touchedFiles.length)
   }
 
+  /** STATS-SKIPPING merge (H8's latest-wins upsert over a manifested
+    * table): only files whose [min_key, max_key] range can contain a
+    * delta key rewrite (their delta-keyed rows drop; survivors
+    * rewrite beside the arriving delta rows); every other file
+    * carries into the new generation's manifest by reference. Same
+    * skip decision as [[purgeScoped]]; the rewrite leg is
+    * mergeLatest's own anti-join + union restricted to the touched
+    * files. Answer ≡ mergeLatest over the full table (spec-pinned) —
+    * at 100 TB the difference is rewriting the files a day's delta
+    * touches instead of the corpus. */
+  private[graft] def mergeScoped(spark: SparkSession, root: String,
+      delta: DataFrame, schema: StructType, key: String): SkipReport = {
+    val cur = currentGen(root)
+    val m = readManifest(spark, root, cur).localCheckpoint(true)
+    val keys = delta.select(col(key))
+    val k = broadcast(keys.select(col(key).as("__sk")))
+    val intersects = col("__sk").between(col("min_key"), col("max_key"))
+    val touchedFiles = m.join(k, intersects, "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val carried = m.join(k, intersects, "left_anti")
+    val next = cur + 1
+    val survivors =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touchedFiles: _*)
+    Export.mergeLatest(survivors, delta.select(
+      schema.fieldNames.map(col).toIndexedSeq: _*), key)
+      .write.parquet(genDir(root, next))
+    carried.unionByName(fileStats(spark, genDir(root, next), schema, key))
+      .write.mode("overwrite").parquet(manifestPath(root, next))
+    movePointer(root, next)
+    SkipReport(touchedFiles.length.toLong,
+      m.count() - touchedFiles.length)
+  }
+
+  /** Retention for a MANIFESTED table — Delta VACUUM's rule: a file
+    * is reclaimable only when NO retained manifest reaches it
+    * (generations that carry files by reference make the by-directory
+    * sweep of [[vacuumGenerations]] unsafe here). Reaps unreferenced
+    * data files and expired manifests; a generation dir whose every
+    * file is still referenced survives as storage for the newer
+    * generations that reference it. Returns the reaped file count.
+    * Driver-side, O(files in expired generations) — scan-planning
+    * scale, data-size independent. */
+  private[graft] def vacuumManifested(spark: SparkSession, root: String,
+      keep: Int): Long = {
+    require(keep >= 1, "retention must keep at least the current generation")
+    val cur = currentGen(root)
+    val retainedGens = (math.max(0L, cur - keep + 1) to cur).toSeq
+    val reachable = retainedGens
+      .flatMap(g => readManifest(spark, root, g)
+        .select(col("file")).collect().map(_.getString(0)))
+      .toSet
+    // normalize manifest URIs (file:///…) onto local paths for compare
+    def localPath(f: String): String =
+      if (f.startsWith("file:")) java.net.URI.create(f).getPath else f
+    val reach = reachable.map(localPath)
+    var reaped = 0L
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
+        f.getName.stripPrefix("gen_").toLongOption.exists(_ <= cur - keep))
+      .foreach { dir =>
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !reach(f.getAbsolutePath))
+          .foreach { f => if (f.delete()) reaped += 1 }
+        val rest = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        if (!rest.exists(_.isFile)) LayoutStore.deleteRecursively(dir)
+      }
+    // expired manifests go with their generations
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("manifest_") &&
+        f.getName.stripPrefix("manifest_").toLongOption
+          .exists(_ <= cur - keep))
+      .foreach(LayoutStore.deleteRecursively)
+    reaped
+  }
+
+  /** CDC between two MANIFESTED generations scoped by the commit
+    * log — the composition H14's scale note promises ("a commit log
+    * scopes this to the files the commit touched"): a file carried BY
+    * REFERENCE between the two manifests (same path in both) cannot
+    * contribute a change — its rows are byte-identical on both sides
+    * and would only feed the no-op suppression — so the diff reads
+    * ONLY the symmetric difference of the two file lists. Sound under
+    * the table invariant every merge/purge here maintains (a key
+    * appears in exactly one file per generation): a key in a carried
+    * file is identical across generations by construction, and a key
+    * NOT in a carried file sits in the read set on whichever sides
+    * have it. Feed equality with the full diff is spec-pinned; the
+    * saving is O(table) → O(touched files) on the diff's input. */
+  private[graft] def cdcDiffScoped(spark: SparkSession, root: String,
+      prevGen: Long, nextGen: Long, schema: StructType,
+      key: String): DataFrame = {
+    def files(gen: Long): Set[String] =
+      readManifest(spark, root, gen)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+    val pf = files(prevGen); val nf = files(nextGen)
+    def readOnly(only: Set[String]): DataFrame =
+      if (only.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(only.toSeq.sorted: _*)
+    cdcDiff(readOnly(pf -- nf), readOnly(nf -- pf), key)
+  }
+
   /** H16 — `q_stats_skipping`: H10's takedown purge scoped by FILE
     * STATISTICS — the min/max manifest collected at commit time
     * decides which files the rewrite must touch; the rest carry into

@@ -569,4 +569,71 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(streamed === before, "a resume must not change the results")
     assert(Dedup.stateWatermark(state.toString) === top)
   }
+
+  test("versioned-table sink: micro-batches commit as OCC generations — " +
+    "killed mid-stream and resumed never double-commits, a literal " +
+    "replayed batch is a no-op, and every mid-stream generation " +
+    "time-travels intact") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("graft-vsink-in").toFile
+    val root = new File(
+      Files.createTempDirectory("graft-vsink-tbl").toFile, "table")
+      .getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vsink-ckpt").toFile
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    var i = 0
+    def land(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(in.getAbsolutePath)
+      stampBatchFiles(in, i); i += 1
+    }
+    land(Seq((1L, 10L), (2L, 20L)))
+    land(Seq((2L, 21L), (3L, 30L))) // update + insert
+    land(Seq((4L, 40L)))
+
+    // phase 1: continuous trigger, KILLED after >=2 committed batches
+    // (stop() interrupts whatever batch is in flight — the crash)
+    val q = StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k",
+      maxFilesPerTrigger = Some(1))
+    killAfter(q, 2)
+    // phase 2: resume over the SAME checkpoint drains the rest; a
+    // replay of the interrupted batch must skip, not double-commit
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(TableFormat.currentGen(root) === 3L,
+      "3 single-file batches must land exactly 3 generations")
+    def gen(g: Long) = TableFormat.readGen(spark, root, g, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // H12 mid-stream time travel: every prefix state intact
+    assert(gen(0L) === Seq.empty)
+    assert(gen(1L) === Seq((1L, 10L), (2L, 20L)))
+    assert(gen(2L) === Seq((1L, 10L), (2L, 21L), (3L, 30L)))
+    assert(gen(3L) === Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
+
+    // a literal at-least-once REDELIVERY of an old batch id is a
+    // no-op: pointer unmoved, committed data untouched
+    val replay = Seq((9L, 99L)).toDF("k", "v")
+    assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(replay, 2L))
+    assert(TableFormat.currentGen(root) === 3L)
+    assert(gen(3L) === Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
+
+    // resume with NEW deltas over the same checkpoint: batch ids and
+    // generations continue the sequence; batch ≡ stream on the union
+    land(Seq((1L, 11L)))
+    land(Seq((5L, 50L)))
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(TableFormat.currentGen(root) === 5L)
+    assert(gen(5L) ===
+      Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      "final state must equal the batch latest-wins replay of all deltas")
+    // the stream's retention composes: H15 bounds the history
+    assert(TableFormat.vacuumGenerations(root, keep = 2) === Seq(0L, 1L, 2L, 3L))
+    assert(gen(5L).length === 5)
+  }
 }

@@ -22,11 +22,24 @@ class StreamingSpec extends SparkTestBase {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // one file per land() = one micro-batch (maxFilesPerTrigger=1);
     // the file source processes oldest-modification-time first, so
-    // sleep keeps the arrival order deterministic
+    // each landed file gets an EXPLICIT, monotonically increasing
+    // mtime (a minute apart) — arrival order is structural, never a
+    // race against wall-clock or coarse filesystem timestamps
+    val stamped = scala.collection.mutable.Set[String]()
+    var tick = 0
     def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
       rows.toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(in.getAbsolutePath)
-      Thread.sleep(1000)
+      tick += 1
+      in.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-") &&
+          !stamped(f.getName))
+        .foreach { f =>
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + tick * 60000L))
+          stamped += f.getName
+        }
     }
     land(Seq((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
       (2L, ts("2024-01-01 00:20:00"), 1L, "click", 1.0),

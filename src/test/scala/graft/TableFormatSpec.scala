@@ -234,6 +234,99 @@ class TableFormatSpec extends SparkTestBase {
       .count() === 998L)
   }
 
+  test("mergeScoped: only range-intersecting files rewrite for the " +
+    "delta (inserts beyond every range touch nothing), and the merged " +
+    "table equals mergeLatest over the full table row-for-row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mscope")
+      .toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    // two updates hit two files; two inserts sit past every max_key
+    val delta = Seq((5L, "u5"), (950L, "u950"), (2000L, "n2000"),
+      (2001L, "n2001")).toDF("doc_id", "text")
+    val rep = TableFormat.mergeScoped(spark, root, delta, schema, "doc_id")
+    assert(rep.filesTouched === 2L, s"expected 2 touched: $rep")
+    assert(rep.filesCarried === 8L)
+    val got = TableFormat.readViaManifest(spark, root, 1L, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = graft.sources.Export.mergeLatest(docs, delta, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === want, "scoped merge diverged from the full merge")
+    assert(got.length === 1002)
+    assert(got.find(_._1 == 5L).map(_._2) === Some("u5"))
+    assert(got.find(_._1 == 2000L).map(_._2) === Some("n2000"))
+  }
+
+  test("vacuumManifested reclaims by REACHABILITY: carried gen-0 " +
+    "files referenced by gen 1 survive the sweep, the rewritten-away " +
+    "ones reap with their manifest, and gen 1 reads intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vreach")
+      .toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    TableFormat.purgeScoped(spark, root, Seq(5L, 950L).toDF("doc_id"),
+      schema, "doc_id")
+    def gen0Parquet = Option(new java.io.File(root, "gen_0").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(gen0Parquet === 10)
+    val reaped = TableFormat.vacuumManifested(spark, root, keep = 1)
+    assert(reaped >= 2L, s"expected the 2 rewritten-away files, got $reaped")
+    // exactly the 8 carried-by-reference data files survive in gen_0
+    assert(gen0Parquet === 8,
+      "reachability sweep touched a file gen 1 still references")
+    assert(!new java.io.File(root, "manifest_0").exists(),
+      "the expired generation's manifest survived")
+    // the current generation reads intact THROUGH the swept storage
+    val back = TableFormat.readViaManifest(spark, root, 1L, schema)
+    assert(back.count() === 998L)
+    assert(back.filter(col("doc_id").isin(5L, 950L)).isEmpty)
+    // idempotent: a second sweep reclaims nothing further
+    assert(TableFormat.vacuumManifested(spark, root, keep = 1) === 0L)
+  }
+
+  test("cdcDiffScoped: the manifest-scoped diff reads ONLY the files " +
+    "the commit touched and still equals the full-table diff " +
+    "row-for-row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcscope")
+      .toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    // a narrow takedown touches exactly 2 of 10 files
+    val keys = Seq(5L, 950L).toDF("doc_id")
+    TableFormat.purgeScoped(spark, root, keys, schema, "doc_id")
+    val scoped = TableFormat.cdcDiffScoped(spark, root, 0L, 1L,
+      schema, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val full = TableFormat.cdcDiff(
+      TableFormat.readViaManifest(spark, root, 0L, schema),
+      TableFormat.readViaManifest(spark, root, 1L, schema), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(scoped === full, "scoped feed diverged from the full diff")
+    assert(scoped === Seq(("delete", 5L, "t5"), ("delete", 950L, "t950")))
+    // the scope is real: symmetric difference of the manifests (2
+    // rewritten-away old files + 2 rewritten new files), not 10+10
+    def files(g: Long) = TableFormat.readManifest(spark, root, g)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val sym = (files(0L) -- files(1L)) ++ (files(1L) -- files(0L))
+    assert(sym.size === 4, s"expected 4 touched files, got ${sym.size}")
+    assert((files(0L) ++ files(1L)).size === 12)
+  }
+
   test("maintainAgg: the feed-maintained aggregate equals a " +
     "from-scratch recompute of the next generation, including a " +
     "group born and a group emptied by the feed") {
