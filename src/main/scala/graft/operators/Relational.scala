@@ -129,24 +129,34 @@ object Relational {
     * Contract: HLL++ register hashing is engine-specific, so the
     * approx VALUE can never hash-match a cross-engine oracle. The
     * row therefore carries the sketch's real guarantee as data: it
-    * computes BOTH the sketch and the exact count in one aggregate
-    * and emits `within_bound` = |approx − exact| ≤ max(5, 5·rsd·
-    * exact) — the oracle pins the exact leg and the literal 1, so a
-    * sketch drifting past its documented error fails the DRIVER gate,
-    * not just the ScalaTest one (round-15 verdict item 7; at 100 TB
-    * the exact leg is dropped and the bound is the spec'd trust).
+    * computes the sketch AND the exact count and emits
+    * `within_bound` = |approx − exact| ≤ max(5, 5·rsd·exact) — the
+    * oracle pins the exact leg and the literal 1, so a sketch
+    * drifting past its documented error fails the DRIVER gate, not
+    * just the ScalaTest one (round-15 verdict item 7; at 100 TB the
+    * exact leg is dropped and the bound is the spec'd trust).
+    * The two legs run as SEPARATE aggregates joined on the group key
+    * (group-cardinality-sized): mixing countDistinct with an
+    * imperative-buffer aggregate in ONE agg routes everything
+    * through an Expand + ObjectHashAggregate pass — measured ~10×
+    * the split form's cost at sf0.1 — whereas split, each leg keeps
+    * its own optimal plan (two scans, both map-side combining).
     * RelationalSpec independently replays the bound against A7. */
-  def distinctAggApprox(t: Tables): DataFrame =
-    t.orders
+  def distinctAggApprox(t: Tables): DataFrame = {
+    val exact = t.orders
       .groupBy(col("o_orderstatus"))
       .agg(countDistinct(col("o_custkey")).as("n_cust"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("__approx"),
         count(lit(1)).as("n_orders"))
+    val sketch = t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("__approx"))
+    exact.join(sketch, Seq("o_orderstatus"))
       .select(col("o_orderstatus"), col("n_cust"), col("n_orders"),
         when(abs(col("__approx") - col("n_cust")) <=
           greatest(lit(5.0), col("n_cust") * 0.05), 1L).otherwise(0L)
           .as("within_bound"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** A8 — EXISTS as a left-semi join. The probe side only answers
     * "does this custkey appear", so it is pre-aggregated to distinct
