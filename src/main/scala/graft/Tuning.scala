@@ -79,8 +79,8 @@ object Tuning {
   }
 
   /** The encoder INFERENCE batch: rows per model call inside a
-    * `mapPartitions` encoder (the [[graft.operators.Encoder]]
-    * scaladoc's `rows.grouped(batch)` — reference
+    * `mapPartitions` encoder (the sizing
+    * [[graft.operators.BatchedEncoder]] executes — reference
     * hardware_optimizer.py:87-131 steps `embedding_batch_size`
     * 32→256 by hardware tier and caps a memory fraction; here the
     * same decision derives from the MEASURED per-core executor

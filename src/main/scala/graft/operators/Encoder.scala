@@ -40,23 +40,24 @@ trait Encoder extends Serializable {
 /** The conf-driven encoder BINDING — how a deployment installs its
   * production model without touching engine code (reference
   * processor.py:47 hardcodes all-MiniLM-L6-v2; here the class name
-  * is session conf). A production ONNX wrapper has exactly this
-  * shape:
+  * is session conf). The batched `mapPartitions` wrapper shape a
+  * real model uses is EXECUTED code, not a sketch — subclass
+  * [[BatchedEncoder]] (grouping, heap-derived batch sizing and the
+  * retry-determinism contract are already implemented there) and
+  * supply only the model call:
   *
   * {{{
   * // --conf graft.encoder.class=com.example.MiniLmEncoder
-  * final class MiniLmEncoder() extends Encoder {
-  *   val dim = 384                       // the model's output width
-  *   def encodeRaw(docs: DataFrame): DataFrame =
-  *     docs.mapPartitions { rows =>      // one ONNX session per task,
-  *       val session = ModelCache.get()  // batched inference inside;
-  *       val batch = Tuning.encoderBatchRows(  // sized from the
-  *         heapPerCore, dim)             // measured per-core budget
-  *       rows.grouped(batch).flatMap(b => session.encode(b))
-  *     }  // deterministic per (doc_id, text) — the retry contract
+  * final class MiniLmEncoder() extends BatchedEncoder {
+  *   val dim = 384                      // the model's output width
+  *   def encodeBatch(texts: Seq[String]): Seq[Array[Double]] =
+  *     ModelCache.get().encode(texts)   // one ONNX session per task
   * }
   * }}}
-  */
+  *
+  * [[BatchedHashEncoder]] is the shipped proof of the path: the
+  * default encoder's math driven through the batched wrapper,
+  * vector-for-vector identical (EncoderSpec). */
 object Encoder {
   /** Session conf naming the [[Encoder]] implementation class. */
   val classKey = "graft.encoder.class"
