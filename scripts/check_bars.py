@@ -11,6 +11,13 @@ may appear in several round blocks (re-based); the NEWEST block (the
 file is newest-first) governs, so the first occurrence of each query
 name wins.
 
+Parsing is PER-ENTRY: the file is split on the '- **q_' entry
+delimiter and the bar is extracted within each entry only, so an
+entry without its own Bar line can never capture a later entry's bar
+(the round-16 defect: non-greedy DOTALL matching crossed entry
+boundaries, misassigning bars and silently dropping coverage). An
+entry with no Bar line is reported as a warning.
+
 Usage: python3 scripts/check_bars.py [bench.json] [BENCH_BASELINE.md]
 Exit 0 = every barred row under its bar; exit 1 otherwise.
 """
@@ -20,15 +27,26 @@ import sys
 
 
 def parse_bars(path):
-    """First (newest) bar per query name."""
+    """First (newest) bar per query name; never crosses entries."""
     text = open(path).read()
     bars = {}
-    # an entry runs from '- **q_name' to the next entry or block break
-    for m in re.finditer(
-            r"\*\*(q_[a-z0-9_]+) [0-9.]+ s.*?Bar: > ([0-9.]+) s",
-            text, re.S):
-        name, bar = m.group(1), float(m.group(2))
-        bars.setdefault(name, bar)
+    unbarred = []
+    # '- **q_name ...' opens an entry; the next '- **' (or a block
+    # heading) closes it, so a chunk holds exactly one entry's prose
+    chunks = re.split(r"(?m)^- \*\*(q_[a-z0-9_]+)", text)
+    # chunks = [preamble, name1, body1, name2, body2, ...]
+    for name, body in zip(chunks[1::2], chunks[2::2]):
+        # the ' s' unit suffix is conventional but has drifted in a
+        # few entries ('Bar: > 4.') — the number alone is the bar
+        m = re.search(r"Bar: > ([0-9]+(?:\.[0-9]+)?)", body)
+        if m is None:
+            if name not in bars:
+                unbarred.append(name)
+            continue
+        bars.setdefault(name, float(m.group(1)))
+    for name in unbarred:
+        if name not in bars:
+            print(f"WARN {name}: entry has no Bar line — no coverage")
     return bars
 
 
