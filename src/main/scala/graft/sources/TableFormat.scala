@@ -28,116 +28,118 @@ import graft.functions.TextFunctions.words
 object TableFormat {
 
   // ---------------------------------------------------------------
-  // Versioned-table core: gen_<g>/ dirs behind one atomic pointer
+  // Versioned-table core: immutable gen dirs + commit-marker CAS
+  //
+  // A generation is committed by CREATING the file `commit_<g>`
+  // exclusively (its content names the generation's data dir). File
+  // creation is the filesystem's one true compare-and-swap: exactly
+  // one writer can ever own a generation id, so there is NO lock, NO
+  // lease, NO heal machinery and NO check-to-move window — the
+  // round-16 lease design documented a residual race after a heal;
+  // this protocol has no interleaving that can double-commit, because
+  // the atomic winner-picker IS the commit point. Data dirs are
+  // written complete (at token-unique names, so racers never collide)
+  // BEFORE the marker lands; a crash before the marker leaves only an
+  // unreferenced dir that sweeps as aged debris. This is Delta's
+  // protocol shape: data files first at unique names, then the
+  // exclusive log-entry write decides the winner.
   // ---------------------------------------------------------------
 
-  private def pointerPath(root: String) = Paths.get(root, "_GEN")
+  private[graft] def markerPath(root: String, gen: Long) =
+    Paths.get(root, s"commit_$gen")
 
+  /** The single-writer canonical data-dir name for `gen` (OCC
+    * commits use token-suffixed names; readers always resolve
+    * through the marker, never this name). */
   private[graft] def genDir(root: String, gen: Long): String =
     s"$root/gen_$gen"
 
-  /** Atomically point `_GEN` at `gen` (temp file + ATOMIC_MOVE — the
-    * StreamingDataCard commit discipline). A crash between the temp
-    * write and the move leaves only a `_GEN*.tmp` orphan, which
-    * [[vacuumGenerations]] sweeps as crash debris. */
-  private def movePointer(root: String, gen: Long): Unit = {
-    val tmp = Files.createTempFile(Paths.get(root), "_GEN", ".tmp")
-    Files.writeString(tmp, gen.toString)
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  /** The committed data dir for generation `gen`, resolved through
+    * its commit marker. */
+  private[graft] def resolveDir(root: String, gen: Long): String =
+    s"$root/${Files.readString(markerPath(root, gen)).trim}"
+
+  /** Atomically install the commit marker for `gen`, naming
+    * `dirName` as its data dir. The content is prepared in a temp
+    * file and PUBLISHED via `Files.createLink` — hard-link creation
+    * is atomic and fails when the target exists, so exactly one
+    * writer ever owns a generation id AND a reader can never observe
+    * a half-written marker (the content is complete before the name
+    * appears). Returns false when the generation is already
+    * committed. A crash between the link and the temp delete leaves
+    * a second hard link to the same inode — plain debris. */
+  private def casMarker(root: String, gen: Long, dirName: String): Boolean = {
+    val tmp = Files.createTempFile(Paths.get(root), "_commit_", ".tmp")
+    Files.writeString(tmp, dirName)
+    try { Files.createLink(markerPath(root, gen), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df` as generation `gen` and COMMIT it by atomically
-    * replacing the `_GEN` pointer. Superseded generations
-    * are NOT garbage-collected here: retaining them is the whole
-    * point (time travel); a production deployment vacuums by
-    * retention policy, exactly like a table format. */
+  /** Write `df` as generation `gen` and COMMIT it — the SINGLE-WRITER
+    * convenience verb (episodes, bootstraps): it may overwrite a
+    * previous commit of the same id, which contended writers must
+    * never do (they go through [[tryCommitGen]]). Superseded
+    * generations are NOT garbage-collected here: retaining them is
+    * the whole point (time travel); a production deployment vacuums
+    * by retention policy, exactly like a table format. */
   private[graft] def commitGen(df: DataFrame, root: String, gen: Long): Unit = {
     df.write.mode("overwrite").parquet(genDir(root, gen))
-    movePointer(root, gen)
+    Files.deleteIfExists(markerPath(root, gen))
+    require(casMarker(root, gen, s"gen_$gen"),
+      s"single-writer commitGen($gen) raced a concurrent marker on $root")
   }
 
-  /** The committed generation id — the pointer's content. The
-    * episode rows only read after a commit, so a missing pointer is
-    * a defect here, not a recovery case (StreamingDataCard owns the
-    * degraded-pointer story for crash-mid-commit streams). */
+  /** The committed generation id — the highest commit marker. The
+    * listing is O(retained generations), the same cost as reading a
+    * format's log tail. Markers are contiguous by construction (a
+    * writer can only claim currentGen + 1), so highest = newest. */
   private[graft] def currentGen(root: String): Long =
-    Files.readString(pointerPath(root)).trim.toLong
+    currentGenOption(root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed generation under $root"))
+
+  private[graft] def currentGenOption(root: String): Option[Long] = {
+    val gens = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f =>
+        if (f.isFile && f.getName.startsWith("commit_"))
+          f.getName.stripPrefix("commit_").toLongOption
+        else None)
+    if (gens.isEmpty) None else Some(gens.max)
+  }
 
   /** OPTIMISTIC-CONCURRENCY commit: install `df` as generation
     * `expected + 1` only if the table is still at generation
     * `expected` — the transaction-log conflict check every real
-    * table format runs (Delta's protocol: reread the log, fail the
-    * loser). Returns false (and writes nothing durable) when
-    * another writer committed first; the caller re-derives its
-    * change against the new current generation and retries — the
-    * data work is the retry cost, never a corrupted table.
+    * table format runs (Delta's protocol: write data at unique
+    * names, then contend for the log entry). Returns false (and
+    * leaves nothing durable) when another writer committed first;
+    * the caller re-derives its change against the new current
+    * generation and retries — the data work is the retry cost,
+    * never a corrupted table.
     *
-    * The generation data is STAGED before the lock is taken — each
-    * writer writes to its own token-named `_stage_*` dir, so the
-    * critical section is only check + two renames and lock-hold time
-    * is independent of data size (the Delta discipline: do the work,
-    * then contend for the log). Two racing writers both finish their
-    * data writes; exactly one pointer lands.
-    *
-    * The critical section is a `_LOCK` file created atomically
-    * (O_EXCL semantics: exactly one creator wins) and carrying the
-    * writer's OWNER TOKEN; the check and the renames happen inside
-    * it. A crash inside the section leaves a stale lock —
-    * [[healLock]] reaps one older than its staleness bound, the
-    * standard lease compromise. The token FENCES the lease: a writer
-    * that stalls past the bound, gets healed, and wakes after another
-    * writer re-acquired re-verifies ownership before the pointer move
-    * and before its `finally` delete, so it can neither commit over
-    * the new holder nor delete the new holder's lock (the remaining
-    * check-to-move window is the filesystem's lack of CAS — a
-    * table-format service closes it in its catalog; same shape). */
+    * The data dir is written COMPLETE at a token-unique name before
+    * the marker CAS, so two racing writers never touch the same
+    * path; the marker creation ([[casMarker]]) is the atomic commit
+    * point. There is no lock and no lease: a writer that stalls
+    * arbitrarily long simply finds its marker creation failing if
+    * someone else won, and a crashed writer leaves only an
+    * unreferenced data dir ([[vacuumGenerations]] sweeps it by
+    * age). */
   private[graft] def tryCommitGen(df: DataFrame, root: String,
       expected: Long): Boolean = {
-    val token = java.util.UUID.randomUUID().toString
-    // stage OUTSIDE the critical section: the data write is the
-    // data-size-dependent part, and it must not extend the lease
-    val staging = Paths.get(root, s"_stage_$token")
-    df.write.parquet(staging.toString)
-    val lock = Paths.get(root, "_LOCK")
-    def ownsLock: Boolean =
-      try Files.readString(lock) == token
-      catch { case _: java.io.IOException => false }
-    val acquired =
-      try {
-        Files.write(lock, token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    try {
-      if (!acquired || currentGen(root) != expected || !ownsLock) false
-      else {
-        // install: any dir already at the target id is uncommitted
-        // debris (a crashed loser) — the pointer never reached it
-        val target = Paths.get(genDir(root, expected + 1))
-        if (Files.exists(target))
-          LayoutStore.deleteRecursively(target.toFile)
-        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-        movePointer(root, expected + 1)
-        true
-      }
-    } finally {
-      if (Files.exists(staging)) LayoutStore.deleteRecursively(staging.toFile)
-      // delete ONLY our own lock — after a heal, the file is the
-      // next writer's lease, not ours
-      if (acquired && ownsLock) Files.deleteIfExists(lock)
-    }
-  }
-
-  /** Reap a `_LOCK` left by a writer that died inside its critical
-    * section, once it is older than `staleMillis`. Returns true if
-    * a stale lock was removed. */
-  private[graft] def healLock(root: String, staleMillis: Long): Boolean = {
-    val lock = Paths.get(root, "_LOCK")
-    Files.exists(lock) && {
-      val age = System.currentTimeMillis() -
-        Files.getLastModifiedTime(lock).toMillis
-      age > staleMillis && Files.deleteIfExists(lock)
+    val g = expected + 1
+    // cheap staleness pre-check: saves the data write when the table
+    // has visibly moved on (the marker CAS below is the real gate)
+    if (currentGen(root) != expected) return false
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"gen_${g}_$token"
+    df.write.parquet(s"$root/$dirName")
+    if (casMarker(root, g, dirName)) true
+    else {
+      LayoutStore.deleteRecursively(new java.io.File(s"$root/$dirName"))
+      false
     }
   }
 
@@ -146,7 +148,7 @@ object TableFormat {
     * empty generation must read as an empty frame). */
   private[graft] def readGen(spark: SparkSession, root: String, gen: Long,
       schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(genDir(root, gen))
+    spark.read.schema(schema).parquet(resolveDir(root, gen))
 
   /** H12 — `q_time_travel`: GENERATION-PINNED reads over a mutating
     * table — "the orders table AS OF generation 0" after the H8
@@ -203,35 +205,52 @@ object TableFormat {
     * ops, O(generations) regardless of table size.
     *
     * The sweep also reaps CRASH DEBRIS past `debrisStaleMillis`:
-    * orphaned `_GEN*.tmp` pointer temps (a crash between the temp
-    * write and the atomic move), abandoned `_stage_*` dirs (a writer
-    * that died after staging, before its critical section), and a
-    * stale `_LOCK` (via [[healLock]]). The age bound is what keeps
-    * the sweep safe beside LIVE writers — a fresh stage dir or lock
-    * belongs to an in-flight commit and survives (the same lease
-    * compromise the lock itself makes; Delta's VACUUM has the same
+    * orphaned `_commit_*.tmp` marker temps (a crash between the temp
+    * write and the link) and UNREFERENCED `gen_*` data dirs — a
+    * writer that staged its data and died before winning (or after
+    * losing) the marker CAS. The age bound is what keeps the sweep
+    * safe beside LIVE writers — a fresh unreferenced dir belongs to
+    * an in-flight commit and survives (Delta's VACUUM has the same
     * retention-vs-in-flight horizon). */
   private[graft] def vacuumGenerations(root: String, keep: Int,
       debrisStaleMillis: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keep >= 1, "retention must keep at least the current generation")
     val cur = currentGen(root)
-    val entries = Option(new java.io.File(root).listFiles())
+    def entries = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
-    val reap = entries
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-      .flatMap(f => f.getName.stripPrefix("gen_").toLongOption.map(_ -> f))
-      .filter { case (g, _) => g <= cur - keep }
-    reap.foreach { case (_, f) => LayoutStore.deleteRecursively(f) }
+    val committed: Map[Long, String] = entries
+      .flatMap(f =>
+        if (f.isFile && f.getName.startsWith("commit_"))
+          f.getName.stripPrefix("commit_").toLongOption
+            .map(_ -> Files.readString(f.toPath).trim)
+        else None).toMap
+    // INTERLOCK: a manifested table's newer generations can carry
+    // older generations' files BY REFERENCE (purgeScoped /
+    // mergeScoped), so the by-directory reap below would delete
+    // files the current manifest still reaches — data loss. Such a
+    // table vacuums by REACHABILITY ([[vacuumManifested]]); refuse
+    // rather than rely on callers reading the scaladoc.
+    require(!committed.values.exists(d =>
+        Files.isDirectory(Paths.get(root, d, "_manifest"))),
+      s"$root is a MANIFESTED table (in-dir _manifest present): its " +
+        "generations may reference older generations' files, so the " +
+        "by-directory sweep is unsafe — use vacuumManifested")
+    val reap = committed.filter { case (g, _) => g <= cur - keep }
+    reap.foreach { case (g, dirName) =>
+      LayoutStore.deleteRecursively(new java.io.File(root, dirName))
+      Files.deleteIfExists(markerPath(root, g))
+    }
     def stale(f: java.io.File) =
       System.currentTimeMillis() - f.lastModified() > debrisStaleMillis
+    val referenced = (committed -- reap.keys).values.toSet
     entries
       .filter(f => stale(f) && (
-        (f.isFile && f.getName.startsWith("_GEN") &&
+        (f.isFile && f.getName.startsWith("_commit_") &&
           f.getName.endsWith(".tmp")) ||
-        (f.isDirectory && f.getName.startsWith("_stage_"))))
+        (f.isDirectory && f.getName.startsWith("gen_") &&
+          !referenced(f.getName))))
       .foreach(LayoutStore.deleteRecursively)
-    healLock(root, debrisStaleMillis)
-    reap.map(_._1).sorted.toSeq
+    reap.keys.toSeq.sorted
   }
 
   /** H15 — `q_vacuum`: the RETENTION sweep that bounds what H12's
@@ -292,44 +311,92 @@ object TableFormat {
   // H16: per-file min/max statistics manifest + data skipping
   // ---------------------------------------------------------------
 
+  /** A manifested generation keeps its per-file statistics INSIDE
+    * its data dir (`<dir>/_manifest` — underscore-prefixed, so
+    * Spark's file index never scans it as data). That makes the
+    * manifest part of the same atomic commit as the data: both are
+    * complete before the marker CAS publishes the generation, so no
+    * crash or racing writer can ever publish data without stats or
+    * stats without data. */
   private[graft] def manifestPath(root: String, gen: Long): String =
-    s"$root/manifest_$gen"
+    s"${resolveDir(root, gen)}/_manifest"
 
-  private val manifestSchema = StructType.fromDDL(
-    "file STRING, min_key LONG, max_key LONG, n_rows LONG")
+  private[graft] def schemaPath(dir: String) = Paths.get(dir, "_schema.json")
 
-  /** Per-file (min, max, rows) of `key` over the parquet files under
-    * `dir` — the statistics every table format records at commit
-    * time. One map-side-combining pass grouped on the file identity
-    * (`_metadata.file_path`); at 100 TB a format collects these
-    * DURING the write from each task's writer, which is the same
-    * numbers without the extra read — composition, not a different
-    * manifest. */
+  /** The schema RECORDED at commit time for generation `gen` — what
+    * a format's log tracks so a table can evolve (H11 proves the
+    * mergeSchema read over loose files; the versioned core records
+    * the authoritative width per generation instead of re-inferring
+    * it from file footers). */
+  private[graft] def genSchema(root: String, gen: Long): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      Files.readString(schemaPath(resolveDir(root, gen))))
+      .asInstanceOf[StructType]
+
+  /** Per-file statistics of `keys` over the parquet files under
+    * `dir`: (min, max, null-presence) per key column in the column's
+    * NATIVE type, plus the row count — the statistics every table
+    * format records at commit time. One map-side-combining pass
+    * grouped on the file identity (`_metadata.file_path`); at 100 TB
+    * a format collects these DURING the write from each task's
+    * writer, which is the same numbers without the extra read —
+    * composition, not a different manifest. The null flag makes a
+    * NULL key first-class in the scoped verbs: a file whose key
+    * column contains NULLs (min/max are null-blind) always
+    * classifies as touched when the scope list can name a NULL. */
   private def fileStats(spark: SparkSession, dir: String,
-      schema: StructType, key: String): DataFrame =
+      schema: StructType, keys: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: keys.flatMap(k => Seq(
+      min(col(k)).as(s"min_$k"),
+      max(col(k)).as(s"max_$k"),
+      (count(lit(1)) > count(col(k))).as(s"null_$k")))
     spark.read.schema(schema).parquet(dir)
-      .select(col("_metadata.file_path").as("file"), col(key).as("__sk"))
-      .groupBy(col("file"))
-      .agg(min(col("__sk")).cast(LongType).as("min_key"),
-        max(col("__sk")).cast(LongType).as("max_key"),
-        count(lit(1)).as("n_rows"))
-
-  /** Commit `df` as generation `gen` WITH a per-file min/max
-    * manifest on `key`. A manifested generation is READ through its
-    * manifest's file list, not the directory listing — which is what
-    * lets a later commit REFERENCE this generation's surviving files
-    * instead of copying them (see [[purgeScoped]]). */
-  private[graft] def commitGenManifested(df: DataFrame, root: String,
-      gen: Long, key: String): Unit = {
-    df.write.mode("overwrite").parquet(genDir(root, gen))
-    fileStats(df.sparkSession, genDir(root, gen), df.schema, key)
-      .write.mode("overwrite").parquet(manifestPath(root, gen))
-    movePointer(root, gen)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The stat-carrying key columns a manifest tracks, recovered from
+    * its own column names — so a scoped commit re-collects stats for
+    * exactly the columns every carried row already has. */
+  private def manifestKeys(m: DataFrame): Seq[String] =
+    m.columns.toIndexedSeq.collect { case c if c.startsWith("min_") =>
+      c.stripPrefix("min_") }
+
+  /** Commit `df` as generation `gen` WITH a per-file min/max/null
+    * manifest on `keys` (multi-column, like a real format's
+    * per-column log stats) and the generation's recorded schema. A
+    * manifested generation is READ through its manifest's file list,
+    * not the directory listing — which is what lets a later commit
+    * REFERENCE this generation's surviving files instead of copying
+    * them (see [[purgeScoped]]). Single-writer verb, like
+    * [[commitGen]]; contended writers use [[tryMergeScoped]]. */
+  private[graft] def commitGenManifested(df: DataFrame, root: String,
+      gen: Long, keys: Seq[String]): Unit = {
+    val dirName = s"gen_$gen"
+    val dir = s"$root/$dirName"
+    df.write.mode("overwrite").parquet(dir)
+    // one file: a manifest is scan-planning-sized, and a single part
+    // file keeps schema inference possible even for an EMPTY table
+    // (zero part files would leave nothing to infer from)
+    fileStats(df.sparkSession, dir, df.schema, keys).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+    Files.writeString(schemaPath(dir), df.schema.json)
+    Files.deleteIfExists(markerPath(root, gen))
+    require(casMarker(root, gen, dirName),
+      s"single-writer commitGenManifested($gen) raced a marker on $root")
+  }
+
+  private[graft] def commitGenManifested(df: DataFrame, root: String,
+      gen: Long, key: String): Unit =
+    commitGenManifested(df, root, gen, Seq(key))
+
+  /** A manifest is scan-planning-sized (one row per file), so the
+    * schema-inference footer read costs nothing; inferring keeps the
+    * min/max columns in their NATIVE types (a string key's range
+    * prunes as strings, a long key's as longs). */
   private[graft] def readManifest(spark: SparkSession, root: String,
       gen: Long): DataFrame =
-    spark.read.schema(manifestSchema).parquet(manifestPath(root, gen))
+    spark.read.parquet(manifestPath(root, gen))
 
   /** Read a manifested generation via its file list. The collect is
     * the driver's scan-planning cost — O(files), the same listing
@@ -367,34 +434,78 @@ object TableFormat {
     * reap unsafe — a manifested table vacuums by REACHABILITY from
     * retained manifests (exactly Delta VACUUM's rule); this episode
     * retains everything. */
+  /** The shared SCOPED-COMMIT core: split generation `expected`'s
+    * manifest into touched/carried by `touch` (a predicate over the
+    * manifest's stats columns against the broadcast `scope` frame),
+    * read ONLY the touched files, rewrite them through `rewrite`,
+    * carry every other file into the new generation's manifest BY
+    * REFERENCE (zero bytes moved), and CAS-commit the result as
+    * generation `expected + 1`. Returns None when another writer
+    * committed first — nothing durable remains (the OCC discipline
+    * of [[tryCommitGen]], at O(touched files) data cost).
+    *
+    * The skip decision is a range-intersection semi join of the
+    * manifest against the broadcast scope (BroadcastNestedLoop over
+    * scan-planning-sized inputs: |files| × |scope|, never
+    * data-sized). `schema` is the schema the NEW generation commits
+    * — pass an evolved (wider) schema and the touched legacy files
+    * read with NULL backfill while carried files stay legacy on disk
+    * (resolved at read time by the recorded schema). */
+  private def tryScopedCommit(spark: SparkSession, root: String,
+      expected: Long, schema: StructType, scope: DataFrame,
+      touch: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame): Option[SkipReport] = {
+    val g = expected + 1
+    // cheap staleness pre-check (the marker CAS below is the gate)
+    if (currentGen(root) != expected) return None
+    val m = readManifest(spark, root, expected).localCheckpoint(true)
+    val keys = manifestKeys(m)
+    val sc = broadcast(scope)
+    val touchedFiles = m.join(sc, touch, "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val carried = m.join(sc, touch, "left_anti")
+    val survivors =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touchedFiles: _*)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"gen_${g}_$token"
+    val dir = s"$root/$dirName"
+    rewrite(survivors).write.parquet(dir)
+    carried.unionByName(fileStats(spark, dir, schema, keys)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+    Files.writeString(schemaPath(dir), schema.json)
+    if (casMarker(root, g, dirName))
+      Some(SkipReport(touchedFiles.length.toLong,
+        m.count() - touchedFiles.length))
+    else {
+      LayoutStore.deleteRecursively(new java.io.File(dir))
+      None
+    }
+  }
+
+  /** The null-safe range-intersection touch predicate for a scope
+    * frame carrying one `__sk` key column: a file is touched when a
+    * scope key can fall inside its [min, max] — including a NULL
+    * scope key against a file whose key column contains NULLs
+    * (min/max are null-blind, so the null flag carries that case). */
+  private def touchByKey(key: String): org.apache.spark.sql.Column =
+    (col(s"null_$key") && col("__sk").isNull) ||
+      col("__sk").between(col(s"min_$key"), col(s"max_$key"))
+
   private[graft] def purgeScoped(spark: SparkSession, root: String,
       keys: DataFrame, schema: StructType, key: String): SkipReport = {
-    val cur = currentGen(root)
-    val m = readManifest(spark, root, cur).localCheckpoint(true)
-    val k = broadcast(keys.select(col(keys.columns.head).as("__sk")))
-    val intersects = col("__sk").between(col("min_key"), col("max_key"))
-    val touchedFiles = m.join(k, intersects, "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    val carried = m.join(k, intersects, "left_anti")
-    val next = cur + 1
-    val rewritten =
-      if (touchedFiles.isEmpty)
-        // nothing intersects: a manifest-only commit, no data write
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
-      else {
-        spark.read.schema(schema).parquet(touchedFiles: _*)
-          .join(broadcast(keys.select(col(keys.columns.head).as("__td"))),
-            col(key) === col("__td"), "left_anti")
-          .write.parquet(genDir(root, next))
-        fileStats(spark, genDir(root, next), schema, key)
-      }
-    carried.unionByName(rewritten)
-      .write.mode("overwrite").parquet(manifestPath(root, next))
-    movePointer(root, next)
-    // semi + anti partition the manifest exactly
-    SkipReport(touchedFiles.length.toLong,
-      m.count() - touchedFiles.length)
+    val scope = keys.select(col(keys.columns.head).as("__sk"))
+    tryScopedCommit(spark, root, currentGen(root), schema, scope,
+      touchByKey(key),
+      // null-safe anti join: a NULL list key removes NULL-keyed rows,
+      // matching cdcDiff/applyChanges' first-class NULL keys
+      surv => surv.join(
+        broadcast(keys.select(col(keys.columns.head).as("__td"))),
+        col(key) <=> col("__td"), "left_anti"))
+      .getOrElse(throw new IllegalStateException(
+        s"purgeScoped raced a concurrent writer on $root"))
   }
 
   /** STATS-SKIPPING merge (H8's latest-wins upsert over a manifested
@@ -407,31 +518,33 @@ object TableFormat {
     * files. Answer ≡ mergeLatest over the full table (spec-pinned) —
     * at 100 TB the difference is rewriting the files a day's delta
     * touches instead of the corpus. */
-  private[graft] def mergeScoped(spark: SparkSession, root: String,
-      delta: DataFrame, schema: StructType, key: String): SkipReport = {
-    val cur = currentGen(root)
-    val m = readManifest(spark, root, cur).localCheckpoint(true)
-    val keys = delta.select(col(key))
-    val k = broadcast(keys.select(col(key).as("__sk")))
-    val intersects = col("__sk").between(col("min_key"), col("max_key"))
-    val touchedFiles = m.join(k, intersects, "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    val carried = m.join(k, intersects, "left_anti")
-    val next = cur + 1
-    val survivors =
-      if (touchedFiles.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touchedFiles: _*)
-    Export.mergeLatest(survivors, delta.select(
-      schema.fieldNames.map(col).toIndexedSeq: _*), key)
-      .write.parquet(genDir(root, next))
-    carried.unionByName(fileStats(spark, genDir(root, next), schema, key))
-      .write.mode("overwrite").parquet(manifestPath(root, next))
-    movePointer(root, next)
-    SkipReport(touchedFiles.length.toLong,
-      m.count() - touchedFiles.length)
+  /** STATS-SKIPPING merge with the OCC contract: commit H8's
+    * latest-wins upsert of `delta` as generation `expected + 1` only
+    * if the table is still at `expected` — the verb a CONTENDED
+    * writer (the streaming sink's micro-batch loop) uses. Only files
+    * whose key range can contain a delta key rewrite; the rest carry
+    * by reference, so the per-commit cost is O(delta-touched files),
+    * never O(table) — at 100 TB the difference between a stream that
+    * rewrites the corpus dozens of times a day and one that touches
+    * what changed. Returns None when another writer committed
+    * first. Delta rows are projected to `schema`, which may be WIDER
+    * than the table's previous schema (additive evolution): touched
+    * legacy files rewrite with NULL backfill, carried legacy files
+    * stay 100%% intact on disk and backfill at read time. */
+  private[graft] def tryMergeScoped(spark: SparkSession, root: String,
+      delta: DataFrame, schema: StructType, key: String,
+      expected: Long): Option[SkipReport] = {
+    val scope = delta.select(col(key).as("__sk"))
+    tryScopedCommit(spark, root, expected, schema, scope, touchByKey(key),
+      surv => Export.mergeLatest(surv, delta.select(
+        schema.fieldNames.map(col).toIndexedSeq: _*), key))
   }
+
+  private[graft] def mergeScoped(spark: SparkSession, root: String,
+      delta: DataFrame, schema: StructType, key: String): SkipReport =
+    tryMergeScoped(spark, root, delta, schema, key, currentGen(root))
+      .getOrElse(throw new IllegalStateException(
+        s"mergeScoped raced a concurrent writer on $root"))
 
   /** Retention for a MANIFESTED table — Delta VACUUM's rule: a file
     * is reclaimable only when NO retained manifest reaches it
@@ -455,25 +568,34 @@ object TableFormat {
     def localPath(f: String): String =
       if (f.startsWith("file:")) java.net.URI.create(f).getPath else f
     val reach = reachable.map(localPath)
+    // a retained generation's OWN dir is untouchable (its manifest
+    // and schema record live there); every other gen dir is storage
+    // whose data files survive only by reachability
+    val retainedDirs = retainedGens
+      .map(g => new java.io.File(resolveDir(root, g)).getName).toSet
     var reaped = 0L
     Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
-        f.getName.stripPrefix("gen_").toLongOption.exists(_ <= cur - keep))
+        !retainedDirs(f.getName))
       .foreach { dir =>
         Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && !reach(f.getAbsolutePath))
           .foreach { f => if (f.delete()) reaped += 1 }
+        // the expired generation's own manifest + schema go with it
+        LayoutStore.deleteRecursively(new java.io.File(dir, "_manifest"))
+        Files.deleteIfExists(schemaPath(dir.getPath))
         val rest = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         if (!rest.exists(_.isFile)) LayoutStore.deleteRecursively(dir)
       }
-    // expired manifests go with their generations
+    // expired markers go with their generations (resolution for a
+    // reaped generation must fail cleanly, not dangle)
     Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("manifest_") &&
-        f.getName.stripPrefix("manifest_").toLongOption
+      .filter(f => f.isFile && f.getName.startsWith("commit_") &&
+        f.getName.stripPrefix("commit_").toLongOption
           .exists(_ <= cur - keep))
-      .foreach(LayoutStore.deleteRecursively)
+      .foreach(f => Files.deleteIfExists(f.toPath))
     reaped
   }
 

@@ -570,6 +570,31 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(Dedup.stateWatermark(state.toString) === top)
   }
 
+  test("versioned-table sink: a table BEHIND its checkpoint fails " +
+    "LOUDLY — a replay skip is only legal when the table is PAST the " +
+    "batch, never when it was restored to an older state") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val root = new File(
+      Files.createTempDirectory("graft-vsink-behind").toFile, "table")
+      .getAbsolutePath
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    StreamingVersionedSink.init(spark, root, schema, "k") // table at gen 0
+    val batch = Seq((1L, 10L)).toDF("k", "v")
+    // the checkpoint delivers batch 2: the table is BEHIND (a root
+    // restored from backup while the checkpoint survived) — silently
+    // returning false here would drop every batch from now on
+    val ex = intercept[IllegalArgumentException] {
+      StreamingVersionedSink.commitBatch(root, schema, "k")(batch, 2L)
+    }
+    assert(ex.getMessage.contains("BEHIND"), ex.getMessage)
+    assert(TableFormat.currentGen(root) === 0L)
+    // batch 0 commits normally; a batch the table is PAST still skips
+    assert(StreamingVersionedSink.commitBatch(root, schema, "k")(batch, 0L))
+    assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(batch, 0L))
+  }
+
   test("versioned-table sink: micro-batches commit as OCC generations — " +
     "killed mid-stream and resumed never double-commits, a literal " +
     "replayed batch is a no-op, and every mid-stream generation " +
@@ -606,7 +631,9 @@ class StreamingRecoverySpec extends SparkTestBase {
       maxFilesPerTrigger = Some(1)).awaitTermination()
     assert(TableFormat.currentGen(root) === 3L,
       "3 single-file batches must land exactly 3 generations")
-    def gen(g: Long) = TableFormat.readGen(spark, root, g, schema)
+    // generations are MANIFESTED (scoped commits carry untouched
+    // files by reference), so a pinned read goes via the manifest
+    def gen(g: Long) = TableFormat.readViaManifest(spark, root, g, schema)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     // H12 mid-stream time travel: every prefix state intact
     assert(gen(0L) === Seq.empty)
@@ -632,8 +659,80 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(gen(5L) ===
       Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)),
       "final state must equal the batch latest-wins replay of all deltas")
-    // the stream's retention composes: H15 bounds the history
-    assert(TableFormat.vacuumGenerations(root, keep = 2) === Seq(0L, 1L, 2L, 3L))
-    assert(gen(5L).length === 5)
+    // the stream's retention composes — and the MANIFESTED table
+    // refuses the by-directory sweep (carried references would be
+    // destroyed); reachability-based retention is the safe verb
+    intercept[IllegalArgumentException] {
+      TableFormat.vacuumGenerations(root, keep = 2)
+    }
+    assert(TableFormat.vacuumManifested(spark, root, keep = 2) >= 0L)
+    assert(gen(5L) ===
+      Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      "the current generation must read intact through retained storage")
+    // gen 4 = the state after batches 0-3 (k=5 hasn't arrived yet),
+    // still pinned-readable through carried storage post-sweep
+    assert(gen(4L) === Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("versioned-table sink commits are SCOPED: against a preloaded " +
+    "many-file base table, each micro-batch rewrites only the files " +
+    "its keys touch and carries the rest by reference") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("graft-vscope-in").toFile
+    val root = new File(
+      Files.createTempDirectory("graft-vscope-tbl").toFile, "table")
+      .getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vscope-ckpt").toFile
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    // base: 1000 keys range-clustered into 10 tight files = gen 0
+    new File(root).mkdirs()
+    TableFormat.commitGenManifested(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(10, col("k")),
+      root, 0L, "k")
+    // three single-key deltas land as three micro-batches
+    var i = 0
+    def land(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(in.getAbsolutePath)
+      stampBatchFiles(in, i); i += 1
+    }
+    land(Seq((5L, 999L)))    // update inside file 0's range
+    land(Seq((955L, 888L)))  // update inside file 9's range
+    land(Seq((5000L, 1L)))   // insert beyond every range
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(TableFormat.currentGen(root) === 3L)
+    // per generation: files REWRITTEN live in the generation's own
+    // dir; carried ones point elsewhere — the SkipProbe fact at the
+    // sink (per-batch cost O(delta-touched), not O(table))
+    (1L to 3L).foreach { g =>
+      val files = TableFormat.readManifest(spark, root, g)
+        .select(col("file")).collect().map(_.getString(0))
+      val own = files.count(_.contains(s"gen_${g}_"))
+      val carried = files.length - own
+      assert(own <= 3, s"gen $g rewrote $own files for a 1-key delta")
+      assert(carried >= 9,
+        s"gen $g carried only $carried of ${files.length} files")
+    }
+    // and the data is right: latest-wins state equals the batch replay
+    val got = TableFormat.readViaManifest(spark, root, 3L, schema)
+    assert(got.count() === 1001L)
+    assert(got.filter(col("k") === 5L).select("v")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    assert(got.filter(col("k") === 955L).select("v")
+      .collect().map(_.getLong(0)).toSeq === Seq(888L))
+    assert(got.filter(col("k") === 5000L).count() === 1L)
+    // mid-stream time travel through carried storage: gen 1 pins the
+    // state after batch 0 only
+    val g1 = TableFormat.readViaManifest(spark, root, 1L, schema)
+    assert(g1.filter(col("k") === 5L).select("v")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    assert(g1.filter(col("k") === 955L).select("v")
+      .collect().map(_.getLong(0)).toSeq === Seq(9550L))
+    assert(g1.filter(col("k") === 5000L).count() === 0L)
   }
 }

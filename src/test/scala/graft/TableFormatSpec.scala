@@ -114,8 +114,8 @@ class TableFormatSpec extends SparkTestBase {
   }
 
   test("tryCommitGen: conflicting writers — exactly one wins, the " +
-    "loser's commit writes nothing durable, and a stale crash lock " +
-    "heals by age") {
+    "loser's commit leaves nothing durable, and a crashed writer's " +
+    "orphan dir never blocks the next commit (no lease to heal)") {
     val root = java.nio.file.Files.createTempDirectory("graft-occ").toString
     val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
     TableFormat.commitGen(mk(0), root, 0L)
@@ -123,7 +123,7 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.tryCommitGen(mk(10), root, expected = 0L))
     assert(TableFormat.currentGen(root) === 1L)
     // writer B ALSO derived against gen 0 — its commit must fail,
-    // the pointer must not move, and gen 1 must still be A's data
+    // the table must not advance, and gen 1 must still be A's data
     assert(!TableFormat.tryCommitGen(mk(20), root, expected = 0L))
     assert(TableFormat.currentGen(root) === 1L)
     val schema = mk(0).schema
@@ -132,67 +132,126 @@ class TableFormatSpec extends SparkTestBase {
     // B retries against the NEW current generation and succeeds
     assert(TableFormat.tryCommitGen(mk(20), root, expected = 1L))
     assert(TableFormat.currentGen(root) === 2L)
-    // a lock left by a crashed writer blocks commits until it ages out
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_LOCK"))
-    assert(!TableFormat.tryCommitGen(mk(30), root, expected = 2L))
-    assert(!TableFormat.healLock(root, staleMillis = 60000),
-      "a fresh lock must not be reaped")
-    assert(TableFormat.healLock(root, staleMillis = -1))
+    // a writer that CRASHED after staging (data dir, no marker)
+    // blocks nothing: the next commit proceeds immediately — the
+    // protocol has no lock, so there is nothing to heal or wait out
+    val orphan = new java.io.File(root, "gen_3_deadbeef")
+    assert(orphan.mkdir())
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-0"), "x")
     assert(TableFormat.tryCommitGen(mk(30), root, expected = 2L))
     assert(TableFormat.currentGen(root) === 3L)
-    // no staging debris survives a completed commit cycle
-    val debris = new java.io.File(root).listFiles()
-      .filter(_.getName.startsWith("_stage_"))
-    assert(debris.isEmpty, s"staging debris left: ${debris.mkString(", ")}")
+    assert(TableFormat.readGen(spark, root, 3L, schema)
+      .collect().map(_.getLong(1)).toSeq === Seq(30L),
+      "gen 3 must resolve to the COMMITTED dir, not the orphan")
+    // losers' staged dirs are cleaned up; only committed dirs + the
+    // planted orphan remain
+    val genDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .map(_.getName).sorted
+    assert(genDirs.count(_.startsWith("gen_3")) === 2, // committed + orphan
+      s"loser staging debris left: ${genDirs.mkString(", ")}")
+    assert(genDirs.length === 5, s"unexpected dirs: ${genDirs.mkString(", ")}")
   }
 
-  test("tryCommitGen fencing: a writer that lost its lease neither " +
-    "commits over the new holder nor deletes the new holder's lock") {
-    val root = java.nio.file.Files.createTempDirectory("graft-fence").toString
-    val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
-    TableFormat.commitGen(mk(0), root, 0L)
-    // another writer's lease is in place (owner token inside)
-    val lock = java.nio.file.Paths.get(root, "_LOCK")
-    java.nio.file.Files.writeString(lock, "other-writers-token")
-    assert(!TableFormat.tryCommitGen(mk(10), root, expected = 0L))
-    assert(TableFormat.currentGen(root) === 0L, "committed over a live lease")
-    assert(java.nio.file.Files.exists(lock) &&
-      java.nio.file.Files.readString(lock) === "other-writers-token",
-      "deleted another writer's lock")
-    // and the loser staged nothing durable
-    assert(!new java.io.File(root).listFiles()
-      .exists(_.getName.startsWith("_stage_")))
+  test("commit-marker CAS: no interleaving can double-commit — the " +
+    "old lease's check-to-move window is structurally gone. Eight " +
+    "writers hammer the table concurrently; every generation lands " +
+    "exactly one writer's payload and nothing is lost or torn") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cas").toString
+    val mk = (w: Int, i: Int) => Seq((w.toLong, i.toLong)).toDF("w", "i")
+    TableFormat.commitGen(Seq((-1L, -1L)).toDF("w", "i"), root, 0L)
+    val writers = 8; val commitsEach = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var done = 0; var spins = 0
+            while (done < commitsEach) {
+              val cur = TableFormat.currentGen(root)
+              if (TableFormat.tryCommitGen(mk(w, done), root, cur)) done += 1
+              else { spins += 1; require(spins < 10000, "livelock") }
+            }
+            done
+          }
+        })
+      }
+      assert(futures.map(_.get()).sum === writers * commitsEach)
+    } finally pool.shutdown()
+    val total = writers * commitsEach
+    assert(TableFormat.currentGen(root) === total.toLong,
+      "every commit must land exactly one NEW generation")
+    // each generation holds exactly one writer's single-row payload,
+    // and the 40 payloads are exactly the 40 attempted commits — no
+    // loss, no duplicate, no torn read anywhere in the history
+    val schema = mk(0, 0).schema
+    val payloads = (1 to total).map { g =>
+      val rows = TableFormat.readGen(spark, root, g.toLong, schema)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === 1, s"generation $g torn: ${rows.length} rows")
+      rows.head
+    }
+    assert(payloads.toSet.size === total, "a payload committed twice")
+    assert(payloads.toSet ===
+      (for (w <- 0 until writers; i <- 0 until commitsEach)
+        yield (w.toLong, i.toLong)).toSet)
+    // and no loser staging debris survived the hammer
+    val markers = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("commit_"))
+    val dirs = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("gen_"))
+    assert(markers === total + 1)
+    assert(dirs === total + 1, "loser dirs not cleaned up")
   }
 
-  test("vacuumGenerations sweeps aged crash debris (_GEN*.tmp, " +
-    "_stage_* dirs, stale _LOCK) but leaves FRESH debris — an " +
-    "in-flight writer's staging and lease — alone") {
+  test("vacuumGenerations sweeps aged crash debris (_commit_*.tmp " +
+    "marker temps, unreferenced gen_* staging dirs) but leaves FRESH " +
+    "debris — an in-flight writer's staging — alone") {
     val root = java.nio.file.Files.createTempDirectory("graft-debris").toString
     val mk = (v: Long) => Seq((1L, v)).toDF("k", "v")
     TableFormat.commitGen(mk(0), root, 0L)
     TableFormat.commitGen(mk(1), root, 1L)
-    val tmp = java.nio.file.Paths.get(root, "_GEN123.tmp")
-    java.nio.file.Files.writeString(tmp, "9")
-    val stage = new java.io.File(root, "_stage_deadbeef")
+    val tmp = java.nio.file.Paths.get(root, "_commit_123.tmp")
+    java.nio.file.Files.writeString(tmp, "gen_9_dead")
+    val stage = new java.io.File(root, "gen_2_deadbeef")
     assert(stage.mkdir())
     java.nio.file.Files.writeString(stage.toPath.resolve("part-0"), "x")
-    val lock = java.nio.file.Paths.get(root, "_LOCK")
-    java.nio.file.Files.writeString(lock, "dead-writer")
     // fresh debris survives a sweep with a real staleness bound
     assert(TableFormat.vacuumGenerations(root, keep = 1,
       debrisStaleMillis = 3600000L) === Seq(0L))
-    assert(java.nio.file.Files.exists(tmp) && stage.isDirectory &&
-      java.nio.file.Files.exists(lock),
+    assert(java.nio.file.Files.exists(tmp) && stage.isDirectory,
       "swept an in-flight writer's fresh files")
-    // aged debris reaps; live generation + pointer intact
+    // aged debris reaps; live generation + marker intact
     assert(TableFormat.vacuumGenerations(root, keep = 1,
       debrisStaleMillis = -1L) === Seq.empty)
-    assert(!java.nio.file.Files.exists(tmp), "_GEN*.tmp survived")
-    assert(!stage.exists(), "_stage_* survived")
-    assert(!java.nio.file.Files.exists(lock), "stale _LOCK survived")
+    assert(!java.nio.file.Files.exists(tmp), "_commit_*.tmp survived")
+    assert(!stage.exists(), "unreferenced staging dir survived")
     assert(TableFormat.currentGen(root) === 1L)
     assert(TableFormat.readGen(spark, root, 1L, mk(0).schema)
       .collect().map(_.getLong(1)).toSeq === Seq(1L))
+  }
+
+  test("vacuumGenerations REFUSES a manifested table — the " +
+    "by-directory sweep would reap files newer generations carry by " +
+    "reference; the table stays fully readable after the refusal") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vguard")
+      .toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    // gen 1 carries 9 of gen 0's files by reference
+    TableFormat.purgeScoped(spark, root, Seq(5L).toDF("doc_id"),
+      docs.schema, "doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      TableFormat.vacuumGenerations(root, keep = 1)
+    }
+    assert(ex.getMessage.contains("vacuumManifested"),
+      s"refusal must point at the safe verb: ${ex.getMessage}")
+    // the refusal reaped nothing: every carried reference still reads
+    assert(TableFormat.readViaManifest(spark, root, 1L, docs.schema)
+      .count() === 999L)
   }
 
   test("purgeScoped: only files whose min/max range intersects the " +
@@ -232,6 +291,43 @@ class TableFormatSpec extends SparkTestBase {
     assert(r2.filesTouched === 0L && r2.filesCarried === 10L)
     assert(TableFormat.readViaManifest(spark, root, 2L, schema)
       .count() === 998L)
+  }
+
+  test("purgeScoped: NULL keys are first-class — the manifest's " +
+    "null-presence flag routes a NULL takedown key to exactly the " +
+    "null-carrying files, and a non-null list leaves NULL rows alone") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nullskip")
+      .toString
+    // 100 non-null ids in range files + 3 NULL-keyed rows co-located
+    val docs = spark.range(0, 100)
+      .select(col("id").cast("long").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .unionByName(Seq(("n1"), ("n2"), ("n3")).toDF("text")
+        .select(lit(null).cast("long").as("doc_id"), col("text")))
+      .repartitionByRange(5, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    val m0 = TableFormat.readManifest(spark, root, 0L)
+    assert(m0.filter(col("null_doc_id")).count() >= 1L,
+      "the manifest must flag the null-carrying file(s)")
+    // a NON-null list must not touch the null rows (and with tight
+    // ranges, not even their file when ids don't intersect)
+    TableFormat.purgeScoped(spark, root, Seq(50L).toDF("doc_id"),
+      schema, "doc_id")
+    val after1 = TableFormat.readViaManifest(spark, root, 1L, schema)
+    assert(after1.filter(col("doc_id").isNull).count() === 3L,
+      "a non-null takedown removed NULL-keyed rows")
+    assert(after1.count() === 102L)
+    // a list CONTAINING null removes the null rows — the null flag
+    // classifies their file as touched even though min/max are blind
+    val nullList = Seq(Option.empty[Long], Option(7L)).toDF("doc_id")
+    val rep = TableFormat.purgeScoped(spark, root, nullList,
+      schema, "doc_id")
+    assert(rep.filesTouched >= 1L)
+    val after2 = TableFormat.readViaManifest(spark, root, 2L, schema)
+    assert(after2.filter(col("doc_id").isNull).count() === 0L,
+      "a NULL takedown key must remove NULL-keyed rows")
+    assert(after2.count() === 98L) // 102 - 3 nulls - id 7
   }
 
   test("mergeScoped: only range-intersecting files rewrite for the " +
@@ -283,8 +379,11 @@ class TableFormatSpec extends SparkTestBase {
     // exactly the 8 carried-by-reference data files survive in gen_0
     assert(gen0Parquet === 8,
       "reachability sweep touched a file gen 1 still references")
-    assert(!new java.io.File(root, "manifest_0").exists(),
+    assert(!new java.io.File(s"$root/gen_0", "_manifest").exists(),
       "the expired generation's manifest survived")
+    assert(!java.nio.file.Files.exists(
+        TableFormat.markerPath(root, 0L)),
+      "the expired generation's commit marker survived")
     // the current generation reads intact THROUGH the swept storage
     val back = TableFormat.readViaManifest(spark, root, 1L, schema)
     assert(back.count() === 998L)
