@@ -242,6 +242,24 @@ object SparkEntry {
     // H17: the changefeed CONSUMER — a materialized aggregate
     // maintained from H14's feed alone, oracle = recompute of gen 1
     "q_cdc_consume"     -> q(graft.sources.TableFormat.cdcConsume),
+    // H18: stats-pruned READ — file skipping for queries: both
+    // predicates prune the file list via the MULTI-COLUMN manifest
+    // before any data is touched; answer invariant (oracle = the raw
+    // filtered aggregate), in-row leaked audit vs the literal 0
+    "q_skip_read"       -> q(graft.sources.TableFormat.skipRead),
+    // H19: OPTIMIZE — small-file compaction as a logical no-op:
+    // three scoped-merge fragment commits folded to size-targeted
+    // files; oracle = corpus ∪ slices (invariant to the compaction)
+    "q_optimize_table"  -> q(graft.sources.TableFormat.optimizeTable),
+    // H20: additive schema evolution through the COMMIT CORE — the
+    // log records the width per generation, carried legacy files
+    // NULL-backfill at read time, CDC spans the width boundary
+    "q_schema_evolve_versioned" ->
+      q(graft.sources.TableFormat.schemaEvolveVersioned),
+    // H21: metadata-only COUNT/MIN/MAX answered from the manifest
+    // ALONE after a scoped purge (mixed carried+rewritten stats);
+    // oracle = the literal scan of the surviving rows
+    "q_meta_agg"        -> q(graft.sources.TableFormat.metaAggQuery),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -807,6 +825,76 @@ object SparkEntry {
         |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
         |FROM g2 GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // H21: the manifest's statistics must BE the table's statistics
+    // — the oracle scans what the metadata claims without scanning.
+    "q_meta_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |WHERE doc_id % 97 <> 0""".stripMargin,
+    // H18: the stats-pruned read must answer exactly what the raw
+    // filtered aggregate answers — pruning is invisible to the
+    // result; leaked is the oracle's literal 0.
+    "q_skip_read" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(0 AS BIGINT) AS leaked
+        |FROM documents
+        |WHERE source = 'src7' AND doc_id BETWEEN 100 AND 400
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // H19: OPTIMIZE is a logical no-op — the oracle is the plain
+    // union of the corpus and the three shifted insert slices, with
+    // no trace of how the files were packed.
+    "q_optimize_table" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT m FROM mx) * 1, text, source
+        |  FROM documents WHERE doc_id % 211 = 1
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT m FROM mx) * 2, text, source
+        |  FROM documents WHERE doc_id % 211 = 2
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT m FROM mx) * 3, text, source
+        |  FROM documents WHERE doc_id % 211 = 3
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        |FROM aug GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // H20: the evolved table = the corpus with the ≡1 (mod 211)
+    // slice gaining the two new columns in place and the ≡0 slice
+    // re-inserted shifted with them; legacy rows surface NULLs.
+    "q_schema_evolve_versioned" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        |aug AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 211 = 1 THEN (doc_id % 100) * 10000 END AS quality,
+        |    CASE WHEN doc_id % 211 = 1 THEN 2 END AS rev
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT m FROM mx) AS doc_id, source,
+        |    ((doc_id + (SELECT m FROM mx)) % 100) * 10000 AS quality,
+        |    2 AS rev
+        |  FROM documents WHERE doc_id % 211 = 0
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS q_sum,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(5 AS BIGINT) AS gen0_width,
+        |  CAST(7 AS BIGINT) AS gen1_width,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 211 = 0) AS n_feed_inserts,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 211 = 1) AS n_feed_updates
+        |FROM aug GROUP BY source
+        |ORDER BY source""".stripMargin,
     // H9: the oracle reconstructs the SCD-2 history table — closed
     // versions (updated keys at their ORIGINAL status, valid_to 1),
     // survivors and current versions — and aggregates identically.

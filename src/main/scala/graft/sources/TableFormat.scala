@@ -455,15 +455,28 @@ object TableFormat {
       expected: Long, schema: StructType, scope: DataFrame,
       touch: org.apache.spark.sql.Column,
       rewrite: DataFrame => DataFrame): Option[SkipReport] = {
-    val g = expected + 1
     // cheap staleness pre-check (the marker CAS below is the gate)
     if (currentGen(root) != expected) return None
     val m = readManifest(spark, root, expected).localCheckpoint(true)
-    val keys = manifestKeys(m)
     val sc = broadcast(scope)
     val touchedFiles = m.join(sc, touch, "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val carried = m.join(sc, touch, "left_anti")
+    tryCommitFiles(spark, root, expected, schema, manifestKeys(m),
+      touchedFiles, carried, rewrite)
+  }
+
+  /** The staged-commit tail every scoped verb shares: read ONLY the
+    * touched files, rewrite them through `rewrite` into a
+    * token-unique dir, publish carried ∪ new-file stats as the next
+    * generation's manifest, record `schema`, and CAS the marker —
+    * everything durable before the atomic commit point, nothing
+    * durable if the CAS loses. */
+  private def tryCommitFiles(spark: SparkSession, root: String,
+      expected: Long, schema: StructType, keys: Seq[String],
+      touchedFiles: Seq[String], carried: DataFrame,
+      rewrite: DataFrame => DataFrame): Option[SkipReport] = {
+    val g = expected + 1
     val survivors =
       if (touchedFiles.isEmpty)
         spark.createDataFrame(
@@ -473,12 +486,12 @@ object TableFormat {
     val dirName = s"gen_${g}_$token"
     val dir = s"$root/$dirName"
     rewrite(survivors).write.parquet(dir)
+    val carriedN = carried.count()
     carried.unionByName(fileStats(spark, dir, schema, keys)).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), schema.json)
     if (casMarker(root, g, dirName))
-      Some(SkipReport(touchedFiles.length.toLong,
-        m.count() - touchedFiles.length))
+      Some(SkipReport(touchedFiles.length.toLong, carriedN))
     else {
       LayoutStore.deleteRecursively(new java.io.File(dir))
       None
@@ -915,6 +928,305 @@ object TableFormat {
       maintainAgg(gen0, feed, "o_orderstatus", "o_orderkey",
         "o_totalprice")
         .orderBy(col("o_orderstatus"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  // ---------------------------------------------------------------
+  // H18: stats-pruned READS (file skipping for queries)
+  // ---------------------------------------------------------------
+
+  /** A stats-pruned READ over a manifested generation — file
+    * skipping for QUERIES, not just mutations: the single most
+    * common read-path operation a warehouse user hits (Delta/Iceberg
+    * prune the file list against the predicate from log stats before
+    * the scan ever plans). `preds` are closed-interval range
+    * predicates, one per manifest-tracked column; a file survives
+    * pruning only when EVERY predicate's interval intersects the
+    * file's [min, max] — a second predicate column can only SHRINK
+    * the read set, which is the multi-column-stats payoff (an
+    * all-NULL-key file prunes too: no range value can live there).
+    * The residual predicate is re-applied to the surviving files, so
+    * the answer is EXACT regardless of how coarse the file ranges
+    * are. Returns the pruned frame plus the files-read /
+    * files-skipped evidence. The pruning decision is a filter over
+    * the scan-planning-sized manifest — no data is touched to decide
+    * what to read. */
+  private[graft] def readScoped(spark: SparkSession, root: String,
+      gen: Long, schema: StructType,
+      preds: Seq[(String, Any, Any)]): (DataFrame, SkipReport) = {
+    val m = readManifest(spark, root, gen)
+    val keep = preds.map { case (k, lo, hi) =>
+      lit(lo) <= col(s"max_$k") && col(s"min_$k") <= lit(hi)
+    }.reduce(_ && _)
+    val files = m.filter(keep)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val total = m.count()
+    val residual = preds.map { case (k, lo, hi) =>
+      col(k).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*).filter(residual)
+    (df, SkipReport(files.length.toLong, total - files.length))
+  }
+
+  /** H18 — `q_skip_read`: a RANGE QUERY through the manifested table
+    * with the file list pruned by the commit-time statistics — the
+    * read-path twin of H16's scoped mutations (Delta/Iceberg data
+    * skipping on SELECT; reference posture: processor.py:320's
+    * incremental scan reads only what a predicate names). The store
+    * commits range-clustered on (source, doc_id) with MULTI-COLUMN
+    * stats, and the query carries BOTH predicates — the two-column
+    * scope reads fewer files than either alone (spec-pinned); the
+    * answer is INVARIANT to the pruning (same oracle as the raw
+    * filtered aggregate), and the in-row `leaked` audit counts rows
+    * OUTSIDE the predicate that the pruned read let through against
+    * the oracle's literal 0, so a broken residual filter fails the
+    * gate from inside the row.
+    *
+    * Scale shape: the prune is a filter over the manifest (one row
+    * per file — scan-planning-sized); the data read is O(surviving
+    * files) with normal parquet pushdown on top; the aggregate is
+    * one map-side-combining pass. At 100 TB this is the difference
+    * between scanning a corpus and scanning the handful of files a
+    * dashboard's WHERE clause actually names. */
+  def skipRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "skipread").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      commitGenManifested(
+        t.documents.repartitionByRange(16, col("source"), col("doc_id")),
+        root, 0L, Seq("source", "doc_id"))
+      val (slice, _) = readScoped(spark, root, 0L, docSchema,
+        Seq(("source", "src7", "src7"), ("doc_id", 100L, 400L)))
+      val sliced = slice.localCheckpoint(true)
+      val leaked = sliced.filter(!(col("source") === "src7" &&
+        col("doc_id").between(100L, 400L))).count()
+      sliced
+        .select(col("lang"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .withColumn("leaked", lit(leaked))
+        .orderBy(col("lang"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** Metadata-only aggregate: COUNT(*) / MIN(key) / MAX(key)
+    * answered from the MANIFEST alone — zero data files touched
+    * (Delta/Iceberg metadata-only queries; Spark's own
+    * OptimizeMetadataOnlyQuery does this for partition values — this
+    * is the log-stats version for a data column). Sound because the
+    * per-file (n_rows, min, max) are exact, collected at commit time
+    * from the data itself, and every committed row lives in exactly
+    * one manifest entry; min/max are null-blind exactly like SQL
+    * MIN/MAX, and COUNT(*) includes null-keyed rows via n_rows. At
+    * 100 TB this is a dashboard COUNT answered in milliseconds from
+    * one manifest file instead of a corpus scan. */
+  private[graft] def metaAgg(spark: SparkSession, root: String,
+      gen: Long, key: String): DataFrame =
+    readManifest(spark, root, gen).agg(
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+      min(col(s"min_$key")).as("min_key"),
+      max(col(s"max_$key")).as("max_key"))
+
+  /** H21 — `q_meta_agg`: the metadata-only aggregate as a gated row,
+    * asked at the point where it is EASY to get wrong — after a
+    * scoped purge, when the manifest is a mix of carried references
+    * and rewritten files: COUNT/MIN/MAX of the post-purge table
+    * answered from the manifest ALONE, oracled against the scan
+    * (DuckDB literally counts the surviving rows). A scoped commit
+    * that carried a stale stats row, double-counted a rewritten
+    * file, or recomputed min/max over the wrong file set fails the
+    * gate here even though every ROW-level read is correct.
+    *
+    * Scale shape: the answer costs one read of a one-file manifest —
+    * scan-planning-sized, data-size independent; the episode's purge
+    * is H16's scoped shape. The row is the contract that the
+    * manifest's statistics ARE the table's statistics, which is what
+    * makes H16/H18's skipping sound in the first place. */
+  def metaAggQuery(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "metaagg").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      commitGenManifested(
+        t.documents.repartitionByRange(16, col("doc_id")),
+        root, 0L, "doc_id")
+      val takedown = readViaManifest(spark, root, 0L, docSchema)
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      purgeScoped(spark, root, takedown, docSchema, "doc_id")
+      metaAgg(spark, root, currentGen(root), "doc_id")
+        .select(col("n_rows").as("n_docs"),
+          col("min_key").as("min_id"), col("max_key").as("max_id"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  // ---------------------------------------------------------------
+  // H19: OPTIMIZE — small-file compaction as a manifest-only commit
+  // ---------------------------------------------------------------
+
+  /** OPTIMIZE — small-file compaction committed as a LOGICAL NO-OP
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files): every file below
+    * `smallRows` rewrites bin-packed into ~`targetRows`-row files
+    * re-clustered on the manifest keys (so the compacted files'
+    * ranges stay tight and H16/H18 skipping keeps working); every
+    * file already at size carries by reference. Data movement, zero
+    * logical change — the new generation reads row-identical, the
+    * pre-optimize generation still time-travels, and
+    * [[vacuumManifested]] later reaps the superseded smalls by
+    * reachability. This is the maintenance verb that keeps a year of
+    * daily scoped commits (each adding one small rewrite file — H5's
+    * pathology inside the versioned core) from degrading every
+    * downstream scan. */
+  private[graft] def optimize(spark: SparkSession, root: String,
+      schema: StructType, smallRows: Long,
+      targetRows: Long): SkipReport = {
+    val cur = currentGen(root)
+    val m = readManifest(spark, root, cur).localCheckpoint(true)
+    val keys = manifestKeys(m)
+    val small = m.filter(col("n_rows") < smallRows)
+    val touched = small.select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    val carried = m.filter(col("n_rows") >= smallRows)
+    val totalSmall = small.agg(coalesce(sum(col("n_rows")), lit(0L)))
+      .first().getLong(0)
+    val nOut = math.max(1L, (totalSmall + targetRows - 1) / targetRows).toInt
+    tryCommitFiles(spark, root, cur, schema, keys, touched, carried,
+      surv => surv.repartitionByRange(nOut, keys.map(col).toIndexedSeq: _*))
+      .getOrElse(throw new IllegalStateException(
+        s"optimize raced a concurrent writer on $root"))
+  }
+
+  /** H19 — `q_optimize_table`: the compaction lifecycle as a gated
+    * row. Episode: the documents store commits range-clustered (16
+    * tight files), three scoped merges land out-of-range insert
+    * slices (each an O(delta) commit that adds small files — exactly
+    * the fragmentation a day of H16/sink commits accretes), OPTIMIZE
+    * folds the smalls into size-targeted files, and the manifest
+    * aggregates the READ-BACK post-optimize table. The oracle is the
+    * plain union of the corpus and the three derived slices — the
+    * answer is INVARIANT to the compaction, which is the proof the
+    * rewrite was data movement and nothing else; files-before ≫
+    * files-after and reap-after-optimize are the filesystem facts
+    * the spec owns.
+    *
+    * Scale shape: the compaction reads O(small files), bin-packs by
+    * the manifest's own row counts (no data pass to decide), and
+    * commits through the same CAS marker as every other writer —
+    * safe to run beside live OCC commits (a racing writer simply
+    * makes it retry). At 100 TB this runs as the background
+    * maintenance job every format ships. */
+  def optimizeTable(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "optimize").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      val docs = t.documents
+      commitGenManifested(docs.repartitionByRange(16, col("doc_id")),
+        root, 0L, "doc_id")
+      val shift = docs.agg(max(col("doc_id")) + 1L).first().getLong(0)
+      (1 to 3).foreach { k =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(211L)) === k.toLong)
+          .withColumn("doc_id", col("doc_id") + lit(shift * k))
+        mergeScoped(spark, root, slice, docSchema, "doc_id")
+      }
+      optimize(spark, root, docSchema, smallRows = 10L, targetRows = 512L)
+      readViaManifest(spark, root, currentGen(root), docSchema)
+        .select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  // ---------------------------------------------------------------
+  // H20: schema evolution through the versioned commit core
+  // ---------------------------------------------------------------
+
+  /** H20 — `q_schema_evolve_versioned`: ADDITIVE SCHEMA EVOLUTION
+    * through the COMMIT CORE — H11 proves the mergeSchema read over
+    * loose files; here the table's own log records the schema per
+    * generation (`_schema.json` beside each generation's manifest,
+    * what Delta/Iceberg track in their log) and a later scoped merge
+    * COMMITS a wider schema: the delta arrives with two new columns
+    * (`quality` micro-units, `rev`), touched legacy files rewrite
+    * with NULL backfill, and CARRIED legacy files stay byte-identical
+    * on disk — the evolved generation reads them through the recorded
+    * width with NULLs surfacing at read time (zero rewrite for the
+    * untouched corpus, the entire point of log-tracked schemas at
+    * 100 TB). The feed across the width boundary is part of the row:
+    * `n_feed_inserts`/`n_feed_updates` pin the scoped CDC between
+    * the two generations (legacy rows surface NULLs, so an update
+    * that only ADDS column values classifies as an update, identical
+    * rows still suppress). Episode: inserts = the ≡0 (mod 211) slice
+    * shifted beyond every file range (pure carry proof), updates =
+    * the ≡1 slice in place gaining the new columns (touched-rewrite
+    * proof); oracle = the corpus with exactly those CASE edits.
+    *
+    * Scale shape: the merge is H16's scoped shape (O(touched
+    * files)); the evolved read costs exactly a normal read (parquet
+    * nullability backfill is free — absent columns never
+    * materialize); the recorded schema makes pinned reads (H12)
+    * width-correct per generation, which mergeSchema inference
+    * cannot promise once columns are DROPPED. */
+  def schemaEvolveVersioned(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "sevolve").toPath
+    try {
+      val root = dir.toString
+      val docs = t.documents
+      commitGenManifested(docs.repartitionByRange(16, col("doc_id")),
+        root, 0L, "doc_id")
+      val evolved = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, " +
+          "source STRING, quality LONG, rev LONG")
+      val shift = docs.agg(max(col("doc_id")) + 1L).first().getLong(0)
+      // the new columns derive from the FINAL doc_id (micro-unit
+      // quality, so the oracle's sum is integer-exact cross-engine)
+      val newCols = (d: DataFrame) => d
+        .withColumn("quality", pmod(col("doc_id"), lit(100L)) * 10000L)
+        .withColumn("rev", lit(2L))
+      val delta = newCols(
+        docs.filter(pmod(col("doc_id"), lit(211L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + lit(shift)))
+        .unionByName(newCols(
+          docs.filter(pmod(col("doc_id"), lit(211L)) === 1L)))
+      mergeScoped(spark, root, delta, evolved, "doc_id")
+      val w0 = genSchema(root, 0L).fields.length.toLong
+      val w1 = genSchema(root, 1L).fields.length.toLong
+      val feed = cdcDiffScoped(spark, root, 0L, 1L, evolved, "doc_id")
+        .localCheckpoint(true)
+      val nIns = feed.filter(col("change_type") === "insert").count()
+      val nUpd = feed.filter(col("change_type") === "update_post").count()
+      readViaManifest(spark, root, 1L, evolved)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rev").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          coalesce(sum(col("quality")), lit(0L)).as("q_sum"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .withColumn("gen0_width", lit(w0))
+        .withColumn("gen1_width", lit(w1))
+        .withColumn("n_feed_inserts", lit(nIns))
+        .withColumn("n_feed_updates", lit(nUpd))
+        .orderBy(col("source"))
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }

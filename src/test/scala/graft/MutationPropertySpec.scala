@@ -45,6 +45,64 @@ class MutationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("scoped lifecycle algebra: over generated overlap shapes, a " +
+    "commit→mergeScoped→purgeScoped→optimize chain through the " +
+    "MANIFESTED table tracks the plain map model at every step, " +
+    "readScoped equals the range filter, and metaAgg equals the " +
+    "scan — including the emptied-table edge") {
+    import graft.sources.TableFormat
+    val chains = Gen.listOfN(8, for {
+      (state, delta) <- scenario
+      purgeKeys <- Gen.someOf(0L until 60L)
+      lo <- Gen.choose(0L, 30L)
+      span <- Gen.choose(0L, 30L)
+    } yield (state, delta, purgeKeys.toSet, lo, lo + span)).sample.get
+    // plus the forced emptied-table edge: purge everything
+    val cases = chains :+ ((0L until 10L).map(k => k -> s"s$k").toMap,
+      Map.empty[Long, String], (0L until 60L).toSet, 0L, 5L)
+    cases.foreach { case (state, delta, purgeKeys, lo, hi) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-prop-scoped").toString
+      val schema = df(state).schema
+      TableFormat.commitGenManifested(
+        df(state).repartitionByRange(4, col("k")), root, 0L, "k")
+      // merge tracks map union (delta wins)
+      TableFormat.mergeScoped(spark, root, df(delta), schema, "k")
+      val m1 = state ++ delta
+      def table(g: Long) = TableFormat
+        .readViaManifest(spark, root, g, schema)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(table(1L) === m1, s"mergeScoped diverged from the model")
+      // purge tracks key subtraction
+      TableFormat.purgeScoped(spark, root,
+        df(purgeKeys.map(k => k -> "").toMap).select(col("k")),
+        schema, "k")
+      val m2 = m1 -- purgeKeys
+      assert(table(2L) === m2, "purgeScoped diverged from the model")
+      // optimize is invisible
+      TableFormat.optimize(spark, root, schema,
+        smallRows = 1000L, targetRows = 50L)
+      assert(table(3L) === m2, "optimize changed the table")
+      // pruned range read ≡ the filter model (on the optimized gen)
+      val (slice, rep) = TableFormat.readScoped(spark, root, 3L, schema,
+        Seq(("k", lo, hi)))
+      val got = slice.collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(got.toMap === m2.filter { case (k, _) => k >= lo && k <= hi })
+      assert(got.length === got.toMap.size)
+      // read + skipped partition the manifest exactly
+      assert(rep.filesTouched + rep.filesCarried ===
+        TableFormat.readManifest(spark, root, 3L).count())
+      // metadata-only aggregate ≡ the scan
+      val meta = TableFormat.metaAgg(spark, root, 3L, "k").first()
+      assert(meta.getLong(0) === m2.size.toLong, "metaAgg count wrong")
+      if (m2.nonEmpty) {
+        assert(meta.getLong(1) === m2.keys.min, "metaAgg min wrong")
+        assert(meta.getLong(2) === m2.keys.max, "metaAgg max wrong")
+      } else assert(meta.isNullAt(1) && meta.isNullAt(2))
+      graft.sources.LayoutStore.deleteRecursively(new java.io.File(root))
+    }
+  }
+
   test("scd2Apply: closed = matched, survivors untouched, arrivals " +
     "current, row count conserves, exactly one current per key") {
     Gen.listOfN(25, scenario).sample.get.foreach { case (state, delta) =>

@@ -204,6 +204,64 @@ class TableFormatSpec extends SparkTestBase {
     assert(dirs === total + 1, "loser dirs not cleaned up")
   }
 
+  test("scoped-commit CAS hammer: four writers race tryMergeScoped on " +
+    "one manifested table — every generation lands exactly one " +
+    "writer's delta, the final table is the latest-wins fold of all " +
+    "deltas, and every manifest stays exact (metaAgg ≡ scan)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mhammer")
+      .toString
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), lit(0L).as("w"), lit(-1L).as("i"))
+      .repartitionByRange(10, col("k"))
+    val schema = base.schema
+    TableFormat.commitGenManifested(base, root, 0L, "k")
+    val writers = 4; val commitsEach = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var done = 0; var spins = 0
+            while (done < commitsEach) {
+              // each commit updates one in-range key owned by this
+              // writer+iteration and inserts one out-of-range key
+              val delta = Seq(
+                (w * 100L + done, w.toLong, done.toLong),
+                (5000L + w * 10 + done, w.toLong, done.toLong))
+                .toDF("k", "w", "i")
+              val cur = TableFormat.currentGen(root)
+              if (TableFormat.tryMergeScoped(spark, root, delta, schema,
+                  "k", cur).isDefined) done += 1
+              else { spins += 1; require(spins < 10000, "livelock") }
+            }
+            done
+          }
+        })
+      }
+      assert(futures.map(_.get()).sum === writers * commitsEach)
+    } finally pool.shutdown()
+    val total = writers * commitsEach
+    assert(TableFormat.currentGen(root) === total.toLong)
+    val fin = TableFormat.readViaManifest(spark, root, total.toLong, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(fin.length === 1000 + total, "inserts lost or duplicated")
+    // every writer's updates and inserts all landed (no lost update
+    // under contention — the serializable history OCC promises)
+    for (w <- 0 until writers; i <- 0 until commitsEach) {
+      assert(fin.contains((w * 100L + i, w.toLong, i.toLong)),
+        s"update ($w,$i) lost")
+      assert(fin.contains((5000L + w * 10 + i, w.toLong, i.toLong)),
+        s"insert ($w,$i) lost")
+    }
+    // the statistics stayed exact through 12 contended scoped
+    // commits: metadata-only count/min/max ≡ the scan
+    val meta = TableFormat.metaAgg(spark, root, total.toLong, "k")
+      .first()
+    assert(meta.getLong(0) === 1000L + total)
+    assert(meta.getLong(1) === 0L && meta.getLong(2) === fin.map(_._1).max)
+  }
+
   test("vacuumGenerations sweeps aged crash debris (_commit_*.tmp " +
     "marker temps, unreferenced gen_* staging dirs) but leaves FRESH " +
     "debris — an in-flight writer's staging — alone") {
@@ -355,6 +413,148 @@ class TableFormatSpec extends SparkTestBase {
     assert(got.length === 1002)
     assert(got.find(_._1 == 5L).map(_._2) === Some("u5"))
     assert(got.find(_._1 == 2000L).map(_._2) === Some("n2000"))
+  }
+
+  test("readScoped: multi-column file statistics — a two-predicate " +
+    "scope reads fewer files than either single-column scope, and " +
+    "the pruned answer equals the direct filter exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mcol").toString
+    // 4 sources × ids 0..999 each, clustered (source, doc_id) into 16
+    // files: ~4 files per source, ~250-id ranges within a source
+    val docs = spark.range(0, 4000)
+      .select(concat(lit("s"), (col("id") / 1000).cast("long")).as("source"),
+        (col("id") % 1000).as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(16, col("source"), col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L,
+      Seq("source", "doc_id"))
+    assert(TableFormat.readManifest(spark, root, 0L).count() === 16L)
+    val all: (Any, Any) = (java.lang.Long.MIN_VALUE, java.lang.Long.MAX_VALUE)
+    def read(preds: Seq[(String, Any, Any)]) =
+      TableFormat.readScoped(spark, root, 0L, schema, preds)
+    val (srcDf, srcRep) = read(Seq(("source", "s2", "s2"),
+      ("doc_id", all._1, all._2)))
+    val (idDf, idRep) = read(Seq(("source", "", "zzzz"),
+      ("doc_id", 300L, 449L)))
+    val (bothDf, bothRep) = read(Seq(("source", "s2", "s2"),
+      ("doc_id", 300L, 449L)))
+    // every source contributes ids in [300,449], so id-only touches a
+    // file per source; source-only touches every s2 file; the
+    // two-column scope touches only their intersection
+    assert(srcRep.filesTouched >= 3L, s"source-only: $srcRep")
+    assert(idRep.filesTouched >= 3L, s"id-only: $idRep")
+    assert(bothRep.filesTouched < srcRep.filesTouched &&
+      bothRep.filesTouched < idRep.filesTouched,
+      s"two-predicate scope must shrink the read set: " +
+        s"both=$bothRep src=$srcRep id=$idRep")
+    assert(bothRep.filesTouched <= 2L)
+    // and the answer is exact regardless of pruning
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = docs
+      .filter(col("source") === "s2" && col("doc_id").between(300L, 449L))
+      .select(col("source"), col("doc_id"))
+    assert(key(bothDf.select(col("source"), col("doc_id"))) === key(want))
+    assert(bothDf.count() === 150L)
+    assert(srcDf.count() === 1000L && idDf.count() === 600L)
+  }
+
+  test("optimize: small files fold into size-targeted files as a " +
+    "LOGICAL NO-OP — answer invariant, files-after far below " +
+    "files-before, the pre-optimize generation still time-travels, " +
+    "and the superseded smalls reap by reachability") {
+    val root = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    // three out-of-range single-row commits — the fragmentation a
+    // stream of scoped merges accretes (each adds small files)
+    (1 to 3).foreach { i =>
+      TableFormat.mergeScoped(spark, root,
+        Seq((2000L + i, s"x$i")).toDF("doc_id", "text"), schema, "doc_id")
+    }
+    val cur = TableFormat.currentGen(root)
+    val before = TableFormat.readManifest(spark, root, cur)
+    val smallBefore = before.filter(col("n_rows") < 50L).count()
+    assert(smallBefore >= 3L, s"episode vacuous: $smallBefore small files")
+    val rep = TableFormat.optimize(spark, root, schema,
+      smallRows = 50L, targetRows = 600L)
+    assert(rep.filesTouched === smallBefore)
+    val after = TableFormat.readManifest(spark, root, cur + 1)
+    assert(after.count() < before.count(),
+      s"optimize did not shrink the file count: " +
+        s"${before.count()} -> ${after.count()}")
+    assert(after.filter(col("n_rows") < 50L).count() <= 1L,
+      "small files survived the compaction")
+    // logical no-op: row-identical before and after
+    def rows(g: Long) = TableFormat.readViaManifest(spark, root, g, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(cur + 1) === rows(cur))
+    assert(rows(cur + 1).length === 1003)
+    // the superseded smalls reap once retention expires them; the
+    // compacted current generation reads intact through the sweep
+    val reaped = TableFormat.vacuumManifested(spark, root, keep = 1)
+    assert(reaped >= smallBefore,
+      s"superseded small files not reclaimed: $reaped")
+    assert(rows(cur + 1).length === 1003)
+  }
+
+  test("schema evolution through the commit core: the recorded width " +
+    "is per generation, CARRIED legacy files stay narrow on disk and " +
+    "NULL-backfill at read time, and the changefeed spans the width " +
+    "boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve")
+      .toString
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
+      .repartitionByRange(10, col("k"))
+    val baseSchema = base.schema
+    TableFormat.commitGenManifested(base, root, 0L, "k")
+    val evolved = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, q LONG")
+    // one in-range update gains the new column; one insert beyond
+    // every range proves pure carry of legacy files
+    val delta = Seq((5L, "s5", 55L), (2000L, "new", 77L))
+      .toDF("k", "s", "q")
+    val rep = TableFormat.mergeScoped(spark, root, delta, evolved, "k")
+    assert(rep.filesTouched === 1L && rep.filesCarried === 9L)
+    // the log records the width per generation
+    assert(TableFormat.genSchema(root, 0L).fields.length === 2)
+    assert(TableFormat.genSchema(root, 1L).fields.length === 3)
+    // a carried legacy file is UNTOUCHED on disk: still 2 columns
+    val carriedFile = TableFormat.readManifest(spark, root, 1L)
+      .filter(col("file").contains("gen_0"))
+      .select(col("file")).first().getString(0)
+    assert(spark.read.parquet(carriedFile).schema.fields.length === 2,
+      "a carried legacy file was rewritten or widened on disk")
+    // the evolved read NULL-backfills legacy rows
+    val g1 = TableFormat.readViaManifest(spark, root, 1L, evolved)
+    assert(g1.count() === 1001L)
+    assert(g1.filter(col("k") === 7L).select("q").first().isNullAt(0))
+    assert(g1.filter(col("k") === 5L).select("q").first().getLong(0) === 55L)
+    assert(g1.filter(col("k") === 2000L).select("q").first().getLong(0) === 77L)
+    // pinned gen-0 read through ITS recorded schema is bit-identical
+    val g0 = TableFormat.readViaManifest(spark, root, 0L,
+      TableFormat.genSchema(root, 0L))
+    assert(g0.count() === 1000L)
+    assert(g0.schema.fields.map(_.name).toSeq === Seq("k", "s"))
+    // the feed spans the boundary: the update classifies as an
+    // update (NULL -> 55 on the new column), the insert as an insert
+    val feed = TableFormat.cdcDiffScoped(spark, root, 0L, 1L, evolved, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(feed.count(_._1 == "insert") === 1)
+    assert(feed.filter(_._1 == "insert").head._2 === 2000L)
+    assert(feed.count(_._1 == "update_post") === 1)
+    assert(feed.filter(_._1 == "update_post").head._2 === 5L)
+    assert(!feed.exists(_._1 == "delete"),
+      "legacy NULL backfill must not manufacture deletes")
+    // no-op suppression still holds across the boundary: untouched
+    // legacy rows (NULL new column on both sides) emit nothing
+    assert(feed.length === 3)
   }
 
   test("vacuumManifested reclaims by REACHABILITY: carried gen-0 " +
