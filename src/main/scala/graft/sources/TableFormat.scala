@@ -454,7 +454,8 @@ object TableFormat {
   private def tryScopedCommit(spark: SparkSession, root: String,
       expected: Long, schema: StructType, scope: DataFrame,
       touch: org.apache.spark.sql.Column,
-      rewrite: DataFrame => DataFrame): Option[SkipReport] = {
+      rewrite: DataFrame => DataFrame,
+      txn: Option[(String, Long)] = None): Option[SkipReport] = {
     // cheap staleness pre-check (the marker CAS below is the gate)
     if (currentGen(root) != expected) return None
     val m = readManifest(spark, root, expected).localCheckpoint(true)
@@ -463,7 +464,7 @@ object TableFormat {
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val carried = m.join(sc, touch, "left_anti")
     tryCommitFiles(spark, root, expected, schema, manifestKeys(m),
-      touchedFiles, carried, rewrite)
+      touchedFiles, carried, rewrite, txn)
   }
 
   /** The staged-commit tail every scoped verb shares: read ONLY the
@@ -475,7 +476,8 @@ object TableFormat {
   private def tryCommitFiles(spark: SparkSession, root: String,
       expected: Long, schema: StructType, keys: Seq[String],
       touchedFiles: Seq[String], carried: DataFrame,
-      rewrite: DataFrame => DataFrame): Option[SkipReport] = {
+      rewrite: DataFrame => DataFrame,
+      txn: Option[(String, Long)] = None): Option[SkipReport] = {
     val g = expected + 1
     val survivors =
       if (touchedFiles.isEmpty)
@@ -490,12 +492,46 @@ object TableFormat {
     carried.unionByName(fileStats(spark, dir, schema, keys)).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), schema.json)
+    // the idempotent-writer record commits ATOMICALLY with the data
+    // (inside the dir the marker publishes) — no window where the
+    // batch landed but its dedup record didn't
+    txn.foreach { case (appId, v) =>
+      Files.writeString(txnFile(dir), s"$appId:$v") }
     if (casMarker(root, g, dirName))
       Some(SkipReport(touchedFiles.length.toLong, carriedN))
     else {
       LayoutStore.deleteRecursively(new java.io.File(dir))
       None
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Writer-transaction lineage (Delta's `txn` action): an idempotent
+  // writer (the streaming sink) records (appId, version) INSIDE the
+  // generation it commits — atomic with the commit itself, so there
+  // is no window where the data landed but the dedup record didn't.
+  // This DECOUPLES generation ids from batch ids: maintenance
+  // writers (optimize, purge, a human backfill) can interleave with
+  // a live stream, and the stream still knows exactly which of its
+  // own batches are already applied.
+  // ---------------------------------------------------------------
+
+  private def txnFile(dir: String) = Paths.get(dir, "_txn")
+
+  /** The newest committed transaction version for `appId`, scanning
+    * generations newest-first (a writer's versions are monotone in
+    * generation order, so the first hit is the latest). O(retained
+    * generations) tiny-file reads — log-tail cost; retention must
+    * keep at least the stream's replayable horizon, the same rule
+    * Delta documents for idempotent writes. */
+  private[graft] def lastTxn(root: String, appId: String): Option[Long] = {
+    val cur = currentGenOption(root).getOrElse(return None)
+    (cur to 0L by -1).iterator
+      .filter(g => Files.exists(markerPath(root, g)))
+      .map(g => txnFile(resolveDir(root, g)))
+      .filter(Files.exists(_))
+      .map(p => Files.readString(p).trim.split(":", 2))
+      .collectFirst { case Array(id, v) if id == appId => v.toLong }
   }
 
   /** The null-safe range-intersection touch predicate for a scope
@@ -546,11 +582,12 @@ object TableFormat {
     * stay 100%% intact on disk and backfill at read time. */
   private[graft] def tryMergeScoped(spark: SparkSession, root: String,
       delta: DataFrame, schema: StructType, key: String,
-      expected: Long): Option[SkipReport] = {
+      expected: Long,
+      txn: Option[(String, Long)] = None): Option[SkipReport] = {
     val scope = delta.select(col(key).as("__sk"))
     tryScopedCommit(spark, root, expected, schema, scope, touchByKey(key),
       surv => Export.mergeLatest(surv, delta.select(
-        schema.fieldNames.map(col).toIndexedSeq: _*), key))
+        schema.fieldNames.map(col).toIndexedSeq: _*), key), txn)
   }
 
   private[graft] def mergeScoped(spark: SparkSession, root: String,

@@ -15,17 +15,25 @@ import graft.sources.TableFormat
   * own pointer swap; this sink is the composition the round-15
   * verdict asked for, and the one a new stream should use).
   *
-  * Generation mapping: generation g = the table state after batches
-  * 0..g−1. Batch b MERGES (latest-wins on the key, H8's rule) into
-  * generation b and commits the result as generation b+1 via
-  * [[TableFormat.tryMergeScoped]] with expected = b. Exactly-once
-  * falls out of OCC: foreachBatch is at-least-once, and a
-  * crash-replayed batch b finds currentGen > b and commits NOTHING —
-  * the skip costs one marker listing, no data write. A mid-stream
-  * reader time-travels ANY committed generation (H12) while the
-  * stream runs, because commits never touch older generations, and
-  * the reachability sweep (vacuumManifested) bounds the history
-  * exactly as for a batch-written table.
+  * Batch b MERGES (latest-wins on the key, H8's rule) into the
+  * CURRENT generation via [[TableFormat.tryMergeScoped]], recording
+  * the (appId, batchId) TRANSACTION inside the committed generation
+  * — Delta's `txn` action. Exactly-once falls out of the lineage:
+  * foreachBatch is at-least-once, and a crash-replayed batch b finds
+  * its own record already committed and does NOTHING — the skip
+  * costs a log-tail read, no data write. Because replay detection is
+  * txn-based rather than generation-based, batch ids and generation
+  * ids are DECOUPLED: maintenance writers (OPTIMIZE, a purge, a
+  * backfill) commit generations between the stream's batches and the
+  * stream re-derives + retries on an OCC loss instead of wedging —
+  * one table serves the stream AND its maintenance jobs, the way a
+  * real format's log does. A mid-stream reader time-travels ANY
+  * committed generation (H12) while the stream runs, because commits
+  * never touch older generations, and the reachability sweep
+  * (vacuumManifested) bounds the history exactly as for a
+  * batch-written table (retention must keep at least the stream's
+  * replayable horizon — the rule Delta documents for idempotent
+  * writer versions).
   *
   * Scale shape: each micro-batch commit is SCOPED by the table's
   * per-file statistics manifest — only the files whose key range a
@@ -44,37 +52,53 @@ object StreamingVersionedSink {
   /** One micro-batch's commit; returns true iff THIS call advanced
     * the table. Exposed for the replay spec — foreachBatch is
     * at-least-once, so the spec drives a literal duplicate delivery
-    * and asserts the no-op. A killed run leaves at most an
-    * unreferenced staged dir (no marker): nothing blocks the
-    * resume's retry, because the marker CAS has no lease to heal. */
+    * and asserts the no-op.
+    *
+    * Replay detection is by TRANSACTION LINEAGE, not generation id:
+    * the batch's (appId, batchId) commits ATOMICALLY inside the
+    * generation ([[TableFormat.lastTxn]] reads it back), so batch
+    * ids and generation ids are DECOUPLED — maintenance writers
+    * (OPTIMIZE, a purge, a backfill) can commit generations between
+    * the stream's batches and the stream neither double-applies nor
+    * drops anything; it re-derives against whatever the current
+    * generation is and retries on an OCC loss. A killed run leaves
+    * at most an unreferenced staged dir (no marker): nothing blocks
+    * the resume, because the marker CAS has no lease to heal. */
   private[graft] def commitBatch(root: String, schema: StructType,
-      key: String)(batch: DataFrame, batchId: Long): Boolean = {
+      key: String, appId: String = "vsink")(
+      batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val cur = TableFormat.currentGen(root)
-    // skip ONLY a batch the table is already PAST (an at-least-once
-    // replay). A table BEHIND its checkpoint (root deleted/recreated
-    // or restored from an older backup while the checkpoint survived)
-    // must fail loudly — silently skipping would drop every
-    // subsequent batch while the stream reports healthy progress.
-    require(cur >= batchId,
-      s"table $root is at generation $cur but the checkpoint delivered " +
-        s"batch $batchId — the table is BEHIND its checkpoint (restored " +
-        "from an older state?); refusing to silently drop batches")
-    if (cur > batchId) false // replayed: done
-    else {
-      // within-batch duplicates collapse BEFORE the merge: an
-      // at-least-once source can repeat a key inside one batch, and
-      // mergeLatest's contract is key-unique sides
-      val delta = batch
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        .dropDuplicates(key)
-      val report = TableFormat.tryMergeScoped(spark, root, delta, schema,
-        key, expected = batchId)
-      require(report.isDefined,
-        s"versioned-table commit failed at generation $batchId — a " +
-          s"second writer is racing on $root (single-writer contract)")
-      true
+    val last = TableFormat.lastTxn(root, appId)
+    if (last.exists(_ >= batchId)) return false // replayed: done
+    // the checkpoint delivers batches in order, so the table must
+    // hold exactly the previous batch's record (or none for batch
+    // 0). A table missing newer history than its checkpoint claims
+    // (root restored from an older backup while the checkpoint
+    // survived) must fail loudly — silently proceeding would merge
+    // batch b onto a state missing batches 0..b-1.
+    require(last.getOrElse(-1L) == batchId - 1,
+      s"table $root last committed batch ${last.getOrElse(-1L)} of " +
+        s"writer '$appId' but the checkpoint delivered batch $batchId — " +
+        "the table is BEHIND its checkpoint (restored from an older " +
+        "state?); refusing to silently drop batches")
+    // within-batch duplicates collapse BEFORE the merge: an
+    // at-least-once source can repeat a key inside one batch, and
+    // mergeLatest's contract is key-unique sides
+    val delta = batch
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .dropDuplicates(key)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 20,
+        s"batch $batchId lost the OCC race $attempts times on $root — " +
+          "a runaway concurrent writer?")
+      committed = TableFormat.tryMergeScoped(spark, root, delta, schema,
+        key, expected = TableFormat.currentGen(root),
+        txn = Some(appId -> batchId)).isDefined
     }
+    true
   }
 
   /** Ensure the table exists at generation 0 — the committed EMPTY
@@ -92,11 +116,20 @@ object StreamingVersionedSink {
 
   /** Start the stream: parquet drops under `inputDir` merge into the
     * versioned table at `root`, one committed generation per
-    * micro-batch. Trigger semantics as in the other B6 sinks. */
+    * micro-batch. `optimizeEvery = Some(n)` folds the small files a
+    * stream of scoped commits accretes back into size-targeted files
+    * after every n-th batch — the in-line maintenance loop that keeps
+    * a long-running stream's table healthy (H19 at the sink; its
+    * commits interleave safely with the batches because replay
+    * detection is txn-based, not generation-based). Trigger
+    * semantics as in the other B6 sinks. */
   def run(spark: SparkSession, inputDir: String, root: String,
       checkpointDir: String, schema: StructType, key: String,
       availableNow: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      optimizeEvery: Option[Int] = None,
+      optimizeSmallRows: Long = 1000L,
+      optimizeTargetRows: Long = 100000L): StreamingQuery = {
     init(spark, root, schema, key)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -104,7 +137,12 @@ object StreamingVersionedSink {
     val writer = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(root, schema, key)(batch, batchId)
+        val advanced = commitBatch(root, schema, key)(batch, batchId)
+        // compaction only after a REAL advance: a replayed batch
+        // must not re-trigger maintenance
+        if (advanced && optimizeEvery.exists(n => (batchId + 1) % n == 0))
+          TableFormat.optimize(spark, root, schema,
+            optimizeSmallRows, optimizeTargetRows)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -674,6 +674,106 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(gen(4L) === Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L)))
   }
 
+  test("versioned-table sink: MAINTENANCE INTERLEAVES with the " +
+    "stream — a purge and an OPTIMIZE commit generations between " +
+    "batches, the resumed stream neither double-applies nor drops a " +
+    "batch (txn lineage, not generation ids), and pre-maintenance " +
+    "generations still time-travel") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("graft-vmx-in").toFile
+    val root = new File(
+      Files.createTempDirectory("graft-vmx-tbl").toFile, "table")
+      .getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vmx-ckpt").toFile
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    new File(root).mkdirs()
+    TableFormat.commitGenManifested(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(10, col("k")),
+      root, 0L, "k")
+    var i = 0
+    def land(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(in.getAbsolutePath)
+      stampBatchFiles(in, i); i += 1
+    }
+    land(Seq((5L, 1L)))
+    land(Seq((6L, 2L)))
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(TableFormat.currentGen(root) === 2L) // batches 0,1
+
+    // FOREIGN writers commit between the stream's batches: a takedown
+    // purge and a compaction — the jobs a real table runs alongside
+    // its stream
+    TableFormat.purgeScoped(spark, root, Seq(700L).toDF("k"), schema, "k")
+    TableFormat.optimize(spark, root, schema,
+      smallRows = 50L, targetRows = 600L)
+    assert(TableFormat.currentGen(root) === 4L)
+
+    land(Seq((7L, 3L)))
+    land(Seq((8L, 4L)))
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(TableFormat.currentGen(root) === 6L,
+      "batches 2,3 must land on TOP of the maintenance generations")
+    val fin = TableFormat.readViaManifest(spark, root, 6L, schema)
+    assert(fin.count() === 999L) // 1000 keys minus the purged one
+    assert(fin.filter(col("k") === 700L).isEmpty, "the purge was undone")
+    Seq(5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 4L).foreach { case (k, v) =>
+      assert(fin.filter(col("k") === k).select("v")
+        .first().getLong(0) === v, s"batch update of $k lost")
+    }
+    // a literal redelivery of an already-applied batch is a no-op
+    // even though generation ids moved past its batch id long ago
+    assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(
+      Seq((9L, 99L)).toDF("k", "v"), 3L))
+    assert(TableFormat.currentGen(root) === 6L)
+    // pre-maintenance time travel: the purged key is still visible
+    // in the generation batch 1 committed
+    assert(TableFormat.readViaManifest(spark, root, 2L, schema)
+      .filter(col("k") === 700L).count() === 1L)
+  }
+
+  test("versioned-table sink: optimizeEvery folds the stream's " +
+    "small-file accretion in-line — fragmentation stays bounded and " +
+    "the data is untouched") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("graft-vopt-in").toFile
+    val root = new File(
+      Files.createTempDirectory("graft-vopt-tbl").toFile, "table")
+      .getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vopt-ckpt").toFile
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    var i = 0
+    def land(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(in.getAbsolutePath)
+      stampBatchFiles(in, i); i += 1
+    }
+    (1 to 6).foreach(n => land(Seq((n.toLong, n.toLong * 10))))
+    StreamingVersionedSink.run(spark, in.getAbsolutePath, root,
+      ckpt.getAbsolutePath, schema, "k", availableNow = true,
+      maxFilesPerTrigger = Some(1), optimizeEvery = Some(2),
+      optimizeSmallRows = 1000L, optimizeTargetRows = 1000L)
+      .awaitTermination()
+    // 6 batch commits + 3 in-line optimize commits (after batches
+    // 1, 3, 5)
+    assert(TableFormat.currentGen(root) === 9L)
+    val cur = TableFormat.currentGen(root)
+    assert(TableFormat.readManifest(spark, root, cur).count() === 1L,
+      "the post-optimize manifest must be one compacted file")
+    val fin = TableFormat.readViaManifest(spark, root, cur, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fin === (1 to 6).map(n => (n.toLong, n.toLong * 10)))
+  }
+
   test("versioned-table sink commits are SCOPED: against a preloaded " +
     "many-file base table, each micro-batch rewrites only the files " +
     "its keys touch and carries the rest by reference") {
