@@ -492,11 +492,18 @@ object TableFormat {
     carried.unionByName(fileStats(spark, dir, schema, keys)).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), schema.json)
-    // the idempotent-writer record commits ATOMICALLY with the data
-    // (inside the dir the marker publishes) — no window where the
-    // batch landed but its dedup record didn't
-    txn.foreach { case (appId, v) =>
-      Files.writeString(txnFile(dir), s"$appId:$v") }
+    // idempotent-writer records commit ATOMICALLY with the data
+    // (inside the dir the marker publishes) — no window where a
+    // batch landed but its dedup record didn't. EVERY scoped commit
+    // carries the known records forward (Delta checkpoints retain
+    // txn actions for the same reason): a maintenance commit between
+    // two stream batches, followed by an aggressive vacuum, must
+    // never strand the stream's lineage behind the retention horizon
+    val carriedTxns = txnTable(root) ++ txn
+    if (carriedTxns.nonEmpty)
+      Files.writeString(txnFile(dir),
+        carriedTxns.toSeq.sorted.map { case (id, v) => s"$id:$v" }
+          .mkString("\n"))
     if (casMarker(root, g, dirName))
       Some(SkipReport(touchedFiles.length.toLong, carriedN))
     else {
@@ -518,21 +525,35 @@ object TableFormat {
 
   private def txnFile(dir: String) = Paths.get(dir, "_txn")
 
-  /** The newest committed transaction version for `appId`, scanning
-    * generations newest-first (a writer's versions are monotone in
-    * generation order, so the first hit is the latest). O(retained
-    * generations) tiny-file reads — log-tail cost; retention must
-    * keep at least the stream's replayable horizon, the same rule
-    * Delta documents for idempotent writes. */
-  private[graft] def lastTxn(root: String, appId: String): Option[Long] = {
-    val cur = currentGenOption(root).getOrElse(return None)
+  private def parseTxns(p: java.nio.file.Path): Map[String, Long] =
+    Files.readString(p).linesIterator
+      .map(_.trim.split(":", 2))
+      .collect { case Array(id, v) if id.nonEmpty => id -> v.toLong }
+      .toMap
+
+  /** The newest committed transaction version per writer, merged
+    * newest-generation-first (a writer's versions are monotone in
+    * generation order, so the first record seen per appId is its
+    * latest). Every scoped commit CARRIES the known records forward
+    * into its own generation (see [[tryCommitFiles]] — the rule that
+    * makes Delta checkpoints retain txn actions), so the newest
+    * generation normally holds the complete table and retention can
+    * never strand a live writer's lineage behind the vacuum horizon:
+    * even `keep = 1` keeps the carried records. O(retained
+    * generations) tiny-file reads — log-tail cost. */
+  private[graft] def txnTable(root: String): Map[String, Long] = {
+    val cur = currentGenOption(root).getOrElse(return Map.empty)
+    var seen = Map.empty[String, Long]
     (cur to 0L by -1).iterator
       .filter(g => Files.exists(markerPath(root, g)))
       .map(g => txnFile(resolveDir(root, g)))
       .filter(Files.exists(_))
-      .map(p => Files.readString(p).trim.split(":", 2))
-      .collectFirst { case Array(id, v) if id == appId => v.toLong }
+      .foreach(p => seen = parseTxns(p) ++ seen)
+    seen
   }
+
+  private[graft] def lastTxn(root: String, appId: String): Option[Long] =
+    txnTable(root).get(appId)
 
   /** The null-safe range-intersection touch predicate for a scope
     * frame carrying one `__sk` key column: a file is touched when a
@@ -632,9 +653,12 @@ object TableFormat {
         Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && !reach(f.getAbsolutePath))
           .foreach { f => if (f.delete()) reaped += 1 }
-        // the expired generation's own manifest + schema go with it
+        // the expired generation's own manifest, schema and txn
+        // records go with it (scoped commits carry txn records
+        // forward, so the retained tail still holds the lineage)
         LayoutStore.deleteRecursively(new java.io.File(dir, "_manifest"))
         Files.deleteIfExists(schemaPath(dir.getPath))
+        Files.deleteIfExists(txnFile(dir.getPath))
         val rest = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         if (!rest.exists(_.isFile)) LayoutStore.deleteRecursively(dir)
       }

@@ -739,6 +739,41 @@ class StreamingRecoverySpec extends SparkTestBase {
       .filter(col("k") === 700L).count() === 1L)
   }
 
+  test("versioned-table sink: txn lineage SURVIVES maintenance plus " +
+    "aggressive retention — a foreign commit carries the stream's " +
+    "records forward, so vacuum keep=1 cannot strand the stream " +
+    "behind its own replay horizon") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val root = new File(
+      Files.createTempDirectory("graft-vtxn-tbl").toFile, "table")
+      .getAbsolutePath
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    StreamingVersionedSink.init(spark, root, schema, "k")
+    def commit(rows: Seq[(Long, Long)], b: Long) =
+      StreamingVersionedSink.commitBatch(root, schema, "k")(
+        rows.toDF("k", "v"), b)
+    assert(commit(Seq((1L, 10L)), 0L))
+    assert(commit(Seq((2L, 20L)), 1L))
+    // a FOREIGN maintenance commit (no txn of its own) lands newest
+    TableFormat.optimize(spark, root, schema,
+      smallRows = 1000L, targetRows = 1000L)
+    assert(TableFormat.lastTxn(root, "vsink") === Some(1L),
+      "the optimize commit must carry the stream's record forward")
+    // the most aggressive retention reaps every txn-bearing batch gen
+    TableFormat.vacuumManifested(spark, root, keep = 1)
+    assert(TableFormat.lastTxn(root, "vsink") === Some(1L),
+      "vacuum keep=1 stranded the stream's lineage")
+    // the stream continues: replay still dedups, the next batch lands
+    assert(!commit(Seq((9L, 90L)), 1L), "replay dedup lost after vacuum")
+    assert(commit(Seq((3L, 30L)), 2L))
+    val fin = TableFormat.readViaManifest(spark, root,
+      TableFormat.currentGen(root), schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fin === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("versioned-table sink: optimizeEvery folds the stream's " +
     "small-file accretion in-line — fragmentation stays bounded and " +
     "the data is untouched") {
