@@ -139,10 +139,13 @@ object StreamingVersionedSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val advanced = commitBatch(root, schema, key)(batch, batchId)
         // compaction only after a REAL advance: a replayed batch
-        // must not re-trigger maintenance
+        // must not re-trigger maintenance. Best-effort: losing an
+        // OCC race to a foreign writer skips this cycle (the next
+        // trigger compacts) — maintenance must never kill the stream
         if (advanced && optimizeEvery.exists(n => (batchId + 1) % n == 0))
-          TableFormat.optimize(spark, root, schema,
+          try TableFormat.optimize(spark, root, schema,
             optimizeSmallRows, optimizeTargetRows)
+          catch { case _: IllegalStateException => () }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
