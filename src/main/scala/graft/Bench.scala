@@ -43,17 +43,31 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // WALL BUDGET (seconds, from main() entry): the driver runs this
+    // under an external `timeout`, and round 17's artifact was rc=124 /
+    // parsed-null — suite growth finally overran the cap on a hot
+    // window, leaving NO perf signal for the round. The budget makes
+    // that structurally impossible: pass k+1 runs only if the elapsed
+    // wall plus a conservative estimate of the next pass still fits.
+    // Pass 1 ALWAYS runs (one pass is a complete, accurate artifact).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1200").toDouble
+    def elapsedSec = (System.nanoTime() - t0Main) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a bounded tail of output
+    // and parses the LAST JSON line in it — WARN chatter (WindowExec,
+    // large-task-binary) after the final emission can push the JSON
+    // out of the tail when an external timeout strikes mid-pass
+    spark.sparkContext.setLogLevel("ERROR")
     val osBean = ManagementFactory.getPlatformMXBean(
       classOf[com.sun.management.OperatingSystemMXBean])
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -119,8 +133,47 @@ object Bench {
     val wall = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
     val cpu = collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
     val failed = collection.mutable.Set[String]()
-    val loads = (0 until passes).map { _ =>
-      val load = osBean.getSystemLoadAverage
+    val loads = collection.mutable.ArrayBuffer[Double]()
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    def fmt(m: collection.Map[String, Double], done: Set[String]): String =
+      names.filter(done).map(n =>
+        "\"" + n + "\":" + (if (failed(n)) -1.0 else m(n)))
+        .mkString("{", ",", "}")
+    // any failure makes the headline total -1: a broken query must never
+    // shrink the total into looking like a speedup
+    def totalOf(m: collection.Map[String, Double], done: Set[String]): Double =
+      if (done.exists(failed)) -1.0 else names.filter(done).map(m).sum
+    // the driver keeps only a bounded tail of output (~2,000 chars), so
+    // the LAST line must be the one it parses: print the ~4 KB full
+    // per-query line FIRST (humans / logs), write it to a file (the
+    // durable artifact), and end with a short self-contained headline
+    // JSON (<250 chars — always survives any tail). EMITTED AFTER
+    // EVERY PASS (and periodically inside pass 1), not once at the
+    // end: an external timeout mid-pass must leave the newest COMPLETE
+    // line parseable, never rc=124 with nothing (the round-17 failure)
+    def emit(passesDone: Int, done: Set[String]): Unit = {
+      val total = totalOf(wall, done)
+      val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+      val headline = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${totalOf(cpu, done)},"passes":$passesDone,"load_avg":$loadStr,"nqueries":${done.size},"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall, done)},"queries_cpu":${fmt(cpu, done)},"cpu_total":${totalOf(cpu, done)},"passes":$passesDone,"load_avg":$loadStr,"sf":"$sfDir"}"""
+      println(full)
+      println(headline)
+      System.out.flush()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), full + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+    }
+
+    var pass = 0
+    var lastPassSec = 0.0
+    var continue = true
+    while (continue && pass < passes) {
+      val tPass = System.nanoTime()
+      loads += osBean.getSystemLoadAverage
+      val done = collection.mutable.Set[String]()
       names.foreach { name =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
@@ -133,32 +186,24 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name
         }
+        done += name
+        // pass 1 has no complete line yet — the only window where a
+        // timeout could still leave nothing. Emit a partial cumulative
+        // line periodically ("passes":0 + the shrunken nqueries mark
+        // it as partial, values are real per-query minima so far)
+        if (pass == 0 && done.size % 40 == 0 && done.size < names.size)
+          emit(0, done.toSet)
       }
-      load
-    }
-    def fmt(m: collection.Map[String, Double]): String =
-      names.map(n => "\"" + n + "\":" + (if (failed(n)) -1.0 else m(n)))
-        .mkString("{", ",", "}")
-    // any failure makes the headline total -1: a broken query must never
-    // shrink the total into looking like a speedup
-    val total =
-      if (failed.nonEmpty) -1.0
-      else names.map(wall).sum
-    val cpuTotal = if (failed.nonEmpty) -1.0 else names.map(cpu).sum
-    val loadStr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    // the driver keeps only a bounded tail of stdout (~2,000 chars), so
-    // the LAST line must be the one it parses: print the ~4 KB full
-    // per-query line FIRST (humans / logs), write it to a file (the
-    // durable artifact), and end stdout with a short self-contained
-    // headline JSON (<200 chars — always survives any tail)
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"nqueries":${names.size},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(wall)},"queries_cpu":${fmt(cpu)},"cpu_total":$cpuTotal,"passes":$passes,"load_avg":$loadStr,"sf":"$sfDir"}"""
-    println(full)
-    println(headline)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      pass += 1
+      lastPassSec = (System.nanoTime() - tPass) / 1e9
+      emit(pass, names.toSet)
+      // adaptive pass count: stop early when the budget cannot fit
+      // another pass (1.15 = headroom for ambient repricing mid-pass)
+      continue = elapsedSec + 1.15 * lastPassSec <= budgetSec
+      if (!continue && pass < passes)
+        System.err.println(
+          f"[bench] budget stop after pass $pass: elapsed $elapsedSec%.0f s" +
+            f" + est ${1.15 * lastPassSec}%.0f s > budget $budgetSec%.0f s")
     }
     spark.stop()
   }
