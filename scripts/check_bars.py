@@ -27,27 +27,37 @@ import sys
 
 
 def parse_bars(path):
-    """First (newest) bar per query name; never crosses entries."""
+    """First (newest) bar per query name; never crosses entries.
+
+    Returns (bars, uncovered): an entry chunk ends at the next
+    '- **q_' delimiter OR any markdown heading line, so a 'Bar: >'
+    sitting in intervening non-entry prose can never be attributed to
+    the preceding entry. `uncovered` lists names whose newest entry
+    carries no bar anywhere in the file — callers fail on it.
+    """
     text = open(path).read()
     bars = {}
     unbarred = []
-    # '- **q_name ...' opens an entry; the next '- **' (or a block
-    # heading) closes it, so a chunk holds exactly one entry's prose
-    chunks = re.split(r"(?m)^- \*\*(q_[a-z0-9_]+)", text)
-    # chunks = [preamble, name1, body1, name2, body2, ...]
-    for name, body in zip(chunks[1::2], chunks[2::2]):
-        # the ' s' unit suffix is conventional but has drifted in a
-        # few entries ('Bar: > 4.') — the number alone is the bar
-        m = re.search(r"Bar: > ([0-9]+(?:\.[0-9]+)?)", body)
-        if m is None:
-            if name not in bars:
-                unbarred.append(name)
-            continue
-        bars.setdefault(name, float(m.group(1)))
-    for name in unbarred:
-        if name not in bars:
-            print(f"WARN {name}: entry has no Bar line — no coverage")
-    return bars
+    # '- **q_name ...' opens an entry; the next '- **q_' entry OR a
+    # block heading ('#...') closes it, so a chunk holds exactly one
+    # entry's prose and never a following block's
+    blocks = re.split(r"(?m)^#{1,6} ", text)
+    for block in blocks:
+        chunks = re.split(r"(?m)^- \*\*(q_[a-z0-9_]+)", block)
+        # chunks = [preamble, name1, body1, name2, body2, ...]
+        for name, body in zip(chunks[1::2], chunks[2::2]):
+            # the ' s' unit suffix is conventional but has drifted in
+            # a few entries ('Bar: > 4.') — the number alone is the bar
+            m = re.search(r"Bar: > ([0-9]+(?:\.[0-9]+)?)", body)
+            if m is None:
+                if name not in bars:
+                    unbarred.append(name)
+                continue
+            bars.setdefault(name, float(m.group(1)))
+    uncovered = sorted(set(n for n in unbarred if n not in bars))
+    for name in uncovered:
+        print(f"WARN {name}: entry has no Bar line — no coverage")
+    return bars, uncovered
 
 
 def main():
@@ -55,11 +65,14 @@ def main():
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.md"
     bench = json.loads(open(bench_path).readline())
     queries = bench["queries"]
-    bars = parse_bars(base_path)
+    bars, uncovered = parse_bars(base_path)
     if not bars:
         print("no bars parsed — pattern rot?")
         return 1
     failures, ratios = [], []
+    # a barless entry is a coverage HOLE, not a warning: it exits
+    # nonzero so the gap cannot silently persist across rounds
+    failures.extend(uncovered)
     for name, bar in sorted(bars.items()):
         wall = queries.get(name)
         if wall is None:

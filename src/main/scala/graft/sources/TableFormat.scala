@@ -83,12 +83,36 @@ object TableFormat {
     * generations are NOT garbage-collected here: retaining them is
     * the whole point (time travel); a production deployment vacuums
     * by retention policy, exactly like a table format. */
-  private[graft] def commitGen(df: DataFrame, root: String, gen: Long): Unit = {
+  private[graft] def commitGen(df: DataFrame, root: String, gen: Long,
+      txn: Option[(String, Long)] = None): Unit = {
     df.write.mode("overwrite").parquet(genDir(root, gen))
-    Files.deleteIfExists(markerPath(root, gen))
-    require(casMarker(root, gen, s"gen_$gen"),
-      s"single-writer commitGen($gen) raced a concurrent marker on $root")
+    // idempotent-writer record, atomic with the commit (the same
+    // `txn` rule as the scoped commits — carried forward so
+    // retention can never strand a writer's lineage)
+    val carried = txnTable(root) ++ txn
+    if (carried.nonEmpty)
+      Files.writeString(txnFile(genDir(root, gen)),
+        carried.toSeq.sorted.map { case (id, v) => s"$id:$v" }
+          .mkString("\n"))
+    installMarker(root, gen, s"gen_$gen")
   }
+
+  /** Single-writer marker (re)install. First commit of an id goes
+    * through the CAS (so an ACCIDENTAL second writer still fails
+    * loudly); a RE-commit of an existing id replaces the marker via
+    * ATOMIC_MOVE instead of delete-then-link — concurrent readers are
+    * an advertised capability, and a reader calling
+    * currentGen/resolveDir in a delete window would resolve an older
+    * generation or throw; the atomic replace keeps marker visibility
+    * continuous. */
+  private def installMarker(root: String, gen: Long, dirName: String): Unit =
+    if (Files.exists(markerPath(root, gen))) {
+      val tmp = Files.createTempFile(Paths.get(root), "_commit_", ".tmp")
+      Files.writeString(tmp, dirName)
+      Files.move(tmp, markerPath(root, gen),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } else require(casMarker(root, gen, dirName),
+      s"single-writer commit($gen) raced a concurrent marker on $root")
 
   /** The committed generation id — the highest commit marker. The
     * listing is O(retained generations), the same cost as reading a
@@ -381,9 +405,7 @@ object TableFormat {
     fileStats(df.sparkSession, dir, df.schema, keys).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), df.schema.json)
-    Files.deleteIfExists(markerPath(root, gen))
-    require(casMarker(root, gen, dirName),
-      s"single-writer commitGenManifested($gen) raced a marker on $root")
+    installMarker(root, gen, dirName)
   }
 
   private[graft] def commitGenManifested(df: DataFrame, root: String,
@@ -463,8 +485,65 @@ object TableFormat {
     val touchedFiles = m.join(sc, touch, "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val carried = m.join(sc, touch, "left_anti")
-    tryCommitFiles(spark, root, expected, schema, manifestKeys(m),
+    // ADDITIVE EVOLUTION WIDENS THE STATS KEY SET: columns the new
+    // schema adds over the generation's recorded width enter the
+    // manifest for every REWRITTEN file (carried legacy rows read
+    // NULL stats — sound, because a carried file predates the column
+    // and so holds only NULLs for it at read time: no range predicate
+    // can select from it, and SQL MIN/MAX skip it exactly like the
+    // NULLs it contains). Without this, H20's evolved columns could
+    // never be skip-pruned or metaAgg'd until a full manual re-commit.
+    val recorded = genSchema(root, expected).fieldNames.toSet
+    val widened = manifestKeys(m) ++ schema.fields.toSeq
+      .filter(f => !recorded(f.name) && statable(f.dataType))
+      .map(_.name)
+    tryCommitFiles(spark, root, expected, schema, widened.distinct,
       touchedFiles, carried, rewrite, txn)
+  }
+
+  /** Types whose min/max/null statistics a manifest tracks — the
+    * scalar orderable kinds a real format collects file stats for
+    * (nested/binary columns don't get range stats there either). */
+  private def statable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+
+  /** Summarize a delta's key column into the SCAN-PLANNING-SIZED
+    * scope frame the skip decision broadcasts: closed intervals
+    * (`__lo`, `__hi`) plus a NULL-marker flag (`__nul`) — NEVER the
+    * raw delta column. Up to `maxKeys` distinct keys map to exact
+    * degenerate intervals [k, k] (file-precise skipping); a BULK
+    * delta ("a day's ingest" can carry 10⁷–10⁹ keys — broadcasting it
+    * raw would blow the broadcast cap and make the NLJ product
+    * |files| × |delta|) summarizes to ≤ `intervals` range-partitioned
+    * [min, max] intervals, O(intervals) rows regardless of delta
+    * size. Intervals can only OVER-touch — extra files rewrite, the
+    * answer never changes — so a superset scope is always sound; the
+    * NLJ skip product is then bounded by |files| × `intervals`. */
+  private[graft] def summarizeScope(delta: DataFrame, key: String,
+      maxKeys: Int = 8192, intervals: Int = 512): DataFrame = {
+    val keys = delta.select(col(key).as("__k")).distinct()
+    val n = keys.limit(maxKeys + 1).count()
+    if (n <= maxKeys)
+      keys.select(col("__k").as("__lo"), col("__k").as("__hi"),
+        col("__k").isNull.as("__nul"))
+    else {
+      val ranges = keys.filter(col("__k").isNotNull)
+        .repartitionByRange(intervals, col("__k"))
+        .groupBy(spark_partition_id())
+        .agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+        .select(col("__lo"), col("__hi"), lit(false).as("__nul"))
+      val nullRow = keys.filter(col("__k").isNull)
+        .select(col("__k").as("__lo"), col("__k").as("__hi"),
+          lit(true).as("__nul"))
+      ranges.unionByName(nullRow)
+    }
   }
 
   /** The staged-commit tail every scoped verb shares: read ONLY the
@@ -489,7 +568,11 @@ object TableFormat {
     val dir = s"$root/$dirName"
     rewrite(survivors).write.parquet(dir)
     val carriedN = carried.count()
-    carried.unionByName(fileStats(spark, dir, schema, keys)).coalesce(1)
+    // allowMissingColumns: a widened stats key set (additive schema
+    // evolution) adds min_/max_/null_ columns the carried rows don't
+    // have — they fill NULL, the "file predates this column" marker
+    carried.unionByName(fileStats(spark, dir, schema, keys),
+        allowMissingColumns = true).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), schema.json)
     // idempotent-writer records commit ATOMICALLY with the data
@@ -542,10 +625,20 @@ object TableFormat {
     * even `keep = 1` keeps the carried records. O(retained
     * generations) tiny-file reads — log-tail cost. */
   private[graft] def txnTable(root: String): Map[String, Long] = {
-    val cur = currentGenOption(root).getOrElse(return Map.empty)
+    // ONE directory listing yields the existing markers (newest
+    // first) — never a per-id existence probe from currentGen down to
+    // 0, whose cost would grow with every generation EVER committed
+    // for the stream's whole lifetime even after vacuum removed most
+    // markers (this verb runs twice per micro-batch)
+    val gens = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f =>
+        if (f.isFile && f.getName.startsWith("commit_"))
+          f.getName.stripPrefix("commit_").toLongOption
+        else None)
+      .sorted(Ordering[Long].reverse)
     var seen = Map.empty[String, Long]
-    (cur to 0L by -1).iterator
-      .filter(g => Files.exists(markerPath(root, g)))
+    gens.iterator
       .map(g => txnFile(resolveDir(root, g)))
       .filter(Files.exists(_))
       .foreach(p => seen = parseTxns(p) ++ seen)
@@ -555,24 +648,28 @@ object TableFormat {
   private[graft] def lastTxn(root: String, appId: String): Option[Long] =
     txnTable(root).get(appId)
 
-  /** The null-safe range-intersection touch predicate for a scope
-    * frame carrying one `__sk` key column: a file is touched when a
-    * scope key can fall inside its [min, max] — including a NULL
-    * scope key against a file whose key column contains NULLs
-    * (min/max are null-blind, so the null flag carries that case). */
-  private def touchByKey(key: String): org.apache.spark.sql.Column =
-    (col(s"null_$key") && col("__sk").isNull) ||
-      col("__sk").between(col(s"min_$key"), col(s"max_$key"))
+  /** The null-safe interval-intersection touch predicate against a
+    * [[summarizeScope]] frame: a file is touched when a scope
+    * interval overlaps its [min, max] — including the NULL-marker row
+    * against a file whose key column contains NULLs (min/max are
+    * null-blind, so the null flag carries that case). A file with NO
+    * stats for the key (carried from before the column existed —
+    * additive evolution) holds only NULLs for it at read time, so it
+    * classifies as touched exactly when the scope names NULL:
+    * `coalesce(null_k, true)`. */
+  private def touchByScope(key: String): org.apache.spark.sql.Column =
+    (coalesce(col(s"null_$key"), lit(true)) && col("__nul")) ||
+      (col("__lo") <= col(s"max_$key") && col(s"min_$key") <= col("__hi"))
 
   private[graft] def purgeScoped(spark: SparkSession, root: String,
       keys: DataFrame, schema: StructType, key: String): SkipReport = {
-    val scope = keys.select(col(keys.columns.head).as("__sk"))
-    tryScopedCommit(spark, root, currentGen(root), schema, scope,
-      touchByKey(key),
+    val list = keys.select(col(keys.columns.head).as("__td")).distinct()
+    tryScopedCommit(spark, root, currentGen(root), schema,
+      summarizeScope(list, "__td"), touchByScope(key),
       // null-safe anti join: a NULL list key removes NULL-keyed rows,
-      // matching cdcDiff/applyChanges' first-class NULL keys
-      surv => surv.join(
-        broadcast(keys.select(col(keys.columns.head).as("__td"))),
+      // matching cdcDiff/applyChanges' first-class NULL keys (the
+      // list is DEDUPED above — the broadcast never carries repeats)
+      surv => surv.join(broadcast(list),
         col(key) <=> col("__td"), "left_anti"))
       .getOrElse(throw new IllegalStateException(
         s"purgeScoped raced a concurrent writer on $root"))
@@ -604,18 +701,71 @@ object TableFormat {
   private[graft] def tryMergeScoped(spark: SparkSession, root: String,
       delta: DataFrame, schema: StructType, key: String,
       expected: Long,
-      txn: Option[(String, Long)] = None): Option[SkipReport] = {
-    val scope = delta.select(col(key).as("__sk"))
-    tryScopedCommit(spark, root, expected, schema, scope, touchByKey(key),
+      txn: Option[(String, Long)] = None,
+      scopeMaxKeys: Int = 8192,
+      scopeIntervals: Int = 512): Option[SkipReport] = {
+    // the skip decision broadcasts the SUMMARIZED scope, never the
+    // raw delta keys: a micro-batch delta stays exact, a bulk delta
+    // (10⁷+ keys) collapses to ≤ scopeIntervals ranges — the
+    // broadcast and the NLJ product stay scan-planning-sized at any
+    // delta size (the thresholds are tunables; H23 pins the bulk
+    // path at test scale by lowering them)
+    tryScopedCommit(spark, root, expected, schema,
+      summarizeScope(delta, key, scopeMaxKeys, scopeIntervals),
+      touchByScope(key),
       surv => Export.mergeLatest(surv, delta.select(
         schema.fieldNames.map(col).toIndexedSeq: _*), key), txn)
   }
 
   private[graft] def mergeScoped(spark: SparkSession, root: String,
-      delta: DataFrame, schema: StructType, key: String): SkipReport =
-    tryMergeScoped(spark, root, delta, schema, key, currentGen(root))
+      delta: DataFrame, schema: StructType, key: String,
+      scopeMaxKeys: Int = 8192, scopeIntervals: Int = 512): SkipReport =
+    tryMergeScoped(spark, root, delta, schema, key, currentGen(root),
+      scopeMaxKeys = scopeMaxKeys, scopeIntervals = scopeIntervals)
       .getOrElse(throw new IllegalStateException(
         s"mergeScoped raced a concurrent writer on $root"))
+
+  /** INSERT-ONLY scoped commit: `delta` lands as new files, EVERY
+    * existing file carries into the new generation's manifest by
+    * reference — zero skip decision, zero rewrite, O(delta) total
+    * (the append path of a daily ingest or an index's vector append;
+    * key uniqueness is the CALLER's contract, exactly like a blind
+    * `mode(append)` write). The delta's own partitioning decides the
+    * new file layout, so callers size/cluster it before the call. */
+  private[graft] def appendScoped(spark: SparkSession, root: String,
+      delta: DataFrame, schema: StructType,
+      txn: Option[(String, Long)] = None): SkipReport = {
+    val expected = currentGen(root)
+    val m = readManifest(spark, root, expected).localCheckpoint(true)
+    tryCommitFiles(spark, root, expected, schema, manifestKeys(m),
+      Seq.empty, m, _ => delta.select(
+        schema.fieldNames.map(col).toIndexedSeq: _*), txn)
+      .getOrElse(throw new IllegalStateException(
+        s"appendScoped raced a concurrent writer on $root"))
+  }
+
+  /** Manifest-pruned read for a DISCRETE value set (the index-probe
+    * shape: "these N probed cells"): only files whose [min, max]
+    * range can contain one of `values` are read — a SUPERSET scan
+    * (callers apply their residual filters as always; range stats
+    * can only over-include). NULL-stat rows (files carried from
+    * before the column existed) hold no range value and prune. The
+    * decision is a filter over the scan-planning-sized manifest. */
+  private[graft] def readPrunedIn(spark: SparkSession, root: String,
+      gen: Long, schema: StructType, key: String,
+      values: Seq[Any]): DataFrame = {
+    if (values.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val keep = values.map(v =>
+      lit(v).between(col(s"min_$key"), col(s"max_$key"))).reduce(_ || _)
+    val files = readManifest(spark, root, gen).filter(keep)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
 
   /** Retention for a MANIFESTED table — Delta VACUUM's rule: a file
     * is reclaimable only when NO retained manifest reaches it
@@ -627,7 +777,7 @@ object TableFormat {
     * Driver-side, O(files in expired generations) — scan-planning
     * scale, data-size independent. */
   private[graft] def vacuumManifested(spark: SparkSession, root: String,
-      keep: Int): Long = {
+      keep: Int, debrisStaleMillis: Long = 24L * 3600 * 1000): Long = {
     require(keep >= 1, "retention must keep at least the current generation")
     val cur = currentGen(root)
     val retainedGens = (math.max(0L, cur - keep + 1) to cur).toSeq
@@ -644,11 +794,28 @@ object TableFormat {
     // whose data files survive only by reachability
     val retainedDirs = retainedGens
       .map(g => new java.io.File(resolveDir(root, g)).getName).toSet
+    // the dir names SOME marker currently publishes: everything else
+    // matching gen_* is either an IN-FLIGHT OCC writer's staged dir
+    // (data written, token-suffixed, marker not yet CAS'd) or crash
+    // debris — and only AGE distinguishes the two. Sweeping a live
+    // writer's staged dir would delete its data files, _manifest,
+    // _schema.json and _txn while its marker CAS still SUCCEEDS,
+    // publishing a generation with missing data — silent loss (this
+    // sweep is advertised safe beside a live stream). Skip unmarkered
+    // dirs younger than the staleness bound entirely, mirroring
+    // vacuumGenerations' debris horizon.
+    val markerTargets = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("commit_"))
+      .map(f => Files.readString(f.toPath).trim).toSet
+    def stale(f: java.io.File) =
+      System.currentTimeMillis() - f.lastModified() > debrisStaleMillis
     var reaped = 0L
     Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
-        !retainedDirs(f.getName))
+        !retainedDirs(f.getName) &&
+        (markerTargets(f.getName) || stale(f)))
       .foreach { dir =>
         Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && !reach(f.getAbsolutePath))
@@ -1130,6 +1297,58 @@ object TableFormat {
       metaAgg(spark, root, currentGen(root), "doc_id")
         .select(col("n_rows").as("n_docs"),
           col("min_key").as("min_id"), col("max_key").as("max_id"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** H23 — `q_merge_bulk`: the SCOPED MERGE at its contract's BULK
+    * end — "a day's delta" (here: every even-keyed document, half
+    * the table) merged latest-wins through the versioned core with
+    * the skip decision running on the INTERVAL-SUMMARIZED scope,
+    * never the raw keys: the broadcast side is ≤ `intervals` range
+    * rows regardless of delta size, so neither the broadcast cap nor
+    * the |files| × |delta| NLJ product can blow up at 10⁷–10⁹ keys
+    * (the round-17 advice's one scale-killer-shaped hole). The
+    * thresholds are forced down (maxKeys 64 / intervals 8) so the
+    * bulk path — not the exact path — is what this row gates at
+    * every SF; intervals can only OVER-touch, so the answer is the
+    * plain latest-wins merge, which is exactly what the oracle
+    * replays with a CASE. Episode: delta = every even-keyed document
+    * of the LOWER id half (dense there — interval over-touch is
+    * expected and harmless) so the upper half's files must CARRY:
+    * the in-row `carried_files` TRUE pins that the bulk commit is
+    * still O(touched), never a silent full rewrite, and `n_files`
+    * pins touched + carried = the store's file count.
+    *
+    * Scale shape: scope summarization is one distinct + range
+    * repartition over the delta (O(|delta|), the same order as the
+    * merge itself); the skip decision is |files| × intervals; the
+    * rewrite reads only touched files. */
+  def mergeBulk(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "mergebulk").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      commitGenManifested(
+        t.documents.repartitionByRange(16, col("doc_id")),
+        root, 0L, "doc_id")
+      val mid = t.documents.agg(max(col("doc_id"))).first().getLong(0) / 2
+      val delta = t.documents
+        .filter(col("doc_id") % 2 === 0L && col("doc_id") <= mid)
+        .withColumn("source", lit("bulk"))
+      val rep = mergeScoped(spark, root, delta, docSchema, "doc_id",
+        scopeMaxKeys = 64, scopeIntervals = 8)
+      readViaManifest(spark, root, currentGen(root), docSchema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .withColumn("carried_files", lit(rep.filesCarried > 0))
+        .withColumn("n_files",
+          lit(rep.filesTouched + rep.filesCarried))
+        .orderBy(col("source"))
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }

@@ -30,20 +30,26 @@ import graft.operators.TextAnalysis
   * design: exact-dup needs cross-batch text hashes, which is
   * StreamingDeduper's keyed-state job).
   *
-  * Exactly-once: foreachBatch + VERSIONED card tables behind ONE
-  * atomic pointer. Batch b folds the pointed-at card with its delta
-  * into `card_b/`, then commits by atomically replacing the `_CARD`
-  * pointer file (temp + ATOMIC_MOVE) whose content IS the committed
-  * batch id, then garbage-collects superseded card dirs. The commit
-  * is a single atomic filesystem op, so there is no window where the
-  * table a reader would resolve is missing or half-written, and no
-  * separate marker that could disagree with the table: a crash
-  * before the pointer move leaves the OLD card fully intact (the
-  * replayed micro-batch re-folds from it — `card_b` is rewritten in
-  * overwrite mode, idempotently); a crash after leaves the new card
-  * committed and the replayed batch skips on the batch-id guard. An
-  * unreadable pointer degrades to a scan for the newest
-  * `_SUCCESS`-complete card rather than failing the stream. */
+  * Exactly-once: foreachBatch + the TABLE-FORMAT COMMIT CORE — the
+  * card is a [[graft.sources.TableFormat]] versioned table (the
+  * round-17 verdict's "one commit protocol should own every store":
+  * this sink predated the core and carried its own pointer swap).
+  * Batch b folds the current generation with its delta and commits
+  * it as the next generation via [[graft.sources.TableFormat
+  * .commitGen]], with the (appId, batchId) idempotent-writer record
+  * landing ATOMICALLY inside the generation (the same `txn` lineage
+  * the versioned sink uses — replay detection reads it back, so a
+  * crash-replayed batch skips without any separate mutable marker).
+  * A crash before the marker CAS leaves the OLD generation fully
+  * live plus an unreferenced staged dir the retention sweep ages
+  * out; the two-generation grace window the old pointer GC kept is
+  * now [[graft.sources.TableFormat.vacuumGenerations]] with
+  * keep = 2. States written by BOTH previous layouts still read and
+  * upgrade in place: the `_CARD`-pointer lineage (including its
+  * newest-`_SUCCESS`-complete-card damage recovery) and the
+  * pre-pointer single `card/` dir, each consulted only when no
+  * table-format generation exists, and retired with the same grace
+  * rule once the new lineage is two generations deep. */
 object StreamingDataCard {
 
   private val docSchema = StructType(Seq(
@@ -164,13 +170,14 @@ object StreamingDataCard {
     * count, then lexicographically first), collapsed from the
     * per-language state rows at read time. */
   def readCard(spark: SparkSession, cardPath: String): DataFrame = {
-    val state = currentCardDir(cardPath) match {
-      case Some(cardDir) =>
-        spark.read.schema(stateSchema).parquet(cardDir.getPath)
-      case None =>
+    val state = graft.sources.TableFormat.currentGenOption(cardPath)
+      .map(g => graft.sources.TableFormat.readGen(spark, cardPath, g,
+        StructType.fromDDL(stateSchema)))
+      .orElse(currentCardDir(cardPath).map(d =>
+        spark.read.schema(stateSchema).parquet(d.getPath)))
+      .getOrElse(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType.fromDDL(stateSchema))
-    }
+          StructType.fromDDL(stateSchema)))
     state.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -187,24 +194,58 @@ object StreamingDataCard {
       .orderBy(col("source"))
   }
 
+  /** The idempotent-writer identity this checkpoint implies — the
+    * versioned sink's derivation rule (a fresh checkpoint location
+    * is a fresh writer). */
+  private def appIdFor(checkpointDir: String): String = {
+    val c = new java.util.zip.CRC32C()
+    c.update(java.nio.file.Paths.get(checkpointDir).toAbsolutePath
+      .normalize.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"dcard_${c.getValue}%08x"
+  }
+
+  /** The committed batch id across ALL lineages: this writer's
+    * table-format txn record (the new layout); then — for a RESET
+    * checkpoint whose derived appId finds no record against a table
+    * other writers folded — the newest record of ANY writer, which
+    * preserves the pointer era's appId-blind semantics (redelivered
+    * batches SKIP rather than double-fold: a fresh checkpoint
+    * re-delivers files whose partials the card already holds); then
+    * the legacy pointer/marker resolution for pre-upgrade states. */
+  private def lastCommittedAny(cardPath: String, appId: String): Long = {
+    val txns = graft.sources.TableFormat.txnTable(cardPath)
+    txns.get(appId)
+      .orElse(if (txns.nonEmpty) Some(txns.values.max) else None)
+      .getOrElse(lastCommitted(cardPath))
+  }
+
   /** Start the card maintenance over a document drop directory.
     * Trigger semantics as in [[StreamingVectorIngest.run]]. */
   def run(spark: SparkSession, inputDir: String, cardPath: String,
       checkpointDir: String, availableNow: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cardPath))
+    val appId = appIdFor(checkpointDir)
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val docs = reader.parquet(inputDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastCommitted(cardPath) && !batch.isEmpty) {
-          val prevCommitted = lastCommitted(cardPath)
+        import graft.sources.TableFormat
+        if (batchId > lastCommittedAny(cardPath, appId) && !batch.isEmpty) {
           val delta = partials(batch)
-          val merged = currentCardDir(cardPath) match {
-            case Some(cardDir) =>
-              val prev = spark.read.schema(stateSchema).parquet(cardDir.getPath)
+          // fold base: the current table-format generation, or a
+          // pre-upgrade state (pointer layout, then single-dir) so an
+          // upgraded deployment keeps its folded history
+          val prevState = TableFormat.currentGenOption(cardPath)
+            .map(g => TableFormat.readGen(spark, cardPath, g,
+              StructType.fromDDL(stateSchema)))
+            .orElse(currentCardDir(cardPath).map(d =>
+              spark.read.schema(stateSchema).parquet(d.getPath)))
+          val merged = prevState match {
+            case Some(prev) =>
               prev.unionByName(delta)
                 .groupBy(col("source"), col("lang"))
                 .agg(sum(col("n_docs")).as("n_docs"),
@@ -213,38 +254,29 @@ object StreamingDataCard {
                   sum(col("q_n")).as("q_n"))
             case None => delta
           }
-          // fold into the VERSIONED table for this batch (overwrite:
-          // a crash-replayed batch rewrites it idempotently) — the
-          // committed card is never touched
-          val next = new java.io.File(cardPath, s"card_$batchId")
-          merged.write.mode("overwrite").parquet(next.getPath)
-          // COMMIT = one atomic pointer replace; before it the old
-          // card is fully intact, after it the new one is named
-          val tmp = java.nio.file.Files.createTempFile(
-            java.nio.file.Paths.get(cardPath), "_CARD", ".tmp")
-          java.nio.file.Files.writeString(tmp, batchId.toString)
-          java.nio.file.Files.move(tmp, pointerPath(cardPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // GC all versions except the new card AND its predecessor:
-          // keeping one superseded generation gives a reader that
-          // resolved the pointer just before this commit a grace
-          // window to finish its scan (two-generation retention, the
-          // usual snapshot-table compromise; a crash mid-GC just
-          // leaves extra dirs for the next commit's GC)
-          Option(new java.io.File(cardPath).listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .filter(d => d.getName.startsWith("card_") &&
-              d.getName != s"card_$batchId" &&
-              d.getName != s"card_$prevCommitted")
-            .foreach(graft.sources.LayoutStore.deleteRecursively)
-          // a LEGACY single-dir card (pre-pointer layout) is this
-          // commit's predecessor at most once — once a VERSIONED
-          // predecessor exists it is two generations stale, so it
-          // and its marker retire with the same grace rule
-          if (new java.io.File(cardPath, s"card_$prevCommitted").isDirectory) {
-            graft.sources.LayoutStore.deleteRecursively(
-              new java.io.File(cardPath, "card"))
+          // COMMIT through the table-format core: the next generation
+          // plus the (appId, batchId) txn record, atomic behind the
+          // marker install — a crash-replayed batch re-folds and
+          // overwrites the same UNCOMMITTED generation idempotently,
+          // a replay of a committed batch skips on the txn guard
+          val g = TableFormat.currentGenOption(cardPath)
+            .map(_ + 1).getOrElse(0L)
+          TableFormat.commitGen(merged, cardPath, g,
+            txn = Some(appId -> batchId))
+          // two-generation grace window (the snapshot-table
+          // compromise the old pointer GC kept), now the format's own
+          // retention sweep
+          if (g >= 2) TableFormat.vacuumGenerations(cardPath, keep = 2)
+          // LEGACY retirement with the same grace rule: once the new
+          // lineage is two generations deep, every pre-upgrade
+          // artifact is at least two generations stale
+          if (g >= 1) {
+            Option(new java.io.File(cardPath).listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .filter(d => d.isDirectory && (d.getName == "card" ||
+                d.getName.startsWith("card_")))
+              .foreach(graft.sources.LayoutStore.deleteRecursively)
+            java.nio.file.Files.deleteIfExists(pointerPath(cardPath))
             java.nio.file.Files.deleteIfExists(
               java.nio.file.Paths.get(cardPath, "_STREAM_BATCH"))
           }

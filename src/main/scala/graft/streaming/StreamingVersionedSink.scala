@@ -69,7 +69,23 @@ object StreamingVersionedSink {
       batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val last = TableFormat.lastTxn(root, appId)
-    if (last.exists(_ >= batchId)) return false // replayed: done
+    if (last.contains(batchId)) return false // replayed: done
+    // foreachBatch redelivers AT MOST the last planned batch, so a
+    // legitimate run only ever sees last == batchId (replay, above)
+    // or last == batchId − 1 (the next batch). last > batchId means
+    // the CHECKPOINT was reset/recreated against a table already
+    // carrying this appId's lineage — batch ids restarted at 0 while
+    // the table remembers batch N. Silently treating that as replay
+    // (the pre-round-18 behavior) drops every new batch forever; fail
+    // loudly instead: a fresh checkpoint needs a fresh appId (run()
+    // derives one from the checkpoint location for exactly this
+    // reason), or the operator genuinely restores the old checkpoint.
+    require(!last.exists(_ > batchId),
+      s"table $root already holds batch ${last.get} of writer '$appId' " +
+        s"but the checkpoint delivered batch $batchId — the CHECKPOINT " +
+        "is behind the table's lineage (reset/recreated checkpoint " +
+        "against a live table?); a fresh checkpoint requires a fresh " +
+        "appId, refusing to silently no-op every new batch")
     // the checkpoint delivers batches in order, so the table must
     // hold exactly the previous batch's record (or none for batch
     // 0). A table missing newer history than its checkpoint claims
@@ -114,6 +130,25 @@ object StreamingVersionedSink {
         root, 0L, key)
   }
 
+  /** The writer identity a checkpoint location implies: Delta's
+    * documented idempotent-writer rule is one appId per logical
+    * stream, and "start over with a fresh checkpoint" means a fresh
+    * appId — otherwise the table's lineage for the OLD appId makes
+    * every new batch look like a replay. Deriving the id from the
+    * canonical checkpoint path gives that rotation for free: a new
+    * checkpoint dir is a new writer; restoring the SAME checkpoint
+    * keeps the same identity (replay detection intact). */
+  private[graft] def appIdFor(checkpointDir: String): String = {
+    val canon = Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+    f"vsink_${crc32c(canon)}%08x"
+  }
+
+  private def crc32c(s: String): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue
+  }
+
   /** Start the stream: parquet drops under `inputDir` merge into the
     * versioned table at `root`, one committed generation per
     * micro-batch. `optimizeEvery = Some(n)` folds the small files a
@@ -122,14 +157,26 @@ object StreamingVersionedSink {
     * a long-running stream's table healthy (H19 at the sink; its
     * commits interleave safely with the batches because replay
     * detection is txn-based, not generation-based). Trigger
-    * semantics as in the other B6 sinks. */
+    * semantics as in the other B6 sinks.
+    *
+    * `appId` is the idempotent-writer identity recorded in the
+    * table's txn lineage; the default derives it from the CANONICAL
+    * CHECKPOINT PATH, so a fresh checkpoint location is automatically
+    * a fresh writer (batch ids restarting at 0 cannot collide with an
+    * older run's lineage) while restarting from the same checkpoint
+    * keeps replay detection. Pass it explicitly only to share one
+    * identity across relocated checkpoints — and then a RESET
+    * checkpoint against a live table fails loudly in
+    * [[commitBatch]] instead of silently no-oping. */
   def run(spark: SparkSession, inputDir: String, root: String,
       checkpointDir: String, schema: StructType, key: String,
       availableNow: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
       optimizeEvery: Option[Int] = None,
       optimizeSmallRows: Long = 1000L,
-      optimizeTargetRows: Long = 100000L): StreamingQuery = {
+      optimizeTargetRows: Long = 100000L,
+      appId: Option[String] = None): StreamingQuery = {
+    val writerId = appId.getOrElse(appIdFor(checkpointDir))
     init(spark, root, schema, key)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -137,7 +184,7 @@ object StreamingVersionedSink {
     val writer = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val advanced = commitBatch(root, schema, key)(batch, batchId)
+        val advanced = commitBatch(root, schema, key, writerId)(batch, batchId)
         // compaction only after a REAL advance: a replayed batch
         // must not re-trigger maintenance. Best-effort: losing an
         // OCC race to a foreign writer skips this cycle (the next
