@@ -260,6 +260,15 @@ object SparkEntry {
     // ALONE after a scoped purge (mixed carried+rewritten stats);
     // oracle = the literal scan of the surviving rows
     "q_meta_agg"        -> q(graft.sources.TableFormat.metaAggQuery),
+    // H22: TIME TRAVEL over the whole IVF index via the catalog
+    // pointer — the day's advance is a new index generation; the
+    // pre-advance pin still answers (IndexCatalog.readAt)
+    "q_index_history"   -> q(graft.operators.EmbeddingStore.indexHistoryQuery),
+    // H23: the scoped merge at its BULK end — the skip decision
+    // broadcasts the interval-summarized scope (forced-down
+    // thresholds gate the bulk path at every SF), answer = the plain
+    // latest-wins merge, carried-files evidence in-row
+    "q_merge_bulk"      -> q(graft.sources.TableFormat.mergeBulk),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -833,6 +842,45 @@ object SparkEntry {
         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM documents
         |WHERE doc_id % 97 <> 0""".stripMargin,
+    // H22: index time travel — the pre-advance leg equals the base
+    // id half EXACTLY (the advance never touched committed history),
+    // the post-advance leg is the full corpus with the upper half
+    // marked appended; `advanced` is the literal one generation.
+    "q_index_history" ->
+      """WITH v AS (SELECT vec_id AS doc_id FROM embeddings),
+        |s AS (SELECT CAST(FLOOR(MAX(doc_id)/2.0) AS BIGINT) AS m FROM v)
+        |SELECT CAST(0 AS BIGINT) AS igen,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(0 AS BIGINT) AS n_appended,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(1 AS BIGINT) AS advanced
+        |FROM v WHERE doc_id <= (SELECT m FROM s)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN doc_id > (SELECT m FROM s) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(bit_xor(doc_id) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM v
+        |ORDER BY igen""".stripMargin,
+    // H23: the bulk scoped merge IS the latest-wins merge — interval
+    // over-touch is invisible to the result; carried_files is the
+    // literal TRUE (the upper id half's files never rewrote) and
+    // n_files the store's literal 16-file layout.
+    "q_merge_bulk" ->
+      """WITH s AS (SELECT CAST(FLOOR(MAX(doc_id)/2.0) AS BIGINT) AS m
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN doc_id % 2 = 0 AND doc_id <= (SELECT m FROM s)
+        |    THEN 'bulk' ELSE source END AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  TRUE AS carried_files,
+        |  CAST(16 AS BIGINT) AS n_files
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // H18: the stats-pruned read must answer exactly what the raw
     // filtered aggregate answers — pruning is invisible to the
     // result; leaked is the oracle's literal 0.

@@ -56,7 +56,10 @@ object AdvanceDay {
   // private[operators]: IndexMaintenance reuses the SAME ensured
   // half-corpus base (its episode starts from D13's steady state)
   private[operators] def ensureDayBase(t: Tables): String =
-    graft.sources.LayoutStore.ensure(t.dir, "daybase", "v1") { path =>
+    // v2: the IVF index inside the base moved to the versioned
+    // table-format layout (r18) — the key must rotate with it or a
+    // cached pre-refactor base would be probed by the new readers
+    graft.sources.LayoutStore.ensure(t.dir, "daybase", "v2") { path =>
       val maxDoc = t.documents.agg(max(col("doc_id"))).first().getLong(0)
       Dedup.buildDedupState(t.documents, maxDoc / 2, s"$path/dedup")
       val vectors = t.embeddings

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.sources.Tables
+import graft.sources.{IndexCatalog, TableFormat, Tables}
 
 /** The reference's embedding pipeline re-expressed Spark-first
   * (reference: src/core/embeddings/processor.py:174 `_generate_
@@ -626,22 +626,42 @@ object EmbeddingStore {
     for (_ <- 0 until lloydIterations)
       centroids = lloydStep(assignCells(vectors, centroids), vecDim)
     val finalAssign = assignCells(vectors, centroids)
+    // Every substore commits through the TableFormat core (manifested
+    // generations + CAS markers): cells cluster on (cell, doc_id)
+    // into ~k τ-row files, so the manifest's per-file ranges carry
+    // exactly the pruning the old Hive cell=* layout gave — a probe
+    // skips files from STATISTICS, a rebuild is the NEXT generation
+    // (no staging dirs, no rename window), and the pre-rebuild index
+    // keeps time-traveling through IndexCatalog pins.
     // gen = 0 marks build-time rows; appendToIvfIndex writes gen = 1,
     // which is what lets indexStats report the appended fraction the
     // rebuild advice watches
-    finalAssign.withColumn("gen", lit(0))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // PQ sidecars (codebooks + cell-partitioned codes) build from the
-    // JUST-WRITTEN cells, not the lazy assignment frame — re-using
+    val cellsRoot = s"$path/cells"
+    val cg = TableFormat.currentGenOption(cellsRoot).map(_ + 1).getOrElse(0L)
+    TableFormat.commitGenManifested(
+      finalAssign.withColumn("gen", lit(0))
+        .repartitionByRange(k, col("cell"), col("doc_id")),
+      cellsRoot, cg, Seq("cell", "doc_id"))
+    val centRoot = s"$path/centroids"
+    TableFormat.commitGenManifested(centroids.coalesce(1), centRoot,
+      TableFormat.currentGenOption(centRoot).map(_ + 1).getOrElse(0L),
+      Seq("cell"))
+    // PQ sidecars (codebooks + cell-clustered codes) build from the
+    // JUST-COMMITTED cells, not the lazy assignment frame — re-using
     // the materialized layout costs one read where re-evaluating
     // finalAssign would re-run the whole two-level assignment DAG
-    val builtCells = spark.read.parquet(s"$path/cells")
+    val builtCells = TableFormat.readViaManifest(spark, cellsRoot, cg,
+      TableFormat.genSchema(cellsRoot, cg))
     ProductQuantizer.buildPq(spark, builtCells, path)
     // the int8 sidecar beside it — the two compressed representations
     // (SQ8: 4x bytes cut, near-exact; PQ: 24-32x, lossier) share the
-    // cell partitioning so every probe prunes them identically
+    // cell clustering so every probe prunes them identically
     ScalarQuantizer.buildSq8(spark, builtCells, path)
+    // ONE atomic commit point for the whole quintuple: readers resolve
+    // the catalog pointer and can never mix new cells with old
+    // centroids/codebooks (the cross-store torn read the old
+    // rename-swap rebuild had a window for)
+    IndexCatalog.publish(path)
   }
 
   /** One Lloyd step: per-cell mean of the assigned vectors.
@@ -776,20 +796,33 @@ object EmbeddingStore {
     // files between the write and the count/max, and the returned
     // watermark would skip rows forever)
     val snap = vectors.localCheckpoint()
-    val centroids = spark.read.parquet(s"$path/centroids")
-    // eager checkpoint: the assignment feeds TWO writes (cells and
-    // the PQ code sidecar) — without it the second write re-runs the
-    // whole two-level assignment over the delta
-    val assigned = assignCells(snap, centroids).localCheckpoint()
-    assigned.withColumn("gen", lit(1))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val head = snap
+      .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
+    val nNew = head.getLong(0)
+    val centroids = IndexCatalog.read(spark, path, "centroids")
+    // the delta lands as ~⌈|delta|/τ⌉ range-clustered files via an
+    // INSERT-ONLY scoped commit: every existing file carries into the
+    // new generation by reference — O(delta) total, zero rewrite
+    // (engine.py:57's incremental update IS this write path). Eager
+    // checkpoint: the assignment feeds THREE appends (cells + both
+    // code sidecars) — without it each write re-runs the whole
+    // two-level assignment over the delta
+    val nFiles = math.max(1L, (nNew + targetCellRows - 1) / targetCellRows)
+    val assigned = assignCells(snap, centroids)
+      .withColumn("gen", lit(1))
+      .repartitionByRange(nFiles.toInt, col("cell"), col("doc_id"))
+      .localCheckpoint()
+    val cellsRoot = s"$path/cells"
+    TableFormat.appendScoped(spark, cellsRoot, assigned,
+      TableFormat.genSchema(cellsRoot, TableFormat.currentGen(cellsRoot)))
     // keep the PQ code sidecar append-consistent with the cells: the
     // appended vectors encode against the PERSISTED codebooks
     ProductQuantizer.appendPq(spark, assigned, path)
     ScalarQuantizer.appendSq8(assigned, path)
-    val head = snap
-      .agg(count(lit(1)).as("c"), max(col("doc_id")).as("m")).first()
-    UpdateStats(head.getLong(0),
+    // one atomic pointer swap publishes the consistent post-append
+    // quintuple; the pre-append index generation stays readable
+    IndexCatalog.publish(path)
+    UpdateStats(nNew,
       if (head.isNullAt(1)) -1L else head.getLong(1),
       (System.nanoTime() - t0) / 1e9)
   }
@@ -797,7 +830,7 @@ object EmbeddingStore {
   /** Assignment-rule version tag baked into the on-disk index path: a
     * rule change must never silently probe an index built by an older
     * rule. */
-  private val indexRuleVersion = "r12-lloyd1-6dp-gen-pq16x8l1-sq8"
+  private val indexRuleVersion = "r18-lloyd1-6dp-gen-pq16x8l1-sq8-vtable"
 
   /** Build-once location of the persisted IVF index for a data dir.
     * Like the bucketed table layout, the index is STORAGE — paid once
@@ -852,8 +885,12 @@ object EmbeddingStore {
     * both. */
   private[graft] def probeCellsWithQuery(spark: SparkSession, path: String,
       queryDocId: Long, probes: Int): (Array[Int], Option[Seq[Float]]) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val qv = spark.read.parquet(s"$path/cells")
+    val centroids = IndexCatalog.read(spark, path, "centroids")
+    // the query-vector lookup prunes by the manifest's doc_id stats:
+    // only files whose id range covers the query are opened — at
+    // 100 TB a point lookup against file statistics, not a scan
+    val qv = IndexCatalog.readPruned(spark, path, "cells",
+        "doc_id", Seq(queryDocId))
       .filter(col("doc_id") === queryDocId)
       .select(col("embedding").as("qv"))
     val rows = collectBounded(
@@ -874,11 +911,17 @@ object EmbeddingStore {
     * exclusion, rounding and probe handling can never diverge. */
   private def scoredProbeScan(spark: SparkSession, path: String,
       queryDocId: Long, probes: Int): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val qv = cells.filter(col("doc_id") === queryDocId)
+    val qv = IndexCatalog.readPruned(spark, path, "cells",
+        "doc_id", Seq(queryDocId))
+      .filter(col("doc_id") === queryDocId)
       .select(col("embedding").as("qv"))
     val probedCells = probeCells(spark, path, queryDocId, probes)
-    cells
+    // the probed scan reads ONLY files whose cell range intersects a
+    // probed cell (manifest stats pruning — the versioned-table
+    // analogue of the old Hive PartitionFilters); the isin filter is
+    // the exact residual on top of the superset the stats admit
+    IndexCatalog.readPruned(spark, path, "cells", "cell",
+        probedCells.toSeq)
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .filter(col("doc_id") =!= queryDocId)
       .join(broadcast(qv))
@@ -1004,7 +1047,7 @@ object EmbeddingStore {
     * so the two can never choose different cells. */
   private[operators] def batchProbeMap(spark: SparkSession, path: String,
       queries: DataFrame, probes: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = IndexCatalog.read(spark, path, "centroids")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cell"))
     centroids.join(broadcast(queries))
@@ -1029,7 +1072,8 @@ object EmbeddingStore {
     val probedCells = probedCellsOf(probeMap, queries.count() * probes)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    spark.read.parquet(s"$path/cells")
+    IndexCatalog.readPruned(spark, path, "cells", "cell",
+        probedCells.toSeq)
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(probeMap), Seq("cell"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -1104,23 +1148,17 @@ object EmbeddingStore {
     * recall exact but lets the quantizer age); past `threshold` the
     * index is re-fitted FROM ITS OWN CELLS — seed + one Lloyd pass
     * over the stored vectors, the same corpus-wide passes a fresh
-    * build pays — and the result swapped in. The refresh happens
-    * UNDER THE SAME LayoutStore key: the key fingerprints the SOURCE
-    * data + rule, both unchanged by a re-fit (a new key per rebuild
-    * would leak every superseded layout forever). The build lands in
-    * a `_rebuild` staging dir first; the swap is RENAMES ONLY (old
-    * dirs move aside before the new move in, deletes come last), and
-    * the `_BUILT` marker drops for its duration — so for a
-    * LayoutStore-ensured path an interrupted rebuild re-runs from
-    * the marker check instead of ever serving half an index. A
-    * caller managing an EXPLICIT path carries that discipline
-    * itself: a crash mid-swap leaves `_rebuild`/`_replaced` dirs and
-    * no marker as the loud evidence, and the recovery is to re-run
-    * the build — a plain filesystem has no multi-dir commit, which
-    * is the transactional-format substitution note from
-    * advanceDedupState again. Returns whether a rebuild ran.
-    * Nothing corpus-shaped touches the driver: the decision reads
-    * the 1-row stats, the re-fit is the distributed build path. */
+    * build pays — committed as the NEXT GENERATION of every substore
+    * and published through one atomic catalog-pointer swap
+    * ([[graft.sources.IndexCatalog]]). The old staging-dir +
+    * five-rename swap machinery is GONE: a crash mid-rebuild leaves
+    * the previous index generation fully live (readers resolve the
+    * pointer, which only ever names complete quintuples) plus
+    * unreferenced newer substore generations as debris, and the
+    * pre-rebuild index still time-travels. Returns whether a rebuild
+    * ran. Nothing corpus-shaped touches the driver: the decision
+    * reads the 1-row stats, the re-fit is the distributed build
+    * path. */
   def rebuildIfDrifted(spark: SparkSession, path: String,
       threshold: Double): Boolean =
     rebuildIfDrifted(spark, path, threshold, Double.MaxValue)
@@ -1141,29 +1179,16 @@ object EmbeddingStore {
     val dist = st.getAs[Double]("pq_distortion")
     if (frac <= threshold && dist <= pqDistortionThreshold) false
     else {
-      val staging = s"$path/_rebuild"
+      // re-fit FROM THE STORED CELLS: the build commits the next
+      // generation of every substore (coarse centroids AND both code
+      // sidecars — a re-fit must never leave new cells probing old
+      // codes) and publishes ONE new index generation; generations
+      // are immutable, so the re-fit reads the old cells while the
+      // new ones commit beside them
       buildIvfIndex(spark,
-        spark.read.parquet(s"$path/cells").select(col("doc_id"), col("embedding")),
-        staging)
-      val root = new java.io.File(path)
-      val marker = new java.io.File(root, "_BUILT")
-      marker.delete()
-      // the code sidecars (PQ and SQ8) are part of the index and
-      // swap with it — a re-fit leaves new cells probing old codes
-      // otherwise
-      Seq("cells", "centroids", "pq_codebooks", "pq_codes",
-        "sq8_codes").foreach { d =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(path, d),
-          java.nio.file.Paths.get(path, s"${d}_replaced"))
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(staging, d),
-          java.nio.file.Paths.get(path, d))
-      }
-      Seq("cells_replaced", "centroids_replaced", "pq_codebooks_replaced",
-        "pq_codes_replaced", "sq8_codes_replaced", "_rebuild").foreach(d =>
-        graft.sources.LayoutStore.deleteRecursively(new java.io.File(root, d)))
-      marker.createNewFile()
+        IndexCatalog.read(spark, path, "cells")
+          .select(col("doc_id"), col("embedding")),
+        path)
       true
     }
   }
@@ -1176,6 +1201,58 @@ object EmbeddingStore {
     * index (built once via [[ensureIndex]], like D8's probe). */
   def indexStatsQuery(t: Tables): DataFrame =
     indexStats(t.spark, ensureIndex(t))
+
+  /** H22 — `q_index_history`: TIME TRAVEL over the WHOLE INDEX
+    * through the catalog pointer ([[graft.sources.IndexCatalog]]) —
+    * the deliverable that collapses the "two parallel universes":
+    * the IVF store now commits through the same table-format core as
+    * every H-family table, so a day's advance is a new INDEX
+    * GENERATION and the pre-advance index still answers, pinned.
+    * Episode: the ensured half-corpus day base (D13's steady state)
+    * advances by the upper id half (one scoped append — O(delta),
+    * every base file carried by reference); the row reads the cells
+    * substore at BOTH index generations and reports per-generation
+    * volume, appended mass and an id checksum, plus the published
+    * current generation. The oracle replays both states from the
+    * corpus halves — the pre-advance leg equals the base corpus only
+    * if the advance never touched committed history, so the row
+    * itself proves non-destructive index versioning (reference
+    * posture: engine.py:163 mutates its store in place and keeps
+    * none of this).
+    *
+    * Scale shape: the advance is the documented delta-proportional
+    * append; each leg is one map-side-combining aggregate over a
+    * pinned manifest read (same pruning as any read); catalog
+    * resolution is one tiny file. */
+  def indexHistoryQuery(t: Tables): DataFrame = {
+    val spark = t.spark
+    val pristine = AdvanceDay.ensureDayBase(t)
+    val work = graft.sources.LayoutStore.scratch(t.dir, "ixhist")
+    try {
+      val path = s"$work/ivf"
+      graft.sources.LayoutStore.copyRecursively(
+        new java.io.File(pristine, "ivf"), new java.io.File(path))
+      val vectors = t.embeddings
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val maxVec = vectors.agg(max(col("doc_id"))).first().getLong(0)
+      val genPre = IndexCatalog.currentGen(path)
+      appendToIvfIndex(spark, path,
+        vectors.filter(col("doc_id") > maxVec / 2))
+      val cur = IndexCatalog.currentGen(path)
+      def leg(g: Long) =
+        IndexCatalog.readAt(spark, path, g, "cells")
+          .agg(count(lit(1)).as("n_vectors"),
+            coalesce(sum(col("gen").cast("long")), lit(0L))
+              .as("n_appended"),
+            expr("bit_xor(doc_id)").as("id_xor"))
+          .select(lit(g - genPre).as("igen"), col("n_vectors"),
+            col("n_appended"), col("id_xor"))
+      leg(genPre).unionByName(leg(cur))
+        .withColumn("advanced", lit(cur - genPre))
+        .orderBy(col("igen"))
+        .localCheckpoint(true)
+    } finally graft.sources.LayoutStore.deleteRecursively(work)
+  }
 
   /** Index-quality statistics — the numbers the scaladoc advice on
     * [[appendToIvfIndex]] ("rebuild when the appended fraction gets
@@ -1203,8 +1280,8 @@ object EmbeddingStore {
     * skew/fractions divide exact integers in one fixed association,
     * so DuckDB replays the row bit-for-bit. */
   def indexStats(spark: SparkSession, path: String): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = IndexCatalog.read(spark, path, "cells")
+    val centroids = IndexCatalog.read(spark, path, "centroids")
     val perCell = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"),
         max(col("n")).as("max_cell"))

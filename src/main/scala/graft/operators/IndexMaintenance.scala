@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{LayoutStore, Tables}
+import graft.sources.{IndexCatalog, LayoutStore, TableFormat, Tables}
 
 /** Per-store compaction outcome: parquet data-file counts before and
   * after, and the bytes the rewrite moved. */
@@ -33,30 +33,30 @@ object IndexMaintenance {
     * compressed into one row — enough for multi-file cells). */
   private[graft] val maintainBatches = 4
 
-  /** Compact every cell-partitioned store of a persisted IVF index
-    * (`cells` + the `pq_codes`/`sq8_codes` sidecars) down to ONE
-    * data file per cell. One file per cell is the SIZE-CORRECT
-    * target by construction, not a shortcut: [[EmbeddingStore
-    * .targetCellRows]] caps a cell at τ = 1024 rows (≈ a few hundred
-    * KB at any realistic width — two orders of magnitude under H5's
-    * 128 MB file target), so H5's max(1, ⌈bytes/target⌉) rule always
-    * evaluates to 1 within a cell; what GROWS with the corpus is the
-    * cell COUNT, which is exactly the partitioning the rewrite
-    * preserves.
+  /** Compact every cell-clustered store of a persisted IVF index
+    * (`cells` + the `pq_codes`/`sq8_codes` sidecars) by DELEGATING to
+    * the table-format core's OPTIMIZE ([[graft.sources.TableFormat
+    * .optimize]], H19's verb): files under τ = [[EmbeddingStore
+    * .targetCellRows]] rows fold into τ-row files re-clustered on the
+    * manifest keys (cell, doc_id) — tight ranges, so probe skipping
+    * stays file-precise — while right-sized files CARRY by reference
+    * (zero bytes moved for them), and the commit is the same CAS
+    * marker every writer uses. The old bespoke write-beside +
+    * two-rename swap + entry-time crash healing is GONE: one commit
+    * protocol owns every store, a crash leaves the previous
+    * generation fully live, and the pre-compaction index still
+    * time-travels until the retention sweep.
     *
-    * Scale shape: one job per store — scan → repartition on the
-    * partition key (every row of a cell lands in one task, so the
-    * partitioned write emits one file per cell) → write BESIDE the
-    * live store → metadata swap (two renames, the commit a
-    * maintenance service owns) → old generation deleted. Listing and
-    * size math are O(files) driver metadata, the same work the
-    * fragmentation itself inflicts on every probe until it is paid
-    * down once here. Readers racing the swap re-list on retry — the
-    * same visibility contract every file-listing table maintenance
-    * (Hive-style overwrite) has; production object stores do the
-    * swap via their table format's atomic commit. */
+    * Scale shape: the fold decision reads the manifest's own n_rows
+    * (no data pass), the rewrite reads O(small files), and the new
+    * catalog pointer publishes the consistent post-compaction
+    * quintuple atomically. */
   def compactIndex(spark: SparkSession, path: String): Seq[CompactionReport] =
-    rewriteStores(spark, path, identity)
+    maintainStores(spark, path) { (root, schema) =>
+      TableFormat.optimize(spark, root, schema,
+        smallRows = EmbeddingStore.targetCellRows,
+        targetRows = EmbeddingStore.targetCellRows)
+    }
 
   /** TAKEDOWN over the persisted index — the derived-data half of the
     * right-to-be-forgotten story (H10's `q_purge` scrubs the corpus
@@ -73,85 +73,59 @@ object IndexMaintenance {
     * integrity. */
   def purgeIndex(spark: SparkSession, path: String,
       docIds: Seq[Long]): Seq[CompactionReport] = {
-    // broadcast anti-join, NOT isin: a large takedown list as one
-    // In-expression per id bloats the expression tree/codegen, and
-    // Export.purge already fixed this operation's scale shape — both
-    // purge paths share it
+    // the takedown flows through the format's SCOPED purge: the skip
+    // decision is a summarized-scope broadcast against each store's
+    // manifest, only files whose doc_id range can hold a listed id
+    // rewrite (broadcast anti-join inside — never isin), the rest
+    // carry by reference, and the listed vectors leave `cells` and
+    // BOTH code sidecars before one catalog publish makes the
+    // post-purge quintuple visible atomically
     val td = spark.createDataFrame(
       docIds.map(org.apache.spark.sql.Row(_)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__td",
           org.apache.spark.sql.types.LongType))))
-    rewriteStores(spark, path,
-      _.join(broadcast(td), col("doc_id") === col("__td"), "left_anti"))
+    maintainStores(spark, path) { (root, schema) =>
+      TableFormat.purgeScoped(spark, root, td, schema, "doc_id")
+    }
   }
 
-  /** The shared per-store rewrite: read → transform → repartition on
-    * the cell key (one file per cell after) → write-beside →
-    * two-rename swap, with entry-time crash healing. */
-  private def rewriteStores(spark: SparkSession, path: String,
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : Seq[CompactionReport] =
-    Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
-      val dir = new File(path, sub)
-      val tmp = new File(path, s"${sub}_compact")
-      val old = new File(path, s"${sub}_precompact")
-      // crash recovery BEFORE any new work, so a retry after a
-      // partial swap heals instead of wedging:
-      //  - live store missing but _precompact present = died between
-      //    the two renames → the old generation IS the store, put it
-      //    back (the _compact twin, if fully written, is merely a
-      //    lost rewrite — recompacted below);
-      //  - stale _compact/_precompact beside a live store = died
-      //    before/after the swap → dead generations, delete (a
-      //    leftover _compact would otherwise fail the parquet write
-      //    with path-already-exists forever)
-      if (!dir.isDirectory && old.isDirectory)
-        require(old.renameTo(dir), s"could not restore $dir from $old")
-      LayoutStore.deleteRecursively(tmp)
-      LayoutStore.deleteRecursively(old)
-      if (!dir.isDirectory) None
-      else {
-        val before = dataFiles(dir)
-        val bytes = before.map(_.length()).sum
-        val df = transform(spark.read.parquet(dir.getAbsolutePath))
-        df.repartition(col("cell"))
-          .write.partitionBy("cell").parquet(tmp.getAbsolutePath)
-        // a transform that EMPTIES the store (a purge listing every
-        // doc in it) writes a partitioned dir with no data files —
-        // schema inference on every later read would fail; install a
-        // schema-bearing empty file instead, UNDER a sentinel
-        // partition dir (cell=-1) so the emptied store stays
-        // partition-layout compatible: a later partitioned append
-        // (the purge-everything-then-append sequence the changefeed-
-        // driven maintenance makes realistic) must never mix root
-        // data files with cell=*/ dirs — Spark's partition discovery
-        // fails that mix with 'Conflicting directory structures'
-        if (dataFiles(tmp).isEmpty) {
-          LayoutStore.deleteRecursively(tmp)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              df.schema.filterNot(_.name == "cell")))
-            .repartition(1)
-            .write.parquet(new File(tmp, "cell=-1").getAbsolutePath)
-        }
-        require(dir.renameTo(old), s"compaction swap failed moving $dir aside")
-        if (!tmp.renameTo(dir)) {
-          // restore the old generation before failing — the store
-          // must never be left missing; a failed restore must say so
-          // loudly (readers crash on a missing path until the next
-          // compactIndex entry-heal repairs it)
-          val restored = old.renameTo(dir)
-          sys.error(s"compaction swap failed installing $tmp as $dir" +
-            (if (restored) " (old generation restored)"
-             else s" AND restoring $old failed — store missing until retry"))
-        }
-        LayoutStore.deleteRecursively(old)
-        Some(CompactionReport(sub, before.length.toLong,
-          dataFiles(dir).length.toLong, bytes))
+  /** The shared maintenance loop: run `verb` (an OPTIMIZE or a scoped
+    * purge — any table-format commit) over each data-bearing
+    * substore's versioned root, then PUBLISH one new index generation
+    * pinning the consistent post-maintenance quintuple. File counts
+    * and moved bytes come from the manifests — scan-planning-sized
+    * driver reads, never a data pass. */
+  private def maintainStores(spark: SparkSession, path: String)(
+      verb: (String, org.apache.spark.sql.types.StructType)
+        => graft.sources.TableFormat.SkipReport): Seq[CompactionReport] = {
+    val reports = Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
+      val root = s"$path/$sub"
+      TableFormat.currentGenOption(root).map { g =>
+        val schema = TableFormat.genSchema(root, g)
+        val mBefore = TableFormat.readManifest(spark, root, g)
+          .localCheckpoint(true)
+        val before = mBefore.count()
+        val rep = verb(root, schema)
+        val gAfter = TableFormat.currentGen(root)
+        val after = TableFormat.readManifest(spark, root, gAfter).count()
+        // bytes moved = the rewritten (non-carried) files' sizes; the
+        // before-manifest names them, the filesystem prices them
+        val carried = TableFormat.readManifest(spark, root, gAfter)
+          .select(col("file")).collect().map(_.getString(0)).toSet
+        val bytes = mBefore.select(col("file")).collect()
+          .map(_.getString(0))
+          .filterNot(carried)
+          .map(f => new File(
+            if (f.startsWith("file:")) java.net.URI.create(f).getPath
+            else f).length())
+          .sum
+        CompactionReport(sub, before, after, bytes)
       }
     }
+    graft.sources.IndexCatalog.publish(path)
+    reports
+  }
 
   /** All parquet data files under a partitioned store root. */
   private[graft] def dataFiles(root: File): Seq[File] = {
@@ -216,7 +190,7 @@ object IndexMaintenance {
       .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = 2)
       .localCheckpoint(true)
     val stable = probePost.collect().toSeq == probePre
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     val nVectors = cells.count()
     val nAppended = cells.filter(col("gen") === 1).count()
     probePost.select(col("doc_id"), col("cell"), col("score"),

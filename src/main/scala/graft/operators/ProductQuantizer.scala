@@ -186,10 +186,22 @@ object ProductQuantizer {
       .first().getInt(0)
     val m = dim / subDim
     val cb = codebookRows(assigned, dim)
-    spark.createDataFrame(cb).toDF("sub", "cid", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    encodeWith(assigned, cb, m)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq_codes")
+    val cbRoot = s"$path/pq_codebooks"
+    graft.sources.TableFormat.commitGenManifested(
+      spark.createDataFrame(cb).toDF("sub", "cid", "cvec").coalesce(1),
+      cbRoot,
+      graft.sources.TableFormat.currentGenOption(cbRoot)
+        .map(_ + 1).getOrElse(0L),
+      Seq("sub"))
+    // the codes inherit the cells' (cell, doc_id) clustering (a pure
+    // projection over the committed cell files — no shuffle), so the
+    // sidecar's manifest prunes probe-identically to the cells'
+    val codesRoot = s"$path/pq_codes"
+    graft.sources.TableFormat.commitGenManifested(
+      encodeWith(assigned, cb, m), codesRoot,
+      graft.sources.TableFormat.currentGenOption(codesRoot)
+        .map(_ + 1).getOrElse(0L),
+      Seq("cell", "doc_id"))
   }
 
   /** Encode appended vectors against the PERSISTED codebooks and
@@ -201,8 +213,12 @@ object ProductQuantizer {
   def appendPq(spark: SparkSession, assigned: DataFrame, path: String): Unit = {
     val cb = readCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
-    encodeWith(assigned, cb, m)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/pq_codes")
+    val root = s"$path/pq_codes"
+    graft.sources.TableFormat.appendScoped(spark, root,
+      encodeWith(assigned, cb, m),
+      graft.sources.TableFormat.genSchema(root,
+        graft.sources.TableFormat.currentGen(root)))
+    ()
   }
 
   private def encodeWith(assigned: DataFrame, cb: Seq[(Int, Int, Seq[Long])],
@@ -223,11 +239,16 @@ object ProductQuantizer {
 
   private def readCodebooks(spark: SparkSession,
       path: String): Seq[(Int, Int, Seq[Long])] = {
-    val dir = s"$path/pq_codebooks"
-    val key = (dir, new java.io.File(dir).lastModified())
+    // keyed by the SUBSTORE generation: codebooks are immutable
+    // within a generation (appends never touch them; a rebuild
+    // commits the next generation, which rotates the key), so
+    // repeated probes against one index pay the read job once
+    val root = s"$path/pq_codebooks"
+    val key = (root, graft.sources.TableFormat.currentGen(root))
     codebookCache.computeIfAbsent(key, _ =>
       EmbeddingStore.collectBounded(
-        spark.read.parquet(dir),
+        graft.sources.TableFormat.readViaManifest(spark, root, key._2,
+          graft.sources.TableFormat.genSchema(root, key._2)),
         numCentroids * 64L, "PQ codebooks")
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq)
   }
@@ -251,7 +272,10 @@ object ProductQuantizer {
       EmbeddingStore.probeCellsWithQuery(spark, path, queryDocId, probes)
     val cb = readCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
-    val codesTable = spark.read.parquet(s"$path/pq_codes")
+    // manifest-pruned: only code files whose cell range intersects a
+    // probed cell are read (the isin filter below is the residual)
+    val codesTable = graft.sources.IndexCatalog.readPruned(spark, path,
+      "pq_codes", "cell", probed.toSeq)
     if (qFloat.isEmpty) {
       // absent query doc: same empty-frame contract as the other
       // search rows — and the oracle's probe CTE is empty too
@@ -342,7 +366,8 @@ object ProductQuantizer {
       .reduce(_ + _)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("doc_id"))
-    spark.read.parquet(s"$path/pq_codes")
+    graft.sources.IndexCatalog.readPruned(spark, path, "pq_codes",
+        "cell", probedCells.toSeq)
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(pairs), Seq("cell"))
       .filter(col("doc_id") =!= col("query_id"))

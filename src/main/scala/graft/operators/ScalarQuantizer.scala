@@ -91,18 +91,28 @@ object ScalarQuantizer {
     * sidecar, from the just-written cell layout (one read, not a
     * re-run of the assignment DAG). Cell-partitioned like `cells`
     * and `pq_codes`, so the probe prunes it at the file listing. */
-  def buildSq8(spark: SparkSession, cells: DataFrame, path: String): Unit =
-    encodeSq8(cells)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/sq8_codes")
+  def buildSq8(spark: SparkSession, cells: DataFrame, path: String): Unit = {
+    val root = s"$path/sq8_codes"
+    graft.sources.TableFormat.commitGenManifested(
+      encodeSq8(cells), root,
+      graft.sources.TableFormat.currentGenOption(root)
+        .map(_ + 1).getOrElse(0L),
+      Seq("cell", "doc_id"))
+  }
 
   /** Keep the sq8 sidecar append-consistent with the cells (the
     * [[ProductQuantizer.appendPq]] discipline) — unlike PQ there are
     * no codebooks to stay consistent with: the code rule is
     * per-vector, so appended rows encode identically to build-time
     * rows by construction. */
-  def appendSq8(assigned: DataFrame, path: String): Unit =
-    encodeSq8(assigned)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/sq8_codes")
+  def appendSq8(assigned: DataFrame, path: String): Unit = {
+    val root = s"$path/sq8_codes"
+    graft.sources.TableFormat.appendScoped(assigned.sparkSession, root,
+      encodeSq8(assigned),
+      graft.sources.TableFormat.genSchema(root,
+        graft.sources.TableFormat.currentGen(root)))
+    ()
+  }
 
   /** D24 — `q_search_ivfsq8`: the compressed probe OVER the persisted
     * index — IVF cell pruning (exactly D8's probe rule) + int8 code
@@ -120,7 +130,8 @@ object ScalarQuantizer {
       queryDocId: Long, k: Int, probes: Int = 2): DataFrame = {
     val (probed, qFloat) =
       EmbeddingStore.probeCellsWithQuery(spark, path, queryDocId, probes)
-    val codesTable = spark.read.parquet(s"$path/sq8_codes")
+    val codesTable = graft.sources.IndexCatalog.readPruned(spark, path,
+      "sq8_codes", "cell", probed.toSeq)
     if (qFloat.isEmpty) {
       // absent query doc: the empty-frame contract of the search rows
       return codesTable.select(col("doc_id"), col("cell"),

@@ -38,7 +38,7 @@ class BootstrapSpec extends SparkTestBase {
     assert(rep.nCells >= 2 &&
       rep.nCells <= EmbeddingStore.numCellsFor(rep.nStored))
     // the built index actually serves a probe
-    val anyDoc = spark.read.parquet(s"$work/ivf/cells")
+    val anyDoc = graft.sources.IndexCatalog.read(spark, s"$work/ivf", "cells")
       .agg(min(col("doc_id"))).first().getLong(0)
     assert(EmbeddingStore.searchIvf(spark, s"$work/ivf", anyDoc, k = 5).count() > 0)
   }

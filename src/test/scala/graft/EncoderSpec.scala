@@ -111,7 +111,7 @@ class EncoderSpec extends SparkTestBase {
     val path = dir.getAbsolutePath
     EmbeddingStore.buildIvfIndex(spark, altVecs, path)
 
-    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    val nCells = graft.sources.IndexCatalog.read(spark, path, "centroids").count().toInt
     val got = EmbeddingStore
       .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = nCells)
       .select(col("doc_id"), col("score")).collect()

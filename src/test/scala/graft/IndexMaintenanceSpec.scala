@@ -6,13 +6,22 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EmbeddingStore, IndexMaintenance}
-import graft.sources.{LayoutStore, Tables}
+import graft.sources.{IndexCatalog, LayoutStore, TableFormat, Tables}
 
 class IndexMaintenanceSpec extends SparkTestBase {
   lazy val t = Tables(spark, sfDir)
 
   private def vectors = t.embeddings
     .select(col("vec_id").as("doc_id"), col("embedding"))
+
+  private def readStore(path: String, sub: String) =
+    IndexCatalog.read(spark, path, sub)
+
+  private def storeFiles(path: String, sub: String): Long = {
+    val root = s"$path/$sub"
+    TableFormat.readManifest(spark, root, TableFormat.currentGen(root))
+      .count()
+  }
 
   /** Replays the episode's accretion into a private dir: base build
     * from the lower id half + [[IndexMaintenance.maintainBatches]]
@@ -33,45 +42,49 @@ class IndexMaintenanceSpec extends SparkTestBase {
     path
   }
 
-  test("compaction collapses the per-cell file accretion to one file " +
-    "per cell in every store, losslessly, with the probe bit-identical") {
+  test("compaction folds the append accretion through the format's " +
+    "OPTIMIZE: fewer files, losslessly, probe bit-identical, and the " +
+    "pre-compaction index still time-travels") {
     val path = accretedIndex()
     val stores = Seq("cells", "pq_codes", "sq8_codes")
-    def cellCount(sub: String): Long =
-      Option(new File(s"$path/$sub").listFiles()).getOrElse(Array.empty)
-        .count(f => f.isDirectory && f.getName.startsWith("cell=")).toLong
 
     val probePre = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
-    val contentPre = stores.map(s => spark.read.parquet(s"$path/$s")
+    val contentPre = stores.map(s => readStore(path, s)
       .collect().map(_.toString).sorted.toSeq)
+    val genPre = IndexCatalog.currentGen(path)
 
     val reports = IndexMaintenance.compactIndex(spark, path)
     assert(reports.map(_.store) === stores)
     reports.foreach { r =>
-      val nCells = cellCount(r.store)
-      // accretion is real: appends landed extra files beyond one/cell
-      assert(r.filesBefore > nCells,
-        s"${r.store}: ${r.filesBefore} files before vs $nCells cells")
-      // and maintenance pays it down to exactly one per cell
-      assert(r.filesAfter === nCells,
-        s"${r.store}: ${r.filesAfter} files after vs $nCells cells")
-      assert(IndexMaintenance.dataFiles(new File(s"$path/${r.store}"))
-        .length.toLong === r.filesAfter)
+      // accretion is real (the base build + one file per append) and
+      // maintenance pays it down: every sub-τ file folds into
+      // bin-packed (cell, doc_id)-clustered files
+      assert(r.filesBefore > r.filesAfter,
+        s"${r.store}: ${r.filesBefore} files before vs ${r.filesAfter} after")
+      assert(r.filesAfter === storeFiles(path, r.store))
+      assert(r.bytes > 0L, s"${r.store}: no bytes reported moved")
     }
 
     // lossless: full content of every store survives bit-identical
-    val contentPost = stores.map(s => spark.read.parquet(s"$path/$s")
+    val contentPost = stores.map(s => readStore(path, s)
       .collect().map(_.toString).sorted.toSeq)
     assert(contentPost === contentPre)
     // and the probe through the compacted index is the SAME rows
     val probePost = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
     assert(probePost.toSeq === probePre.toSeq)
+    // compaction is a NEW index generation; the pre-compaction
+    // quintuple still reads intact (data movement, zero logical
+    // change — provable because history is retained)
+    assert(IndexCatalog.currentGen(path) === genPre + 1)
+    val cellsPinned = IndexCatalog.readAt(spark, path, genPre, "cells")
+    assert(cellsPinned.collect().map(_.toString).sorted.toSeq ===
+      contentPre.head)
   }
 
-  test("purgeIndex: listed vectors leave cells AND both sidecars, " +
-    "probes stop seeing them, survivors are untouched") {
+  test("purgeIndex: listed vectors leave cells AND both sidecars via " +
+    "scoped commits, probes stop seeing them, survivors are untouched") {
     val path = accretedIndex()
-    val all = spark.read.parquet(s"$path/cells")
+    val all = readStore(path, "cells")
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     // victims include three ids the probe CURRENTLY returns — the
     // takedown must visibly change a served result, not just row
@@ -86,7 +99,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
     val vset = victims.toSet
     Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
-      val ids = spark.read.parquet(s"$path/$sub")
+      val ids = readStore(path, sub)
         .select(col("doc_id")).collect().map(_.getLong(0))
       assert(!ids.exists(vset), s"$sub still holds a purged id")
       // survivors intact: purged store = original minus victims
@@ -99,83 +112,89 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "a probe returned a purged id")
     // non-vacuous by construction: three victims were pre-probe hits
     assert(preProbe.intersect(vset).size >= 3)
-    assert(spark.read.parquet(s"$path/cells").count() ===
-      all.length - victims.size)
+    assert(readStore(path, "cells").count() === all.length - victims.size)
   }
 
   test("purgeIndex that empties the store leaves a READABLE empty " +
     "store, and the next maintenance pass still runs") {
     val path = accretedIndex()
-    val all = spark.read.parquet(s"$path/cells")
+    val all = readStore(path, "cells")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     IndexMaintenance.purgeIndex(spark, path, all)
-    // schema-inferred reads must SUCCEED and see zero rows — the
-    // partitioned write of an empty frame would otherwise leave a
-    // dir with no data files that fails inference forever
+    // reads must SUCCEED and see zero rows — an all-rows-purged
+    // generation is an empty manifest, not a broken directory
     Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
-      assert(spark.read.parquet(s"$path/$sub").count() === 0L,
+      assert(readStore(path, sub).count() === 0L,
         s"$sub should be empty but readable")
     }
     // the emptied store is not a wedge: another full pass succeeds
     val again = IndexMaintenance.compactIndex(spark, path)
     assert(again.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
-    assert(spark.read.parquet(s"$path/cells").count() === 0L)
+    assert(readStore(path, "cells").count() === 0L)
   }
 
-  test("purge-everything-then-APPEND: the emptied store stays " +
-    "partition-layout compatible, the partitioned append lands, and " +
-    "probes serve the re-appended vectors") {
+  test("purge-everything-then-APPEND: the emptied store accepts the " +
+    "scoped append, and probes serve the re-appended vectors") {
     val path = accretedIndex()
-    val vectors = spark.read.parquet(s"$path/cells")
+    val vecs = readStore(path, "cells")
       .select(col("doc_id"), col("embedding")).localCheckpoint(true)
-    val all = vectors.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val all = vecs.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     IndexMaintenance.purgeIndex(spark, path, all)
-    assert(spark.read.parquet(s"$path/cells").count() === 0L)
+    assert(readStore(path, "cells").count() === 0L)
     // the realistic changefeed-driven sequence: a purge that empties
-    // the store followed by a partitioned append — partition
-    // discovery must not see conflicting directory structures
-    val stats = graft.operators.EmbeddingStore
-      .appendToIvfIndex(spark, path, vectors)
+    // the store followed by an append of fresh vectors
+    val stats = EmbeddingStore.appendToIvfIndex(spark, path, vecs)
     assert(stats.processed === all.length.toLong)
     Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
-      assert(spark.read.parquet(s"$path/$sub").count() === all.length.toLong,
+      assert(readStore(path, sub).count() === all.length.toLong,
         s"$sub did not recover the appended rows")
     }
     // and the probe path serves the re-appended vectors
     val hits = EmbeddingStore.searchIvf(spark, path, all.head, 5, 4)
       .collect()
     assert(hits.nonEmpty)
-    // a follow-up maintenance pass compacts the mixed sentinel +
-    // appended layout without wedging
+    // a follow-up maintenance pass compacts the appended layout
     val reports = IndexMaintenance.compactIndex(spark, path)
     assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
-    assert(spark.read.parquet(s"$path/cells").count() === all.length.toLong)
+    assert(readStore(path, "cells").count() === all.length.toLong)
   }
 
-  test("compactIndex heals crash leftovers: a store stranded as " +
-    "_precompact is restored, stale _compact dirs do not wedge a retry") {
+  test("a crash between substore commits leaves the PREVIOUS index " +
+    "generation fully live: unpublished generations are invisible, " +
+    "the retry completes, and retention reaps the debris") {
     val path = accretedIndex()
-    val cells = new File(s"$path/cells")
-    val content = spark.read.parquet(cells.getAbsolutePath)
-      .collect().map(_.toString).sorted.toSeq
+    val genPre = IndexCatalog.currentGen(path)
+    val probePre = EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
 
-    // crash between the two renames: live store missing, old
-    // generation stranded as _precompact, a fully-written _compact
-    // twin beside it
-    assert(cells.renameTo(new File(s"$path/cells_precompact")))
-    new File(s"$path/cells_compact").mkdirs()
-    Files.writeString(
-      new File(s"$path/cells_compact/part-orphan.parquet").toPath, "junk")
+    // simulate the crash: one substore's OPTIMIZE committed, the
+    // catalog publish never ran (the exact mid-maintenance death the
+    // old rename-swap protocol needed entry-time healing for)
+    val cellsRoot = s"$path/cells"
+    TableFormat.optimize(spark, cellsRoot,
+      TableFormat.genSchema(cellsRoot, TableFormat.currentGen(cellsRoot)),
+      smallRows = EmbeddingStore.targetCellRows,
+      targetRows = EmbeddingStore.targetCellRows)
+    // readers resolve the CATALOG pointer: the unpublished cells
+    // generation is invisible, the probe is bit-identical
+    assert(IndexCatalog.currentGen(path) === genPre)
+    assert(EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
+      .toSeq === probePre.toSeq)
+
+    // the retry (a fresh full maintenance pass) completes and
+    // publishes; the data is unchanged
     val reports = IndexMaintenance.compactIndex(spark, path)
     assert(reports.map(_.store) === Seq("cells", "pq_codes", "sq8_codes"))
-    // healed AND compacted: same rows, leftovers gone
-    assert(spark.read.parquet(cells.getAbsolutePath)
-      .collect().map(_.toString).sorted.toSeq === content)
-    assert(!new File(s"$path/cells_precompact").exists())
-    assert(!new File(s"$path/cells_compact").exists())
-    // and a retry right after is a no-op-shaped success, not a wedge
-    val again = IndexMaintenance.compactIndex(spark, path)
-    assert(again.forall(r => r.filesBefore === r.filesAfter))
+    assert(IndexCatalog.currentGen(path) === genPre + 1)
+    assert(EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
+      .toSeq === probePre.toSeq)
+
+    // retention: keep only the newest index generation — superseded
+    // substore generations (including the orphaned one) reap by
+    // reachability, and the live index still serves
+    val reaped = IndexCatalog.vacuum(spark, path, keep = 1)
+    assert(reaped > 0L, "vacuum reclaimed nothing after a compaction")
+    assert(EmbeddingStore.searchIvf(spark, path, 0L, 10, 2).collect()
+      .toSeq === probePre.toSeq)
   }
 
   test("the maintenance sweep composes with vacuum: stale generations " +

@@ -6,9 +6,24 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 import graft.operators.EmbeddingStore
-import graft.sources.Tables
+import graft.sources.{IndexCatalog, TableFormat, Tables}
 
 class IvfIndexSpec extends SparkTestBase {
+
+  /** The manifest-pruning evidence that replaced the old Hive
+    * PartitionFilters assertion: the file set a probed scan of
+    * `store` is planned over (what [[IndexCatalog.readPruned]] —
+    * every probe's scan source — admits for these cell values) vs
+    * the store's total files. */
+  private def prunedVsTotal(path: String, store: String,
+      cells: Seq[Int]): (Long, Long) = {
+    val root = s"$path/$store"
+    val total = TableFormat.readManifest(spark, root,
+        TableFormat.currentGen(root)).count()
+    val read = IndexCatalog.readPruned(spark, path, store, "cell", cells)
+      .inputFiles.length.toLong
+    (read, total)
+  }
 
   test("numCellsFor caps expected cell size at targetCellRows, independent of corpus size") {
     import EmbeddingStore.{numCellsFor, targetCellRows}
@@ -100,7 +115,7 @@ class IvfIndexSpec extends SparkTestBase {
       graft.operators.ProductQuantizer.numCentroids.toLong * dim)
     assert(EmbeddingStore.driverRowsHighWater.get() <= buildBound,
       s"index build held ${EmbeddingStore.driverRowsHighWater.get()} rows on the driver")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     // index is a complete, disjoint re-layout of the corpus
     assert(cells.count() === vectors.count())
     assert(cells.select("cell").distinct().count() <=
@@ -111,11 +126,16 @@ class IvfIndexSpec extends SparkTestBase {
     val rows = hits.collect()
     assert(rows.nonEmpty && rows.length <= 5)
 
-    // the probed scan must prune partitions: PartitionFilters non-empty
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell") ||
-      (plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []")),
-      s"cell scan not partition-pruned:\n$plan")
+    // the probed scan must SKIP files by the manifest's cell stats
+    // (the versioned-table analogue of the old PartitionFilters
+    // assertion): a 2-probe scan plans over a handful of files of a
+    // ~k-file store, never the store
+    val probedNow = rows.map(_.getInt(1)).distinct.toSeq
+    val (read, total) = prunedVsTotal(path, "cells", probedNow)
+    assert(read < total,
+      s"probe scan planned $read of $total cell files — no manifest pruning")
+    assert(read <= probedNow.length + 2L,
+      s"probe scan planned $read cell files for ${probedNow.length} probed cells")
 
     // exact check: same result as brute-force scoring restricted to the
     // probed cells
@@ -160,7 +180,7 @@ class IvfIndexSpec extends SparkTestBase {
     // is not EXACTLY the one Lloyd minimizes)
     val p2 = Files.createTempDirectory("graft-stats2").toFile.getAbsolutePath
     EmbeddingStore.buildIvfIndex(spark, base, p2, lloydIterations = 2)
-    assert(spark.read.parquet(s"$p2/cells").count() === base.count(),
+    assert(IndexCatalog.read(spark, p2, "cells").count() === base.count(),
       "two-pass build is still a complete re-layout")
     val s3 = EmbeddingStore.indexStats(spark, p2).first()
     assert(s3.getDouble(5) >= s1.getDouble(5) - 0.02,
@@ -179,20 +199,20 @@ class IvfIndexSpec extends SparkTestBase {
     val vectors = EmbeddingStore.embed(t.documents, 384).drop("shard")
     EmbeddingStore.buildIvfIndex(spark, vectors, path)
 
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = IndexCatalog.read(spark, path, "centroids")
     assert(centroids.select(size(col("centroid"))).distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(384), "centroid width must follow the data")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     assert(cells.count() === vectors.count())
 
     val queryDoc = 0L
     val hits = EmbeddingStore.searchIvf(spark, path, queryDoc, k = 5)
     val rows = hits.collect()
     assert(rows.nonEmpty && rows.length <= 5)
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"384-dim cell scan not partition-pruned:\n$plan")
     val probed = rows.map(_.getInt(1)).distinct.toSeq
+    val (read384, total384) = prunedVsTotal(path, "cells", probed)
+    assert(read384 < total384,
+      s"384-dim probe scan planned $read384 of $total384 cell files")
     val qv = cells.filter(col("doc_id") === queryDoc).select(col("embedding").as("qv"))
     val exact = cells
       .filter(col("cell").isin(probed: _*) && col("doc_id") =!= queryDoc)
@@ -214,22 +234,35 @@ class IvfIndexSpec extends SparkTestBase {
     val delta = vectors.filter(col("doc_id") >= 400)
 
     EmbeddingStore.buildIvfIndex(spark, base, path)
-    val centroidsBefore = spark.read.parquet(s"$path/centroids").collect()
+    val centroidsBefore = IndexCatalog.read(spark, path, "centroids").collect()
+    val genPre = IndexCatalog.currentGen(path)
 
     val stats = EmbeddingStore.appendToIvfIndex(spark, path, delta)
     assert(stats.processed === delta.count())
     assert(stats.newWatermark === 499L)
 
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     // complete: every base and delta vector present exactly once
     assert(cells.count() === vectors.count())
     assert(cells.select("doc_id").distinct().count() === vectors.count())
     // history untouched: centroids identical, so probes stay valid
-    assert(spark.read.parquet(s"$path/centroids").collect().toSet ===
+    assert(IndexCatalog.read(spark, path, "centroids").collect().toSet ===
       centroidsBefore.toSet)
     // an appended doc is findable through the pruned probe path
     val hits = EmbeddingStore.searchIvf(spark, path, queryDocId = 450L, k = 5)
     assert(hits.count() > 0)
+
+    // TIME TRAVEL across the advance: the append published a NEW
+    // index generation; the pre-advance pin still reads EXACTLY the
+    // base corpus (an advance never touches committed history —
+    // reference posture: engine.py:163 mutates in place and keeps
+    // none of this)
+    assert(IndexCatalog.currentGen(path) === genPre + 1)
+    val pinned = IndexCatalog.readAt(spark, path, genPre, "cells")
+    assert(pinned.count() === base.count())
+    assert(pinned.agg(max(col("doc_id"))).first().getLong(0) < 400L)
+    assert(pinned.filter(col("gen") =!= 0).count() === 0L,
+      "the pre-advance generation must hold only build-time rows")
   }
 
   test("rebuildIfDrifted: below threshold no-op; past it the quantizer recovers") {
@@ -282,11 +315,12 @@ class IvfIndexSpec extends SparkTestBase {
     // the driver held only probe METADATA: <= nQueries * probes cell ids
     assert(EmbeddingStore.driverRowsHighWater.get() <= 5L * 2,
       s"batch probe held ${EmbeddingStore.driverRowsHighWater.get()} driver rows")
-    // ONE scan of the union of probed cells, pruned at the listing
-    val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      !plan.contains("PartitionFilters: []"),
-      s"batched cell scan not partition-pruned:\n$plan")
+    // ONE scan of the union of probed cells, file-pruned from the
+    // manifest's cell statistics
+    val probedU = rows.map(_.getInt(2)).distinct.toSeq
+    val (readB, totalB) = prunedVsTotal(path, "cells", probedU)
+    assert(readB < totalB,
+      s"batched probe scan planned $readB of $totalB cell files")
     // the batch slice for each query is EXACTLY the single-query probe
     val byQuery = rows.groupBy(_.getLong(0))
     assert(byQuery.keySet === (0L until 5L).toSet)
@@ -312,16 +346,20 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows.forall(_.getDouble(2) >= theta))
     val order = rows.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
     assert(order === order.sorted, "radius output not (score DESC, doc_id)")
-    // the θ filter must not cost a corpus scan: partition-pruned like
-    // D8 (the 1-row query-vector lookup beside it legitimately lists
-    // all partitions — it prunes by PushedFilters instead)
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"radius cell scan not partition-pruned:\n$plan")
+    // the θ filter must not cost a corpus scan: the probed scan is
+    // file-pruned from the manifest like D8 (the 1-row query-vector
+    // lookup beside it legitimately plans over every file — its
+    // doc_id predicate prunes at the parquet row-group level instead)
+    locally {
+      val probedR = rows.map(_.getInt(1)).distinct.toSeq
+      val (readR, totalR) = prunedVsTotal(path, "cells", probedR)
+      assert(readR < totalR,
+        s"radius probe scan planned $readR of $totalR cell files")
+    }
 
     // θ-COMPLETE within the probed cells: independent brute-force
     // scoring of exactly those cells finds the same qualifying set
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     val probed = rows.map(_.getInt(1)).distinct.toSeq
     val qv = cells.filter(col("doc_id") === 0L).select(col("embedding").as("qv"))
     val exact = cells
@@ -353,16 +391,20 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows.forall(_.getInt(2) === 3))
     val order = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
     assert(order === order.sorted)
-    // plan: the cell scan partition-prunes AND the label predicate
-    // reaches the metadata parquet scan
+    // plan: the cell scan is file-pruned from the manifest AND the
+    // label predicate reaches the metadata parquet scan
+    locally {
+      val probedF = EmbeddingStore.probeCells(spark, path, 0L, probes = 4)
+      val (readF, totalF) = prunedVsTotal(path, "cells", probedF.toSeq)
+      assert(readF < totalF,
+        s"filtered probe scan planned $readF of $totalF cell files")
+    }
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"filtered cell scan not partition-pruned:\n$plan")
     assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(label,3)"),
       s"label filter not pushed to the metadata scan:\n$plan")
     // completeness within the probed cells: independent brute-force
     // over those cells restricted to label 3 agrees row-for-row
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexCatalog.read(spark, path, "cells")
     val probed = EmbeddingStore.probeCells(spark, path, 0L, probes = 4).toSeq
     val labels = t.embeddings
       .filter(col("label") === 3).select(col("vec_id")).collect()

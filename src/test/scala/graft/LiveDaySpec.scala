@@ -88,7 +88,7 @@ class LiveDaySpec extends SparkTestBase {
     val ingest = h1.queries.find(_._1 == "ingest").get._2
     killAfter(ingest, minBatches = 2)
     h1.queries.filterNot(_._1 == "ingest").foreach(_._2.awaitTermination())
-    val partial = spark.read.parquet(s"$root/ivf/cells").count()
+    val partial = graft.sources.IndexCatalog.read(spark, s"$root/ivf", "cells").count()
 
     // day 1 resumed: a second composed start — the three finished
     // streams no-op off their checkpoints, the ingest resumes
@@ -98,14 +98,14 @@ class LiveDaySpec extends SparkTestBase {
     // the crash was real and the resume completed the day
     EmbeddingStore.appendToIvfIndex(spark, refIdx.getAbsolutePath,
       vectors.filter(col("doc_id") > vecSplit))
-    def cells(p: String) = spark.read.parquet(s"$p/cells")
+    def cells(p: String) = graft.sources.IndexCatalog.read(spark, p, "cells")
       .select("doc_id", "cell", "gen").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     val live = cells(s"$root/ivf")
     assert(partial < live.size.toLong, "kill was not mid-day")
     assert(live === cells(refIdx.getAbsolutePath))
     // nothing double-appended
-    assert(spark.read.parquet(s"$root/ivf/cells")
+    assert(graft.sources.IndexCatalog.read(spark, s"$root/ivf", "cells")
       .groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
     // the other streams' artifacts are whole too
     assert(Dedup.stateWatermark(s"$root/spans") === maxDoc)

@@ -21,7 +21,7 @@ class ProductQuantizerSpec extends SparkTestBase {
     "(independent plain-Scala replication) and codes stay in range") {
     val (path, vecs) = freshIndex()
     val n = vecs.count()
-    val cb = spark.read.parquet(s"$path/pq_codebooks")
+    val cb = graft.sources.IndexCatalog.read(spark, path, "pq_codebooks")
     val d = ProductQuantizer.subDim
     val m = 64 / d
     val ncent = math.min(n, ProductQuantizer.numCentroids.toLong).toInt
@@ -54,7 +54,7 @@ class ProductQuantizerSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq).toMap
     assert(got === expect, "persisted codebook is not the Lloyd-1 refinement")
     // every stored code addresses a codebook entry
-    val codes = spark.read.parquet(s"$path/pq_codes")
+    val codes = graft.sources.IndexCatalog.read(spark, path, "pq_codes")
     assert(codes.count() === n)
     val bad = codes
       .select(explode(col("codes")).as("c"))
@@ -103,7 +103,7 @@ class ProductQuantizerSpec extends SparkTestBase {
     def l2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val seedCb = all.take(ncent)
-    val refCb = spark.read.parquet(s"$path/pq_codebooks").collect()
+    val refCb = graft.sources.IndexCatalog.read(spark, path, "pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
     def meanDist(entry: (Int, Int) => Array[Long]): Double =
       all.map { v =>
@@ -140,13 +140,14 @@ class ProductQuantizerSpec extends SparkTestBase {
     // independent ground truth, all in plain JVM arithmetic: read the
     // stored codes + codebooks + query vector and re-rank
     val probed = got.map(_._2).toSet
-    val cb = spark.read.parquet(s"$path/pq_codebooks").collect()
+    val cb = graft.sources.IndexCatalog.read(spark, path, "pq_codebooks").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
-    val qv = spark.read.parquet(s"$path/cells")
+    val qv = graft.sources.IndexCatalog.read(spark, path, "cells")
       .filter(col("doc_id") === 0L).select(col("embedding")).first()
       .getSeq[Float](0).map(ProductQuantizer.quantizeLong)
-    val expected = spark.read.parquet(s"$path/pq_codes").collect()
-      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Int](1)))
+    val expected = graft.sources.IndexCatalog.read(spark, path, "pq_codes").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes")))
       .filter { case (id, cell, _) => id != 0L && probed(cell) }
       .map { case (id, cell, codes) =>
         val adist = codes.zipWithIndex.map { case (c, s) =>
@@ -170,18 +171,18 @@ class ProductQuantizerSpec extends SparkTestBase {
     val delta = all.filter(col("doc_id") > maxId / 2)
     val path = Files.createTempDirectory("pq-append").toString
     EmbeddingStore.buildIvfIndex(spark, base, path)
-    val cbBefore = spark.read.parquet(s"$path/pq_codebooks").collect()
+    val cbBefore = graft.sources.IndexCatalog.read(spark, path, "pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).sortBy(x => (x._1, x._2))
     EmbeddingStore.appendToIvfIndex(spark, path, delta)
     // codebooks FIXED across the append (standard IVF-PQ posture)
-    val cbAfter = spark.read.parquet(s"$path/pq_codebooks").collect()
+    val cbAfter = graft.sources.IndexCatalog.read(spark, path, "pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).sortBy(x => (x._1, x._2))
     assert(cbAfter.toSeq === cbBefore.toSeq)
     // every vector in the cells has exactly one code row, in the SAME
     // cell the vector was assigned to (probe pruning must agree)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = graft.sources.IndexCatalog.read(spark, path, "cells")
       .select(col("doc_id"), col("cell").as("vcell"))
-    val codes = spark.read.parquet(s"$path/pq_codes")
+    val codes = graft.sources.IndexCatalog.read(spark, path, "pq_codes")
       .select(col("doc_id"), col("cell").as("ccell"))
     assert(codes.count() === cells.count())
     val mismatched = cells.join(codes, "doc_id")
@@ -209,10 +210,10 @@ class ProductQuantizerSpec extends SparkTestBase {
     // seeds here, since seeds are the lowest ids — but the swap must
     // have left no stale/replaced dirs behind)
     val n = all.count()
-    assert(spark.read.parquet(s"$path/pq_codes").count() === n)
+    assert(graft.sources.IndexCatalog.read(spark, path, "pq_codes").count() === n)
     // the SQ8 sidecar swaps with the same rebuild — stale sq8 codes
     // against new cells would rank against the wrong partitioning
-    assert(spark.read.parquet(s"$path/sq8_codes").count() === n)
+    assert(graft.sources.IndexCatalog.read(spark, path, "sq8_codes").count() === n)
     val leftovers = new java.io.File(path).list().filter(_.endsWith("_replaced"))
     assert(leftovers.isEmpty, s"stale dirs after rebuild: ${leftovers.mkString(",")}")
     val res = ProductQuantizer.searchIvfPq(spark, path, queryDocId = 0L, k = 10)

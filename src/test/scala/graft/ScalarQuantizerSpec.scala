@@ -91,10 +91,10 @@ class ScalarQuantizerSpec extends SparkTestBase {
     "and centroids, and the sidecar covers every cell row in range") {
     import graft.operators.{EmbeddingStore, ScalarQuantizer => SQ}
     val path = EmbeddingStore.ensureIndex(t)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = graft.sources.IndexCatalog.read(spark, path, "cells")
       .select(col("doc_id"), col("embedding"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    val cents = spark.read.parquet(s"$path/centroids").collect()
+    val cents = graft.sources.IndexCatalog.read(spark, path, "centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val q = cells.find(_._1 == 0L).get._2
     // the D8 probe rule: top-2 cells by 6dp centroid cosine, ties low
@@ -112,7 +112,7 @@ class ScalarQuantizerSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(got === expected)
     // sidecar audit: one row per cell row, every code within int8
-    val side = spark.read.parquet(s"$path/sq8_codes")
+    val side = graft.sources.IndexCatalog.read(spark, path, "sq8_codes")
     assert(side.count() === cells.length.toLong)
     val mx = side
       .select(array_max(transform(col("codes"), x => abs(x))).as("m"))

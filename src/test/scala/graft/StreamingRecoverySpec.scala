@@ -290,10 +290,10 @@ class StreamingRecoverySpec extends SparkTestBase {
     // assignment uses the persisted centroids and PQ the persisted
     // codebooks, both fixed — so three micro-batch appends must land
     // byte-identical facts to the one-shot append
-    def cells(d: File) = spark.read.parquet(s"${d.getAbsolutePath}/cells")
+    def cells(d: File) = graft.sources.IndexCatalog.read(spark, d.getAbsolutePath, "cells")
       .select("doc_id", "cell", "gen").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    def codes(d: File) = spark.read.parquet(s"${d.getAbsolutePath}/pq_codes")
+    def codes(d: File) = graft.sources.IndexCatalog.read(spark, d.getAbsolutePath, "pq_codes")
       .select("doc_id", "codes").collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
     assert(cells(idxStream) === cells(idxBatch))
@@ -302,13 +302,13 @@ class StreamingRecoverySpec extends SparkTestBase {
     // resume over the same checkpoint: the file source remembers the
     // processed files and the batchId guard skips replays — nothing
     // double-appends
-    val before = spark.read.parquet(s"${idxStream.getAbsolutePath}/cells").count()
+    val before = graft.sources.IndexCatalog.read(spark, idxStream.getAbsolutePath, "cells").count()
     StreamingVectorIngest.run(spark, in.getAbsolutePath,
       idxStream.getAbsolutePath, ckpt.getAbsolutePath,
       availableNow = true, maxFilesPerTrigger = Some(1)).awaitTermination()
-    assert(spark.read.parquet(s"${idxStream.getAbsolutePath}/cells").count() === before)
+    assert(graft.sources.IndexCatalog.read(spark, idxStream.getAbsolutePath, "cells").count() === before)
     // and every vector appears exactly once
-    val perDoc = spark.read.parquet(s"${idxStream.getAbsolutePath}/cells")
+    val perDoc = graft.sources.IndexCatalog.read(spark, idxStream.getAbsolutePath, "cells")
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(perDoc === 0L, "a doc_id was appended more than once")
   }
@@ -397,10 +397,15 @@ class StreamingRecoverySpec extends SparkTestBase {
     new File(in, "_SUCCESS").delete()
     StreamingDataCard.run(spark, in.getAbsolutePath, card.getAbsolutePath,
       ckpt.getAbsolutePath, availableNow = true).awaitTermination()
-    val committed = Files.readString(new File(card, "_CARD").toPath).trim
-    assert(new File(card, s"card_$committed").renameTo(new File(card, "card")))
-    new File(card, "_CARD").delete()
-    Files.writeString(new File(card, "_STREAM_BATCH").toPath, committed)
+    // rewrite the committed state into the PRE-POINTER layout: the
+    // generation's parquet becomes the single mutable card/ dir, the
+    // table-format lineage disappears, only _STREAM_BATCH remains
+    val g = graft.sources.TableFormat.currentGen(card.getAbsolutePath)
+    assert(new File(card, s"gen_$g").renameTo(new File(card, "card")))
+    new File(card, "card/_txn").delete()
+    card.listFiles().filter(_.getName.startsWith("commit_"))
+      .foreach(_.delete())
+    Files.writeString(new File(card, "_STREAM_BATCH").toPath, "0")
     // the legacy state READS as the committed card...
     assert(StreamingDataCard.readCard(spark, card.getAbsolutePath)
       .agg(sum(col("n_docs"))).first().getLong(0) ===
@@ -595,6 +600,48 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(batch, 0L))
   }
 
+  test("versioned-table sink: a RESET checkpoint against a live table " +
+    "fails LOUDLY under the same appId (never a silent no-op of every " +
+    "new batch), and the derived appId rotates with the checkpoint " +
+    "location so 'start over' just works") {
+    import graft.streaming.StreamingVersionedSink
+    import graft.sources.TableFormat
+    import org.apache.spark.sql.types.StructType
+    val root = new File(
+      Files.createTempDirectory("graft-vsink-reset").toFile, "table")
+      .getAbsolutePath
+    val schema = StructType.fromDDL("k LONG, v LONG")
+    StreamingVersionedSink.init(spark, root, schema, "k")
+    def commit(id: String, b: Long, rows: Seq[(Long, Long)]) =
+      StreamingVersionedSink.commitBatch(root, schema, "k", id)(
+        rows.toDF("k", "v"), b)
+    // writer A runs batches 0 and 1
+    assert(commit("writerA", 0L, Seq((1L, 10L))))
+    assert(commit("writerA", 1L, Seq((2L, 20L))))
+    // the operator deletes/recreates writer A's checkpoint: batch ids
+    // restart at 0 while the table's lineage carries batch 1 — the
+    // pre-round-18 behavior silently dropped EVERY new batch forever;
+    // now it refuses with the fresh-appId instruction
+    val ex = intercept[IllegalArgumentException] {
+      commit("writerA", 0L, Seq((3L, 30L)))
+    }
+    assert(ex.getMessage.contains("fresh appId"), ex.getMessage)
+    assert(TableFormat.currentGen(root) === 2L, "the refusal committed")
+    // a FRESH identity (what a new checkpoint location derives) starts
+    // at batch 0 over the existing table and merges normally
+    assert(commit("writerB", 0L, Seq((3L, 30L))))
+    assert(TableFormat.readViaManifest(spark, root,
+      TableFormat.currentGen(root), schema).count() === 3L)
+    // derivation: distinct checkpoint locations → distinct writers;
+    // the SAME location (however spelled) → the same writer
+    val a = StreamingVersionedSink.appIdFor("/tmp/ckpt-a")
+    val b = StreamingVersionedSink.appIdFor("/tmp/ckpt-b")
+    assert(a !== b)
+    assert(StreamingVersionedSink.appIdFor("/tmp/./ckpt-a/") === a)
+    // replay under the true identity still dedups
+    assert(!commit("writerA", 1L, Seq((9L, 99L))))
+  }
+
   test("versioned-table sink: micro-batches commit as OCC generations — " +
     "killed mid-stream and resumed never double-commits, a literal " +
     "replayed batch is a no-op, and every mid-stream generation " +
@@ -642,9 +689,11 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(gen(3L) === Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
 
     // a literal at-least-once REDELIVERY of an old batch id is a
-    // no-op: pointer unmoved, committed data untouched
+    // no-op: pointer unmoved, committed data untouched (the run()
+    // stream's writer identity derives from its checkpoint location)
     val replay = Seq((9L, 99L)).toDF("k", "v")
-    assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(replay, 2L))
+    assert(!StreamingVersionedSink.commitBatch(root, schema, "k",
+      StreamingVersionedSink.appIdFor(ckpt.getAbsolutePath))(replay, 2L))
     assert(TableFormat.currentGen(root) === 3L)
     assert(gen(3L) === Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
 
@@ -730,7 +779,8 @@ class StreamingRecoverySpec extends SparkTestBase {
     }
     // a literal redelivery of an already-applied batch is a no-op
     // even though generation ids moved past its batch id long ago
-    assert(!StreamingVersionedSink.commitBatch(root, schema, "k")(
+    assert(!StreamingVersionedSink.commitBatch(root, schema, "k",
+      StreamingVersionedSink.appIdFor(ckpt.getAbsolutePath))(
       Seq((9L, 99L)).toDF("k", "v"), 3L))
     assert(TableFormat.currentGen(root) === 6L)
     // pre-maintenance time travel: the purged key is still visible

@@ -592,6 +592,139 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.vacuumManifested(spark, root, keep = 1) === 0L)
   }
 
+  test("bulk-delta scoped merge: a 100k-key delta's skip decision " +
+    "broadcasts a BOUNDED interval scope (≤ 513 rows, never the raw " +
+    "keys), the intervals cover every delta key, and the merge equals " +
+    "the full-table answer") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bulk")
+      .toString
+    val base = spark.range(0, 200000)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(20, col("k"))
+    TableFormat.commitGenManifested(base, root, 0L, "k")
+    val delta = spark.range(50000, 150000)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+    // the verb's contract at 100 TB is "a day's delta" — 10⁷+ keys.
+    // The broadcast side must be the summarized scope: bounded rows
+    // regardless of |delta|, so neither the 8 GB broadcast cap nor
+    // the |files| × |delta| NLJ product can blow up
+    val scope = TableFormat.summarizeScope(delta, "k")
+    assert(scope.count() <= 513L,
+      "a bulk delta must summarize to intervals, not raw keys")
+    assert(scope.filter(col("__nul")).isEmpty)
+    // superset soundness: every delta key falls inside some interval
+    assert(delta.select(col("k")).distinct()
+      .join(scope, col("k").between(col("__lo"), col("__hi")), "left_anti")
+      .isEmpty, "an uncovered delta key would be silently dropped")
+    // a NULL key in a bulk delta still rides along as the marker row
+    val withNull = delta.unionByName(
+      Seq(Tuple2(Option.empty[Long], Option(0L))).toDF("k", "v"))
+    assert(TableFormat.summarizeScope(withNull, "k")
+      .filter(col("__nul")).count() === 1L)
+    // and the scoped merge itself equals the full-table latest-wins
+    TableFormat.mergeScoped(spark, root, delta, base.schema, "k")
+    val got = TableFormat.readViaManifest(spark, root, 1L, base.schema)
+    assert(got.count() === 200000L)
+    assert(got.filter(col("v") === -1L).count() === 100000L)
+    assert(got.filter(col("k") < 50000L || col("k") >= 150000L)
+      .filter(col("v") =!= col("k") * 10).isEmpty,
+      "an out-of-delta row changed")
+  }
+
+  test("evolved columns ENTER the manifest: a widening scoped commit " +
+    "records stats for the new column, readScoped prunes on it " +
+    "(carried legacy files skip — they hold only NULLs), metaAgg " +
+    "answers over it, and OPTIMIZE recollects for the union") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wstats")
+      .toString
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"))
+      .repartitionByRange(10, col("k"))
+    TableFormat.commitGenManifested(base, root, 0L, "k")
+    val evolved = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, q LONG")
+    // the widening delta: keys 0..99 (one file's range) gain q = k
+    val delta = spark.range(0, 100)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"),
+        col("id").as("q"))
+    TableFormat.mergeScoped(spark, root, delta, evolved, "k")
+    val m = TableFormat.readManifest(spark, root, 1L)
+    assert(m.columns.toSet.intersect(Set("min_q", "max_q", "null_q"))
+      .size === 3, s"q stats missing from ${m.columns.mkString(",")}")
+    // carried legacy rows carry NULL q stats — the "file predates the
+    // column" marker — and REWRITTEN files carry real ranges
+    assert(m.filter(col("min_q").isNull).count() >= 8L)
+    assert(m.filter(col("max_q") === 99L).count() >= 1L)
+    // readScoped prunes ON THE EVOLVED COLUMN: legacy files (all-NULL
+    // q) prune away, only the rewritten file(s) read
+    val (df, rep) = TableFormat.readScoped(spark, root, 1L, evolved,
+      Seq(("q", 10L, 20L)))
+    assert(df.count() === 11L)
+    assert(rep.filesCarried >= 8L,
+      s"legacy files must prune on the evolved column, got $rep")
+    // metaAgg answers over the evolved column from the manifest alone
+    val ma = TableFormat.metaAgg(spark, root, 1L, "q").first()
+    assert(ma.getLong(0) === 1000L)
+    assert(ma.getLong(1) === 0L && ma.getLong(2) === 99L)
+    // OPTIMIZE recollects stats for the UNION of keys (manifestKeys
+    // now includes q): after folding everything, q still prunes and
+    // metaAgg still answers
+    TableFormat.optimize(spark, root, evolved,
+      smallRows = Long.MaxValue, targetRows = 250L)
+    val g = TableFormat.currentGen(root)
+    val m2 = TableFormat.readManifest(spark, root, g)
+    assert(m2.columns.contains("min_q"))
+    val ma2 = TableFormat.metaAgg(spark, root, g, "q").first()
+    assert(ma2.getLong(0) === 1000L)
+    assert(ma2.getLong(1) === 0L && ma2.getLong(2) === 99L)
+    val (df2, _) = TableFormat.readScoped(spark, root, g, evolved,
+      Seq(("q", 10L, 20L)))
+    assert(df2.count() === 11L)
+  }
+
+  test("vacuumManifested NEVER sweeps a live OCC writer's unmarkered " +
+    "staged dir before the staleness bound — data files, _manifest, " +
+    "_schema.json and _txn all survive; an AGED unmarkered dir reaps " +
+    "as debris") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstaged")
+      .toString
+    val docs = spark.range(0, 100)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    // an in-flight OCC writer: data + manifest + schema + txn staged
+    // at a token-suffixed name, marker NOT yet CAS'd
+    val staged = new java.io.File(root, "gen_1_feedf00d")
+    docs.write.parquet(staged.getAbsolutePath)
+    docs.limit(1).write.parquet(s"${staged.getAbsolutePath}/_manifest")
+    java.nio.file.Files.writeString(
+      staged.toPath.resolve("_schema.json"), docs.schema.json)
+    java.nio.file.Files.writeString(staged.toPath.resolve("_txn"), "vsink:7")
+    def stagedState() = (
+      Option(staged.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet")),
+      new java.io.File(staged, "_manifest").exists(),
+      java.nio.file.Files.exists(staged.toPath.resolve("_schema.json")),
+      java.nio.file.Files.exists(staged.toPath.resolve("_txn")))
+    val before = stagedState()
+    assert(before._1 > 0 && before._2 && before._3 && before._4)
+    // the default staleness bound shields the young staged dir: the
+    // round-17 sweep deleted its data AND metadata here, after which
+    // the writer's CAS would publish a generation with missing files
+    TableFormat.vacuumManifested(spark, root, keep = 1)
+    assert(stagedState() === before,
+      "retention swept a live writer's staged commit")
+    // ... and the writer's CAS still publishes a COMPLETE generation
+    assert(java.nio.file.Files.exists(staged.toPath))
+    // past the bound the same dir is crash debris and reaps fully
+    TableFormat.vacuumManifested(spark, root, keep = 1,
+      debrisStaleMillis = -1L)
+    assert(!staged.exists(), "aged unmarkered debris must reap")
+    // the committed table is untouched throughout
+    assert(TableFormat.readViaManifest(spark, root, 0L, docs.schema)
+      .count() === 100L)
+  }
+
   test("cdcDiffScoped: the manifest-scoped diff reads ONLY the files " +
     "the commit touched and still equals the full-table diff " +
     "row-for-row") {
@@ -725,8 +858,9 @@ class TableFormatSpec extends SparkTestBase {
           .select("doc_id").collect().map(_.getLong(0)).toSeq)
 
       Seq("cells", "pq_codes", "sq8_codes").foreach { sub =>
-        val fa = spark.read.parquet(s"$a/$sub")
-        val fb = spark.read.parquet(s"$b/$sub").select(fa.columns.map(col): _*)
+        val fa = graft.sources.IndexCatalog.read(spark, a, sub)
+        val fb = graft.sources.IndexCatalog.read(spark, b, sub)
+          .select(fa.columns.map(col).toIndexedSeq: _*)
         assert(fa.exceptAll(fb).isEmpty && fb.exceptAll(fa).isEmpty,
           s"feed-driven $sub diverged from literal-delta maintenance")
       }
