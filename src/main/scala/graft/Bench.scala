@@ -107,6 +107,19 @@ object Bench {
           s"[bench] IVF index setup failed (q_search_ivf will include " +
             s"the build): ${e.getMessage}")
     }
+    // same storage argument for the half-corpus DAY BASE (dedup state
+    // + IVF index) that q_advance_day / q_index_maintain /
+    // q_index_history copy-then-mutate: it is the PREVIOUS day's
+    // output in production — built once untimed, so those rows time
+    // the advance, not the base build
+    try graft.operators.AdvanceDay.ensureDayBase(
+      graft.sources.Tables(spark, sfDir))
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] day-base setup failed (the day-episode rows will " +
+            s"include the base build): ${e.getMessage}")
+    }
     // same again for the persisted dedup signature state joined by
     // q_dedup_incremental: built once at ETL time, so the bench times
     // the delta run, not the base-corpus signature build

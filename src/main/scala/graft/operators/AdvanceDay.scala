@@ -53,9 +53,11 @@ object AdvanceDay {
     * per query invocation. Each invocation copies it (storage-layer
     * file copy, no Spark jobs) so the advance mutates a private
     * copy and the cached base stays pristine. */
-  // private[operators]: IndexMaintenance reuses the SAME ensured
-  // half-corpus base (its episode starts from D13's steady state)
-  private[operators] def ensureDayBase(t: Tables): String =
+  // private[graft]: IndexMaintenance and the index-history row reuse
+  // the SAME ensured half-corpus base (their episodes start from
+  // D13's steady state), and Bench materializes it untimed — it is
+  // ETL storage like the bucketed layout and the ensured index
+  private[graft] def ensureDayBase(t: Tables): String =
     // v2: the IVF index inside the base moved to the versioned
     // table-format layout (r18) — the key must rotate with it or a
     // cached pre-refactor base would be probed by the new readers

@@ -625,7 +625,11 @@ object EmbeddingStore {
     var centroids = seedTable(vectors, k)
     for (_ <- 0 until lloydIterations)
       centroids = lloydStep(assignCells(vectors, centroids), vecDim)
-    val finalAssign = assignCells(vectors, centroids)
+    // eager checkpoint: repartitionByRange SAMPLES its input before
+    // shuffling, so an unpinned assignment DAG would evaluate twice
+    // (sampling + shuffle) — pin the assignment once, range-cluster
+    // the pinned rows
+    val finalAssign = assignCells(vectors, centroids).localCheckpoint()
     // Every substore commits through the TableFormat core (manifested
     // generations + CAS markers): cells cluster on (cell, doc_id)
     // into ~k τ-row files, so the manifest's per-file ranges carry
@@ -808,8 +812,12 @@ object EmbeddingStore {
     // code sidecars) — without it each write re-runs the whole
     // two-level assignment over the delta
     val nFiles = math.max(1L, (nNew + targetCellRows - 1) / targetCellRows)
+    // pin the assignment BEFORE the range re-cluster (whose sampling
+    // would otherwise evaluate the assignment DAG a second time), and
+    // pin the clustered rows for the three appends that consume them
     val assigned = assignCells(snap, centroids)
       .withColumn("gen", lit(1))
+      .localCheckpoint()
       .repartitionByRange(nFiles.toInt, col("cell"), col("doc_id"))
       .localCheckpoint()
     val cellsRoot = s"$path/cells"

@@ -531,8 +531,11 @@ object TableFormat {
     val keys = delta.select(col(key).as("__k")).distinct()
     val n = keys.limit(maxKeys + 1).count()
     if (n <= maxKeys)
+      // eagerly pinned: ≤ maxKeys rows by construction, and the
+      // broadcast build would otherwise re-run the delta's distinct
       keys.select(col("__k").as("__lo"), col("__k").as("__hi"),
         col("__k").isNull.as("__nul"))
+        .localCheckpoint(true)
     else {
       val ranges = keys.filter(col("__k").isNotNull)
         .repartitionByRange(intervals, col("__k"))
