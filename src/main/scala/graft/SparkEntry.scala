@@ -269,6 +269,11 @@ object SparkEntry {
     // thresholds gate the bulk path at every SF), answer = the plain
     // latest-wins merge, carried-files evidence in-row
     "q_merge_bulk"      -> q(graft.sources.TableFormat.mergeBulk),
+    // H24: POINT LOOKUP through per-file Bloom sketches in the
+    // manifest — a hash-clustered layout where range stats prune
+    // nothing; in-row bloom_pruned audit vs the oracle's literal 1,
+    // answer = the raw IN filter (pruning is invisible)
+    "q_bloom_read"      -> q(graft.sources.TableFormat.bloomRead),
     // H6: the multi-dimensional clustering layout — a box query
     // through the z-ordered store (pruning proven in ZorderSpec)
     "q_zorder_scan"     -> q(graft.sources.Zorder.zorderScan),
@@ -881,6 +886,18 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // H24: the Bloom-pruned point lookup must answer exactly what
+    // the raw IN filter answers — the sketch only decides which
+    // files PLAN; bloom_pruned is the oracle's literal 1 (the
+    // hash-clustered layout guarantees range stats alone would read
+    // every file, so any pruning at all is the sketch's).
+    "q_bloom_read" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(1 AS BIGINT) AS bloom_pruned
+        |FROM documents
+        |WHERE doc_id IN (11, 137, 423)
+        |ORDER BY doc_id""".stripMargin,
     // H18: the stats-pruned read must answer exactly what the raw
     // filtered aggregate answers — pruning is invisible to the
     // result; leaked is the oracle's literal 0.

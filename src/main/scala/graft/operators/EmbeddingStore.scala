@@ -642,10 +642,15 @@ object EmbeddingStore {
     // rebuild advice watches
     val cellsRoot = s"$path/cells"
     val cg = TableFormat.currentGenOption(cellsRoot).map(_ + 1).getOrElse(0L)
+    // bloom on doc_id: the probe path's QUERY-VECTOR fetch is an
+    // equality lookup on a column this layout does NOT cluster by
+    // (files cluster on cell, so every file's doc_id range spans the
+    // query) — the per-file sketch prunes that lookup to the one
+    // file holding the id, and propagates through every appendScoped
     TableFormat.commitGenManifested(
       finalAssign.withColumn("gen", lit(0))
         .repartitionByRange(k, col("cell"), col("doc_id")),
-      cellsRoot, cg, Seq("cell", "doc_id"))
+      cellsRoot, cg, Seq("cell", "doc_id"), bloomKeys = Seq("doc_id"))
     val centRoot = s"$path/centroids"
     TableFormat.commitGenManifested(centroids.coalesce(1), centRoot,
       TableFormat.currentGenOption(centRoot).map(_ + 1).getOrElse(0L),

@@ -1,11 +1,15 @@
 package graft.operators
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Explicit Bloom pre-join pruning for selective semi/anti joins.
@@ -75,6 +79,59 @@ object JoinPruning {
       Literal.create(bloom, BinaryType),
       GraftColumnBridge.expression(xxhash64(key))))
 
+  /** PER-GROUP serialized Bloom filter over `xxhash64(key)` as an
+    * aggregate Column — Spark's own `BloomFilterAggregate` (the
+    * creation side of its AQE runtime filter, a TypedImperativeAgg
+    * with map-side partial merge), here grouped instead of global so
+    * one aggregation pass yields one filter PER FILE for a table
+    * format's manifest. Sized for per-file cardinality, not table
+    * cardinality: `numBits` is the fixed on-disk cost per group
+    * (default 2^20 bits = 128 KiB, ~10 bits/key at 100k distinct
+    * keys per file → fpp ≈ 0.8%); an over-full file degrades fpp
+    * gracefully rather than failing, and pruning by a Bloom filter
+    * is advisory (a false positive only reads one extra file — the
+    * residual filter keeps the answer exact). */
+  def bloomAgg(key: Column, expectedItems: Long = 100L * 1000,
+      numBits: Long = 1L << 20): Column =
+    GraftColumnBridge.column(new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(key)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Per-ROW sketch probe as a Column: true when the row's serialized
+    * sketch MIGHT contain ANY of `values` — what Spark's own
+    * `BloomFilterMightContain` cannot express (its filter side must
+    * be a foldable literal/subquery; here the sketch is a COLUMN, one
+    * per manifest row = one per data file). Values hash through
+    * [[foldedHash]] — the same catalyst `XxHash64` the build side
+    * aggregates over, folded on the driver. Empty `values` is
+    * constant-false (no key can match nothing). */
+  def mightContainAnyOf(bloomCol: Column, values: Seq[Any]): Column = {
+    val hashes = values.map(foldedHash).toArray
+    GraftColumnBridge.column(BloomMightContainAnyExpr(
+      GraftColumnBridge.expression(bloomCol),
+      Literal.create(hashes, ArrayType(LongType))))
+  }
+
+  /** `xxhash64(v)` folded on the driver: the catalyst `XxHash64`
+    * (default seed 42 — the SAME expression the `xxhash64` function
+    * resolves to, so build and probe can never diverge) over a
+    * `Literal.create` of the value (external → internal conversion,
+    * e.g. String → UTF8String, exactly as a literal in a plan). */
+  private def foldedHash(v: Any): Long =
+    new XxHash64(Seq(Literal.create(v)))
+      .eval(InternalRow.empty).asInstanceOf[Long]
+
+  /** Driver-side probe of a serialized filter — the scan-planning
+    * twin of [[mightContain]] for deciding WHICH FILES to read
+    * before any job runs (one `mightContainLong` per (file, value)
+    * pair over an O(files) manifest — planner work, not data work).
+    * The value hashes through the SAME catalyst `xxhash64(lit(v))`
+    * tree the build side used, folded on the driver, so the
+    * convention can never diverge between build and probe. */
+  def mightContainValue(bloom: Array[Byte], value: Any): Boolean =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+      .mightContainLong(foldedHash(value))
+
   /** EXISTS with a Bloom pre-filter: probe rows that cannot match
     * drop before the shuffle; the exact left-semi join removes the
     * false positives, so the result is identical to the plain semi
@@ -122,4 +179,24 @@ object JoinPruning {
     antiJoinPruned(t.orders, t.lineitem.select(col("l_orderkey")),
       "o_orderkey", "l_orderkey")
       .select(col("o_orderkey"))
+}
+
+/** `bloom MIGHT contain ANY of hashes` where the sketch is a per-row
+  * BINARY column. Eval-only (CodegenFallback) by design: it runs over
+  * scan-planning-sized manifests (one row per FILE) to decide what to
+  * read or rewrite — never inside a data-path hot loop — so
+  * deserializing the sketch once per row and probing a bounded hash
+  * array is planner work, not scan work. NULL sketch or NULL hash
+  * array yields NULL (the caller treats unknown as "cannot prune"). */
+case class BloomMightContainAnyExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(bloom: Any, hashes: Any): Any = {
+    val bf = BloomFilter.readFrom(
+      new ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+    hashes.asInstanceOf[ArrayData].toLongArray().exists(bf.mightContainLong)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

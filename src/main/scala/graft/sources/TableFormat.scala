@@ -369,11 +369,20 @@ object TableFormat {
     * column contains NULLs (min/max are null-blind) always
     * classifies as touched when the scope list can name a NULL. */
   private def fileStats(spark: SparkSession, dir: String,
-      schema: StructType, keys: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: keys.flatMap(k => Seq(
+      schema: StructType, keys: Seq[String],
+      bloomKeys: Seq[String] = Nil): DataFrame = {
+    val aggs = (count(lit(1)).as("n_rows") +: keys.flatMap(k => Seq(
       min(col(k)).as(s"min_$k"),
       max(col(k)).as(s"max_$k"),
-      (count(lit(1)) > count(col(k))).as(s"null_$k")))
+      (count(lit(1)) > count(col(k))).as(s"null_$k")))) ++
+      // per-file Bloom filters for POINT-LOOKUP pruning: range stats
+      // cannot prune an equality probe on a column the file layout
+      // does NOT cluster by (every file's [min, max] spans the probed
+      // value); a per-file membership sketch can. Same combining
+      // pass, fixed bytes per file (JoinPruning.bloomAgg's sizing) —
+      // the manifest stays scan-planning-sized.
+      bloomKeys.map(k =>
+        graft.operators.JoinPruning.bloomAgg(col(k)).as(s"bloom_$k"))
     spark.read.schema(schema).parquet(dir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -386,6 +395,14 @@ object TableFormat {
     m.columns.toIndexedSeq.collect { case c if c.startsWith("min_") =>
       c.stripPrefix("min_") }
 
+  /** The Bloom-sketched key columns a manifest tracks, recovered the
+    * same way as [[manifestKeys]] — so a table committed WITH blooms
+    * keeps them through every scoped commit (rewritten files get
+    * fresh sketches; carried rows keep theirs by reference). */
+  private def manifestBloomKeys(m: DataFrame): Seq[String] =
+    m.columns.toIndexedSeq.collect { case c if c.startsWith("bloom_") =>
+      c.stripPrefix("bloom_") }
+
   /** Commit `df` as generation `gen` WITH a per-file min/max/null
     * manifest on `keys` (multi-column, like a real format's
     * per-column log stats) and the generation's recorded schema. A
@@ -395,14 +412,14 @@ object TableFormat {
     * them (see [[purgeScoped]]). Single-writer verb, like
     * [[commitGen]]; contended writers use [[tryMergeScoped]]. */
   private[graft] def commitGenManifested(df: DataFrame, root: String,
-      gen: Long, keys: Seq[String]): Unit = {
+      gen: Long, keys: Seq[String], bloomKeys: Seq[String] = Nil): Unit = {
     val dirName = s"gen_$gen"
     val dir = s"$root/$dirName"
     df.write.mode("overwrite").parquet(dir)
     // one file: a manifest is scan-planning-sized, and a single part
     // file keeps schema inference possible even for an EMPTY table
     // (zero part files would leave nothing to infer from)
-    fileStats(df.sparkSession, dir, df.schema, keys).coalesce(1)
+    fileStats(df.sparkSession, dir, df.schema, keys, bloomKeys).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), df.schema.json)
     installMarker(root, gen, dirName)
@@ -474,7 +491,7 @@ object TableFormat {
     * read with NULL backfill while carried files stay legacy on disk
     * (resolved at read time by the recorded schema). */
   private def tryScopedCommit(spark: SparkSession, root: String,
-      expected: Long, schema: StructType, scope: DataFrame,
+      expected: Long, schema: StructType, key: String, scope: DataFrame,
       touch: org.apache.spark.sql.Column,
       rewrite: DataFrame => DataFrame,
       txn: Option[(String, Long)] = None): Option[SkipReport] = {
@@ -482,9 +499,43 @@ object TableFormat {
     if (currentGen(root) != expected) return None
     val m = readManifest(spark, root, expected).localCheckpoint(true)
     val sc = broadcast(scope)
-    val touchedFiles = m.join(sc, touch, "left_semi")
+    // SKETCH REFINEMENT of the skip decision: when the manifest
+    // carries a Bloom sketch for the scoped key AND the scope is
+    // exact keys (degenerate intervals — the takedown-list /
+    // micro-batch shape), a file whose sketch rejects every key
+    // cannot hold any of them (no false negatives), so it CARRIES
+    // even though its [min, max] admits — on a layout that does not
+    // cluster by the key, this is the difference between rewriting
+    // the table and rewriting the few true files. Interval scopes
+    // (the bulk path) keep the pure range decision (a sketch cannot
+    // answer a range); a NULL scope key keeps routing through the
+    // file's null-presence flag; a NULL sketch (file carried from a
+    // pre-Bloom generation) cannot prune. The scope collect is
+    // scan-planning-sized by summarizeScope's contract.
+    val refined: Option[org.apache.spark.sql.Column] =
+      if (!m.columns.contains(s"bloom_$key")) None
+      else {
+        val rows = scope.collect()
+        val allExact = rows.forall(r =>
+          r.getBoolean(2) || r.get(0) == r.get(1))
+        if (!allExact) None
+        else {
+          val vals = rows.filter(!_.getBoolean(2)).map(_.get(0)).toSeq
+          val nullClause =
+            if (rows.exists(_.getBoolean(2)))
+              coalesce(col(s"null_$key"), lit(true))
+            else lit(false)
+          Some(col(s"bloom_$key").isNull ||
+            graft.operators.JoinPruning.mightContainAnyOf(
+              col(s"bloom_$key"), vals) || nullClause)
+        }
+      }
+    val rangeTouched = m.join(sc, touch, "left_semi")
+    val touchedFiles = refined.fold(rangeTouched)(rangeTouched.filter)
       .select(col("file")).collect().map(_.getString(0)).toSeq
-    val carried = m.join(sc, touch, "left_anti")
+    val rangeCarried = m.join(sc, touch, "left_anti")
+    val carried = refined.fold(rangeCarried)(p =>
+      rangeCarried.unionByName(rangeTouched.filter(!p)))
     // ADDITIVE EVOLUTION WIDENS THE STATS KEY SET: columns the new
     // schema adds over the generation's recorded width enter the
     // manifest for every REWRITTEN file (carried legacy rows read
@@ -573,8 +624,11 @@ object TableFormat {
     val carriedN = carried.count()
     // allowMissingColumns: a widened stats key set (additive schema
     // evolution) adds min_/max_/null_ columns the carried rows don't
-    // have — they fill NULL, the "file predates this column" marker
-    carried.unionByName(fileStats(spark, dir, schema, keys),
+    // have — they fill NULL, the "file predates this column" marker.
+    // Bloom keys propagate from the carried manifest's own columns:
+    // rewritten files get fresh sketches, carried rows keep theirs.
+    carried.unionByName(
+        fileStats(spark, dir, schema, keys, manifestBloomKeys(carried)),
         allowMissingColumns = true).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
     Files.writeString(schemaPath(dir), schema.json)
@@ -667,7 +721,7 @@ object TableFormat {
   private[graft] def purgeScoped(spark: SparkSession, root: String,
       keys: DataFrame, schema: StructType, key: String): SkipReport = {
     val list = keys.select(col(keys.columns.head).as("__td")).distinct()
-    tryScopedCommit(spark, root, currentGen(root), schema,
+    tryScopedCommit(spark, root, currentGen(root), schema, key,
       summarizeScope(list, "__td"), touchByScope(key),
       // null-safe anti join: a NULL list key removes NULL-keyed rows,
       // matching cdcDiff/applyChanges' first-class NULL keys (the
@@ -713,7 +767,7 @@ object TableFormat {
     // broadcast and the NLJ product stay scan-planning-sized at any
     // delta size (the thresholds are tunables; H23 pins the bulk
     // path at test scale by lowering them)
-    tryScopedCommit(spark, root, expected, schema,
+    tryScopedCommit(spark, root, expected, schema, key,
       summarizeScope(delta, key, scopeMaxKeys, scopeIntervals),
       touchByScope(key),
       surv => Export.mergeLatest(surv, delta.select(
@@ -757,17 +811,46 @@ object TableFormat {
   private[graft] def readPrunedIn(spark: SparkSession, root: String,
       gen: Long, schema: StructType, key: String,
       values: Seq[Any]): DataFrame = {
-    if (values.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val keep = values.map(v =>
-      lit(v).between(col(s"min_$key"), col(s"max_$key"))).reduce(_ || _)
-    val files = readManifest(spark, root, gen).filter(keep)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val files = prunedFilesIn(spark, root, gen, key, values)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** The file list [[readPrunedIn]] scans — separated so specs and
+    * probes can assert the PRUNING itself (files planned), not just
+    * the result. Two stat layers, both advisory supersets: the
+    * [min, max] range test, then — when the manifest carries a
+    * `bloom_<key>` sketch — a per-file membership probe, which is
+    * what prunes an equality lookup on a column the file layout does
+    * NOT cluster by (a doc-id lookup against cell-clustered index
+    * files: every range spans the id, the sketch names the one file
+    * that holds it). A NULL sketch (file carried from a pre-Bloom
+    * generation) cannot prune — unknown admits, exactly like the
+    * range test's treatment of a NULL bound is the reverse (a file
+    * carried from before the COLUMN existed holds only NULLs for it,
+    * so no equality can select from it and it prunes). Both probes
+    * are driver-side planner work over the O(files) manifest. */
+  private[graft] def prunedFilesIn(spark: SparkSession, root: String,
+      gen: Long, key: String, values: Seq[Any]): Seq[String] = {
+    if (values.isEmpty) return Seq.empty
+    val keep = values.map(v =>
+      lit(v).between(col(s"min_$key"), col(s"max_$key"))).reduce(_ || _)
+    val m = readManifest(spark, root, gen)
+    val hasBloom = m.columns.contains(s"bloom_$key")
+    val ranged = m.filter(keep)
+    if (!hasBloom)
+      ranged.select(col("file")).collect().map(_.getString(0)).toSeq
+    else ranged.select(col("file"), col(s"bloom_$key")).collect()
+      .filter { r =>
+        r.isNullAt(1) || {
+          val sketch = r.getAs[Array[Byte]](1)
+          values.exists(v =>
+            graft.operators.JoinPruning.mightContainValue(sketch, v))
+        }
+      }
+      .map(_.getString(0)).toSeq
   }
 
   /** Retention for a MANIFESTED table — Delta VACUUM's rule: a file
@@ -1247,6 +1330,60 @@ object TableFormat {
           expr("bit_xor(doc_id)").as("id_xor"))
         .withColumn("leaked", lit(leaked))
         .orderBy(col("lang"))
+        .localCheckpoint(true)
+    } finally LayoutStore.deleteRecursively(dir.toFile)
+  }
+
+  /** H24 — `q_bloom_read`: a POINT LOOKUP through per-file Bloom
+    * sketches where range statistics cannot prune at all. The store
+    * commits HASH-clustered (16 files, doc_ids scattered — every
+    * file's [min, max] spans every probed id, so H18's range test
+    * keeps all 16), but the manifest carries a per-file `bloom_`
+    * sketch on doc_id; the lookup plans only the files whose sketch
+    * admits a probed id (false positives read one extra file, false
+    * negatives are impossible), and the residual IN filter keeps the
+    * answer exact. This is the format-level analog of a parquet
+    * footer Bloom filter, lifted into the LOG so the pruning happens
+    * at file PLANNING, before any footer is opened (Delta's
+    * bloom-filter index / Iceberg's puffin sketches). The in-row
+    * `bloom_pruned` audit is 1 only when the planned file list is
+    * strictly smaller than the table's — against the oracle's
+    * literal 1, so a sketch that stops pruning fails the gate from
+    * inside the row; the answer itself is INVARIANT to the pruning
+    * (same oracle as the raw IN filter).
+    *
+    * Scale shape: the sketch is fixed bytes per file collected in
+    * the same map-side-combining stats pass every manifested commit
+    * already runs; the probe is driver-side planner work over the
+    * O(files) manifest. At 100 TB this is the difference between a
+    * needle lookup scanning the corpus (clustered by something else,
+    * as real layouts always are) and reading ONE file. */
+  def bloomRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val dir = LayoutStore.scratch(t.dir, "bloomread").toPath
+    try {
+      val root = dir.toString
+      val docSchema = StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG, source STRING")
+      // hash-cluster on text: the adversarial-for-ranges layout —
+      // every file's doc_id range spans the whole id space
+      commitGenManifested(t.documents.repartition(16, col("text")),
+        root, 0L, Seq("lang", "doc_id"), bloomKeys = Seq("doc_id"))
+      val ids = Seq(11L, 137L, 423L)
+      val planned = prunedFilesIn(spark, root, 0L, "doc_id", ids)
+      val total = readManifest(spark, root, 0L).count()
+      val hit =
+        if (planned.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            docSchema)
+        else spark.read.schema(docSchema).parquet(planned: _*)
+      hit.filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("bloom_pruned",
+          lit(if (planned.length < total) 1L else 0L))
+        .orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally LayoutStore.deleteRecursively(dir.toFile)
   }

@@ -151,6 +151,35 @@ class IvfIndexSpec extends SparkTestBase {
       exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("query-vector point lookup: the cells manifest's per-file " +
+    "doc_id sketch prunes a lookup range stats cannot (cell-clustered " +
+    "files scatter doc ids), and the pruned fetch is the stored row") {
+    val dir = Files.createTempDirectory("graft-ivfbloom").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val t = Tables(spark, sfDir)
+    val vectors = EmbeddingStore.embed(t.documents).drop("shard")
+    EmbeddingStore.buildIvfIndex(spark, vectors, path)
+    val root = s"$path/cells"
+    val gen = TableFormat.currentGen(root)
+    val m = TableFormat.readManifest(spark, root, gen)
+    val total = m.count()
+    assert(total > 4L, "fixture rot: the cells store must be multi-file")
+    assert(m.columns.contains("bloom_doc_id"),
+      "the cells commit lost its doc_id sketch")
+    assert(m.filter(col("bloom_doc_id").isNull).count() === 0L)
+    val qid = 11L
+    val planned = TableFormat.prunedFilesIn(spark, root, gen,
+      "doc_id", Seq(qid))
+    assert(planned.nonEmpty && planned.length <= 4,
+      s"doc_id sketch failed to prune: planned ${planned.length} of $total")
+    // the probe path's actual fetch: exactly the stored vector row
+    val viaPruned = IndexCatalog.readPruned(spark, path, "cells",
+        "doc_id", Seq(qid))
+      .filter(col("doc_id") === qid).select(col("embedding")).collect()
+    assert(viaPruned.length === 1, "pruned fetch lost the query vector")
+  }
+
   test("indexStats: health row tracks appends; a second Lloyd pass does not degrade quality") {
     val t = Tables(spark, sfDir)
     val vectors = EmbeddingStore.embed(t.documents).drop("shard")

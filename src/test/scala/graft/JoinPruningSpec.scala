@@ -41,6 +41,32 @@ class JoinPruningSpec extends SparkTestBase {
     assert(fp < range.size / 20, s"false-positive count $fp too high")
   }
 
+  test("bloomAgg: per-group sketches round-trip through the driver " +
+    "probe with no false negatives and no cross-group bleed, for long " +
+    "AND string keys") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 5L, "alpha"), ("g1", 9L, "beta"), ("g1", 13L, "gamma"),
+      ("g2", 100L, "delta"), ("g2", 200L, "epsilon")
+    ).toDF("g", "k", "s")
+    val sketches = df.groupBy(col("g")).agg(
+        JoinPruning.bloomAgg(col("k")).as("bk"),
+        JoinPruning.bloomAgg(col("s")).as("bs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))).toMap
+    val (g1k, g1s) = sketches("g1"); val (g2k, g2s) = sketches("g2")
+    // no false negatives: every inserted value probes true
+    assert(Seq(5L, 9L, 13L).forall(JoinPruning.mightContainValue(g1k, _)))
+    assert(Seq(100L, 200L).forall(JoinPruning.mightContainValue(g2k, _)))
+    assert(Seq("alpha", "beta", "gamma")
+      .forall(JoinPruning.mightContainValue(g1s, _)))
+    // no cross-group bleed (3 keys in 2^20 bits — fpp is vanishing)
+    assert(!JoinPruning.mightContainValue(g1k, 100L))
+    assert(!JoinPruning.mightContainValue(g2k, 5L))
+    assert(!JoinPruning.mightContainValue(g2s, "alpha"))
+    assert(!JoinPruning.mightContainValue(g1s, "delta"))
+  }
+
   test("plan: the pre-filter is the codegen'd might_contain over the scan") {
     val df = JoinPruning.semiJoinPruned(
       t.customer, t.orders.select(col("o_custkey")),

@@ -682,6 +682,154 @@ class TableFormatSpec extends SparkTestBase {
     assert(df2.count() === 11L)
   }
 
+  test("bloom point lookup: on a hash-clustered layout range stats " +
+    "admit every file, the per-file sketches plan a strict subset, " +
+    "the answer equals the raw filter, and an absent key reads " +
+    "(essentially) nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString
+    // hash-cluster on text: every file's doc_id [min, max] spans the
+    // whole id space, so the range test can never prune
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartition(8, col("text"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, Seq("doc_id"),
+      bloomKeys = Seq("doc_id"))
+    val m = TableFormat.readManifest(spark, root, 0L)
+    assert(m.count() === 8L)
+    assert(m.filter(col("bloom_doc_id").isNull).count() === 0L,
+      "every committed file must carry a sketch")
+    // the range test alone admits every file for a MID-RANGE id
+    // (each file holds ~125 uniform ids, so every [min, max] spans
+    // 500) — the pruning below is the sketch's alone
+    val rangeAdmitted = m.filter(
+      lit(500L).between(col("min_doc_id"), col("max_doc_id"))).count()
+    assert(rangeAdmitted === 8L,
+      "fixture rot: the hash layout must defeat range stats")
+    val planned = TableFormat.prunedFilesIn(spark, root, 0L,
+      "doc_id", Seq(500L))
+    assert(planned.nonEmpty && planned.length < 8,
+      s"sketch failed to prune: planned ${planned.length} of 8")
+    // answer ≡ the raw filter (residual removes false-positive files)
+    val got = TableFormat.readPrunedIn(spark, root, 0L, schema,
+        "doc_id", Seq(5L, 950L))
+      .filter(col("doc_id").isin(5L, 950L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((5L, "t5"), (950L, "t950")))
+    // an id that never existed: no sketch can hold it (fpp slack 1)
+    val absent = TableFormat.prunedFilesIn(spark, root, 0L,
+      "doc_id", Seq(999999L))
+    assert(absent.length <= 1, s"absent key planned ${absent.length} files")
+    assert(TableFormat.readPrunedIn(spark, root, 0L, schema,
+        "doc_id", Seq(999999L))
+      .filter(col("doc_id") === 999999L).count() === 0L)
+  }
+
+  test("bloom sketches PROPAGATE through scoped commits: carried " +
+    "rows keep their sketch by reference, rewritten files get fresh " +
+    "ones, and the lookup still plans one file on both sides") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomsc")
+      .toString
+    // tight range files so a scoped purge carries most of the table
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, Seq("doc_id"),
+      bloomKeys = Seq("doc_id"))
+    val rep = TableFormat.purgeScoped(spark, root, Seq(5L).toDF("doc_id"),
+      schema, "doc_id")
+    assert(rep.filesTouched === 1L && rep.filesCarried === 9L)
+    val m1 = TableFormat.readManifest(spark, root, 1L)
+    assert(m1.filter(col("bloom_doc_id").isNull).count() === 0L,
+      "a scoped commit dropped sketches (carried or rewritten)")
+    // a key in a CARRIED file: its gen_0 sketch still prunes
+    val carried = TableFormat.prunedFilesIn(spark, root, 1L,
+      "doc_id", Seq(950L))
+    assert(carried.length === 1 && carried.head.contains("gen_0"))
+    // a key in the REWRITTEN file: the fresh gen_1 sketch holds it
+    val rewritten = TableFormat.prunedFilesIn(spark, root, 1L,
+      "doc_id", Seq(7L))
+    assert(rewritten.length === 1 && rewritten.head.contains("gen_1"))
+    // the purged key itself is gone even though its file still plans
+    assert(TableFormat.readPrunedIn(spark, root, 1L, schema,
+      "doc_id", Seq(5L)).filter(col("doc_id") === 5L).count() === 0L)
+  }
+
+  test("sketch-refined scoped mutation: a takedown on a " +
+    "hash-clustered Bloom table rewrites only the true files where " +
+    "range stats would rewrite everything, and equals the full purge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloommut")
+      .toString
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartition(8, col("text"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, Seq("doc_id"),
+      bloomKeys = Seq("doc_id"))
+    // mid-domain keys: every file's range admits them (hash layout),
+    // so any carry below is the sketch's decision alone
+    val rep = TableFormat.purgeScoped(spark, root,
+      Seq(500L, 501L).toDF("doc_id"), schema, "doc_id")
+    assert(rep.filesTouched <= 4L,
+      s"sketch refinement failed: ${rep.filesTouched} of 8 files rewrote")
+    assert(rep.filesTouched + rep.filesCarried === 8L)
+    val got = TableFormat.readViaManifest(spark, root, 1L, schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.length === 998 && !got.contains(500L) && !got.contains(501L))
+    // a NULL-keyed takedown still routes through the null flag (the
+    // sketch never sees NULL): plant nulls, purge them, none survive
+    val withNulls = TableFormat.readViaManifest(spark, root, 1L, schema)
+      .unionByName(Seq("n1", "n2").toDF("text")
+        .select(lit(null).cast("long").as("doc_id"), col("text")))
+    TableFormat.commitGenManifested(withNulls.repartition(8, col("text")),
+      root, 2L, Seq("doc_id"), bloomKeys = Seq("doc_id"))
+    val nullList = Seq(Option.empty[Long]).toDF("doc_id")
+    TableFormat.purgeScoped(spark, root, nullList, schema, "doc_id")
+    assert(TableFormat.readViaManifest(spark, root, 3L, schema)
+      .filter(col("doc_id").isNull).count() === 0L,
+      "the sketch-refined decision dropped the NULL route")
+    // the bulk interval path is UNREFINED (a sketch cannot answer a
+    // range): forced-down thresholds summarize to intervals and the
+    // merge still equals the plain latest-wins merge
+    val delta = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id")).as("text"))
+    val rep2 = TableFormat.mergeScoped(spark, root, delta, schema,
+      "doc_id", scopeMaxKeys = 64, scopeIntervals = 8)
+    assert(rep2.filesTouched > 0L)
+    val merged = TableFormat.readViaManifest(spark, root, 4L, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(merged(5L) === "u5" && merged(150L) === "u150" &&
+      merged(999L) === "t999")
+  }
+
+  test("a pre-Bloom manifest is untouched: no sketch columns appear, " +
+    "the pruned read stays range-only, and scoped commits do not " +
+    "invent sketches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nobloom")
+      .toString
+    val docs = spark.range(0, 100)
+      .select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      .repartitionByRange(4, col("doc_id"))
+    val schema = docs.schema
+    TableFormat.commitGenManifested(docs, root, 0L, "doc_id")
+    assert(!TableFormat.readManifest(spark, root, 0L).columns
+      .exists(_.startsWith("bloom_")))
+    val planned = TableFormat.prunedFilesIn(spark, root, 0L,
+      "doc_id", Seq(50L))
+    assert(planned.length === 1, "range pruning regressed")
+    TableFormat.purgeScoped(spark, root, Seq(50L).toDF("doc_id"),
+      schema, "doc_id")
+    assert(!TableFormat.readManifest(spark, root, 1L).columns
+      .exists(_.startsWith("bloom_")),
+      "a scoped commit invented sketch columns")
+  }
+
   test("vacuumManifested NEVER sweeps a live OCC writer's unmarkered " +
     "staged dir before the staleness bound — data files, _manifest, " +
     "_schema.json and _txn all survive; an AGED unmarkered dir reaps " +
