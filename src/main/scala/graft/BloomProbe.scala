@@ -15,7 +15,7 @@ import graft.sources.TableFormat
   *
   * Setup per corpus multiple mirrors ReadProbe: the replicated
   * lineitem commits as ONE manifested generation HASH-clustered on
-  * l_comment at constant file width (~5k rows/file, so file count
+  * l_partkey at constant file width (~5k rows/file, so file count
   * grows with the corpus), with range stats AND a Bloom sketch on
   * l_orderkey; the query is one mid-domain orderkey that exists in
   * the data.
@@ -56,11 +56,11 @@ object BloomProbe {
       val schema = li.schema
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-bloomprobe-x$m").toString
-      // hash-cluster on the comment: orderkeys scatter across every
+      // hash-cluster on the part key: orderkeys scatter across every
       // file — the layout real tables have for every non-clustering
       // key they are ever probed on
       TableFormat.commitGenManifested(
-        li.repartition(nFiles, col("l_comment")),
+        li.repartition(nFiles, col("l_partkey")),
         root, 0L, Seq("l_orderkey"), bloomKeys = Seq("l_orderkey"))
       val filesTotal = TableFormat.readManifest(spark, root, 0L).count()
       // one EXISTING mid-domain key (orderkeys are sparse — derive

@@ -838,19 +838,17 @@ object TableFormat {
     val keep = values.map(v =>
       lit(v).between(col(s"min_$key"), col(s"max_$key"))).reduce(_ || _)
     val m = readManifest(spark, root, gen)
-    val hasBloom = m.columns.contains(s"bloom_$key")
-    val ranged = m.filter(keep)
-    if (!hasBloom)
-      ranged.select(col("file")).collect().map(_.getString(0)).toSeq
-    else ranged.select(col("file"), col(s"bloom_$key")).collect()
-      .filter { r =>
-        r.isNullAt(1) || {
-          val sketch = r.getAs[Array[Byte]](1)
-          values.exists(v =>
-            graft.operators.JoinPruning.mightContainValue(sketch, v))
-        }
-      }
-      .map(_.getString(0)).toSeq
+    // the sketch probe runs INSIDE the manifest filter (the per-row
+    // BloomMightContainAnyExpr), so the driver collects only the
+    // SURVIVING file names — never the sketch bytes of every
+    // range-admitted row, which on a non-clustering key means every
+    // row and would grow the collect with the table's file count
+    val ranged =
+      if (!m.columns.contains(s"bloom_$key")) m.filter(keep)
+      else m.filter(keep && (col(s"bloom_$key").isNull ||
+        graft.operators.JoinPruning.mightContainAnyOf(
+          col(s"bloom_$key"), values)))
+    ranged.select(col("file")).collect().map(_.getString(0)).toSeq
   }
 
   /** Retention for a MANIFESTED table — Delta VACUUM's rule: a file
