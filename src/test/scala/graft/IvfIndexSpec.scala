@@ -178,6 +178,22 @@ class IvfIndexSpec extends SparkTestBase {
         "doc_id", Seq(qid))
       .filter(col("doc_id") === qid).select(col("embedding")).collect()
     assert(viaPruned.length === 1, "pruned fetch lost the query vector")
+    // sketches survive the APPEND path: the scoped append's new files
+    // get fresh sketches (recovered from the manifest's own columns),
+    // so a lookup of an appended id stays a point plan, and the whole
+    // manifest stays sketch-complete
+    val delta = EmbeddingStore.embed(
+      Tables(spark, sfDir).documents.limit(20)
+        .withColumn("doc_id", col("doc_id") + 100000L)).drop("shard")
+    EmbeddingStore.appendToIvfIndex(spark, path, delta)
+    val gen2 = TableFormat.currentGen(root)
+    val m2 = TableFormat.readManifest(spark, root, gen2)
+    assert(m2.filter(col("bloom_doc_id").isNull).count() === 0L,
+      "the append dropped sketches on new or carried files")
+    val appended = TableFormat.prunedFilesIn(spark, root, gen2,
+      "doc_id", Seq(100011L))
+    assert(appended.nonEmpty && appended.length <= 4,
+      s"appended-id lookup planned ${appended.length} of ${m2.count()}")
   }
 
   test("indexStats: health row tracks appends; a second Lloyd pass does not degrade quality") {
