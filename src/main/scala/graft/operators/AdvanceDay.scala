@@ -115,16 +115,25 @@ object AdvanceDay {
     val advanceF = Future(Dedup.advanceDedupState(t.documents, statePath))
     val appendF = Future(EmbeddingStore.appendToIvfIndex(spark, indexPath,
       vectors.filter(col("doc_id") > vecSplit)))
-    Await.result(advanceF, Duration.Inf)
+    // the drift-gated rebuild needs only the APPEND's gen-1 rows —
+    // launch it as soon as the append lands, so the (heavy) re-fit
+    // overlaps whatever of the dedup advance is still running, and
+    // the dedup readbacks below overlap the re-fit in turn; the two
+    // chains touch disjoint stores throughout
     Await.result(appendF, Duration.Inf)
-    val rebuildRan =
-      EmbeddingStore.rebuildIfDrifted(spark, indexPath, driftThreshold)
+    val rebuildF = Future(
+      EmbeddingStore.rebuildIfDrifted(spark, indexPath, driftThreshold))
+    Await.result(advanceF, Duration.Inf)
 
     // --- read the outcome back from the persisted stores
     val dedupWatermark = Dedup.stateWatermark(statePath)
-    val stateDocs = spark.read.parquet(s"$statePath/docs")
-    val nStateDocs = stateDocs.count()
-    val nDeltaDocs = stateDocs.filter(col("doc_id") > docSplit).count()
+    // one readback pass yields both counts (was two scans)
+    val stateCounts = spark.read.parquet(s"$statePath/docs")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") > docSplit, 1L).otherwise(0L)).as("nd")).first()
+    val nStateDocs = stateCounts.getLong(0)
+    val nDeltaDocs = stateCounts.getLong(1)
+    val rebuildRan = Await.result(rebuildF, Duration.Inf)
     val out = EmbeddingStore.indexStats(spark, indexPath)
       .select(
         lit(dedupWatermark).as("dedup_watermark"),

@@ -651,21 +651,31 @@ object EmbeddingStore {
       finalAssign.withColumn("gen", lit(0))
         .repartitionByRange(k, col("cell"), col("doc_id")),
       cellsRoot, cg, Seq("cell", "doc_id"), bloomKeys = Seq("doc_id"))
+    // the centroids table is an independent substore — its commit
+    // overlaps the sidecar builds below (guide §2.6); only the cells
+    // commit above is a strict prerequisite (the sidecars read the
+    // just-committed cell layout)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val centRoot = s"$path/centroids"
-    TableFormat.commitGenManifested(centroids.coalesce(1), centRoot,
+    val fCent = Future(TableFormat.commitGenManifested(
+      centroids.coalesce(1), centRoot,
       TableFormat.currentGenOption(centRoot).map(_ + 1).getOrElse(0L),
-      Seq("cell"))
+      Seq("cell")))
     // PQ sidecars (codebooks + cell-clustered codes) build from the
     // JUST-COMMITTED cells, not the lazy assignment frame — re-using
     // the materialized layout costs one read where re-evaluating
     // finalAssign would re-run the whole two-level assignment DAG
     val builtCells = TableFormat.readViaManifest(spark, cellsRoot, cg,
       TableFormat.genSchema(cellsRoot, cg))
-    ProductQuantizer.buildPq(spark, builtCells, path)
+    val fPq = Future(ProductQuantizer.buildPq(spark, builtCells, path))
     // the int8 sidecar beside it — the two compressed representations
     // (SQ8: 4x bytes cut, near-exact; PQ: 24-32x, lossier) share the
     // cell clustering so every probe prunes them identically
     ScalarQuantizer.buildSq8(spark, builtCells, path)
+    Await.result(fPq, Duration.Inf)
+    Await.result(fCent, Duration.Inf)
     // ONE atomic commit point for the whole quintuple: readers resolve
     // the catalog pointer and can never mix new cells with old
     // centroids/codebooks (the cross-store torn read the old
@@ -825,13 +835,25 @@ object EmbeddingStore {
       .localCheckpoint()
       .repartitionByRange(nFiles.toInt, col("cell"), col("doc_id"))
       .localCheckpoint()
+    // the three substore appends (cells + both code sidecars) are
+    // INDEPENDENT commits to disjoint roots off the same pinned
+    // assignment — submit them as concurrent jobs (guide §2.6: the
+    // scheduler interleaves their small stages across the executors),
+    // so this section's wall is max(append) instead of the sum; the
+    // catalog publish below is the one sequential point
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val cellsRoot = s"$path/cells"
-    TableFormat.appendScoped(spark, cellsRoot, assigned,
-      TableFormat.genSchema(cellsRoot, TableFormat.currentGen(cellsRoot)))
+    val fCells = Future(TableFormat.appendScoped(spark, cellsRoot, assigned,
+      TableFormat.genSchema(cellsRoot, TableFormat.currentGen(cellsRoot))))
     // keep the PQ code sidecar append-consistent with the cells: the
     // appended vectors encode against the PERSISTED codebooks
-    ProductQuantizer.appendPq(spark, assigned, path)
-    ScalarQuantizer.appendSq8(assigned, path)
+    val fPq = Future(ProductQuantizer.appendPq(spark, assigned, path))
+    val fSq = Future(ScalarQuantizer.appendSq8(assigned, path))
+    Await.result(fCells, Duration.Inf)
+    Await.result(fPq, Duration.Inf)
+    Await.result(fSq, Duration.Inf)
     // one atomic pointer swap publishes the consistent post-append
     // quintuple; the pre-append index generation stays readable
     IndexCatalog.publish(path)
@@ -1187,10 +1209,33 @@ object EmbeddingStore {
     * from the stored cells. */
   def rebuildIfDrifted(spark: SparkSession, path: String,
       threshold: Double, pqDistortionThreshold: Double): Boolean = {
-    val st = indexStats(spark, path).first()
-    val frac = st.getAs[Double]("appended_frac")
-    val dist = st.getAs[Double]("pq_distortion")
-    if (frac <= threshold && dist <= pqDistortionThreshold) false
+    // each gate reads the NARROWEST stats that decide it: the
+    // appended fraction is one (count, sum(gen)) aggregate over the
+    // cells — the full indexStats row would additionally score every
+    // vector against its centroid AND the PQ codebooks (a corpus
+    // pass with a per-row argmin), which the daily advance paid on
+    // every cycle before deciding anything. The distortion leg only
+    // runs when a FINITE distortion gate asks for it (and the
+    // fraction gate hasn't already tripped) — same decisions, same
+    // 6dp rounding (BigDecimal HALF_UP mirrors Spark's Round), one
+    // cheap pass instead of the full scored pass on the common path.
+    val h = IndexCatalog.read(spark, path, "cells")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("gen").cast("long")), lit(0L)).as("na")).first()
+    val n = h.getLong(0)
+    val frac =
+      if (n == 0L) Double.NaN
+      else java.math.BigDecimal.valueOf(h.getLong(1).toDouble / n.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val tripped =
+      if (!(frac <= threshold)) true
+      else if (pqDistortionThreshold == Double.MaxValue) false
+      else {
+        val dist = indexStats(spark, path).first()
+          .getAs[Double]("pq_distortion")
+        !(dist <= pqDistortionThreshold)
+      }
+    if (!tripped) false
     else {
       // re-fit FROM THE STORED CELLS: the build commits the next
       // generation of every substore (coarse centroids AND both code

@@ -99,30 +99,41 @@ object IndexMaintenance {
   private def maintainStores(spark: SparkSession, path: String)(
       verb: (String, org.apache.spark.sql.types.StructType)
         => graft.sources.TableFormat.SkipReport): Seq[CompactionReport] = {
-    val reports = Seq("cells", "pq_codes", "sq8_codes").flatMap { sub =>
-      val root = s"$path/$sub"
-      TableFormat.currentGenOption(root).map { g =>
-        val schema = TableFormat.genSchema(root, g)
-        val mBefore = TableFormat.readManifest(spark, root, g)
-          .localCheckpoint(true)
-        val before = mBefore.count()
-        val rep = verb(root, schema)
-        val gAfter = TableFormat.currentGen(root)
-        val after = TableFormat.readManifest(spark, root, gAfter).count()
-        // bytes moved = the rewritten (non-carried) files' sizes; the
-        // before-manifest names them, the filesystem prices them
-        val carried = TableFormat.readManifest(spark, root, gAfter)
-          .select(col("file")).collect().map(_.getString(0)).toSet
-        val bytes = mBefore.select(col("file")).collect()
-          .map(_.getString(0))
-          .filterNot(carried)
-          .map(f => new File(
-            if (f.startsWith("file:")) java.net.URI.create(f).getPath
-            else f).length())
-          .sum
-        CompactionReport(sub, before, after, bytes)
+    // the three substores are INDEPENDENT manifested tables under
+    // disjoint roots — maintain them as concurrent job chains (guide
+    // §2.6: this section's wall is max(substore) instead of the sum);
+    // the catalog publish below is the one sequential point. Each
+    // manifest is COLLECTED once (file names give the count, the
+    // carried set and the byte accounting in one scan-planning-sized
+    // job — the old shape re-read each manifest three times).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def manifestFiles(root: String, g: Long): Array[String] =
+      TableFormat.readManifest(spark, root, g)
+        .select(col("file")).collect().map(_.getString(0))
+    val futures = Seq("cells", "pq_codes", "sq8_codes").map { sub =>
+      Future {
+        val root = s"$path/$sub"
+        TableFormat.currentGenOption(root).map { g =>
+          val beforeFiles = manifestFiles(root, g)
+          verb(root, TableFormat.genSchema(root, g))
+          val afterFiles = manifestFiles(root, TableFormat.currentGen(root))
+          // bytes moved = the rewritten (non-carried) files' sizes;
+          // the before-manifest names them, the filesystem prices them
+          val carried = afterFiles.toSet
+          val bytes = beforeFiles
+            .filterNot(carried)
+            .map(f => new File(
+              if (f.startsWith("file:")) java.net.URI.create(f).getPath
+              else f).length())
+            .sum
+          CompactionReport(sub, beforeFiles.length.toLong,
+            afterFiles.length.toLong, bytes)
+        }
       }
     }
+    val reports = futures.flatMap(Await.result(_, Duration.Inf))
     graft.sources.IndexCatalog.publish(path)
     reports
   }
@@ -190,9 +201,13 @@ object IndexMaintenance {
       .searchIvf(spark, path, queryDocId = 0L, k = 10, probes = 2)
       .localCheckpoint(true)
     val stable = probePost.collect().toSeq == probePre
-    val cells = IndexCatalog.read(spark, path, "cells")
-    val nVectors = cells.count()
-    val nAppended = cells.filter(col("gen") === 1).count()
+    // one readback pass over the compacted store yields both counts
+    // (the old two-count shape scanned the cells twice)
+    val cellCounts = IndexCatalog.read(spark, path, "cells")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gen") === 1, 1L).otherwise(0L)).as("na")).first()
+    val nVectors = cellCounts.getLong(0)
+    val nAppended = cellCounts.getLong(1)
     probePost.select(col("doc_id"), col("cell"), col("score"),
       lit(nVectors).as("n_vectors"),
       lit(nAppended).as("n_appended"),

@@ -61,6 +61,15 @@ object Export {
       TextAnalysis.pipelineKeptDocs(t)
         .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
         .select(col("doc_id"), col("text"), col("split"), col("source"))
+        // hash-distribute on the partition keys before the fan-out
+        // (Iceberg write.distribution-mode=hash; guide §6): without
+        // it every write task opens a file in every (split, source)
+        // dir it sees — tasks × dirs small files whose open/commit
+        // overhead the read-back then pays per file. One small
+        // shuffle of the kept rows bounds the store at ~one file per
+        // partition dir. Row content is unchanged — the manifest is
+        // layout-invariant by construction.
+        .repartition(col("split"), col("source"))
         .write.partitionBy("split", "source").parquet(out)
       // EXPLICIT read schema: pins the partition columns to STRING
       // (default partition-type inference would corrupt a numeric-
@@ -114,6 +123,10 @@ object Export {
         .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
         .select(col("doc_id"), col("text"), col("source"), col("split"),
           pmod(col("doc_id"), lit(exportShardCount.toLong)).as("shard"))
+        // hash-distribute on the partition keys (H1's rationale) —
+        // the shard fan-out otherwise lands tasks × 16 dirs of
+        // small files
+        .repartition(col("split"), col("shard"))
         .write.partitionBy("split", "shard").parquet(out)
       spark.read
         .schema("doc_id LONG, text STRING, source STRING, split STRING, shard LONG")
@@ -246,6 +259,8 @@ object Export {
         .join(buckets, "doc_id")
         .select(col("doc_id"), col("text"), phase.as("phase"),
           pmod(col("doc_id"), lit(exportShardCount.toLong)).as("shard"))
+        // hash-distribute on the partition keys (H1's rationale)
+        .repartition(col("phase"), col("shard"))
         .write.partitionBy("phase", "shard").parquet(out)
       spark.read
         .schema("doc_id LONG, text STRING, phase INT, shard LONG")

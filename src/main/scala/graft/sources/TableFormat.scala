@@ -530,6 +530,10 @@ object TableFormat {
               col(s"bloom_$key"), vals) || nullClause)
         }
       }
+    // the split is exhaustive and disjoint (carried = everything not
+    // touched, including sketch-rejected range hits), so the carried
+    // count is arithmetic over the pinned manifest — no count job
+    val nAll = m.count()
     val rangeTouched = m.join(sc, touch, "left_semi")
     val touchedFiles = refined.fold(rangeTouched)(rangeTouched.filter)
       .select(col("file")).collect().map(_.getString(0)).toSeq
@@ -549,7 +553,8 @@ object TableFormat {
       .filter(f => !recorded(f.name) && statable(f.dataType))
       .map(_.name)
     tryCommitFiles(spark, root, expected, schema, widened.distinct,
-      touchedFiles, carried, rewrite, txn)
+      touchedFiles, carried, rewrite, txn,
+      carriedN = nAll - touchedFiles.length)
   }
 
   /** Types whose min/max/null statistics a manifest tracks — the
@@ -580,13 +585,16 @@ object TableFormat {
   private[graft] def summarizeScope(delta: DataFrame, key: String,
       maxKeys: Int = 8192, intervals: Int = 512): DataFrame = {
     val keys = delta.select(col(key).as("__k")).distinct()
-    val n = keys.limit(maxKeys + 1).count()
+    // ONE distinct pass decides the path AND supplies the exact
+    // scope: the ≤ maxKeys+1 sample is pinned eagerly and counted
+    // from its materialized blocks (the old shape counted a limit
+    // first, then re-ran the full distinct to pin the exact scope —
+    // two delta passes where one suffices)
+    val sample = keys.limit(maxKeys + 1).localCheckpoint(true)
+    val n = sample.count()
     if (n <= maxKeys)
-      // eagerly pinned: ≤ maxKeys rows by construction, and the
-      // broadcast build would otherwise re-run the delta's distinct
-      keys.select(col("__k").as("__lo"), col("__k").as("__hi"),
+      sample.select(col("__k").as("__lo"), col("__k").as("__hi"),
         col("__k").isNull.as("__nul"))
-        .localCheckpoint(true)
     else {
       val ranges = keys.filter(col("__k").isNotNull)
         .repartitionByRange(intervals, col("__k"))
@@ -610,7 +618,11 @@ object TableFormat {
       expected: Long, schema: StructType, keys: Seq[String],
       touchedFiles: Seq[String], carried: DataFrame,
       rewrite: DataFrame => DataFrame,
-      txn: Option[(String, Long)] = None): Option[SkipReport] = {
+      txn: Option[(String, Long)] = None,
+      // every caller already knows the carried-file count from its
+      // own manifest split — passing it avoids a count job per commit
+      // (the carried frame itself still feeds the manifest write)
+      carriedN: Long): Option[SkipReport] = {
     val g = expected + 1
     val survivors =
       if (touchedFiles.isEmpty)
@@ -621,7 +633,6 @@ object TableFormat {
     val dirName = s"gen_${g}_$token"
     val dir = s"$root/$dirName"
     rewrite(survivors).write.parquet(dir)
-    val carriedN = carried.count()
     // allowMissingColumns: a widened stats key set (additive schema
     // evolution) adds min_/max_/null_ columns the carried rows don't
     // have — they fill NULL, the "file predates this column" marker.
@@ -796,7 +807,8 @@ object TableFormat {
     val m = readManifest(spark, root, expected).localCheckpoint(true)
     tryCommitFiles(spark, root, expected, schema, manifestKeys(m),
       Seq.empty, m, _ => delta.select(
-        schema.fieldNames.map(col).toIndexedSeq: _*), txn)
+        schema.fieldNames.map(col).toIndexedSeq: _*), txn,
+      carriedN = m.count())
       .getOrElse(throw new IllegalStateException(
         s"appendScoped raced a concurrent writer on $root"))
   }
@@ -1514,15 +1526,19 @@ object TableFormat {
     val cur = currentGen(root)
     val m = readManifest(spark, root, cur).localCheckpoint(true)
     val keys = manifestKeys(m)
-    val small = m.filter(col("n_rows") < smallRows)
-    val touched = small.select(col("file"))
-      .collect().map(_.getString(0)).toSeq
+    // ONE collect of (file, n_rows) decides everything driver-side:
+    // the fold set, the bin count and the carried count (the old
+    // shape ran a collect plus a sum aggregate over the same pinned
+    // manifest). Scan-planning-sized by the manifest's contract.
+    val sizes = m.select(col("file"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val touched = sizes.collect { case (f, n) if n < smallRows => f }.toSeq
     val carried = m.filter(col("n_rows") >= smallRows)
-    val totalSmall = small.agg(coalesce(sum(col("n_rows")), lit(0L)))
-      .first().getLong(0)
+    val totalSmall = sizes.collect { case (_, n) if n < smallRows => n }.sum
     val nOut = math.max(1L, (totalSmall + targetRows - 1) / targetRows).toInt
     tryCommitFiles(spark, root, cur, schema, keys, touched, carried,
-      surv => surv.repartitionByRange(nOut, keys.map(col).toIndexedSeq: _*))
+      surv => surv.repartitionByRange(nOut, keys.map(col).toIndexedSeq: _*),
+      carriedN = sizes.length - touched.length)
       .getOrElse(throw new IllegalStateException(
         s"optimize raced a concurrent writer on $root"))
   }
