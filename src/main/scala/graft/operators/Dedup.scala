@@ -947,15 +947,22 @@ object Dedup {
     * never drift. */
   private[graft] def cellPairs(assigned: DataFrame): DataFrame = {
     val g = 4
+    // per-row norm computed once before the pair fan-out — every
+    // in-cell pair then pays one dot, not the fused 3-multiply-add
+    // cosine (EmbeddingStore.normScore's bit-parity argument: the
+    // 6dp-rounded scores are IEEE-identical, oracles untouched)
     val e = assigned.select(col("vec_id"), col("cell"), col("embedding"),
       pmod(col("vec_id"), lit(g)).as("grp"))
+      .withColumn("__n", l2Norm(col("embedding")))
     // side A covers blocks (grp, j) for j >= grp; side B covers (i, grp)
     // for i <= grp — an (x in group gi, y in group gj) pair meets in
     // exactly one block
     val aSide = e.select(col("vec_id"), col("cell"), col("embedding"),
-      col("grp").as("i"), explode(sequence(col("grp"), lit(g - 1))).as("j"))
+      col("__n"), col("grp").as("i"),
+      explode(sequence(col("grp"), lit(g - 1))).as("j"))
     val bSide = e.select(col("vec_id"), col("cell"), col("embedding"),
-      explode(sequence(lit(0), col("grp"))).as("i"), col("grp").as("j"))
+      col("__n"), explode(sequence(lit(0), col("grp"))).as("i"),
+      col("grp").as("j"))
     // shuffle_hash: both sides read the checkpointed assignment (no
     // ordering to exploit), and the rows carry the 64-float vectors —
     // an SMJ would sort the fattest rows in the pipeline twice; each
@@ -970,7 +977,8 @@ object Dedup {
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("a.cell").as("cell"),
-        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        EmbeddingStore.normScore(col("a.embedding"), col("b.embedding"),
+          col("a.__n"), col("b.__n")).as("score"))
   }
 
   /** E15's group threshold: two same-cell vectors are SEMANTIC

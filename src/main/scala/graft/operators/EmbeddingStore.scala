@@ -715,17 +715,37 @@ object EmbeddingStore {
       .select(col("doc_id"), col("embedding"),
         (-col("m.nk")).cast("int").as(keyCol))
 
+  /** Pair score with PRE-COMPUTED norms — the fan-out form of
+    * `round(cosineSim, 6)`: in a pair fan-out (a vector scored
+    * against many centroids, a query against many candidates) the
+    * fused cosine kernel re-derives BOTH self-norms per pair — 3
+    * multiply-adds per element where the dot needs 1. Computing each
+    * side's L2 norm once per ROW (before the fan-out join) and
+    * dividing cuts the pair loop to a third. Bit-parity: the norm
+    * accumulates the same widened elements in the same order as the
+    * fused kernel, so `dot / (na * nb)` is the IEEE-identical double
+    * and the 6dp round selects identical rows — the oracle replay is
+    * untouched. The zero-norm guard mirrors cosineSim's 0.0. */
+  private[graft] def normScore(e: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column, ne: org.apache.spark.sql.Column,
+      nc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(ne === 0.0 || nc === 0.0, 0.0)
+      .otherwise(round(dotProduct(e, c) / (ne * nc), 6))
+
   /** Score every vector against a broadcast centroid table, keep the
     * argmax. Scores round to 6 dp BEFORE the argmax so assignment is
     * deterministic across engines/platforms (libm 1-ulp drift cannot
     * flip a comparison) — E5's dedup blocking relies on this to let
-    * the DuckDB oracle replay the exact same cell per vector. */
+    * the DuckDB oracle replay the exact same cell per vector. Norms
+    * pre-compute per row ([[normScore]]), never per pair. */
   private def argmaxAttach(vectors: DataFrame, attach: DataFrame,
       keyCol: String): DataFrame =
     argmaxScored(
-      vectors.join(broadcast(attach))
+      vectors.withColumn("__vn", l2Norm(col("embedding")))
+        .join(broadcast(attach.withColumn("__cn", l2Norm(col("centroid")))))
         .select(col("doc_id"), col("embedding"), col(keyCol),
-          round(cosineSim(col("embedding"), col("centroid")), 6).as("cscore")),
+          normScore(col("embedding"), col("centroid"),
+            col("__vn"), col("__cn")).as("cscore")),
       keyCol)
 
   /** Nearest-centroid assignment with a TWO-LEVEL coarse quantizer:
@@ -780,16 +800,19 @@ object EmbeddingStore {
     // corpus at τ=1024 rows/cell) the hint drops and AQE plans the
     // shuffle join on `coarse` — the cluster-scale adjustment the
     // numCellsFor scaladoc documents, now automatic
+    val fineWithNorm = fineGrouped.withColumn("__cn", l2Norm(col("centroid")))
     val fineSide =
-      if (k <= broadcastCellCap) broadcast(fineGrouped) else fineGrouped
+      if (k <= broadcastCellCap) broadcast(fineWithNorm) else fineWithNorm
     argmaxScored(
-      coarsePick.as("v")
+      coarsePick.withColumn("__vn", l2Norm(col("embedding"))).as("v")
         .join(fineSide.as("c"), Seq("coarse"))
         .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
           col("c.cell").as("cell"),
           // rounded like level 1 (argmaxAttach) — both argmax levels
-          // must be engine-replayable for E5's oracle
-          round(cosineSim(col("v.embedding"), col("c.centroid")), 6).as("cscore")),
+          // must be engine-replayable for E5's oracle; norms per row
+          // ([[normScore]]'s bit-parity argument), never per pair
+          normScore(col("v.embedding"), col("c.centroid"),
+            col("v.__vn"), col("c.__cn")).as("cscore")),
       "cell")
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, l2Norm}
 import graft.sources.Tables
 
 /** D32 — `q_kmeans`: the FLAT k-means convergence trajectory —
@@ -56,9 +56,14 @@ object KMeans {
     * ties, zero-norm guard inherited from cosineSim. */
   private[graft] def assignFlat(vectors: DataFrame,
       centroids: DataFrame): DataFrame =
-    vectors.join(broadcast(centroids))
+    // norms pre-compute once per row/centroid, not per pair — the
+    // k-way fan then pays one dot per pair; 6dp scores are
+    // IEEE-identical to the fused cosine (EmbeddingStore.normScore)
+    vectors.withColumn("__vn", l2Norm(col("embedding")))
+      .join(broadcast(centroids.withColumn("__cn", l2Norm(col("centroid")))))
       .select(col("vec_id"), col("embedding"), col("cell"),
-        score6(col("embedding"), col("centroid")).as("s"))
+        EmbeddingStore.normScore(col("embedding"), col("centroid"),
+          col("__vn"), col("__cn")).as("s"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("s").as("s"),
         (-col("cell")).cast("long").as("nc"))).as("m"),

@@ -250,9 +250,13 @@ object VectorSearch {
     val k = 3
     val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
     val cent = EmbeddingStore.seedCentroids(emb)
-    // eager checkpoint: the self-join reads the assignment twice
+    // eager checkpoint: the self-join reads the assignment twice;
+    // the per-row norm rides it so every in-cell pair below pays one
+    // dot, not the fused 3-multiply-add cosine (normScore's
+    // bit-parity argument — 6dp scores identical)
     val assigned = EmbeddingStore.assignCells(emb, cent)
       .select(col("doc_id").as("vec_id"), col("embedding"), col("cell"))
+      .withColumn("__n", l2Norm(col("embedding")))
       .localCheckpoint()
     // shuffle_hash for the E5 reason: both sides read the
     // checkpointed assignment (no ordering to exploit) and rows
@@ -264,7 +268,8 @@ object VectorSearch {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("neighbor_id"),
-        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        EmbeddingStore.normScore(col("a.embedding"), col("b.embedding"),
+          col("a.__n"), col("b.__n")).as("score"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -316,11 +321,14 @@ object VectorSearch {
   def knnJoin(t: Tables): DataFrame = {
     val e = t.embeddings
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("__qn"))
     val scored = e.filter(col("vec_id") >= 5)
+      .withColumn("__n", l2Norm(col("embedding")))
       .join(broadcast(q))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        score(col("embedding"), col("qv")).as("score"))
+        EmbeddingStore.normScore(col("embedding"), col("qv"),
+          col("__n"), col("__qn")).as("score"))
     val salts = 16
     val w1 = Window
       .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts)))
@@ -469,10 +477,16 @@ object VectorSearch {
       attachLabel: DataFrame => DataFrame): DataFrame = {
     val k = 10
     val cent = EmbeddingStore.seedCentroids(emb)
+    // per-row norms ride the pinned assignment so the corpus×queries
+    // scoring passes below pay one dot per pair, not the fused
+    // 3-multiply-add cosine (EmbeddingStore.normScore's bit-parity
+    // argument — the 6dp-rounded scores are IEEE-identical)
     val assigned = attachLabel(EmbeddingStore.assignCells(emb, cent))
+      .withColumn("__vn", l2Norm(col("embedding")))
       .localCheckpoint()
     val queries = assigned.filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"),
+        col("__vn").as("__qn"))
       .orderBy(col("qid")).limit(recallQueryCount)
       .localCheckpoint()
     val probeRank = queries.join(broadcast(cent))
@@ -491,7 +505,8 @@ object VectorSearch {
       .filter(col("doc_id") =!= col("qid"))
       .join(broadcast(sels), col("label") < col("max_label"))
       .select(col("qid"), col("max_label"), col("doc_id"),
-        score(col("embedding"), col("qv")).as("s"))
+        EmbeddingStore.normScore(col("embedding"), col("qv"),
+          col("__vn"), col("__qn")).as("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"), col("max_label"))
           .orderBy(col("s").desc, col("doc_id"))))
@@ -506,7 +521,8 @@ object VectorSearch {
         col("qid") === col("qid2") && col("doc_id") =!= col("qid2"))
       .join(broadcast(sels), col("label") < col("max_label"))
       .select(col("qid"), col("probes"), col("max_label"), col("doc_id"),
-        score(col("embedding"), col("qv")).as("s"))
+        EmbeddingStore.normScore(col("embedding"), col("qv"),
+          col("__vn"), col("__qn")).as("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"), col("probes"), col("max_label"))
           .orderBy(col("s").desc, col("doc_id"))))
