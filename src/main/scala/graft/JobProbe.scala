@@ -37,8 +37,17 @@ object JobProbe {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
+        // futures-submitted jobs carry no thread-local call site — the
+        // result stage's name (its creation site) localizes them
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .filter(_.nonEmpty)
+          .orElse(e.stageInfos.lastOption.flatMap(si =>
+            si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("JobProbe"))
+              .map(_.trim.stripPrefix("at "))))
+          .orElse(e.stageInfos.lastOption.map(_.name))
+          .getOrElse("")
         jobs(e.jobId) = JobRec(e.jobId, desc, site, e.time)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {

@@ -88,9 +88,12 @@ object AdvanceDay {
     val spark = t.spark
     val statePath = s"$base/dedup"
     val indexPath = s"$base/ivf"
-    graft.sources.LayoutStore.copyRecursively(
+    // hard-link clone: the parquet payload carries by reference into
+    // the private copy (the advance only ever lands NEW files), so the
+    // episode never rewrites the base bytes it does not touch
+    graft.sources.LayoutStore.cloneRecursively(
       new java.io.File(pristine, "dedup"), new java.io.File(statePath))
-    graft.sources.LayoutStore.copyRecursively(
+    graft.sources.LayoutStore.cloneRecursively(
       new java.io.File(pristine, "ivf"), new java.io.File(indexPath))
 
     // the split points (parquet-footer max aggs, no scan) — needed
@@ -110,7 +113,7 @@ object AdvanceDay {
     // drift-gated rebuild then needs the append's gen-1 rows and
     // stays sequential.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.Concurrency.commitEc
     import scala.concurrent.duration.Duration
     val advanceF = Future(Dedup.advanceDedupState(t.documents, statePath))
     val appendF = Future(EmbeddingStore.appendToIvfIndex(spark, indexPath,

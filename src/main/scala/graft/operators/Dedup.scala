@@ -746,8 +746,10 @@ object Dedup {
     * all tokens. TWO salted md5s per token supply all 64 bits (hex
     * char j's high bit — '0'-'7' vs '8'-'f' — is one vote, 32 chars
     * per digest), a 32× hash saving over per-bit salted hashing; the
-    * digests are projected to bound columns first so the 64 vote
-    * expressions share them instead of re-hashing. Near-pairs at
+    * whole vote table is the row-local
+    * [[graft.functions.SimHash64]] kernel — a doc's fingerprint
+    * depends only on its own tokens, so no token row ever leaves its
+    * input row (zero exchange; r19). Near-pairs at
     * Hamming ≤ 3 come from 4×16-bit band blocking over an explode
     * unpivot (pigeonhole-exact for ≤ 3, and no union-branch
     * recompute). Band capacity is 65,536 values — combined with the
@@ -759,20 +761,18 @@ object Dedup {
     * band mask makes arithmetic-shift extraction sign-safe on both
     * engines. */
   def dedupSimhash(t: Tables): DataFrame = {
-    val ex = t.documents
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    // a doc's fingerprint is a pure function of its own token list, so
+    // the whole vote table is ONE row-local projection through the
+    // codegen'd SimHash64 kernel (guide §2.4): the old explode +
+    // 64-sum-expression aggregation shuffled one row per token and
+    // compared hex substrings 64× per token to rebuild per-doc state
+    // the row already had. Same md5 digit votes, same ≥ 0 bit rule —
+    // the fingerprint is bit-identical (the oracle replays it). The
+    // null filter keeps the old explode semantics (null text → no row).
+    val fps = t.documents
       .select(col("doc_id"),
-        md5(concat(lit("a:"), col("w"))).as("ha"),
-        md5(concat(lit("b:"), col("w"))).as("hb"))
-    val bitSums = (0 until 64).map { k =>
-      val src = if (k < 32) col("ha") else col("hb")
-      sum(when(substring(src, (k % 32) + 1, 1) <= "7", 1).otherwise(-1)).as(s"s$k")
-    }
-    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fpCol = (0 until 64).map { k =>
-      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val fps = sums.select(col("doc_id"), fpCol.as("fp"))
+        graft.functions.VectorFunctions.simHash64(words(col("text"))).as("fp"))
+      .filter(col("fp").isNotNull)
     hammingCandidates(fps)
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))

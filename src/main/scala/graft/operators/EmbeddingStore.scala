@@ -656,7 +656,7 @@ object EmbeddingStore {
     // commit above is a strict prerequisite (the sidecars read the
     // just-committed cell layout)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.Concurrency.commitEc
     import scala.concurrent.duration.Duration
     val centRoot = s"$path/centroids"
     val fCent = Future(TableFormat.commitGenManifested(
@@ -689,18 +689,28 @@ object EmbeddingStore {
     * the last ulp of an avg; the 6dp round absorbs it — same parity
     * contract as every scored value). */
   private[graft] def lloydStep(assigned: DataFrame, vecDim: Int): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy(col("cell"), col("i")).agg(round(avg(col("v")), 6).as("cv"))
+    lloydFinish(
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i")).agg(round(avg(col("v")), 6).as("cv")),
+      vecDim)
+      // k rows, consumed by several passes inside assignCells — pin
+      // them so the corpus-wide posexplode aggregation runs once
+      .localCheckpoint()
+
+  /** The assembly half of [[lloydStep]] — k×dim (cell, i, cv) mean
+    * rows → k (cell, centroid float[dim]) rows. Factored out so a
+    * caller that already aggregated the per-(cell, component) means
+    * (KMeans fuses its stats pass into that aggregation) finishes
+    * through the ONE update rule. */
+  private[graft] def lloydFinish(cellMeans: DataFrame, vecDim: Int): DataFrame =
+    cellMeans
       .groupBy(col("cell"))
       .agg(map_from_entries(collect_list(struct(col("i"), col("cv")))).as("m"))
       .select(col("cell"),
         transform(sequence(lit(0), lit(vecDim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0)))
           .cast("array<float>").as("centroid"))
-      // k rows, consumed by several passes inside assignCells — pin
-      // them so the corpus-wide posexplode aggregation runs once
-      .localCheckpoint()
 
   /** Per-row argmax over pre-scored (doc_id, embedding, key, cscore)
     * rows — a map-side-combining aggregate on a (score, -key) struct,
@@ -770,50 +780,99 @@ object EmbeddingStore {
         .select(col("cell").as("seed_cell"), col("centroid")),
       kc, "coarse seed centroids").zipWithIndex
       .map { case (r, i) => (i, r.getInt(0), r.getSeq[Float](1).toArray) }
-    val coarseDf = spark
-      .createDataFrame(spark.sparkContext.parallelize(coarseSeeds.toSeq))
-      .toDF("coarse", "seed_cell", "centroid")
-      .select(col("coarse"), col("seed_cell"),
-        col("centroid").cast("array<float>").as("centroid"))
-    // group the fine centroids themselves under their coarse seed —
-    // but pin each seed's OWN fine cell to its own group: this
-    // guarantees every coarse group is non-empty, so the level-2
-    // inner join below can never drop a vector (FP rounding could
-    // otherwise argmax a seed centroid into a sibling group and leave
-    // its group empty)
-    val seedOwn = coarseDf.select(col("seed_cell"), col("coarse").as("own"))
-    val fineGrouped = argmaxAttach(
-      centroids.select(col("cell").as("doc_id"), col("centroid").as("embedding")),
-      coarseDf.select(col("coarse"), col("centroid")), "coarse")
-      .select(col("doc_id").as("cell"), col("embedding").as("centroid"),
-        col("coarse"))
-      .join(broadcast(seedOwn), col("cell") === col("seed_cell"), "left")
-      .select(col("cell"), col("centroid"),
-        coalesce(col("own"), col("coarse")).as("coarse"))
-    // level 1: each vector picks its coarse group
-    val coarsePick = argmaxAttach(vectors, coarseDf.select(col("coarse"),
-      col("centroid")), "coarse")
-    // level 2: argmax over ONLY that group's fine centroids (equi-join
-    // on the coarse id keeps the scored fan-out at ~k/√k per vector).
-    // The fine table is k rows (~(dim·4+16) B each): broadcast while
-    // that is comfortably tens of MB; past ~200k cells (a 100 TB-scale
-    // corpus at τ=1024 rows/cell) the hint drops and AQE plans the
-    // shuffle join on `coarse` — the cluster-scale adjustment the
-    // numCellsFor scaladoc documents, now automatic
-    val fineWithNorm = fineGrouped.withColumn("__cn", l2Norm(col("centroid")))
-    val fineSide =
-      if (k <= broadcastCellCap) broadcast(fineWithNorm) else fineWithNorm
-    argmaxScored(
-      coarsePick.withColumn("__vn", l2Norm(col("embedding"))).as("v")
-        .join(fineSide.as("c"), Seq("coarse"))
-        .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
-          col("c.cell").as("cell"),
-          // rounded like level 1 (argmaxAttach) — both argmax levels
-          // must be engine-replayable for E5's oracle; norms per row
-          // ([[normScore]]'s bit-parity argument), never per pair
-          normScore(col("v.embedding"), col("c.centroid"),
-            col("v.__vn"), col("c.__cn")).as("cscore")),
-      "cell")
+    if (k <= broadcastCellCap) {
+      // KERNEL PATH (the common, bounded-k shape — same gate as the
+      // broadcast rule, so IvfIndexSpec's cap-forcing test proves the
+      // two paths result-identical): both argmax levels run as the
+      // row-local [[graft.functions.NearestCell]] kernel, so the
+      // corpus pays ZERO exchanges — the old shape fanned every
+      // vector out k-ways per level and re-assembled it with a
+      // corpus-wide groupBy(doc_id) aggregate TWICE, plus ~6
+      // broadcast-exchange jobs per call (the dominant job count of
+      // every episode row, JobProbe r19). Driver contract unchanged:
+      // only the ⌈√k⌉ coarse seeds are ever collected; the fine
+      // table stays distributed and reaches the corpus as one
+      // broadcast of √k grouped candidate arrays.
+      // norms precompute per centroid with the SAME scalar math as
+      // l2Norm (widened float elements, index order)
+      def normOf(a: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+        math.sqrt(s)
+      }
+      // ascending coarse id == ascending-key candidate order (the
+      // kernel's lowest-key tie-break contract)
+      val coarseArr = typedLit(coarseSeeds.toSeq.map { case (i, _, c) =>
+        (i, c.toSeq, normOf(c)) })
+      // the seed's OWN fine cell pins to its own group (the non-empty
+      // group guarantee), as a tiny literal map over cell ids
+      val seedOwnMap = typedLit(
+        coarseSeeds.map { case (i, cell, _) => cell -> i }.toMap)
+      val fineGrouped = centroids
+        .select(col("cell"), col("centroid"),
+          coalesce(element_at(seedOwnMap, col("cell")),
+            graft.functions.VectorFunctions.nearestCell(
+              col("centroid"), coarseArr)).as("coarse"))
+      // √k rows, each holding its group's candidates sorted by cell
+      // (ascending-key contract); one broadcast replaces the old
+      // k-row fine-table broadcast + corpus exchange
+      val fineArrays = fineGrouped
+        .withColumn("__cn", l2Norm(col("centroid")))
+        .groupBy(col("coarse"))
+        .agg(sort_array(collect_list(
+          struct(col("cell"), col("centroid"), col("__cn")))).as("cands"))
+      vectors
+        .withColumn("coarse",
+          graft.functions.VectorFunctions.nearestCell(
+            col("embedding"), coarseArr))
+        .join(broadcast(fineArrays), Seq("coarse"))
+        .select(col("doc_id"), col("embedding"),
+          graft.functions.VectorFunctions.nearestCell(
+            col("embedding"), col("cands")).as("cell"))
+    } else {
+      // DISTRIBUTED PATH (past the broadcast cap — ~200k+ cells, the
+      // 100 TB-scale corpus shape): the fine table outgrows a single
+      // broadcast value, so the levels run as the original fan-out
+      // joins with AQE-planned shuffle equi-joins on `coarse`.
+      val coarseDf = spark
+        .createDataFrame(spark.sparkContext.parallelize(coarseSeeds.toSeq))
+        .toDF("coarse", "seed_cell", "centroid")
+        .select(col("coarse"), col("seed_cell"),
+          col("centroid").cast("array<float>").as("centroid"))
+      // group the fine centroids themselves under their coarse seed —
+      // but pin each seed's OWN fine cell to its own group: this
+      // guarantees every coarse group is non-empty, so the level-2
+      // inner join below can never drop a vector (FP rounding could
+      // otherwise argmax a seed centroid into a sibling group and
+      // leave its group empty)
+      val seedOwn = coarseDf.select(col("seed_cell"), col("coarse").as("own"))
+      val fineGrouped = argmaxAttach(
+        centroids.select(col("cell").as("doc_id"), col("centroid").as("embedding")),
+        coarseDf.select(col("coarse"), col("centroid")), "coarse")
+        .select(col("doc_id").as("cell"), col("embedding").as("centroid"),
+          col("coarse"))
+        .join(broadcast(seedOwn), col("cell") === col("seed_cell"), "left")
+        .select(col("cell"), col("centroid"),
+          coalesce(col("own"), col("coarse")).as("coarse"))
+      // level 1: each vector picks its coarse group
+      val coarsePick = argmaxAttach(vectors, coarseDf.select(col("coarse"),
+        col("centroid")), "coarse")
+      // level 2: argmax over ONLY that group's fine centroids
+      // (equi-join on the coarse id keeps the scored fan-out at
+      // ~k/√k per vector)
+      val fineWithNorm = fineGrouped.withColumn("__cn", l2Norm(col("centroid")))
+      argmaxScored(
+        coarsePick.withColumn("__vn", l2Norm(col("embedding"))).as("v")
+          .join(fineWithNorm.as("c"), Seq("coarse"))
+          .select(col("v.doc_id").as("doc_id"), col("v.embedding").as("embedding"),
+            col("c.cell").as("cell"),
+            // rounded like level 1 (argmaxAttach) — both argmax levels
+            // must be engine-replayable for E5's oracle; norms per row
+            // ([[normScore]]'s bit-parity argument), never per pair
+            normScore(col("v.embedding"), col("c.centroid"),
+              col("v.__vn"), col("c.__cn")).as("cscore")),
+        "cell")
+    }
   }
 
   /** Incrementally append vectors to an EXISTING index: assign them
@@ -865,7 +924,7 @@ object EmbeddingStore {
     // so this section's wall is max(append) instead of the sum; the
     // catalog publish below is the one sequential point
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.Concurrency.commitEc
     import scala.concurrent.duration.Duration
     val cellsRoot = s"$path/cells"
     val fCells = Future(TableFormat.appendScoped(spark, cellsRoot, assigned,
@@ -1227,9 +1286,16 @@ object EmbeddingStore {
     * badly the FIXED codebooks now fit the store — appends encode
     * against build-time codebooks, so a corpus that drifts in
     * distribution degrades compressed-probe ranking even while the
-    * appended fraction stays modest). Both numbers come from the ONE
-    * stats row; the re-fit rebuilds coarse centroids AND codebooks
-    * from the stored cells. */
+    * appended fraction stays modest). The re-fit rebuilds coarse
+    * centroids AND codebooks from the stored cells.
+    *
+    * SPEC of the infinite gate: `pqDistortionThreshold =
+    * Double.MaxValue` means "do not consult distortion AT ALL" — the
+    * scored distortion pass is skipped, so a (degenerate, untested-
+    * reachable) NaN distortion cannot trip it either; a caller that
+    * wants NaN-paranoid distortion semantics passes a finite gate,
+    * where `!(dist <= gate)` trips on NaN as before.
+    * ProductQuantizerSpec pins both decisions. */
   def rebuildIfDrifted(spark: SparkSession, path: String,
       threshold: Double, pqDistortionThreshold: Double): Boolean = {
     // each gate reads the NARROWEST stats that decide it: the
@@ -1311,7 +1377,8 @@ object EmbeddingStore {
     val work = graft.sources.LayoutStore.scratch(t.dir, "ixhist")
     try {
       val path = s"$work/ivf"
-      graft.sources.LayoutStore.copyRecursively(
+      // hard-link clone — the appended generation lands new files only
+      graft.sources.LayoutStore.cloneRecursively(
         new java.io.File(pristine, "ivf"), new java.io.File(path))
       val vectors = t.embeddings
         .select(col("vec_id").as("doc_id"), col("embedding"))

@@ -108,24 +108,24 @@ object Encoder {
   * technique) and cosine over raw votes equals cosine over the
   * normalized store vectors (scale invariance).
   *
-  * Scale shape: explode + two keyed map-side-combining aggregations,
-  * keyed on doc_id — embarrassingly parallel in the corpus, no
-  * driver involvement, fully codegen-friendly (built-ins only). */
+  * Scale shape: a doc's vector is a pure function of its own text, so
+  * the whole encode is ONE row-local projection through the codegen'd
+  * [[graft.functions.HashVotes]] kernel — embarrassingly parallel in
+  * the corpus, ZERO exchange, no driver involvement. (The original
+  * explode + two keyed aggregations shuffled ~one row per token —
+  * ~10× the text bytes — to rebuild per-doc state the row already
+  * had; the kernel computes the identical md5 bucket/sign votes in
+  * place, and ±1 integer sums are order-exact in double, so vectors
+  * are bit-identical — EncoderSpec's batched-path parity test and the
+  * search-row oracles pin that.) The null-text filter keeps the old
+  * explode semantics: a null text produced no token row, hence no
+  * output row. */
 final case class HashingEncoder(dim: Int = EmbeddingStore.dim)
     extends Encoder {
-  def encodeRaw(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(words(cleanText(col("text")))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
+  def encodeRaw(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
-        (conv(substring(col("h"), 1, 6), 16, 10).cast("int") % dim).as("bucket"),
-        when(substring(col("h"), 7, 1) <= "7", 1.0).otherwise(-1.0).as("sign"))
-    tok.groupBy(col("doc_id"), col("bucket"))
-      .agg(sum(col("sign")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
-  }
+        graft.functions.VectorFunctions.hashVotes(
+          words(cleanText(col("text"))), dim).as("raw"))
+      .filter(col("raw").isNotNull)
 }

@@ -107,7 +107,7 @@ object IndexMaintenance {
     // carried set and the byte accounting in one scan-planning-sized
     // job — the old shape re-read each manifest three times).
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.Concurrency.commitEc
     import scala.concurrent.duration.Duration
     def manifestFiles(root: String, g: Long): Array[String] =
       TableFormat.readManifest(spark, root, g)
@@ -174,7 +174,9 @@ object IndexMaintenance {
     val work = LayoutStore.scratch(t.dir, "maintain")
     try {
       val path = s"$work/ivf"
-      LayoutStore.copyRecursively(new File(pristine, "ivf"), new File(path))
+      // hard-link clone — the base parquet carries by reference; the
+      // appends + compaction only land new files (LayoutStore scaladoc)
+      LayoutStore.cloneRecursively(new File(pristine, "ivf"), new File(path))
       maintainEpisode(t, path)
     } finally LayoutStore.deleteRecursively(work)
   }

@@ -5,7 +5,6 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, Literal, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -80,22 +79,29 @@ object JoinPruning {
       GraftColumnBridge.expression(xxhash64(key))))
 
   /** PER-GROUP serialized Bloom filter over `xxhash64(key)` as an
-    * aggregate Column — Spark's own `BloomFilterAggregate` (the
-    * creation side of its AQE runtime filter, a TypedImperativeAgg
-    * with map-side partial merge), here grouped instead of global so
-    * one aggregation pass yields one filter PER FILE for a table
-    * format's manifest. Sized for per-file cardinality, not table
-    * cardinality: `numBits` is the fixed on-disk cost per group
-    * (default 2^20 bits = 128 KiB, ~10 bits/key at 100k distinct
-    * keys per file → fpp ≈ 0.8%); an over-full file degrades fpp
-    * gracefully rather than failing, and pruning by a Bloom filter
-    * is advisory (a false positive only reads one extra file — the
-    * residual filter keeps the answer exact). */
-  def bloomAgg(key: Column, expectedItems: Long = 100L * 1000,
-      numBits: Long = 1L << 20): Column =
-    GraftColumnBridge.column(new BloomFilterAggregate(
+    * aggregate Column, here grouped so one aggregation pass yields
+    * one filter PER FILE for a table format's manifest. Sized for
+    * each group's ACTUAL cardinality ([[AdaptiveBloomAggregate]]):
+    * bits = clamp(10 × n_keys, [[bloomMinBits]], `maxBits`) — ~10
+    * bits/key ≈ 0.8% fpp at every file size, where the old fixed
+    * 2^20-bit allocation charged every file 128 KiB of manifest
+    * payload regardless (a τ=1024-row cell file needs ~1.25 KiB; at
+    * a million-file table the fixed sketches WERE the manifest
+    * problem — SCALING.md §23's honest trade, now removed). An
+    * over-full file still degrades fpp gracefully at the cap, and
+    * pruning stays advisory (a false positive only reads one extra
+    * file — the residual filter keeps the answer exact). Serialized
+    * in the standard sketch format, so every existing probe
+    * (mightContainAnyOf / mightContainValue / BloomFilterMightContain)
+    * reads it unchanged. */
+  def bloomAgg(key: Column, maxBits: Long = 1L << 20): Column =
+    GraftColumnBridge.column(AdaptiveBloomAggregate(
       GraftColumnBridge.expression(xxhash64(key)),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      maxBits).toAggregateExpression())
+
+  /** Floor on a per-group sketch: 2^13 bits = 1 KiB serialized —
+    * ≥10 bits/key up to ~800 rows, and a sane minimum k. */
+  private[graft] val bloomMinBits: Long = 1L << 13
 
   /** Per-ROW sketch probe as a Column: true when the row's serialized
     * sketch MIGHT contain ANY of `values` — what Spark's own
@@ -199,4 +205,74 @@ case class BloomMightContainAnyExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Per-group Bloom filter sized by the group's ACTUAL key count —
+  * the adaptive sibling of Spark's fixed-size `BloomFilterAggregate`
+  * (whose `numBits` is one literal for every group, so a manifest
+  * sketch column pays the worst-case file's allocation for every
+  * file). The buffer accumulates the group's xxhash64 values (the
+  * partial rows spill/merge as packed longs — 8 bytes per row, far
+  * below the fixed 128 KiB sketch the old shape carried per PARTIAL
+  * too); `eval` sizes bits = clamp(10 × n, [[JoinPruning.bloomMinBits]],
+  * maxBits) and serializes through the standard sketch writeTo, so
+  * probes are format-unchanged. Input hashes must be non-null
+  * (xxhash64 never is). */
+case class AdaptiveBloomAggregate(child: Expression, maxBits: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adaptive_bloom_agg"
+
+  override def createAggregationBuffer():
+      scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def update(b: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null) b += v.asInstanceOf[Long]
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.ArrayBuffer[Long],
+      o: scala.collection.mutable.ArrayBuffer[Long]):
+      scala.collection.mutable.ArrayBuffer[Long] = { b ++= o; b }
+
+  override def eval(b: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    if (b.isEmpty) null
+    else {
+      val bits = math.min(maxBits,
+        math.max(JoinPruning.bloomMinBits, 10L * b.length))
+      val bf = BloomFilter.create(b.length.toLong, bits)
+      b.foreach(bf.putLong)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+
+  override def serialize(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.length)
+    b.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) b += bb.getLong()
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): AdaptiveBloomAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): AdaptiveBloomAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): AdaptiveBloomAggregate =
+    copy(child = newChild)
 }

@@ -52,24 +52,35 @@ object KMeans {
         .cast("int").as("cell"), col("embedding").as("centroid"))
 
   /** One flat assignment pass: (vec_id, embedding, cell, s) — argmax
-    * cosine over the broadcast centroids, 6dp scores, lowest-cell
-    * ties, zero-norm guard inherited from cosineSim. */
+    * cosine over the k centroids, 6dp scores, lowest-cell ties,
+    * zero-norm guard inherited from cosineSim.
+    *
+    * The k-row centroid table COLLECTS (k = [[kmeansK]], bounded) and
+    * inlines as array literals, so the pass is a pure per-row
+    * projection: no fan-out join multiplying the corpus k-ways and —
+    * the expensive part of the old shape — no corpus-wide
+    * `groupBy(vec_id)` exchange re-assembling what the row never had
+    * to leave (guide §2.4). Bit-parity: the literals run through the
+    * SAME l2Norm / normScore kernels (constant-folded via the same
+    * eval loop), and `greatest` over (s, −cell) structs is exactly
+    * the old `max(struct(s, −cell))` tie-break. */
   private[graft] def assignFlat(vectors: DataFrame,
-      centroids: DataFrame): DataFrame =
-    // norms pre-compute once per row/centroid, not per pair — the
-    // k-way fan then pays one dot per pair; 6dp scores are
-    // IEEE-identical to the fused cosine (EmbeddingStore.normScore)
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val scored = cents.map { case (cell, c) =>
+      val lc = typedLit(c)
+      struct(
+        EmbeddingStore.normScore(col("embedding"), lc,
+          col("__vn"), l2Norm(lc)).as("s"),
+        lit(-cell.toLong).as("nc"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
     vectors.withColumn("__vn", l2Norm(col("embedding")))
-      .join(broadcast(centroids.withColumn("__cn", l2Norm(col("centroid")))))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        EmbeddingStore.normScore(col("embedding"), col("centroid"),
-          col("__vn"), col("__cn")).as("s"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("s").as("s"),
-        (-col("cell")).cast("long").as("nc"))).as("m"),
-        any_value(col("embedding")).as("embedding"))
+      .withColumn("m", best)
       .select(col("vec_id"), col("embedding"),
         (-col("m.nc")).cast("int").as("cell"), col("m.s").as("s"))
+  }
 
   def kmeans(t: Tables): DataFrame =
     kmeansOn(t.spark,
@@ -82,17 +93,30 @@ object KMeans {
     var centroids = seeds(vectors).localCheckpoint()
     val rows = Seq.newBuilder[(Int, Long, Long)]
     (1 to kmeansIters).foreach { it =>
-      val assigned = assignFlat(vectors, centroids).persist()
-      val stats = assigned.agg(
+      // ONE corpus pass per iteration: the row-local assignment feeds
+      // a single (cell, i) aggregation whose k×dim pinned output
+      // carries BOTH the iteration's stats and the next centroids —
+      // the old shape persisted the corpus-sized assignment and ran a
+      // stats pass plus an update pass over it. Inertia micro-units
+      // ride the i=0 slice (each assignment row appears exactly once
+      // there), so the integer sum is the identical number; per-
+      // (cell, i) means are the same `round(avg, 6)` the shared
+      // lloydStep computes.
+      val agg = assignFlat(vectors, centroids)
+        .select(col("cell"),
+          round((lit(1.0) - col("s")) * 1e6).cast("long").as("im"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(avg(col("v")), 6).as("cv"),
+          sum(when(col("i") === 0, col("im"))).as("im"))
+        .localCheckpoint()
+      val stats = agg.agg(
         countDistinct(col("cell")).as("n_cells"),
-        sum(round((lit(1.0) - col("s")) * 1e6).cast("long"))
-          .as("inertia_micro")).first()
+        sum(col("im")).as("inertia_micro")).first()
       rows += ((it, stats.getLong(0), stats.getLong(1)))
-      // lloydStep localCheckpoints its k-row output, so the corpus-
-      // sized assignment can release immediately after
-      centroids = EmbeddingStore.lloydStep(
-        assigned.select(col("cell"), col("embedding")), vecDim)
-      assigned.unpersist()
+      centroids = EmbeddingStore.lloydFinish(
+        agg.select(col("cell"), col("i"), col("cv")), vecDim)
+        .localCheckpoint()
     }
     import spark.implicits._
     rows.result().toDF("iter", "n_cells", "inertia_micro")

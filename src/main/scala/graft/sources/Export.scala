@@ -43,6 +43,28 @@ object Export {
     * is testable, not just asserted. */
   private[graft] val runs = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Session conf bounding files per export partition dir. The hash
+    * distribution below serializes each (split, source)/(phase, shard)
+    * dir into ONE write task — the right small-files bound at bench
+    * SF, but at 100 TB one reducer then owns a whole output dir. A
+    * deployment sets this to k > 1 and the distribution gains a
+    * deterministic `pmod(doc_id, k)` salt: ≤ k files per dir, k-way
+    * write parallelism per dir (Iceberg's fanout-with-target-file-size
+    * posture). Default 1 = the unsalted local shape, so the bench
+    * stays comparable; ExportSpec proves the salted layout keeps the
+    * manifest byte-identical. */
+  private[graft] val saltKey = "graft.export.saltFiles"
+
+  /** Hash-distribute `df` on the partition keys, salted k ways when
+    * [[saltKey]] asks (guide §2.5: the salt is derived from doc_id —
+    * deterministic under task retry, never rand()). */
+  private def distributeByKeys(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val k = df.sparkSession.conf.getOption(saltKey).map(_.toInt).getOrElse(1)
+    if (k <= 1) df.repartition(keys: _*)
+    else df.repartition((keys :+ pmod(col("doc_id"), lit(k.toLong))): _*)
+  }
+
   /** Precondition (standard for any Hive-style partitioned sink):
     * the partition keys are non-null, non-empty strings — a null or
     * '' source would write as `__HIVE_DEFAULT_PARTITION__` and read
@@ -67,9 +89,10 @@ object Export {
         // dir it sees — tasks × dirs small files whose open/commit
         // overhead the read-back then pays per file. One small
         // shuffle of the kept rows bounds the store at ~one file per
-        // partition dir. Row content is unchanged — the manifest is
-        // layout-invariant by construction.
-        .repartition(col("split"), col("source"))
+        // partition dir (× the [[saltKey]] salt at scale). Row
+        // content is unchanged — the manifest is layout-invariant by
+        // construction.
+        .transform(distributeByKeys(_, col("split"), col("source")))
         .write.partitionBy("split", "source").parquet(out)
       // EXPLICIT read schema: pins the partition columns to STRING
       // (default partition-type inference would corrupt a numeric-
@@ -126,7 +149,7 @@ object Export {
         // hash-distribute on the partition keys (H1's rationale) —
         // the shard fan-out otherwise lands tasks × 16 dirs of
         // small files
-        .repartition(col("split"), col("shard"))
+        .transform(distributeByKeys(_, col("split"), col("shard")))
         .write.partitionBy("split", "shard").parquet(out)
       spark.read
         .schema("doc_id LONG, text STRING, source STRING, split STRING, shard LONG")
@@ -260,7 +283,7 @@ object Export {
         .select(col("doc_id"), col("text"), phase.as("phase"),
           pmod(col("doc_id"), lit(exportShardCount.toLong)).as("shard"))
         // hash-distribute on the partition keys (H1's rationale)
-        .repartition(col("phase"), col("shard"))
+        .transform(distributeByKeys(_, col("phase"), col("shard")))
         .write.partitionBy("phase", "shard").parquet(out)
       spark.read
         .schema("doc_id LONG, text STRING, phase INT, shard LONG")

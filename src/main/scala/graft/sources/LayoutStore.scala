@@ -130,6 +130,36 @@ object LayoutStore {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Clone a layout tree into an episode's private working dir by
+    * HARD LINK for the parquet data files and byte-copy for everything
+    * else. Parquet files are immutable once written — every mutation
+    * in this library lands NEW files and a new manifest/marker, never
+    * an in-place rewrite — so linking them is safe and makes the clone
+    * O(files + metadata bytes) instead of O(data bytes): at a 100 TB
+    * base the copy-then-mutate episode verbs (advance-day, index
+    * maintenance, index history) would otherwise pay a full base
+    * rewrite before doing any work (guide §6 — never rewrite carried
+    * data). Small metadata files (manifests, markers, watermarks) DO
+    * get rewritten in place by the advance, so they are copied — a
+    * linked inode would corrupt the pristine base. Falls back to copy
+    * when the filesystem refuses the link (cross-device scratch). */
+  def cloneRecursively(src: File, dst: File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => cloneRecursively(f, new File(dst, f.getName)))
+    } else if (src.getName.endsWith(".parquet")) {
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch {
+        case _: Exception =>
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Recursive delete of a layout directory — the one shared
     * implementation for every staged-swap site (dedup state advance,
     * IVF rebuild). */

@@ -311,4 +311,16 @@ class ExportSpec extends SparkTestBase {
       .collect().map(_.getString(1)).toSeq match { case Seq(v) => v }
     assert(asOf(3L, 2L) === "b" && asOf(7L, 2L) === "B2")
   }
+
+  test("export salt conf: the salted distribution keeps the shard " +
+    "manifest byte-identical — the file-count bound is layout-only") {
+    val t = Tables(spark, sfDir)
+    val unsalted = Export.exportShards(t).collect().toSeq
+    spark.conf.set(Export.saltKey, "3")
+    try {
+      val salted = Export.exportShards(t).collect().toSeq
+      assert(salted === unsalted,
+        "salting the write distribution must not change one manifest byte")
+    } finally spark.conf.unset(Export.saltKey)
+  }
 }

@@ -67,6 +67,26 @@ class JoinPruningSpec extends SparkTestBase {
     assert(!JoinPruning.mightContainValue(g1s, "delta"))
   }
 
+  test("bloomAgg sizes each group's sketch by its OWN cardinality: " +
+    "small groups pay ~1 KiB, huge groups stay capped, no false negatives") {
+    import spark.implicits._
+    val small = (0L until 10L).map(("s", _)) // → floor (2^13 bits = 1 KiB)
+    val big = (0L until 200000L).map(("b", _)) // → cap (2^20 bits = 128 KiB)
+    val sketches = (small ++ big).toDF("g", "k")
+      .groupBy(col("g")).agg(JoinPruning.bloomAgg(col("k")).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val sBytes = sketches("s").length
+    val bBytes = sketches("b").length
+    assert(sBytes <= 2048, s"small group sketch should be ~1 KiB, was $sBytes")
+    assert(bBytes >= (1 << 20) / 8,
+      s"over-full group must stay at the cap, was $bBytes")
+    assert(bBytes <= (1 << 20) / 8 + 64)
+    // the adaptive sizing keeps the no-false-negative contract at both ends
+    assert((0L until 10L).forall(JoinPruning.mightContainValue(sketches("s"), _)))
+    assert(Seq(0L, 99999L, 199999L)
+      .forall(JoinPruning.mightContainValue(sketches("b"), _)))
+  }
+
   test("plan: the pre-filter is the codegen'd might_contain over the scan") {
     val df = JoinPruning.semiJoinPruned(
       t.customer, t.orders.select(col("o_custkey")),
