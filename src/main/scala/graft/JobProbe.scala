@@ -42,10 +42,10 @@ object JobProbe {
         val site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short")))
           .filter(_.nonEmpty)
-          .orElse(e.stageInfos.lastOption.flatMap(si =>
+          .orElse(e.stageInfos.iterator.flatMap(si =>
             si.details.linesIterator
-              .find(l => l.contains("graft.") && !l.contains("JobProbe"))
-              .map(_.trim.stripPrefix("at "))))
+              .find(l => l.contains("graft.") && !l.contains("JobProbe")))
+            .toSeq.headOption.map(_.trim.stripPrefix("at ")))
           .orElse(e.stageInfos.lastOption.map(_.name))
           .getOrElse("")
         jobs(e.jobId) = JobRec(e.jobId, desc, site, e.time)

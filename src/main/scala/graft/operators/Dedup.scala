@@ -88,7 +88,11 @@ object Dedup {
     * into every consumer — exploded rows sidestep both, and every
     * downstream step (min-hash aggs, shingle equi-joins) is plain
     * row-at-a-time codegen. The one shuffle this adds (by doc_id for
-    * the window) is the shuffle the dedup joins need anyway. */
+    * the window) is the shuffle the dedup joins need anyway.
+    * (Re-measured r19 with the shingles3 array built in its own
+    * projection and a lone explode consumer: still ~2× slower than
+    * this shape at sf0.1 — the interpreted HOF allocation dominates;
+    * reverted.) */
   private def shingleRows(t: Tables): DataFrame = shingleRowsOf(t.documents)
 
   private def shingleRowsOf(documents: DataFrame): DataFrame = {

@@ -298,10 +298,19 @@ object TextAnalysis {
     * (doc_id, source, split) — the thing a pipeline actually ships;
     * F9 aggregates it to the audit table and H1's export writes it
     * to partitioned storage. */
-  private[graft] def pipelineKeptDocs(t: Tables): DataFrame = {
-    val kept = qualityScore(t)
+  private[graft] def pipelineKeptDocs(t: Tables): DataFrame =
+    pipelineKeptFrom(t, qualityScore(t)
       .filter(col("quality") >= 0.5)
-      .select(col("doc_id"))
+      .select(col("doc_id")))
+
+  /** [[pipelineKeptDocs]] with the quality gate's surviving ids
+    * supplied by the caller — the shared-scan seam for a composition
+    * that ALSO needs the quality scores (H3's curriculum export
+    * scores the corpus once and feeds both this gate and the F26
+    * buckets from the same pinned frame). The ids must be exactly
+    * `quality >= 0.5` survivors of the F2 rule — same values, fewer
+    * corpus scans. */
+  private[graft] def pipelineKeptFrom(t: Tables, kept: DataFrame): DataFrame = {
     // one tokenize pass feeds both gates (two consumers — lazy would
     // re-read and re-explode the corpus per gate)
     val tok = posTokens(t.documents).localCheckpoint()
@@ -1074,9 +1083,15 @@ object TextAnalysis {
     * ≤|sources|·101-row broadcast. The oracle replays the SIMPLE
     * per-source PERCENT_RANK window — the two plans are provably the
     * same function, which is exactly what the row checks. */
-  def qualityBuckets(t: Tables): DataFrame = {
-    val docs = t.documents
-      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+  def qualityBuckets(t: Tables): DataFrame =
+    qualityBucketsFrom(t.documents
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality")))
+
+  /** F26 over an already-scored (doc_id, source, quality) frame — the
+    * shared-scan seam (H3 feeds the same pinned scored frame here and
+    * into the pipeline's quality gate). */
+  private[graft] def qualityBucketsFrom(scored: DataFrame): DataFrame = {
+    val docs = scored
       .filter(col("quality").isNotNull)
     val binned = docs.withColumn("bin", floor(col("quality") * 100).cast("int"))
     val offsets = binned.groupBy(col("source"), col("bin"))

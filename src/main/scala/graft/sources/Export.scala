@@ -274,9 +274,21 @@ object Export {
       val out = s"$dir/phases"
       val phase = when(col("bucket") === "head", 3)
         .when(col("bucket") === "middle", 2).otherwise(1)
-      val buckets = TextAnalysis.qualityBuckets(t)
+      // ONE quality-scored corpus pass feeds BOTH consumers (guide §2
+      // — remove repeated scans): the F26 bucket calibration and the
+      // pipeline's quality gate previously each re-scored the corpus
+      // (3 tokenize/regex passes per doc each); the pinned frame is
+      // 3 narrow columns. Same F2 expression, same values — the
+      // read-back avg_quality still re-derives quality from the
+      // written text, so the round-trip proof is untouched.
+      val scored = t.documents
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityExpr.as("quality"))
+        .localCheckpoint()
+      val buckets = TextAnalysis.qualityBucketsFrom(scored)
         .select(col("doc_id"), col("bucket"))
-      TextAnalysis.pipelineKeptDocs(t)
+      TextAnalysis.pipelineKeptFrom(t,
+          scored.filter(col("quality") >= 0.5).select(col("doc_id")))
         .filter(col("split") === "train")
         .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
         .join(buckets, "doc_id")
